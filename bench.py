@@ -1,0 +1,61 @@
+"""Bench harness — runs the headline declared queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Each query is forced to full materialization via a count over the result
+(write-free, so timings measure compute+shuffle, not disk).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    from cascade_spark.session import get_spark
+    from cascade_spark.plans.registry import load_all
+
+    registry = load_all()
+    spark = get_spark("cascade_bench")
+
+    # warm the JVM + parquet footers once
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in sorted(registry):
+        q = registry[name]
+        if not q.bench:
+            continue
+        start = time.perf_counter()
+        try:
+            df = q.builder(spark, SF_DIR)
+            df.count()
+            timings[name] = round(time.perf_counter() - start, 3)
+        except Exception as exc:  # noqa: BLE001 — record failures, keep going
+            timings[name] = -1.0
+            print(f"# bench error {name}: {exc}", file=sys.stderr)
+
+    total = round(sum(v for v in timings.values() if v >= 0), 3)
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+    print(
+        json.dumps(
+            {
+                "metric": "total_declared_query_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,10 @@
+"""Operator modules — importing this package registers every declared
+query (see cascade_spark.plans.registry.load_all)."""
+
+from cascade_spark.operators import (  # noqa: F401
+    aggregations,
+    consume,
+    filters,
+    ingest,
+    roundtrip,
+)

@@ -1,0 +1,86 @@
+"""Publish path — the reference's write path, Spark-native.
+
+Reference semantics (SURVEY.md §2A R1/R4/R5): producer round-robins
+events across brokers (src/producer/main.rs:196), each broker appends to
+an append-only log and records the event's position in an 8-byte offset
+index (src/broker/main.rs:94-97). We persist the *whole* record (the
+reference's intended semantics — its actual code drops timestamp/number,
+src/broker/main.rs:96) and make the offset an explicit column.
+
+Scale design — offset assignment at 100 TB:
+``monotonically_increasing_id`` is partition-layout-dependent and a
+single global ``row_number`` window collapses to one task. Instead we use
+the classic two-phase zip-with-index, fully declarative:
+
+1. range-repartition by the total-order key (so partition *p* holds a
+   contiguous key range),
+2. ``row_number`` within each partition (parallel),
+3. broadcast-join the per-partition row counts' cumulative sums and add
+   the base — one tiny count aggregation, no global sort on a single task.
+
+Kafka-style per-partition offsets (partition, offset) are
+``assign_partitioned_offsets`` — the truly shuffle-free form brokers use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def assign_offsets(df: DataFrame, order_cols: list[str], num_partitions: int = 32) -> DataFrame:
+    """Add a dense global ``offset`` column (0-based) following the total
+    order of ``order_cols``, without a single-task global window."""
+    part = df.repartitionByRange(num_partitions, *[F.col(c) for c in order_cols])
+    part = part.withColumn("_pid", F.spark_partition_id())
+    w = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in order_cols])
+    local = part.withColumn("_local", F.row_number().over(w) - F.lit(1))
+    # Tiny aggregate (one row per partition) → cumulative base, broadcast back.
+    counts = (
+        local.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .withColumn(
+            "_base",
+            F.sum("_cnt").over(Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)),
+        )
+        .withColumn("_base", F.coalesce(F.col("_base"), F.lit(0)))
+        .select("_pid", "_base")
+    )
+    return (
+        local.join(F.broadcast(counts), "_pid")
+        .withColumn("offset", (F.col("_base") + F.col("_local")).cast("long"))
+        .drop("_pid", "_local", "_base")
+    )
+
+
+def assign_partitioned_offsets(
+    df: DataFrame, key: Column, num_partitions: int, order_cols: list[str]
+) -> DataFrame:
+    """Kafka-model offsets: hash ``key`` to a partition, offset dense
+    within the partition. No cross-partition coordination — this is the
+    form that scales linearly with partitions."""
+    out = df.withColumn("partition", F.pmod(F.xxhash64(key), F.lit(num_partitions)).cast("int"))
+    w = Window.partitionBy("partition").orderBy(*[F.col(c) for c in order_cols])
+    return out.withColumn("offset", (F.row_number().over(w) - 1).cast("long"))
+
+
+def publish(
+    df: DataFrame,
+    topic_dir: str,
+    order_cols: list[str],
+    num_partitions: int = 4,
+    topic: str = "test",
+) -> None:
+    """Append a batch of events to a topic directory (reference R1).
+
+    Round-robin distribution across ``num_partitions`` writers mirrors
+    src/producer/main.rs:196 (``clients[i % len]``); the parquet append is
+    the durable log, parquet footers+offset column replace index.table.
+    """
+    with_offsets = assign_offsets(df, order_cols, num_partitions)
+    (
+        with_offsets.withColumn("topic", F.lit(topic))
+        .repartition(num_partitions)  # RoundRobinPartitioning
+        .write.mode("append")
+        .parquet(topic_dir)
+    )

@@ -1,0 +1,56 @@
+"""SparkSession factory.
+
+Settings are chosen for oracle determinism (UTC session timezone —
+SURVEY.md §2B determinism rules) and for scale (AQE on: runtime shuffle
+coalescing, skew-join splitting, and join-strategy switching are the
+mechanisms that keep these plans healthy at 100 TB / 1000 executors).
+
+Local test topology is ``local[N]`` (single JVM); shuffle partitions are
+sized to the local core count rather than Spark's default 200 — on a real
+cluster this knob (or AQE's coalescing with a high initial count) should
+track total cores.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "cascade_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session.
+
+    ``cores`` defaults to $SPARK_GRAFT_CPUS or all local cores.
+    """
+    cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    shuffle_partitions = shuffle_partitions or int(
+        os.environ.get("CASCADE_SHUFFLE_PARTITIONS", str(max(cores, 4)))
+    )
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # events.parquet stores TIMESTAMP(NANOS) which vanilla Spark
+        # rejects; read as long and convert in tables.load (ns→µs floor,
+        # matching DuckDB's read-time truncation).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("CASCADE_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        # ANSI off: declared queries rely on permissive casts matching
+        # DuckDB's TRY-style semantics only where both agree; we keep
+        # Spark's default (non-ANSI) behavior stable across versions.
+        .config("spark.sql.ansi.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
