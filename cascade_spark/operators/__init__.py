@@ -3,8 +3,13 @@ query (see cascade_spark.plans.registry.load_all)."""
 
 from cascade_spark.operators import (  # noqa: F401
     aggregations,
+    asof,
     consume,
     filters,
     ingest,
+    joins,
     roundtrip,
+    setops,
+    sorts,
+    windows,
 )

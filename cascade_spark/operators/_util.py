@@ -33,5 +33,38 @@ def bigint(c: Column) -> Column:
     return c.cast("long")
 
 
+# --- deterministic rounded averages -----------------------------------------
+# ROUND(sum/count, k) on DOUBLE diverges between engines when the exact
+# quotient lands on a .xx5 boundary (Spark rounds the decimal expansion
+# half-up; DuckDB's float path can go either way). With a scale-4 decimal
+# sum the quotient is rational with small denominator, so boundaries are
+# common. Instead compute round_half_up((S/10^4/count)*10^k) via exact
+# integer arithmetic: n = (2*S*10^k + 10^4*count) intdiv (2*10^4*count),
+# result n/10^k. All intermediates < 2^53 for fixture magnitudes.
+
+
+def _intdiv(a: Column, b: Column) -> Column:
+    # (a - a%b)/b: numerator is an exact multiple of b and both fit in
+    # double's 53-bit integer range, so the FP division is exact.
+    return ((a - F.pmod(a, b)) / b).cast("long")
+
+
+def avg_round(sum_dec: Column, count: Column, k: int = 2) -> Column:
+    """Half-up rounded average (to k decimals) of a scale-4 decimal sum —
+    bit-identical to sql_avg_round on the DuckDB side."""
+    s = (sum_dec * 10000).cast("long")
+    c = count.cast("long") * 10000
+    n = _intdiv(F.lit(2) * s * (10**k) + c, F.lit(2) * c)
+    return (n.cast("double") / F.lit(float(10**k))).alias("avg")
+
+
+def sql_avg_round(sum_expr: str, k: int = 2, count_expr: str = "COUNT(*)") -> str:
+    """DuckDB SQL for avg_round. ``sum_expr`` must be a scale-4 DECIMAL
+    sum, e.g. ``SUM(CAST(x AS DECIMAL(12,4)))``."""
+    s = f"CAST({sum_expr} * 10000 AS BIGINT)"
+    c = f"(10000 * {count_expr})"
+    return f"(CAST((2 * {s} * {10**k} + {c}) // (2 * {c}) AS DOUBLE) / {10**k})"
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load(spark, sf_dir, name)

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from cascade_spark.plans.registry import register
-from cascade_spark.operators._util import bigint, d2, dec, t
+from cascade_spark.operators._util import avg_round, bigint, d2, dec, sql_avg_round, t
 
 
 @register(
@@ -22,7 +22,7 @@ from cascade_spark.operators._util import bigint, d2, dec, t
     "decimal-accumulated measures. Flagship query (reference analog: the "
     "only aggregate cascade has is event count = index_length/8, "
     "src/broker/main.rs:125,136 — this is its declared analytic surface).",
-    oracle="""
+    oracle=f"""
 SELECT l_returnflag, l_linestatus,
        CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,4))), 2) AS DOUBLE) AS sum_qty,
        CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))), 2) AS DOUBLE) AS sum_base_price,
@@ -31,8 +31,8 @@ SELECT l_returnflag, l_linestatus,
        CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,4))
                            * (1 - CAST(l_discount AS DECIMAL(12,4))) AS DECIMAL(18,6))
                       * (1 + CAST(l_tax AS DECIMAL(12,4)))), 2) AS DOUBLE) AS sum_charge,
-       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*), 2) AS avg_qty,
-       ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*), 4) AS avg_disc,
+       {sql_avg_round("SUM(CAST(l_quantity AS DECIMAL(12,4)))", 2)} AS avg_qty,
+       {sql_avg_round("SUM(CAST(l_discount AS DECIMAL(12,4)))", 4)} AS avg_disc,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -52,8 +52,8 @@ def agg_grouped_q1(spark, sf_dir):
             d2(F.sum(dec("l_extendedprice"))).alias("sum_base_price"),
             d2(F.sum(disc_price)).alias("sum_disc_price"),
             d2(F.sum(charge)).alias("sum_charge"),
-            F.round(F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1)), 2).alias("avg_qty"),
-            F.round(F.sum(dec("l_discount")).cast("double") / F.count(F.lit(1)), 4).alias("avg_disc"),
+            avg_round(F.sum(dec("l_quantity")), F.count(F.lit(1)), 2).alias("avg_qty"),
+            avg_round(F.sum(dec("l_discount")), F.count(F.lit(1)), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")

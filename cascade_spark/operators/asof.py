@@ -1,0 +1,102 @@
+"""As-of join — event enrichment with the most recent dimension state.
+
+Spark has no native ASOF JOIN; the idiomatic composition (SURVEY.md §2B)
+is the union+window trick:
+
+1. union the "state" rows (orders) and the "probe" rows (events) into one
+   stream keyed by (entity, time, kind) with kind ordering state *before*
+   probe at equal timestamps — this realizes the inclusive ``ts >=
+   state_ts`` match DuckDB's ASOF uses;
+2. one window per entity: ``last(value, ignorenulls=True)`` over
+   ``rowsBetween(unboundedPreceding, 0)`` carries the latest state onto
+   every probe row;
+3. keep the probe rows.
+
+Scale: everything shuffles exactly once on the entity key (the window
+partition); no global window, no per-row Python. State rows are
+pre-deduplicated per (entity, ts) so ties are impossible on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from cascade_spark.plans.registry import register
+from cascade_spark.operators._util import t
+
+
+def asof_join(
+    probe: DataFrame,
+    state: DataFrame,
+    probe_on: str,
+    state_on: str,
+    probe_ts: str,
+    state_ts: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Left as-of join: for each probe row, attach ``value_cols`` from the
+    state row with the greatest ``state_ts`` <= ``probe_ts`` (inclusive),
+    matching ``probe_on == state_on``. State must be unique per
+    (state_on, state_ts) — pre-aggregate if not."""
+    state_types = dict(state.dtypes)
+    probe_types = dict(probe.dtypes)
+    p = probe.select(
+        F.col(probe_on).alias("_k"),
+        F.col(probe_ts).alias("_ts"),
+        F.lit(1).alias("_kind"),
+        *[F.lit(None).cast(state_types[c]).alias(c) for c in value_cols],
+        *probe.columns,
+    )
+    s = state.select(
+        F.col(state_on).alias("_k"),
+        F.col(state_ts).alias("_ts"),
+        F.lit(0).alias("_kind"),
+        *[F.col(c) for c in value_cols],
+        *[F.lit(None).cast(probe_types[c]).alias(c) for c in probe.columns],
+    )
+    u = p.unionByName(s)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_kind")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    for c in value_cols:
+        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return u.filter(F.col("_kind") == 1).drop("_k", "_ts", "_kind")
+
+
+@register(
+    "join_asof",
+    "joins",
+    doc="As-of join: each event picks up the customer's most recent order "
+    "price at-or-before the event time (DuckDB oracle: native ASOF LEFT "
+    "JOIN). Union+window composition — one shuffle on the entity key.",
+    oracle="""
+WITH o AS (
+    SELECT o_custkey, o_orderdate, MAX(o_totalprice) AS last_order_price
+    FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, e.user_id, o.last_order_price
+FROM events e ASOF LEFT JOIN o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+ORDER BY e.event_id
+""",
+)
+def join_asof(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_totalprice").alias("last_order_price"))
+    )
+    joined = asof_join(
+        ev,
+        orders,
+        probe_on="user_id",
+        state_on="o_custkey",
+        probe_ts="ts",
+        state_ts="o_orderdate",
+        value_cols=["last_order_price"],
+    )
+    return joined.select("event_id", "user_id", "last_order_price").orderBy("event_id")

@@ -1,0 +1,115 @@
+"""Window-function operators (SURVEY.md §2B Window functions).
+
+Every window here partitions by a real key (user/customer) — at 100 TB a
+window is exactly one shuffle on its partition key and streams within the
+partition; an unpartitioned window would serialize on one task (the
+reference's global offset counter, src/broker/main.rs:97, is the analog —
+see operators/ingest.py for the scalable two-phase form).
+
+Window order keys always include a unique tiebreaker (event_id /
+orderkey) so rank/lag results are deterministic on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from cascade_spark.plans.registry import register
+from cascade_spark.operators._util import avg_round, d2, dec, sql_avg_round, t
+
+
+@register(
+    "window_ranking",
+    "windows",
+    doc="row_number / rank / dense_rank / ntile per customer over order "
+    "price (offset assignment ≡ row_number over arrival order, "
+    "src/broker/main.rs:97).",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       ROW_NUMBER() OVER w AS rn,
+       RANK() OVER w AS rnk,
+       DENSE_RANK() OVER w AS drnk,
+       CAST(NTILE(4) OVER w AS BIGINT) AS quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+ORDER BY o_custkey, rn
+""",
+)
+def window_ranking(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    ).orderBy("o_custkey", "rn")
+
+
+@register(
+    "window_lag_lead",
+    "windows",
+    doc="lag/lead per user over event time — the reference's next-index "
+    "lookup (src/broker/main.rs:148-156) is lead(offset).",
+    oracle="""
+SELECT user_id, event_id,
+       LAG(event_id) OVER w AS prev_event,
+       LEAD(event_id) OVER w AS next_event,
+       COALESCE(CAST(DATE_DIFF('second', LAG(ts) OVER w, ts) AS BIGINT), -1) AS secs_since_prev
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, event_id
+""",
+)
+def window_lag_lead(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.lag("event_id").over(w).alias("prev_event"),
+        F.lead("event_id").over(w).alias("next_event"),
+        F.coalesce(
+            (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))).cast("long"),
+            F.lit(-1).cast("long"),
+        ).alias("secs_since_prev"),
+    ).orderBy("user_id", "event_id")
+
+
+@register(
+    "window_frames",
+    "windows",
+    doc="Frame specs: running (unbounded-preceding) decimal sum and a "
+    "5-row moving average per user.",
+    oracle=f"""
+SELECT user_id, event_id,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(12,4)))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_value,
+       {sql_avg_round(
+           "SUM(CAST(value AS DECIMAL(12,4))) OVER w5",
+           2,
+           "COUNT(*) OVER w5",
+       )} AS moving_avg
+FROM events
+WINDOW w5 AS (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+ORDER BY user_id, event_id
+""",
+)
+def window_frames(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    running = w.rowsBetween(Window.unboundedPreceding, 0)
+    moving = w.rowsBetween(-4, 0)
+    return ev.select(
+        "user_id",
+        "event_id",
+        d2(F.sum(dec("value")).over(running)).alias("running_value"),
+        avg_round(F.sum(dec("value")).over(moving), F.count(F.lit(1)).over(moving), 2).alias(
+            "moving_avg"
+        ),
+    ).orderBy("user_id", "event_id")
