@@ -1,1 +1,3 @@
 """Scalar-function surface (string/date/math/array/json/hash)."""
+
+from cascade_spark.functions import complex, scalars  # noqa: F401

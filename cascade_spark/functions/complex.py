@@ -1,0 +1,232 @@
+"""Complex-type function surface: arrays (incl. higher-order), map/struct,
+JSON, hashing (SURVEY.md §2B Array/Map/JSON/Hash families).
+
+Array queries run over ``embeddings.embedding`` (array<float>, 64-dim) —
+the same column the similarity-search operators use; higher-order
+functions (transform/filter/aggregate/zip_with) keep vector math JVM-side
+with zero Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cascade_spark.plans.registry import register
+from cascade_spark.operators._util import t
+
+
+@register(
+    "fn_array_basic",
+    "functions",
+    doc="size / element_at / slice / sequence / array_sort+array_join over "
+    "embeddings and tokenized text.",
+    oracle="""
+SELECT vec_id,
+       CAST(LEN(embedding) AS BIGINT) AS dim,
+       ROUND(CAST(embedding[1] AS DOUBLE), 4) AS first_elem,
+       CAST(LEN(embedding[1:5]) AS BIGINT) AS slice_len,
+       CAST(LEN(GENERATE_SERIES(1, CAST(label AS BIGINT) + 1)) AS BIGINT) AS seq_len
+FROM embeddings
+ORDER BY vec_id
+""",
+)
+def fn_array_basic(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 4).alias("first_elem"),
+        F.size(F.slice("embedding", 1, 5)).cast("long").alias("slice_len"),
+        F.size(F.sequence(F.lit(1).cast("long"), F.col("label").cast("long") + 1))
+        .cast("long")
+        .alias("seq_len"),
+    ).orderBy("vec_id")
+
+
+@register(
+    "fn_array_higher_order",
+    "functions",
+    doc="Higher-order functions: transform / filter / aggregate / zip_with "
+    "— vector math fully JVM-side (the brute-force half of the similarity "
+    "surface). Sums rounded to 4 (sequential fold order is identical in "
+    "both engines; float→double widening is exact).",
+    oracle="""
+SELECT vec_id,
+       CAST(LEN(LIST_FILTER(embedding, x -> x > 0)) AS BIGINT) AS n_positive,
+       ROUND(LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * 2.0)), 4) AS sum_doubled,
+       ROUND(LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS norm_sq
+FROM embeddings
+ORDER BY vec_id
+""",
+)
+def fn_array_higher_order(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    dbl = lambda x: x.cast("double")  # noqa: E731
+    return e.select(
+        "vec_id",
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias("n_positive"),
+        F.round(
+            F.aggregate(
+                F.transform("embedding", lambda x: dbl(x) * 2.0),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            4,
+        ).alias("sum_doubled"),
+        F.round(
+            F.aggregate(
+                F.transform("embedding", lambda x: dbl(x) * dbl(x)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            4,
+        ).alias("norm_sq"),
+    ).orderBy("vec_id")
+
+
+@register(
+    "fn_array_explode",
+    "functions",
+    doc="explode/posexplode: unnest embedding elements with position, "
+    "re-aggregate per vector.",
+    oracle="""
+SELECT vec_id,
+       CAST(COUNT(*) AS BIGINT) AS n_elems,
+       CAST(MAX(pos) AS BIGINT) AS max_pos
+FROM (
+    SELECT vec_id, GENERATE_SUBSCRIPTS(embedding, 1) - 1 AS pos,
+           UNNEST(embedding) AS elem
+    FROM embeddings
+)
+WHERE elem > 0.5
+GROUP BY vec_id
+ORDER BY vec_id
+""",
+)
+def fn_array_explode(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    return (
+        e.select("vec_id", F.posexplode("embedding").alias("pos", "elem"))
+        .filter(F.col("elem") > 0.5)
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_elems"),
+            F.max("pos").cast("long").alias("max_pos"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@register(
+    "fn_map_struct",
+    "functions",
+    doc="map/struct constructors and field access (create_map, map_keys, "
+    "struct.getField).",
+    oracle="""
+SELECT event_id,
+       event_type AS m_key,
+       value AS m_val,
+       event_type AS s_type,
+       user_id AS s_user
+FROM events
+ORDER BY event_id
+""",
+)
+def fn_map_struct(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    m = F.create_map(F.col("event_type"), F.col("value"))
+    s = F.struct(F.col("event_type").alias("et"), F.col("user_id").alias("uid"))
+    return ev.select(
+        "event_id",
+        F.map_keys(m).getItem(0).alias("m_key"),
+        F.map_values(m).getItem(0).alias("m_val"),
+        s.getField("et").alias("s_type"),
+        s.getField("uid").alias("s_user"),
+    ).orderBy("event_id")
+
+
+@register(
+    "fn_json",
+    "functions",
+    doc="JSON family over events.props: get_json_object / from_json / "
+    "json_tuple (DuckDB: json_extract).",
+    oracle="""
+SELECT event_id,
+       JSON_EXTRACT_STRING(props, '$.k') AS k_str,
+       CAST(JSON_EXTRACT(props, '$.k') AS BIGINT) AS k_int,
+       JSON_EXTRACT_STRING(props, '$.missing') AS absent
+FROM events
+ORDER BY event_id
+""",
+)
+def fn_json(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    parsed = F.from_json("props", T.StructType([T.StructField("k", T.LongType())]))
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        parsed.getField("k").alias("k_int"),
+        F.get_json_object("props", "$.missing").alias("absent"),
+    ).orderBy("event_id")
+
+
+@register(
+    "fn_json_to_json",
+    "functions",
+    doc="to_json serialization of a struct (compact, key-ordered — both "
+    "engines emit {\"a\":1,...} with insertion order).",
+    oracle="""
+SELECT event_id,
+       CAST(TO_JSON(STRUCT_PACK(id := event_id, et := event_type)) AS VARCHAR) AS js
+FROM events
+ORDER BY event_id
+""",
+)
+def fn_json_to_json(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.to_json(F.struct(F.col("event_id").alias("id"), F.col("event_type").alias("et"))).alias(
+            "js"
+        ),
+    ).orderBy("event_id")
+
+
+@register(
+    "fn_hash",
+    "functions",
+    doc="Hash family shared across engines: md5 / sha2-256 (these also "
+    "back the dedup fingerprints).",
+    oracle="""
+SELECT doc_id,
+       MD5(text) AS text_md5,
+       SHA256(lang) AS lang_sha
+FROM documents
+ORDER BY doc_id
+""",
+)
+def fn_hash(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2("lang", 256).alias("lang_sha"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "fn_hash_spark_native",
+    "functions",
+    oracle=None,  # xxhash64/crc32 have no DuckDB equivalent — rows-only
+    doc="Spark-native hashes (xxhash64, crc32) — deterministic, used for "
+    "salting/bucketing at scale; stability asserted in tests instead of "
+    "the oracle.",
+)
+def fn_hash_spark_native(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.xxhash64("text").alias("text_xxh"),
+        F.crc32(F.col("text").cast("binary")).alias("text_crc"),
+    ).orderBy("doc_id")

@@ -1,0 +1,236 @@
+"""Scalar function surface — string / datetime / math / conditional /
+format (SURVEY.md §2B Scalar functions).
+
+These are all JVM-side built-ins (whole-stage codegen; no Python in the
+hot path). Oracle queries restrict themselves to the Spark∩DuckDB
+dialect subset and pin types (BIGINT / rounded DOUBLE / STRING) so the
+hash compare is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cascade_spark.plans.registry import register
+from cascade_spark.operators._util import t
+
+
+@register(
+    "fn_string",
+    "functions",
+    doc="String family: concat/substring/upper/lower/trim/length/lpad/"
+    "instr/regexp_extract/regexp_replace (reference: event_name strings, "
+    "proto/publish.proto:12).",
+    oracle="""
+SELECT doc_id,
+       UPPER(lang) AS lang_up,
+       LOWER(source) AS source_lo,
+       CAST(LENGTH(text) AS BIGINT) AS text_len,
+       SUBSTRING(text, 1, 10) AS prefix10,
+       CONCAT(lang, ':', source) AS lang_source,
+       LPAD(CAST(doc_id AS VARCHAR), 6, '0') AS padded_id,
+       CAST(INSTR(text, 'data') AS BIGINT) AS data_pos,
+       REGEXP_EXTRACT(text, '([a-z]+)', 1) AS first_word,
+       TRIM(REGEXP_REPLACE(SUBSTRING(text, 1, 30), '[aeiou]', '_', 'g')) AS devoweled
+FROM documents
+ORDER BY doc_id
+""",
+)
+def fn_string(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.upper("lang").alias("lang_up"),
+        F.lower("source").alias("source_lo"),
+        F.length("text").cast("long").alias("text_len"),
+        F.substring("text", 1, 10).alias("prefix10"),
+        F.concat_ws(":", "lang", "source").alias("lang_source"),
+        F.lpad(F.col("doc_id").cast("string"), 6, "0").alias("padded_id"),
+        F.instr(F.col("text"), "data").cast("long").alias("data_pos"),
+        F.regexp_extract("text", "([a-z]+)", 1).alias("first_word"),
+        F.trim(F.regexp_replace(F.substring("text", 1, 30), "[aeiou]", "_")).alias("devoweled"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "fn_string_split",
+    "functions",
+    doc="split + explode word pivot: word frequency over documents "
+    "(split is the SQL-side tokenizer for the text-analysis surface).",
+    oracle="""
+SELECT word, COUNT(*) AS n
+FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents)
+WHERE word <> ''
+GROUP BY word
+ORDER BY n DESC, word
+LIMIT 30
+""",
+)
+def fn_string_split(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "word")
+        .limit(30)
+    )
+
+
+@register(
+    "fn_datetime",
+    "functions",
+    doc="Datetime family: year/month/day/hour, date_trunc, date_add, "
+    "datediff, unix_timestamp, date_format (reference R7 timestamp "
+    "decode/format, src/broker/main.rs:36-48).",
+    oracle="""
+SELECT event_id,
+       CAST(YEAR(ts) AS BIGINT) AS y,
+       CAST(MONTH(ts) AS BIGINT) AS m,
+       CAST(DAY(ts) AS BIGINT) AS d,
+       CAST(HOUR(ts) AS BIGINT) AS h,
+       STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_bucket,
+       STRFTIME(CAST(ts AS DATE) + 7, '%Y-%m-%d') AS plus_week,
+       CAST(DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS days_since_ny,
+       CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) AS unix_sec,
+       STRFTIME(ts, '%Y-%m-%d %H:%M:%S') AS formatted
+FROM events
+ORDER BY event_id
+""",
+)
+def fn_datetime(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.year("ts").cast("long").alias("y"),
+        F.month("ts").cast("long").alias("m"),
+        F.dayofmonth("ts").cast("long").alias("d"),
+        F.hour("ts").cast("long").alias("h"),
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour_bucket"),
+        F.date_format(F.date_add(F.col("ts").cast("date"), 7), "yyyy-MM-dd").alias("plus_week"),
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_ny"),
+        F.unix_timestamp("ts").cast("long").alias("unix_sec"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("formatted"),
+    ).orderBy("event_id")
+
+
+@register(
+    "fn_timestamp_parse",
+    "functions",
+    doc="to_timestamp / strptime roundtrip through a formatted string.",
+    oracle="""
+SELECT o_orderkey,
+       STRFTIME(STRPTIME(STRFTIME(o_orderdate, '%Y-%m-%d %H:%M:%S'),
+                         '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS reparsed
+FROM orders
+ORDER BY o_orderkey
+""",
+)
+def fn_timestamp_parse(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format(
+            F.to_timestamp(F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"), "yyyy-MM-dd HH:mm:ss"),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("reparsed"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "fn_math",
+    "functions",
+    doc="Math family: round/floor/ceil/abs/sqrt/pow/log/pmod/sign. "
+    "Transcendentals rounded to 6 places (libm last-ulp differences).",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
+       CAST(CEIL(l_extendedprice) AS BIGINT) AS price_ceil,
+       ABS(l_discount - 0.05) AS disc_dev,
+       ROUND(SQRT(l_quantity), 6) AS qty_sqrt,
+       CAST(POW(2.0, l_linenumber) AS DOUBLE) AS pow2_line,
+       ROUND(LN(l_extendedprice), 6) AS price_ln,
+       CAST(((CAST(l_orderkey AS BIGINT) % 7) + 7) % 7 AS BIGINT) AS okey_mod7,
+       CAST(SIGN(l_discount - 0.05) AS DOUBLE) AS disc_sign
+FROM lineitem
+ORDER BY l_orderkey, l_linenumber
+""",
+)
+def fn_math(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor("l_extendedprice").cast("long").alias("price_floor"),
+        F.ceil("l_extendedprice").cast("long").alias("price_ceil"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+        F.pow(F.lit(2.0), F.col("l_linenumber")).cast("double").alias("pow2_line"),
+        F.round(F.log(F.col("l_extendedprice")), 6).alias("price_ln"),
+        F.pmod(F.col("l_orderkey").cast("long"), F.lit(7)).cast("long").alias("okey_mod7"),
+        F.signum(F.col("l_discount") - 0.05).cast("double").alias("disc_sign"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "fn_conditional",
+    "functions",
+    doc="Conditional/null family: coalesce/nullif/greatest/least "
+    "(reference R7 null fallbacks, src/broker/main.rs:42-46).",
+    oracle="""
+SELECT c.c_custkey,
+       COALESCE(MAX(o.o_totalprice), 0.0) AS best_or_zero,
+       NULLIF(c.c_mktsegment, 'BUILDING') AS seg_or_null,
+       GREATEST(c.c_acctbal, 1000.0) AS bal_floor1k,
+       LEAST(c.c_acctbal, 5000.0) AS bal_cap5k
+FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_custkey, c.c_mktsegment, c.c_acctbal
+ORDER BY c.c_custkey
+""",
+)
+def fn_conditional(spark, sf_dir):
+    c, o = t(spark, sf_dir, "customer"), t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment", "c_acctbal")
+        .agg(F.coalesce(F.max("o_totalprice"), F.lit(0.0)).alias("best_or_zero"))
+        .select(
+            "c_custkey",
+            "best_or_zero",
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg_or_null"),
+            F.greatest(F.col("c_acctbal"), F.lit(1000.0)).alias("bal_floor1k"),
+            F.least(F.col("c_acctbal"), F.lit(5000.0)).alias("bal_cap5k"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "fn_cast_format",
+    "functions",
+    doc="Cast / printf-style formatting (reference to_string uses, "
+    "src/broker/main.rs:98,106).",
+    oracle="""
+SELECT event_id,
+       CAST(TRUNC(value) AS BIGINT) AS value_int,
+       CAST(CAST(TRUNC(value) AS INTEGER) AS DOUBLE) AS value_roundtrip,
+       CAST(event_id AS VARCHAR) AS id_str,
+       PRINTF('%s|%03d|%.2f', event_type, CAST(user_id AS INTEGER), value) AS formatted
+FROM events
+ORDER BY event_id
+""",
+)
+def fn_cast_format(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.col("value").cast("long").alias("value_int"),
+        F.col("value").cast("int").cast("double").alias("value_roundtrip"),
+        F.col("event_id").cast("string").alias("id_str"),
+        F.format_string(
+            "%s|%03d|%.2f", F.col("event_type"), F.col("user_id").cast("int"), F.col("value")
+        ).alias("formatted"),
+    ).orderBy("event_id")
