@@ -1,1 +1,3 @@
 """Batch sources & sinks (parquet/csv/json scans, partitioned writes)."""
+
+from cascade_spark.sources import scans  # noqa: F401

@@ -1,0 +1,122 @@
+"""Batch sources & sinks (SURVEY.md §2B Scans/sources/sinks).
+
+Each declared query round-trips fixture data through a different format
+or write mode and returns an aggregate the DuckDB oracle reproduces from
+the parquet original — proving the scan/sink preserves values exactly.
+
+Scale notes: CSV/JSON scans are schema-pinned (no inferSchema job);
+partitioned writes use ``partitionBy`` so downstream reads prune
+partitions (the reference's topic routing, src/producer/main.rs:146-148);
+parquet remains the default columnar format with predicate pushdown.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from cascade_spark.plans.registry import register
+from cascade_spark.operators._util import d2, dec, t
+
+_TS = "yyyy-MM-dd HH:mm:ss"
+
+
+@register(
+    "scan_csv_roundtrip",
+    "sources",
+    doc="CSV sink + schema-pinned CSV scan (no inference): nation written "
+    "to CSV, read back, joined-free aggregate.",
+    oracle="""
+SELECT n_regionkey, COUNT(*) AS n, MIN(n_name) AS first_name
+FROM nation
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+""",
+)
+def scan_csv_roundtrip(spark, sf_dir):
+    n = t(spark, sf_dir, "nation")
+    out = tempfile.mkdtemp(prefix="cascade_csv_") + "/nation"
+    n.write.mode("overwrite").option("header", True).csv(out)
+    back = spark.read.schema(n.schema).option("header", True).csv(out)
+    return (
+        back.groupBy("n_regionkey")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("n_name").alias("first_name"))
+        .orderBy("n_regionkey")
+    )
+
+
+@register(
+    "scan_json_roundtrip",
+    "sources",
+    doc="JSON lines sink + schema-pinned JSON scan: events written to "
+    "JSONL, read back, aggregated; timestamps survive via ISO strings.",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(12,4))), 2) AS DOUBLE) AS total_value,
+       STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_ts
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def scan_json_roundtrip(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    out = tempfile.mkdtemp(prefix="cascade_json_") + "/events"
+    ev.write.mode("overwrite").json(out)
+    back = spark.read.schema(ev.schema).json(out)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            d2(F.sum(dec("value"))).alias("total_value"),
+            F.date_format(F.min("ts"), _TS).alias("first_ts"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "sink_partitioned",
+    "sources",
+    doc="Partitioned parquet write (partitionBy event_type ≡ topic "
+    "routing) + partition-pruned read-back: only one partition directory "
+    "is scanned (PartitionFilters in the plan).",
+    oracle="""
+SELECT user_id, COUNT(*) AS n
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def sink_partitioned(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    out = tempfile.mkdtemp(prefix="cascade_part_") + "/by_type"
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("event_type") == "purchase")
+    return back.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).orderBy("user_id")
+
+
+@register(
+    "sink_overwrite",
+    "sources",
+    doc="Overwrite sink semantics: two successive overwrites leave only "
+    "the second dataset (append would have kept both).",
+    oracle="""
+SELECT o_orderstatus, COUNT(*) AS n
+FROM orders
+WHERE o_totalprice > 10000.0
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def sink_overwrite(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    out = tempfile.mkdtemp(prefix="cascade_ovw_") + "/orders"
+    o.filter(F.col("o_totalprice") <= 10000.0).write.mode("overwrite").parquet(out)
+    o.filter(F.col("o_totalprice") > 10000.0).write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n")).orderBy("o_orderstatus")

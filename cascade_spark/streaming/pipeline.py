@@ -1,0 +1,292 @@
+"""Structured Streaming surface (SURVEY.md §2B Streaming-only ops).
+
+Every declared streaming query here is a *real* streaming query — file
+source → transformations → sink — driven to completion with
+``Trigger.AvailableNow`` so it can run inside the synchronous driver
+protocol and be checked against the DuckDB batch oracle (the
+batch-replay-equivalence strategy from SURVEY.md §5).
+
+Reference mapping:
+- micro-batch ingest + exactly-once parquet append  ≡ R1 publish+ack
+  (src/broker/main.rs:85-110) — the ack is the micro-batch commit;
+- ``maxFilesPerTrigger`` backpressure ≡ R11 ring-buffer admission
+  (src/producer/main.rs:53-85), except Spark blocks instead of rejecting;
+- the staged multi-file input ≡ the producer's batched arrivals.
+
+Scale notes: windowed aggregations keep per-window partial state in the
+state store keyed by (window, keys) — at 100 TB the watermark bounds
+state size; session windows additionally need the sentinel-flush pattern
+below only in finite-replay tests (a live stream's watermark advances on
+its own).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cascade_spark.plans.registry import register
+from cascade_spark.operators._util import avg_round, d2, dec, sql_avg_round
+from cascade_spark.tables import load
+
+_TS = "yyyy-MM-dd HH:mm:ss"
+
+
+def stage_stream_input(
+    spark: SparkSession,
+    sf_dir: str,
+    n_files: int = 8,
+    duplicate: bool = False,
+    sentinels: int = 0,
+):
+    """Write the events fixture as a multi-file streaming input directory.
+
+    ``sentinels`` appends N far-future flush markers (user_id = -1) in
+    separate, later files — they push the watermark past all real data so
+    append-mode stateful operators emit everything during finite replay.
+    """
+    ev = load(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="cascade_stream_")
+    indir = os.path.join(tmp, "in")
+    ev.repartitionByRange(n_files, "ts").write.mode("append").parquet(indir)
+    if duplicate:
+        ev.repartitionByRange(n_files, "ts").write.mode("append").parquet(indir)
+    # Watermark delay that tolerates ANY file replay order: files are only
+    # roughly time-ordered, so an out-of-order batch must never mark real
+    # events late. Delay = full data span + 2h; sentinels sit beyond it so
+    # the final batch's watermark still passes every real session's end.
+    delay_hours = 2
+    if sentinels:
+        lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+        span_hours = int((hi - lo).total_seconds() // 3600) + 1
+        delay_hours = span_hours + 2
+        for i in range(sentinels):
+            offset = delay_hours + 2 * (i + 1)
+            (
+                spark.createDataFrame(
+                    [(-(i + 1), hi, -1, "sentinel", 0.0, "{}")],
+                    schema=ev.schema,
+                )
+                .withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {offset} HOURS"))
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(indir)
+            )
+    return indir, ev.schema, tmp, f"{delay_hours} hours"
+
+
+def run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
+    """Start the streaming query with AvailableNow, block until done,
+    return the sink table."""
+    name = "s" + uuid.uuid4().hex[:12]
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+@register(
+    "stream_tumbling_window",
+    "streaming",
+    doc="Streaming tumbling-window aggregation (1h) by event_type, "
+    "complete mode — verified against the batch date_trunc oracle.",
+    oracle=f"""
+SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(12,4))), 2) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def stream_tumbling_window(spark, sf_dir):
+    indir, schema, _, _ = stage_stream_input(spark, sf_dir)
+    src = spark.readStream.schema(schema).parquet(indir)
+    agg = src.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        d2(F.sum(dec("value"))).alias("total_value"),
+    )
+    out = run_to_memory(
+        agg.select(
+            F.date_format("w.start", _TS).alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        ),
+        "complete",
+    )
+    return out.orderBy("window_start", "event_type")
+
+
+@register(
+    "stream_sliding_window",
+    "streaming",
+    doc="Streaming sliding-window aggregation (2h window, 1h slide) — "
+    "each event lands in two windows; oracle expands via a k∈{0,1} "
+    "lateral.",
+    oracle="""
+SELECT STRFTIME(w_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+       COUNT(*) AS n
+FROM (
+    SELECT DATE_TRUNC('hour', ts) - k * INTERVAL 1 HOUR AS w_start
+    FROM events CROSS JOIN (SELECT UNNEST([0, 1]) AS k)
+)
+GROUP BY w_start
+ORDER BY window_start
+""",
+)
+def stream_sliding_window(spark, sf_dir):
+    indir, schema, _, _ = stage_stream_input(spark, sf_dir)
+    src = spark.readStream.schema(schema).parquet(indir)
+    agg = src.groupBy(F.window("ts", "2 hours", "1 hour").alias("w")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    out = run_to_memory(
+        agg.select(F.date_format("w.start", _TS).alias("window_start"), "n"),
+        "complete",
+    )
+    return out.orderBy("window_start")
+
+
+@register(
+    "stream_session_window",
+    "streaming",
+    doc="Streaming session windows (10 min gap) per user, watermark + "
+    "append mode + maxFilesPerTrigger backpressure (R11 analog). Two "
+    "sentinel flush files advance the watermark past all real sessions; "
+    "oracle is the batch gaps-and-islands construction.",
+    oracle="""
+WITH marked AS (
+    SELECT user_id, ts, value,
+           CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS new_session
+    FROM events
+), numbered AS (
+    SELECT user_id, ts, value,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+    FROM marked
+)
+SELECT user_id,
+       STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       STRFTIME(MAX(ts) + INTERVAL 10 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+       COUNT(*) AS n
+FROM numbered
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+""",
+)
+def stream_session_window(spark, sf_dir):
+    indir, schema, _, wm_delay = stage_stream_input(spark, sf_dir, sentinels=2)
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # backpressure: bounded batches
+        .parquet(indir)
+    )
+    agg = (
+        src.withWatermark("ts", wm_delay)
+        .groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = run_to_memory(
+        agg.select(
+            "user_id",
+            F.date_format("w.start", _TS).alias("session_start"),
+            F.date_format("w.end", _TS).alias("session_end"),
+            "n",
+        ),
+        "append",
+    )
+    # Sentinel exclusion happens on the *batch* result: a filter on the
+    # grouping key inside the streaming plan would be pushed below the
+    # aggregation into the scan, removing the sentinel rows before they
+    # can advance the watermark (observed: zero sessions ever flushed).
+    return out.filter(F.col("user_id") >= 0).orderBy("user_id", "session_start")
+
+
+@register(
+    "stream_dedup_watermark",
+    "streaming",
+    doc="Streaming deduplication: input is the events fixture appended "
+    "twice; withWatermark + dropDuplicates(event_id) emits each event "
+    "exactly once (north-star dedup, streaming flavor).",
+    oracle="""
+SELECT event_type, COUNT(*) AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def stream_dedup_watermark(spark, sf_dir):
+    indir, schema, _, _ = stage_stream_input(spark, sf_dir, duplicate=True)
+    src = spark.readStream.schema(schema).parquet(indir)
+    deduped = src.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+    out = run_to_memory(deduped, "append")
+    return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).orderBy("event_type")
+
+
+@register(
+    "stream_static_join",
+    "streaming",
+    doc="Stream-static join: streaming events enriched with the (static, "
+    "broadcast) customer dimension, aggregated per market segment.",
+    oracle=f"""
+SELECT c.c_mktsegment,
+       COUNT(*) AS n,
+       {sql_avg_round("SUM(CAST(e.value AS DECIMAL(12,4)))", 2)} AS avg_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+""",
+)
+def stream_static_join(spark, sf_dir):
+    indir, schema, _, _ = stage_stream_input(spark, sf_dir)
+    customer = load(spark, sf_dir, "customer")
+    src = spark.readStream.schema(schema).parquet(indir)
+    joined = src.join(
+        F.broadcast(customer), src.user_id == customer.c_custkey, "inner"
+    )
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        avg_round(F.sum(dec("value")), F.count(F.lit(1)), 2).alias("avg_value"),
+    )
+    out = run_to_memory(agg, "complete")
+    return out.orderBy("c_mktsegment")
+
+
+@register(
+    "stream_ingest_exactly_once",
+    "streaming",
+    doc="Exactly-once micro-batch ingest (reference R1 publish+ack): "
+    "readStream → writeStream parquet with checkpoint, run TWICE against "
+    "the same checkpoint — the second run replays nothing, so the "
+    "output count equals the input count exactly.",
+    oracle="SELECT COUNT(*) AS n_ingested FROM events",
+)
+def stream_ingest_exactly_once(spark, sf_dir):
+    indir, schema, tmp, _ = stage_stream_input(spark, sf_dir)
+    outdir = os.path.join(tmp, "topic")
+    ckpt = os.path.join(tmp, "ckpt")
+    for _ in range(2):  # second run: same checkpoint, no new data, no dupes
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(indir)
+            .writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(outdir).agg(F.count(F.lit(1)).alias("n_ingested"))
