@@ -5,11 +5,15 @@ from cascade_spark.operators import (  # noqa: F401
     aggregations,
     asof,
     consume,
+    dedup,
     filters,
     ingest,
     joins,
+    multimodal,
     roundtrip,
     setops,
+    similarity,
     sorts,
+    text,
     windows,
 )

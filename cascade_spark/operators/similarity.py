@@ -1,0 +1,272 @@
+"""Similarity search over ``embeddings.embedding`` (array<float>, 64-d).
+
+Three paths:
+- brute-force cosine top-k — JVM-side higher-order functions
+  (zip_with-style fold via ``aggregate``), the exactness baseline;
+- LSH-bucketed ANN — sign-random-projection with *md5-derived* (hence
+  deterministic, oracle-checkable) hyperplanes: bucket on a 6-bit code,
+  score only same-bucket candidates. This is the 100 TB path: bucketing
+  is a hash-partitionable groupBy and candidate scoring is linear in
+  bucket size, never O(n²);
+- Arrow-vectorized Pandas UDF scoring (mapInPandas + numpy) — the
+  batch-friendly shape when Python-side models are unavoidable.
+
+Determinism: all products widen float→double before multiplying (exact,
+identical in both engines); rankings order by the *rounded* similarity
+plus vec_id so last-ulp accumulation differences can't reorder results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from cascade_spark.plans.registry import register
+from cascade_spark.operators._util import t
+
+N_PLANES = 6
+QUERY_VEC_ID = 0
+TOP_K = 10
+
+
+def _dot(a, b):  # sequential fold, double accumulation — JVM-side
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _cos(a: str, b: str):
+    return F.round(
+        _dot(F.col(a), F.col(b))
+        / (F.sqrt(_dot(F.col(a), F.col(a))) * F.sqrt(_dot(F.col(b), F.col(b)))),
+        6,
+    )
+
+
+_SQL_DOT = """
+    SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))
+"""
+
+
+@register(
+    "similarity_cosine_topk",
+    "similarity",
+    doc="Brute-force cosine top-10 neighbors of vec_id 0 — the exact "
+    "baseline every ANN variant is measured against.",
+    oracle=f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+sims AS (
+    SELECT e.vec_id,
+           ROUND(SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))
+                 / (SQRT(SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+                    * SQRT(SUM(CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))), 6)
+               AS cos_sim
+    FROM embeddings e, q,
+         LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(e.embedding))) AS i)
+    WHERE e.vec_id <> {QUERY_VEC_ID}
+    GROUP BY e.vec_id
+)
+SELECT vec_id, cos_sim FROM sims
+ORDER BY cos_sim DESC, vec_id LIMIT {TOP_K}
+""",
+)
+def similarity_cosine_topk(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    query = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("embedding").alias("_qv"))
+    scored = (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(query))
+        .select("vec_id", _cos("embedding", "_qv").alias("cos_sim"))
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), "vec_id").limit(TOP_K)
+
+
+def _plane_signs(spark):
+    """±1 sign matrix for N_PLANES×64 sign-random-projection hyperplanes,
+    derived from md5 — deterministic and reproducible in SQL."""
+    planes = spark.range(N_PLANES).select(F.col("id").cast("int").alias("p"))
+    dims = spark.range(64).select((F.col("id") + 1).cast("int").alias("i"))  # 1-based
+    return planes.crossJoin(dims).select(
+        "p",
+        "i",
+        F.when(
+            F.conv(F.substring(F.md5(F.concat_ws(":", "p", "i")), 1, 8), 16, 10)
+            .cast("long")
+            .bitwiseAND(1)
+            == 1,
+            1.0,
+        )
+        .otherwise(-1.0)
+        .alias("s"),
+    )
+
+
+_SQL_SIGNS = """
+    SELECT p, i,
+           CASE WHEN ('0x' || SUBSTR(MD5(p || ':' || i), 1, 8))::BIGINT & 1 = 1
+                THEN 1.0 ELSE -1.0 END AS s
+    FROM (SELECT UNNEST(GENERATE_SERIES(0, {np})) AS p)
+    CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(1, 64)) AS i)
+""".format(np=N_PLANES - 1)
+
+
+@register(
+    "similarity_ann_lsh",
+    "similarity",
+    doc="ANN via sign-random-projection LSH: 6 md5-derived hyperplanes "
+    "→ 6-bit bucket code; exact cosine scored only inside the query's "
+    "bucket. Deterministic planes make even the ANN path oracle-checkable.",
+    oracle=f"""
+WITH signs AS ({_SQL_SIGNS}),
+proj AS (
+    SELECT e.vec_id, s.p,
+           SUM(CAST(e.embedding[s.i] AS DOUBLE) * s.s) AS dot
+    FROM embeddings e JOIN signs s ON TRUE
+    GROUP BY e.vec_id, s.p
+),
+codes AS (
+    SELECT vec_id,
+           SUM(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS bucket
+    FROM proj GROUP BY vec_id
+),
+qb AS (SELECT bucket FROM codes WHERE vec_id = {QUERY_VEC_ID}),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+cand AS (
+    SELECT c.vec_id FROM codes c, qb
+    WHERE c.bucket = qb.bucket AND c.vec_id <> {QUERY_VEC_ID}
+),
+sims AS (
+    SELECT e.vec_id,
+           ROUND(SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))
+                 / (SQRT(SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+                    * SQRT(SUM(CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))), 6)
+               AS cos_sim
+    FROM embeddings e JOIN cand USING (vec_id), q,
+         LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(e.embedding))) AS i)
+    GROUP BY e.vec_id
+)
+SELECT vec_id, cos_sim FROM sims
+ORDER BY cos_sim DESC, vec_id LIMIT {TOP_K}
+""",
+)
+def similarity_ann_lsh(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    signs = _plane_signs(spark)
+    elems = e.select("vec_id", F.posexplode("embedding").alias("pos", "x")).withColumn(
+        "i", F.col("pos") + 1
+    )
+    proj = (
+        elems.join(F.broadcast(signs), "i")
+        .groupBy("vec_id", "p")
+        .agg(F.sum(F.col("x").cast("double") * F.col("s")).alias("dot"))
+    )
+    codes = proj.groupBy("vec_id").agg(
+        F.sum(
+            F.when(F.col("dot") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), p)")).otherwise(0)
+        ).alias("bucket")
+    )
+    qb = codes.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("bucket").alias("qbucket"))
+    cand = (
+        codes.crossJoin(F.broadcast(qb))
+        .filter((F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != QUERY_VEC_ID))
+        .select("vec_id")
+    )
+    query = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("embedding").alias("_qv"))
+    scored = (
+        e.join(cand, "vec_id")
+        .crossJoin(F.broadcast(query))
+        .select(
+            "vec_id",
+            F.round(
+                _dot(F.col("embedding"), F.col("_qv"))
+                / (F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+                   * F.sqrt(_dot(F.col("_qv"), F.col("_qv")))),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), "vec_id").limit(TOP_K)
+
+
+@register(
+    "similarity_pandas_cosine",
+    "similarity",
+    oracle=None,  # numpy BLAS accumulation order differs — rows-only +
+    # recall asserted against the exact baseline in tests
+    doc="Arrow-vectorized cosine scoring via mapInPandas + numpy — the "
+    "shape for Python-side model scoring at scale (one matrix op per "
+    "Arrow batch, no per-row Python).",
+)
+def similarity_pandas_cosine(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    e = t(spark, sf_dir, "embeddings")
+    qv = (
+        e.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select("embedding")
+        .collect()[0]["embedding"]
+    )
+    q = np.asarray(qv, dtype=np.float64)
+    qn = np.sqrt((q * q).sum())
+
+    def score(batches):
+        for pdf in batches:
+            m = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            dots = m @ q
+            norms = np.sqrt((m * m).sum(axis=1))
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "cos_sim": np.round(dots / (norms * qn), 6)}
+            )
+
+    scored = e.filter(F.col("vec_id") != QUERY_VEC_ID).mapInPandas(
+        score, schema="vec_id long, cos_sim double"
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), "vec_id").limit(TOP_K)
+
+
+@register(
+    "embedding_neardup_blocked",
+    "similarity",
+    doc="Embedding-cosine near-dup pairs, label-blocked (coarse IVF "
+    "partition): same-label self-join only — at 100 TB the blocking key "
+    "caps the pair space; cos ≥ 0.2 via rounded values.",
+    oracle="""
+WITH pairs AS (
+    SELECT a.vec_id AS v1, b.vec_id AS v2, a.label,
+           a.embedding AS ea, b.embedding AS eb
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+),
+scored AS (
+    SELECT v1, v2, label,
+           ROUND(SUM(CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE))
+                 / (SQRT(SUM(CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE)))
+                    * SQRT(SUM(CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)))), 6)
+               AS cos_sim
+    FROM pairs, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(ea))) AS i)
+    GROUP BY v1, v2, label
+)
+SELECT v1, v2, CAST(label AS BIGINT) AS label, cos_sim
+FROM scored WHERE cos_sim >= 0.2
+ORDER BY v1, v2
+""",
+    bench=False,  # O(pairs·dim) — correctness-tier only; the scale path is similarity_ann_lsh
+)
+def embedding_neardup_blocked(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("v1"), F.col("label"), F.col("embedding").alias("ea")
+    )
+    b = e.select(
+        F.col("vec_id").alias("v2"), F.col("label").alias("lb"), F.col("embedding").alias("eb")
+    )
+    pairs = a.join(b, (F.col("label") == F.col("lb")) & (F.col("v1") < F.col("v2")))
+    return (
+        pairs.select(
+            "v1", "v2", F.col("label").cast("long").alias("label"), _cos("ea", "eb").alias("cos_sim")
+        )
+        .filter(F.col("cos_sim") >= 0.2)
+        .orderBy("v1", "v2")
+    )

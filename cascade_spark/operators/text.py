@@ -1,0 +1,211 @@
+"""Text-analysis operators over ``documents`` (north-star surface).
+
+Language ID (stopword-hit heuristic), quality scoring, token counting
+(whitespace + regex "BPE-ish" word/punct split), and document
+fingerprinting (normalization + md5 content address). All pure SQL
+built-ins — at 100 TB these are single-pass map-only jobs (no shuffle
+except the final small aggregations), which is exactly what a corpus
+filtering pipeline needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cascade_spark.plans.registry import register
+from cascade_spark.operators._util import t
+
+# Tiny per-language marker lexicons for the n-gram/stopword heuristic.
+LANG_MARKERS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "es": ["el", "los", "las", "y", "es"],
+}
+STOPWORDS = sorted({w for ws in LANG_MARKERS.values() for w in ws})
+
+
+def _sql_array(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def _sql_hits(lang: str) -> str:
+    lst = _sql_array(LANG_MARKERS[lang])
+    return f"LEN(LIST_FILTER(STRING_SPLIT(text, ' '), w -> LIST_CONTAINS({lst}, w)))"
+
+
+@register(
+    "text_token_count",
+    "text",
+    doc="Token counting: whitespace tokens vs regex word/punct tokens "
+    "(the BPE-ish pre-tokenizer split) + chars-per-token ratio.",
+    oracle="""
+SELECT doc_id,
+       CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS BIGINT) AS ws_tokens,
+       CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-z0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS re_tokens,
+       ROUND(CAST(LENGTH(text) AS DOUBLE)
+             / LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')), 4) AS chars_per_token
+FROM documents
+ORDER BY doc_id
+""",
+)
+def text_token_count(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    ws = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    re_tok = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[a-z0-9]+|[^a-z0-9\s]"), 0))
+    return d.select(
+        "doc_id",
+        ws.cast("long").alias("ws_tokens"),
+        re_tok.cast("long").alias("re_tokens"),
+        F.round(F.length("text").cast("double") / ws, 4).alias("chars_per_token"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_quality",
+    "text",
+    doc="Quality scoring: length, alpha/space/punct ratios, stopword "
+    "ratio, distinct-word ratio — the standard corpus-filter features "
+    "(ratios are exact int/int double divisions, identical both engines).",
+    oracle=f"""
+WITH feats AS (
+    SELECT doc_id,
+           LENGTH(text) AS n_chars_m,
+           LEN(STRING_SPLIT(text, ' ')) AS n_words,
+           LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS n_distinct,
+           LENGTH(REGEXP_REPLACE(text, '[^a-z]', '', 'g')) AS n_alpha,
+           LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                           w -> LIST_CONTAINS({_sql_array(STOPWORDS)}, w))) AS n_stop
+    FROM documents
+)
+SELECT doc_id,
+       CAST(n_chars_m AS BIGINT) AS n_chars_measured,
+       CAST(n_words AS BIGINT) AS n_words,
+       ROUND(CAST(n_alpha AS DOUBLE) / n_chars_m, 4) AS alpha_ratio,
+       ROUND(CAST(n_stop AS DOUBLE) / n_words, 4) AS stopword_ratio,
+       ROUND(CAST(n_distinct AS DOUBLE) / n_words, 4) AS distinct_ratio
+FROM feats
+ORDER BY doc_id
+""",
+)
+def text_quality(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    stop_arr = F.array([F.lit(w) for w in STOPWORDS])
+    n_chars = F.length("text")
+    n_words = F.size(words)
+    feats = d.select(
+        "doc_id",
+        n_chars.alias("n_chars_m"),
+        n_words.alias("n_words_i"),
+        F.size(F.array_distinct(words)).alias("n_distinct"),
+        F.length(F.regexp_replace("text", "[^a-z]", "")).alias("n_alpha"),
+        F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w))).alias("n_stop"),
+    )
+    return feats.select(
+        "doc_id",
+        F.col("n_chars_m").cast("long").alias("n_chars_measured"),
+        F.col("n_words_i").cast("long").alias("n_words"),
+        F.round(F.col("n_alpha").cast("double") / F.col("n_chars_m"), 4).alias("alpha_ratio"),
+        F.round(F.col("n_stop").cast("double") / F.col("n_words_i"), 4).alias("stopword_ratio"),
+        F.round(F.col("n_distinct").cast("double") / F.col("n_words_i"), 4).alias("distinct_ratio"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_lang_id",
+    "text",
+    doc="Language ID: per-language marker-word hit counts, argmax with "
+    "deterministic tie order (en > de > fr > es > unknown), compared "
+    "against the labeled lang column.",
+    oracle=f"""
+WITH hits AS (
+    SELECT doc_id, lang,
+           {_sql_hits('en')} AS h_en,
+           {_sql_hits('de')} AS h_de,
+           {_sql_hits('fr')} AS h_fr,
+           {_sql_hits('es')} AS h_es
+    FROM documents
+),
+pred AS (
+    SELECT doc_id, lang,
+           CASE
+             WHEN h_en = 0 AND h_de = 0 AND h_fr = 0 AND h_es = 0 THEN 'unknown'
+             WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
+             WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'
+             WHEN h_fr >= h_es THEN 'fr'
+             ELSE 'es'
+           END AS pred_lang
+    FROM hits
+)
+SELECT pred_lang, lang AS labeled_lang, COUNT(*) AS n
+FROM pred
+GROUP BY pred_lang, lang
+ORDER BY pred_lang, labeled_lang
+""",
+)
+def text_lang_id(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+
+    def hits(lang):
+        arr = F.array([F.lit(w) for w in LANG_MARKERS[lang]])
+        return F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
+
+    h = d.select(
+        "doc_id",
+        "lang",
+        hits("en").alias("h_en"),
+        hits("de").alias("h_de"),
+        hits("fr").alias("h_fr"),
+        hits("es").alias("h_es"),
+    )
+    pred = h.withColumn(
+        "pred_lang",
+        F.when(
+            (F.col("h_en") == 0) & (F.col("h_de") == 0) & (F.col("h_fr") == 0) & (F.col("h_es") == 0),
+            "unknown",
+        )
+        .when(
+            (F.col("h_en") >= F.col("h_de"))
+            & (F.col("h_en") >= F.col("h_fr"))
+            & (F.col("h_en") >= F.col("h_es")),
+            "en",
+        )
+        .when((F.col("h_de") >= F.col("h_fr")) & (F.col("h_de") >= F.col("h_es")), "de")
+        .when(F.col("h_fr") >= F.col("h_es"), "fr")
+        .otherwise("es"),
+    )
+    return (
+        pred.groupBy("pred_lang", F.col("lang").alias("labeled_lang"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("pred_lang", "labeled_lang")
+    )
+
+
+@register(
+    "text_fingerprint",
+    "text",
+    doc="Document fingerprinting: normalization (lowercase, strip "
+    "non-alphanumerics, collapse whitespace) + md5 content address + "
+    "a first-8-words locality-sketch prefix hash.",
+    oracle="""
+SELECT doc_id,
+       MD5(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', ' ', 'g'),
+                               ' +', ' ', 'g'))) AS content_fp,
+       MD5(ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[1:8], ' ')) AS prefix_fp
+FROM documents
+ORDER BY doc_id
+""",
+)
+def text_fingerprint(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "), " +", " ")
+    )
+    prefix = F.array_join(F.slice(F.split("text", " "), 1, 8), " ")
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("content_fp"),
+        F.md5(prefix).alias("prefix_fp"),
+    ).orderBy("doc_id")

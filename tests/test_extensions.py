@@ -1,0 +1,71 @@
+"""Extension-operator semantics beyond the oracle hash-checks:
+ANN recall vs the exact baseline, pandas-path agreement, dedup sanity,
+ingest/consume reference-flow smoke (the t1 analog)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cascade_spark.plans.registry import load_all
+
+REG = load_all()
+
+
+def test_pandas_cosine_matches_bruteforce(spark, sf_dir):
+    exact = REG["similarity_cosine_topk"].builder(spark, sf_dir).collect()
+    pandas_ = REG["similarity_pandas_cosine"].builder(spark, sf_dir).collect()
+    assert [r["vec_id"] for r in exact] == [r["vec_id"] for r in pandas_]
+    for a, b in zip(exact, pandas_):
+        assert abs(a["cos_sim"] - b["cos_sim"]) < 1e-5
+
+
+def test_ann_lsh_results_subset_of_corpus_and_sane(spark, sf_dir):
+    ann = REG["similarity_ann_lsh"].builder(spark, sf_dir).collect()
+    exact = {r["vec_id"]: r["cos_sim"] for r in
+             REG["similarity_cosine_topk"].builder(spark, sf_dir).collect()}
+    # every ANN hit must score identically to the exact computation
+    for r in ann:
+        if r["vec_id"] in exact:
+            assert abs(exact[r["vec_id"]] - r["cos_sim"]) < 1e-9
+    # same-bucket candidates exist (6-bit code over >=500 vectors)
+    assert len(ann) > 0
+
+
+def test_minhash_estimates_track_true_jaccard(spark, sf_dir):
+    true = {
+        (r["d1"], r["d2"]): r["jaccard"]
+        for r in REG["dedup_ngram_jaccard"].builder(spark, sf_dir).collect()
+    }
+    est = {
+        (r["d1"], r["d2"]): r["est_jaccard"]
+        for r in REG["dedup_minhash_lsh"].builder(spark, sf_dir).collect()
+    }
+    overlap = set(true) & set(est)
+    assert overlap, "minhash found none of the true near-dup pairs"
+    for pair in overlap:
+        assert abs(true[pair] - est[pair]) < 0.5  # 16-hash estimator tolerance
+
+
+def test_reference_smoke_flow(spark, tmp_path):
+    """The reference's own t1 flow: publish 10 events 'a'..'j' round-robin
+    over 4 partitions, consume offset 4 (src/producer/main.rs:185,
+    src/consumer/main.rs:22)."""
+    from cascade_spark.operators.consume import consume_at, latest_offset
+    from cascade_spark.operators.ingest import publish
+
+    rows = [(chr(ord("a") + i), i) for i in range(10)]
+    df = spark.createDataFrame(rows, "event_name string, number int").withColumn(
+        "timestamp", F.to_timestamp(F.lit("2024-01-01 00:00:00")) + F.make_interval(secs=F.col("number"))
+    )
+    topic = str(tmp_path / "topic_test")
+    publish(df, topic, order_cols=["timestamp", "event_name"], num_partitions=4)
+    got = consume_at(spark, topic, 4).collect()
+    assert len(got) == 1 and got[0]["event_name"] == "e"
+    assert latest_offset(spark, topic) == 9
+
+
+def test_fn_hash_spark_native_stable(spark, sf_dir):
+    df = REG["fn_hash_spark_native"].builder(spark, sf_dir)
+    a = df.limit(5).collect()
+    b = df.limit(5).collect()
+    assert a == b

@@ -1,0 +1,80 @@
+"""Plan-shape assertions — the scale contract (SURVEY.md §4).
+
+Correctness says the answer is right; these say the *plan* is the one
+that survives 100×: filters pushed into the parquet scan, projections
+pruned, dimensions broadcast, partitioned reads pruned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cascade_spark.tables import load
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") == 42)
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_orderkey), EqualTo(l_orderkey,42)" in plan, plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    df = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    plan = _plan(df)
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan, plan
+
+
+def test_star_join_broadcasts_dimensions(spark, sf_dir):
+    from cascade_spark.plans.registry import load_all
+
+    df = load_all()["join_star"].builder(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    ev = load(spark, sf_dir, "events")
+    out = str(tmp_path / "by_type")
+    ev.write.partitionBy("event_type").parquet(out)
+    df = spark.read.parquet(out).filter(F.col("event_type") == "purchase")
+    plan = _plan(df)
+    assert "PartitionFilters: [isnotnull(event_type" in plan, plan
+
+
+def test_whole_stage_codegen_on_agg(spark, sf_dir):
+    from cascade_spark.plans.registry import load_all
+
+    import contextlib
+    import io
+
+    df = load_all()["agg_grouped_q1"].builder(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("codegen")
+    assert "WholeStageCodegen subtrees" in buf.getvalue()
+    # the tree string marks codegen stages with *(n)
+    df.collect()
+    assert "*(1)" in _plan(df)
+
+
+def test_offset_assignment_no_single_partition_sort(spark, sf_dir):
+    """The scalable offset path must not plan a global single-partition
+    window over the data (only the tiny per-partition count table may)."""
+    from cascade_spark.operators.ingest import assign_offsets
+
+    ev = load(spark, sf_dir, "events")
+    df = assign_offsets(ev, ["ts", "event_id"], num_partitions=8)
+    plan = _plan(df)
+    # the data-bearing window partitions by _pid; a global window over the
+    # events would show 'Window [...]' without partition spec preceded by
+    # a SinglePartition exchange feeding the full row set
+    assert "partitionBy=[_pid]" in plan.replace(" ", "") or "_pid" in plan
+    assert df.count() == ev.count()
