@@ -68,3 +68,13 @@ def sql_avg_round(sum_expr: str, k: int = 2, count_expr: str = "COUNT(*)") -> st
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load(spark, sf_dir, name)
+
+
+def widen(df: DataFrame) -> DataFrame:
+    """Spread a small-file scan across all cores before CPU-heavy per-row
+    work (hashing, shingling, Python UDFs). The fixtures are single
+    parquet files → single input partition → single-task execution
+    otherwise. At real scale the source would already be many splits and
+    this becomes a cheap no-op-ish round-robin."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target)

@@ -24,29 +24,51 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from cascade_spark.plans.registry import register
-from cascade_spark.operators._util import t
+from cascade_spark.operators._util import t, widen
 
 N_HASHES = 16
 BANDS = 4  # rows per band = N_HASHES // BANDS = 4
-SHINGLE_DF_CAP = 100  # drop shingles appearing in more docs than this
+SHINGLE_DF_FRAC = 0.01  # drop shingles appearing in > 1% of docs
 SIMHASH_BITS = 48
 SIMHASH_BAND_BITS = 12
 HAMMING_MAX = 6
 
+# MinHash = affine permutations of ONE md5-derived 30-bit base hash:
+# h_k(s) = (A[k]*h0(s) + B[k]) mod P. One md5 per shingle instead of 16;
+# products stay < 2^61 (exact in both engines). Constants are fixed
+# literals so Spark and the SQL oracle agree bit-for-bit.
+MH_P = 2147483647
+MH_MASK = 0x3FFFFFFF
+MH_A = [1103527591, 1695244727, 235077491, 964188549, 1753372583, 353941905,
+        903445859, 997091989, 312838097, 782567119, 1850963445, 1254414915,
+        1001055743, 349412203, 1743826123, 1019706863]
+MH_B = [944465040, 1008001095, 776026401, 19180611, 504528511, 1712234077,
+        692473355, 327077523, 1146181179, 258554284, 1323503542, 1234130407,
+        2029304596, 1105833931, 2072697953, 480168534]
+
 
 def _shingles(docs: DataFrame) -> DataFrame:
-    """Distinct word 3-gram shingles per doc (empty for docs < 3 words)."""
-    words = F.split(F.col("text"), " ")
-    n = F.size(words)
-    grams = F.transform(
-        F.sequence(F.lit(1), n - 2),
-        lambda i: F.concat_ws(
-            " ", F.element_at(words, i), F.element_at(words, i + 1), F.element_at(words, i + 2)
-        ),
-    )
-    return docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(F.when(n >= 3, grams).otherwise(F.array()))).alias("s"),
+    """Distinct word 3-gram shingles per doc (empty for docs < 3 words).
+
+    posexplode + window-lead rather than array higher-order functions:
+    HOFs (transform/element_at/array_distinct) evaluate interpreted
+    per-element and were the measured bottleneck; the window form is one
+    doc_id shuffle with codegen'd projections, and dedup happens in the
+    shuffle instead of a quadratic per-row array_distinct.
+    """
+    from pyspark.sql import Window
+
+    w = widen(docs).select("doc_id", F.posexplode(F.split("text", " ")).alias("p", "w"))
+    win = Window.partitionBy("doc_id").orderBy("p")
+    return (
+        w.select(
+            "doc_id",
+            F.concat_ws(" ", "w", F.lead("w", 1).over(win), F.lead("w", 2).over(win)).alias("s"),
+            F.lead("w", 2).over(win).alias("_w3"),
+        )
+        .filter(F.col("_w3").isNotNull())
+        .drop("_w3")
+        .dropDuplicates(["doc_id", "s"])
     )
 
 
@@ -98,7 +120,8 @@ def dedup_exact(spark, sf_dir):
     "arithmetic on both engines.",
     oracle=f"""
 WITH sh AS ({_SQL_SHINGLES}),
-common AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) > {SHINGLE_DF_CAP}),
+common AS (SELECT s FROM sh GROUP BY s
+           HAVING COUNT(*) > (SELECT COUNT(*) FROM documents) * {SHINGLE_DF_FRAC}),
 sh2 AS (SELECT * FROM sh WHERE s NOT IN (SELECT s FROM common)),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh2 GROUP BY doc_id),
 pairs AS (
@@ -117,10 +140,22 @@ ORDER BY p.d1, p.d2
 """,
 )
 def dedup_ngram_jaccard(spark, sf_dir):
+    from pyspark import StorageLevel
+
     d = t(spark, sf_dir, "documents")
-    sh = _shingles(d)
-    common = sh.groupBy("s").count().filter(F.col("count") > SHINGLE_DF_CAP).select("s")
-    sh2 = sh.join(common, "s", "left_anti")
+    # the shingle index feeds 4 plan branches (df counts, anti-join, sizes,
+    # self-join both sides) — materialize once, exactly like a persisted
+    # inverted index at scale
+    sh = _shingles(d).persist(StorageLevel.MEMORY_AND_DISK)
+    n_docs = d.agg(F.count(F.lit(1)).alias("_nd"))
+    common = (
+        sh.groupBy("s")
+        .count()
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("count") > F.col("_nd") * SHINGLE_DF_FRAC)
+        .select("s")
+    )
+    sh2 = sh.join(common, "s", "left_anti").persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh2.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh2.alias("a"), sh2.alias("b")
     pairs = (
@@ -146,31 +181,38 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
-def _minhash(spark, sf_dir) -> DataFrame:
-    """(doc_id, seed, h): md5-derived minhash signature rows."""
+def _signatures(spark, sf_dir) -> DataFrame:
+    """One row per doc: columns h0..h15 (minhash signature) — a single
+    md5 per shingle + 16 affine permutations folded into ONE groupBy
+    pass (no seed-explosion shuffle)."""
     d = t(spark, sf_dir, "documents")
     sh = _shingles(d)
-    seeds = spark.range(N_HASHES).select(F.col("id").cast("int").alias("seed"))
-    return (
-        sh.crossJoin(F.broadcast(seeds))
-        .select(
-            "doc_id",
-            "seed",
-            F.conv(F.substring(F.md5(F.concat_ws(":", "seed", "s")), 1, 15), 16, 10)
-            .cast("long")
-            .alias("h"),
-        )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("h"))
+    base = sh.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("s"), 1, 8), 16, 10)
+        .cast("long")
+        .bitwiseAND(MH_MASK)
+        .alias("h0"),
     )
+    mins = [
+        F.min((F.lit(MH_A[k]) * F.col("h0") + MH_B[k]) % MH_P).alias(f"h{k}")
+        for k in range(N_HASHES)
+    ]
+    return base.groupBy("doc_id").agg(*mins)
 
 
-_SQL_MINHASH = f"""
-    SELECT doc_id, seed,
-           MIN(('0x' || SUBSTR(MD5(seed || ':' || s), 1, 15))::BIGINT) AS h
-    FROM ({_SQL_SHINGLES}) CROSS JOIN
-         (SELECT UNNEST(GENERATE_SERIES(0, {N_HASHES - 1})) AS seed)
-    GROUP BY doc_id, seed
+_SQL_SIGNATURES = f"""
+    SELECT doc_id,
+           {", ".join(
+               f"MIN(({MH_A[k]} * h0 + {MH_B[k]}) % {MH_P}) AS h{k}"
+               for k in range(N_HASHES)
+           )}
+    FROM (
+        SELECT doc_id,
+               ('0x' || SUBSTR(MD5(s), 1, 8))::BIGINT & {MH_MASK} AS h0
+        FROM ({_SQL_SHINGLES})
+    )
+    GROUP BY doc_id
 """
 
 
@@ -182,11 +224,17 @@ _SQL_MINHASH = f"""
     "signature agreement / 16, kept at ≥ 0.5. Deterministic → fully "
     "oracle-checked (unlike MLlib's randomized MinHashLSH).",
     oracle=f"""
-WITH mh AS ({_SQL_MINHASH}),
+WITH sig AS ({_SQL_SIGNATURES}),
 bands AS (
-    SELECT doc_id, seed // {N_HASHES // BANDS} AS band,
-           MD5(STRING_AGG(CAST(h AS VARCHAR), ',' ORDER BY seed)) AS bh
-    FROM mh GROUP BY doc_id, seed // {N_HASHES // BANDS}
+    SELECT doc_id, band,
+           MD5({" || ',' || ".join(
+               "CASE band " + " ".join(
+                   f"WHEN {b} THEN CAST(h{b * (N_HASHES // BANDS) + r} AS VARCHAR)"
+                   for b in range(BANDS)
+               ) + " END"
+               for r in range(N_HASHES // BANDS)
+           )}) AS bh
+    FROM sig CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, {BANDS - 1})) AS band)
 ),
 cand AS (
     SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
@@ -195,11 +243,12 @@ cand AS (
 ),
 sim AS (
     SELECT c.d1, c.d2,
-           SUM(CASE WHEN x.h = y.h THEN 1 ELSE 0 END) AS matches
+           ({" + ".join(
+               f"CASE WHEN x.h{k} = y.h{k} THEN 1 ELSE 0 END" for k in range(N_HASHES)
+           )}) AS matches
     FROM cand c
-    JOIN mh x ON x.doc_id = c.d1
-    JOIN mh y ON y.doc_id = c.d2 AND y.seed = x.seed
-    GROUP BY c.d1, c.d2
+    JOIN sig x ON x.doc_id = c.d1
+    JOIN sig y ON y.doc_id = c.d2
 )
 SELECT d1, d2, CAST(matches AS BIGINT) AS matches,
        CAST(matches AS DOUBLE) / {N_HASHES} AS est_jaccard
@@ -208,21 +257,17 @@ ORDER BY d1, d2
 """,
 )
 def dedup_minhash_lsh(spark, sf_dir):
-    mh = _minhash(spark, sf_dir)
-    rows_per_band = N_HASHES // BANDS
-    bands = (
-        mh.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("seed", "h"))), lambda x: x["h"]
-                    ),
-                    ",",
-                )
-            ).alias("bh")
+    sig = _signatures(spark, sf_dir)
+    rpb = N_HASHES // BANDS
+    band_rows = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws(",", *[F.col(f"h{b * rpb + r}") for r in range(rpb)])).alias("bh"),
         )
+        for b in range(BANDS)
+    ]
+    bands = sig.select("doc_id", F.explode(F.array(*band_rows)).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
     )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -235,16 +280,16 @@ def dedup_minhash_lsh(spark, sf_dir):
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()
     )
-    x = mh.select(F.col("doc_id").alias("d1"), "seed", F.col("h").alias("hx"))
-    y = mh.select(F.col("doc_id").alias("d2"), "seed", F.col("h").alias("hy"))
-    sim = (
-        cand.join(x, "d1")
-        .join(y, ["d2", "seed"])
-        .groupBy("d1", "d2")
-        .agg(F.sum(F.when(F.col("hx") == F.col("hy"), 1).otherwise(0)).alias("matches"))
+    x = sig.select(F.col("doc_id").alias("d1"), *[F.col(f"h{k}").alias(f"x{k}") for k in range(N_HASHES)])
+    y = sig.select(F.col("doc_id").alias("d2"), *[F.col(f"h{k}").alias(f"y{k}") for k in range(N_HASHES)])
+    matches = sum(
+        F.when(F.col(f"x{k}") == F.col(f"y{k}"), 1).otherwise(0) for k in range(N_HASHES)
     )
     return (
-        sim.filter(F.col("matches") * 2 >= N_HASHES)
+        cand.join(x, "d1")
+        .join(y, "d2")
+        .select("d1", "d2", matches.alias("matches"))
+        .filter(F.col("matches") * 2 >= N_HASHES)
         .select(
             "d1",
             "d2",
@@ -267,16 +312,15 @@ WITH wh AS (
     FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents)
     WHERE w <> ''
 ),
-votes AS (
-    SELECT doc_id, j,
-           SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
-    FROM wh CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, {SIMHASH_BITS - 1})) AS j)
-    GROUP BY doc_id, j
-),
 sig AS (
+    -- one pass: bit-vote sum_j = 2*popcount_j - n; bit set iff positive
     SELECT doc_id,
-           SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS simhash
-    FROM votes GROUP BY doc_id
+           ({" + ".join(
+               f"CASE WHEN 2 * SUM((h >> {j}) & 1) > COUNT(*) "
+               f"THEN CAST({1 << j} AS BIGINT) ELSE 0 END"
+               for j in range(SIMHASH_BITS)
+           )}) AS simhash
+    FROM wh GROUP BY doc_id
 ),
 banded AS (
     SELECT doc_id, simhash, k,
@@ -298,28 +342,24 @@ ORDER BY d1, d2
 def dedup_simhash(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     wh = (
-        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        widen(d).select("doc_id", F.explode(F.split("text", " ")).alias("w"))
         .filter(F.col("w") != "")
         .select(
             "doc_id",
             F.conv(F.substring(F.md5("w"), 1, SIMHASH_BITS // 4), 16, 10).cast("long").alias("h"),
         )
     )
-    bits = wh.sparkSession.range(SIMHASH_BITS).select(F.col("id").cast("int").alias("j"))
-    # shift amounts are columns → F.expr (pyspark's shiftleft/shiftright
-    # helpers only accept int literals)
-    votes = (
-        wh.crossJoin(F.broadcast(bits))
-        .groupBy("doc_id", "j")
-        .agg(
-            F.sum(F.when(F.expr("(h >> j) & 1") == 1, 1).otherwise(-1)).alias("v")
-        )
+    # one groupBy pass: 48 conditional popcount sums + count, then pack
+    # the sign bits — avoids a 48× row explosion before the shuffle
+    votes = wh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(F.expr(f"(h >> {j}) & 1")).alias(f"s{j}") for j in range(SIMHASH_BITS)],
     )
-    sig = votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(0)
-        ).alias("simhash")
+    simhash = sum(
+        F.when(2 * F.col(f"s{j}") > F.col("n"), F.lit(1 << j).cast("long")).otherwise(0)
+        for j in range(SIMHASH_BITS)
     )
+    sig = votes.select("doc_id", simhash.alias("simhash"))
     mask = (1 << SIMHASH_BAND_BITS) - 1
     ks = sig.sparkSession.range(BANDS).select(F.col("id").cast("int").alias("k"))
     banded = sig.crossJoin(F.broadcast(ks)).select(

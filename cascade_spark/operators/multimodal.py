@@ -24,7 +24,7 @@ import hashlib
 from pyspark.sql import functions as F
 
 from cascade_spark.plans.registry import register
-from cascade_spark.operators._util import t
+from cascade_spark.operators._util import t, widen
 
 _SCHEMA = "doc_id long, byte_len long, width long, height long, n_frames long, status string"
 
@@ -71,7 +71,9 @@ def multimodal_decode(spark, sf_dir):
     import pandas as pd
 
     d = t(spark, sf_dir, "documents")
-    blobs = d.select("doc_id", F.col("text").cast("binary").alias("payload"))
+    # modest fan-out: enough cores for the Python decode without paying a
+    # 32-way Arrow shuffle of the blobs (measured sweet spot locally)
+    blobs = d.repartition(8).select("doc_id", F.col("text").cast("binary").alias("payload"))
 
     def decode_batches(batches):
         for pdf in batches:

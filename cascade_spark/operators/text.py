@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from cascade_spark.plans.registry import register
-from cascade_spark.operators._util import t
+from cascade_spark.operators._util import t, widen
 
 # Tiny per-language marker lexicons for the n-gram/stopword heuristic.
 LANG_MARKERS = {
@@ -50,7 +50,7 @@ ORDER BY doc_id
 """,
 )
 def text_token_count(spark, sf_dir):
-    d = t(spark, sf_dir, "documents")
+    d = widen(t(spark, sf_dir, "documents"))
     ws = F.size(F.split(F.trim(F.col("text")), r"\s+"))
     re_tok = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[a-z0-9]+|[^a-z0-9\s]"), 0))
     return d.select(
@@ -89,7 +89,7 @@ ORDER BY doc_id
 """,
 )
 def text_quality(spark, sf_dir):
-    d = t(spark, sf_dir, "documents")
+    d = widen(t(spark, sf_dir, "documents"))
     words = F.split(F.col("text"), " ")
     stop_arr = F.array([F.lit(w) for w in STOPWORDS])
     n_chars = F.length("text")
@@ -145,7 +145,7 @@ ORDER BY pred_lang, labeled_lang
 """,
 )
 def text_lang_id(spark, sf_dir):
-    d = t(spark, sf_dir, "documents")
+    d = widen(t(spark, sf_dir, "documents"))
     words = F.split(F.col("text"), " ")
 
     def hits(lang):
@@ -199,7 +199,7 @@ ORDER BY doc_id
 """,
 )
 def text_fingerprint(spark, sf_dir):
-    d = t(spark, sf_dir, "documents")
+    d = widen(t(spark, sf_dir, "documents"))
     norm = F.trim(
         F.regexp_replace(F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "), " +", " ")
     )

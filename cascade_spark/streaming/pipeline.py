@@ -36,6 +36,9 @@ from cascade_spark.tables import load
 _TS = "yyyy-MM-dd HH:mm:ss"
 
 
+_STAGE_CACHE: dict = {}
+
+
 def stage_stream_input(
     spark: SparkSession,
     sf_dir: str,
@@ -48,7 +51,12 @@ def stage_stream_input(
     ``sentinels`` appends N far-future flush markers (user_id = -1) in
     separate, later files — they push the watermark past all real data so
     append-mode stateful operators emit everything during finite replay.
+    Staged directories are cached per configuration (inputs are
+    read-only), so successive streaming queries skip the re-write.
     """
+    key = (sf_dir, n_files, duplicate, sentinels)
+    if key in _STAGE_CACHE:
+        return _STAGE_CACHE[key]
     ev = load(spark, sf_dir, "events")
     tmp = tempfile.mkdtemp(prefix="cascade_stream_")
     indir = os.path.join(tmp, "in")
@@ -76,7 +84,9 @@ def stage_stream_input(
                 .write.mode("append")
                 .parquet(indir)
             )
-    return indir, ev.schema, tmp, f"{delay_hours} hours"
+    result = (indir, ev.schema, tmp, f"{delay_hours} hours")
+    _STAGE_CACHE[key] = result
+    return result
 
 
 def run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
@@ -187,10 +197,10 @@ ORDER BY user_id, session_start
 """,
 )
 def stream_session_window(spark, sf_dir):
-    indir, schema, _, wm_delay = stage_stream_input(spark, sf_dir, sentinels=2)
+    indir, schema, _, wm_delay = stage_stream_input(spark, sf_dir, n_files=4, sentinels=2)
     src = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)  # backpressure: bounded batches
+        .option("maxFilesPerTrigger", 4)  # backpressure: bounded batches
         .parquet(indir)
     )
     agg = (
