@@ -1,3 +1,3 @@
 """Scalar-function surface (string/date/math/array/json/hash)."""
 
-from cascade_spark.functions import complex, scalars  # noqa: F401
+from cascade_spark.functions import complex, scalars, udfs  # noqa: F401

@@ -1,0 +1,148 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2B UDF section).
+
+Demonstrates every Python-extension shape with the determinism rules
+intact:
+- scalar @pandas_udf (Arrow-vectorized, element-wise → bit-identical to
+  the SQL formula, so oracle-checked);
+- grouped applyInPandas (per-group pandas DataFrame in/out);
+- row-at-a-time udf() — registered rows-only, deliberately tiny: it is
+  the documented slow path (one serde round-trip per row) and exists for
+  API completeness, not for use in hot paths.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cascade_spark.plans.registry import register
+from cascade_spark.operators._util import t
+
+
+@F.pandas_udf(T.DoubleType())
+def _net_price(ext: pd.Series, disc: pd.Series) -> pd.Series:
+    # element-wise float64 ops — identical IEEE results to the SQL formula
+    return ext * (1.0 - disc)
+
+
+@register(
+    "udf_pandas_scalar",
+    "udf",
+    doc="Scalar pandas UDF (Arrow-vectorized): net price per lineitem — "
+    "element-wise float64 arithmetic matches the SQL expression exactly, "
+    "so even the UDF path is hash-checked.",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1.0 - l_discount) AS net_price
+FROM lineitem
+WHERE l_orderkey <= 1000
+ORDER BY l_orderkey, l_linenumber
+""",
+)
+def udf_pandas_scalar(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_orderkey") <= 1000)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            _net_price("l_extendedprice", "l_discount").alias("net_price"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@register(
+    "udf_grouped_centroid",
+    "udf",
+    doc="Grouped applyInPandas: per-label embedding centroid-sum via "
+    "numpy. Sums rounded to 2 (numpy pairwise vs sequential SQL "
+    "accumulation differ in last ulps).",
+    oracle="""
+SELECT label,
+       COUNT(DISTINCT vec_id) AS n_vecs,
+       ROUND(SUM(CAST(elem AS DOUBLE)), 2) AS sum_all_elems
+FROM (SELECT vec_id, label, UNNEST(embedding) AS elem FROM embeddings)
+GROUP BY label
+ORDER BY label
+""",
+)
+def udf_grouped_centroid(spark, sf_dir):
+    import numpy as np
+
+    e = t(spark, sf_dir, "embeddings")
+
+    def centroid(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+        return pd.DataFrame(
+            {
+                "label": [int(pdf["label"].iloc[0])],
+                "n_vecs": [len(pdf)],
+                "sum_all_elems": [round(float(m.sum()), 2)],
+            }
+        )
+
+    return (
+        e.groupBy("label")
+        .applyInPandas(centroid, schema="label int, n_vecs long, sum_all_elems double")
+        .orderBy("label")
+    )
+
+
+@register(
+    "udf_python_row",
+    "udf",
+    oracle=None,  # deliberately rows-only: the slow path, API completeness
+    doc="Row-at-a-time Python UDF — the documented slow path (per-row "
+    "serde); kept off hot paths, present for surface completeness.",
+)
+def udf_python_row(spark, sf_dir):
+    @F.udf(T.StringType())
+    def bucket(v):
+        return "high" if v is not None and v > 100.0 else "low"
+
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.limit(100)
+        .select("event_id", bucket("value").alias("bucket"))
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "text_tfidf_mllib",
+    "udf",
+    oracle=None,  # MLlib HashingTF/IDF — deterministic but not SQL-expressible
+    doc="MLlib text pipeline: RegexTokenizer → HashingTF → IDF over "
+    "documents (north-star text analysis, MLlib flavor). Deterministic "
+    "(murmur3 fixed seed) but not SQL-expressible → rows-only check.",
+)
+def text_tfidf_mllib(spark, sf_dir):
+    try:
+        from pyspark.ml.feature import IDF, HashingTF, RegexTokenizer
+    except ImportError:  # pragma: no cover
+        return t(spark, sf_dir, "documents").select("doc_id").limit(0)
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = RegexTokenizer(inputCol="text", outputCol="words", pattern=r"\s+")
+    words = tok.transform(d)
+    tf = HashingTF(inputCol="words", outputCol="tf", numFeatures=1 << 12)
+    tfd = tf.transform(words)
+    idf = IDF(inputCol="tf", outputCol="tfidf").fit(tfd)
+    out = idf.transform(tfd)
+    # project a stable scalar per doc (vector norm) for the rows check
+    from pyspark.ml.functions import vector_to_array
+
+    return out.select(
+        "doc_id",
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    vector_to_array("tfidf"), F.lit(0.0), lambda acc, x: acc + x * x
+                )
+            ),
+            4,
+        ).alias("tfidf_norm"),
+    ).orderBy("doc_id")

@@ -7,6 +7,7 @@ from cascade_spark.operators import (  # noqa: F401
     consume,
     dedup,
     filters,
+    grouping,
     ingest,
     joins,
     multimodal,
