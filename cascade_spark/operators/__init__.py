@@ -4,6 +4,7 @@ query (see cascade_spark.plans.registry.load_all)."""
 from cascade_spark.operators import (  # noqa: F401
     aggregations,
     asof,
+    bucketing,
     consume,
     dedup,
     filters,

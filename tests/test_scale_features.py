@@ -1,0 +1,74 @@
+"""Scale-technique semantics: bucketed co-located joins (no exchange),
+skew salting (identical results), rate-source smoke (reference R6)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cascade_spark.plans.registry import load_all
+from cascade_spark.tables import load
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    from cascade_spark.operators.bucketing import bucketed_tables
+
+    li_name, o_name = bucketed_tables(spark, sf_dir)
+    li, o = spark.table(li_name), spark.table(o_name)
+    # at tiny SF the planner would broadcast (and bypass buckets); force
+    # the SMJ path the bucketing exists for
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = li.join(o, li.l_orderkey == o.o_orderkey).select(
+            "l_orderkey", "o_orderpriority"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "Exchange" not in plan, plan
+    assert "SortMergeJoin" in plan, plan
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    from cascade_spark.operators.bucketing import salted_join
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    plain = (
+        ev.join(c, ev.user_id == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("c_mktsegment")
+        .collect()
+    )
+    salted = (
+        salted_join(ev, c, ev.user_id, c.c_custkey, salt=4)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("c_mktsegment")
+        .collect()
+    )
+    assert plain == salted
+
+
+def test_rate_source_smoke(spark):
+    """Reference R6 load-gen analog: the rate source produces rows."""
+    src = spark.readStream.format("rate").option("rowsPerSecond", 100).load()
+    q = (
+        src.writeStream.format("memory")
+        .queryName("rate_smoke")
+        .outputMode("append")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 15
+        while time.time() < deadline:
+            if spark.table("rate_smoke").count() > 0:
+                break
+            time.sleep(0.3)
+        assert spark.table("rate_smoke").count() > 0
+    finally:
+        q.stop()
