@@ -3,6 +3,7 @@ query (see cascade_spark.plans.registry.load_all)."""
 
 from cascade_spark.operators import (  # noqa: F401
     aggregations,
+    analytics,
     asof,
     bucketing,
     consume,

@@ -1,0 +1,237 @@
+"""Event-stream analytics — the north-star "analytics over event
+streams" showcase (BASELINE.json): funnel conversion, retention cohorts,
+trending top-k, TPC-H-style multi-join analytics, subquery shapes.
+
+Everything is declarative DataFrame/SQL: sessionization and funnels are
+window functions over the per-user shuffle; cohort retention is two
+aggregates and a join; all hash-checked against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from cascade_spark.plans.registry import register
+from cascade_spark.operators._util import d2, dec, t
+
+
+@register(
+    "events_funnel",
+    "analytics",
+    doc="Funnel conversion signup→view→purchase per user: ordered event "
+    "sequence with min-timestamp stages; counts users reaching each "
+    "stage in order. One shuffle on user_id.",
+    oracle="""
+WITH stages AS (
+    SELECT user_id,
+           MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+           MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+           MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+    FROM events
+    GROUP BY user_id
+)
+SELECT COUNT(*) AS n_users,
+       CAST(SUM(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS reached_signup,
+       CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup THEN 1 ELSE 0 END) AS BIGINT) AS reached_view,
+       CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup
+                 AND t_purchase > t_view THEN 1 ELSE 0 END) AS BIGINT) AS reached_purchase
+FROM stages
+""",
+)
+def events_funnel(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    stages = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    return stages.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(F.col("t_signup").isNotNull(), 1).otherwise(0)).alias("reached_signup"),
+        F.sum(
+            F.when(F.col("t_signup").isNotNull() & (F.col("t_view") > F.col("t_signup")), 1).otherwise(0)
+        ).alias("reached_view"),
+        F.sum(
+            F.when(
+                F.col("t_signup").isNotNull()
+                & (F.col("t_view") > F.col("t_signup"))
+                & (F.col("t_purchase") > F.col("t_view")),
+                1,
+            ).otherwise(0)
+        ).alias("reached_purchase"),
+    )
+
+
+@register(
+    "events_retention_cohorts",
+    "analytics",
+    doc="Weekly retention: cohort = user's first-activity week; count "
+    "users active k weeks later. Two aggregates + one join on user_id.",
+    oracle="""
+WITH firsts AS (
+    SELECT user_id, MIN(DATE_TRUNC('week', ts)) AS cohort_week
+    FROM events GROUP BY user_id
+),
+activity AS (
+    SELECT DISTINCT user_id, DATE_TRUNC('week', ts) AS active_week
+    FROM events
+)
+SELECT STRFTIME(f.cohort_week, '%Y-%m-%d') AS cohort,
+       CAST(DATE_DIFF('week', f.cohort_week, a.active_week) AS BIGINT) AS weeks_later,
+       COUNT(DISTINCT f.user_id) AS active_users
+FROM firsts f JOIN activity a ON f.user_id = a.user_id
+GROUP BY f.cohort_week, DATE_DIFF('week', f.cohort_week, a.active_week)
+ORDER BY cohort, weeks_later
+""",
+)
+def events_retention_cohorts(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(F.min(F.date_trunc("week", "ts")).alias("cohort_week"))
+    activity = ev.select("user_id", F.date_trunc("week", "ts").alias("active_week")).distinct()
+    weeks_later = (
+        F.datediff(F.col("active_week"), F.col("cohort_week")) / 7
+    ).cast("long")
+    return (
+        firsts.join(activity, "user_id")
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort"),
+            weeks_later.alias("weeks_later"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .orderBy("cohort", "weeks_later")
+    )
+
+
+@register(
+    "events_trending_topk",
+    "analytics",
+    doc="Trending: top-2 event types per day by volume with day-over-day "
+    "delta (window rank over daily aggregates — aggregate first, window "
+    "over the small aggregate, never over raw events).",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+    FROM events GROUP BY CAST(ts AS DATE), event_type
+),
+ranked AS (
+    SELECT STRFTIME(day, '%Y-%m-%d') AS day_s, event_type, n,
+           ROW_NUMBER() OVER (PARTITION BY day ORDER BY n DESC, event_type) AS rnk,
+           n - LAG(n) OVER (PARTITION BY event_type ORDER BY day) AS delta
+    FROM daily
+)
+SELECT day_s, event_type, n, rnk, delta
+FROM ranked WHERE rnk <= 2
+ORDER BY day_s, rnk
+""",
+)
+def events_trending_topk(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day"), "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_rank = Window.partitionBy("day").orderBy(F.col("n").desc(), "event_type")
+    w_lag = Window.partitionBy("event_type").orderBy("day")
+    ranked = daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day_s"),
+        "event_type",
+        "n",
+        F.row_number().over(w_rank).alias("rnk"),
+        (F.col("n") - F.lag("n").over(w_lag)).alias("delta"),
+    )
+    return ranked.filter(F.col("rnk") <= 2).orderBy("day_s", "rnk")
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    "analytics",
+    doc="TPC-H Q3 shape: segment-filtered customer ⨝ orders ⨝ lineitem, "
+    "revenue top-10 (broadcast dim, one fact shuffle).",
+    oracle="""
+SELECT l_orderkey,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                      * (1 - CAST(l_discount AS DECIMAL(12,4)))), 2) AS DOUBLE) AS revenue,
+       STRFTIME(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def tpch_q3_shipping_priority(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(d2(F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))).alias("revenue"))
+        .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "subquery_scalar_and_in",
+    "analytics",
+    doc="Subquery shapes: scalar subquery (global avg) in a predicate + "
+    "IN subquery (planned as broadcast/semi joins by Catalyst).",
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+  AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+ORDER BY o_orderkey
+""",
+)
+def subquery_scalar_and_in(spark, sf_dir):
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+          AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+        ORDER BY o_orderkey
+        """
+    )
+
+
+@register(
+    "subquery_correlated_exists",
+    "analytics",
+    doc="Correlated EXISTS subquery: suppliers whose nation has customers "
+    "with negative balances (decorrelated to a semi join by Catalyst).",
+    oracle="""
+SELECT s_suppkey, s_name
+FROM supplier s
+WHERE EXISTS (SELECT 1 FROM customer c
+              WHERE c.c_nationkey = s.s_nationkey AND c.c_acctbal < 0)
+ORDER BY s_suppkey
+""",
+)
+def subquery_correlated_exists(spark, sf_dir):
+    t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name
+        FROM supplier s
+        WHERE EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_nationkey = s.s_nationkey AND c.c_acctbal < 0)
+        ORDER BY s_suppkey
+        """
+    )

@@ -25,7 +25,9 @@ _BUCKETS = 8
 def bucketed_tables(spark, sf_dir: str) -> tuple[str, str]:
     """Materialize lineitem/orders bucketed by the join key (idempotent
     per sf_dir within a session)."""
-    tag = abs(hash(sf_dir)) % 10_000_000
+    import re
+
+    tag = re.sub(r"[^0-9a-zA-Z]", "_", sf_dir.strip("/").replace("root_", ""))[-30:].strip("_")
     li_name, o_name = f"li_bucketed_{tag}", f"o_bucketed_{tag}"
     if not spark.catalog.tableExists(li_name):
         (
