@@ -26,21 +26,29 @@ SELECT vec_id,
        CAST(LEN(embedding) AS BIGINT) AS dim,
        ROUND(CAST(embedding[1] AS DOUBLE), 4) AS first_elem,
        CAST(LEN(embedding[1:5]) AS BIGINT) AS slice_len,
-       CAST(LEN(GENERATE_SERIES(1, CAST(label AS BIGINT) + 1)) AS BIGINT) AS seq_len
+       CAST(LEN(GENERATE_SERIES(1, CAST(label AS BIGINT) + 1)) AS BIGINT) AS seq_len,
+       LIST_CONTAINS(GENERATE_SERIES(1, CAST(label AS BIGINT) + 1), 3) AS has_three,
+       CAST(LIST_SORT(LIST_DISTINCT(GENERATE_SERIES(1, CAST(label AS BIGINT) + 1)
+                                    || [CAST(1 AS BIGINT)]))[1] AS BIGINT) AS min_after_dedup
 FROM embeddings
 ORDER BY vec_id
 """,
 )
 def fn_array_basic(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings")
+    seq = F.sequence(F.lit(1).cast("long"), F.col("label").cast("long") + 1)
     return e.select(
         "vec_id",
         F.size("embedding").cast("long").alias("dim"),
         F.round(F.element_at("embedding", 1).cast("double"), 4).alias("first_elem"),
         F.size(F.slice("embedding", 1, 5)).cast("long").alias("slice_len"),
-        F.size(F.sequence(F.lit(1).cast("long"), F.col("label").cast("long") + 1))
+        F.size(seq).cast("long").alias("seq_len"),
+        F.array_contains(seq, F.lit(3).cast("long")).alias("has_three"),
+        F.element_at(
+            F.array_sort(F.array_distinct(F.concat(seq, F.array(F.lit(1).cast("long"))))), 1
+        )
         .cast("long")
-        .alias("seq_len"),
+        .alias("min_after_dedup"),
     ).orderBy("vec_id")
 
 

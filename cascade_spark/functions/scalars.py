@@ -184,6 +184,7 @@ def fn_math(spark, sf_dir):
 SELECT c.c_custkey,
        COALESCE(MAX(o.o_totalprice), 0.0) AS best_or_zero,
        NULLIF(c.c_mktsegment, 'BUILDING') AS seg_or_null,
+       IFNULL(NULLIF(c.c_mktsegment, 'BUILDING'), 'OTHER') AS seg_nvl,
        GREATEST(c.c_acctbal, 1000.0) AS bal_floor1k,
        LEAST(c.c_acctbal, 5000.0) AS bal_cap5k
 FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
@@ -201,6 +202,9 @@ def fn_conditional(spark, sf_dir):
             "c_custkey",
             "best_or_zero",
             F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg_or_null"),
+            F.nvl(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")).alias(
+                "seg_nvl"
+            ),
             F.greatest(F.col("c_acctbal"), F.lit(1000.0)).alias("bal_floor1k"),
             F.least(F.col("c_acctbal"), F.lit(5000.0)).alias("bal_cap5k"),
         )

@@ -62,7 +62,7 @@ def sql_avg_round(sum_expr: str, k: int = 2, count_expr: str = "COUNT(*)") -> st
     """DuckDB SQL for avg_round. ``sum_expr`` must be a scale-4 DECIMAL
     sum, e.g. ``SUM(CAST(x AS DECIMAL(12,4)))``."""
     s = f"CAST({sum_expr} * 10000 AS BIGINT)"
-    c = f"(10000 * {count_expr})"
+    c = f"(10000 * CAST({count_expr} AS BIGINT))"
     return f"(CAST((2 * {s} * {10**k} + {c}) // (2 * {c}) AS DOUBLE) / {10**k})"
 
 

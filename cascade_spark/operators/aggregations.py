@@ -291,3 +291,32 @@ def agg_pivot(spark, sf_dir):
 
 # decimal literal type for coalesce(pivot) — sum(decimal(12,4)) widens to (22,4)
 DECL = "decimal(22,4)"
+
+
+@register(
+    "agg_unpivot",
+    "aggregations",
+    doc="Unpivot (stack): wide per-part measure columns back to long "
+    "(measure, value) rows — the inverse of pivot, via stack()/UNION ALL.",
+    oracle="""
+SELECT p_partkey, m AS measure, v AS value
+FROM (
+    SELECT p_partkey, 'retailprice' AS m, p_retailprice AS v FROM part
+    UNION ALL
+    SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part
+)
+ORDER BY p_partkey, measure
+""",
+)
+def agg_unpivot(spark, sf_dir):
+    p = t(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.expr(
+                "stack(2, 'retailprice', p_retailprice, 'size', CAST(p_size AS DOUBLE)) "
+                "AS (measure, value)"
+            ),
+        )
+        .orderBy("p_partkey", "measure")
+    )

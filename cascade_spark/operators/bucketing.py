@@ -26,14 +26,20 @@ def bucketed_tables(spark, sf_dir: str) -> tuple[str, str]:
     """Materialize lineitem/orders bucketed by the join key (idempotent
     per sf_dir within a session)."""
     import re
+    import tempfile
 
     tag = re.sub(r"[^0-9a-zA-Z]", "_", sf_dir.strip("/").replace("root_", ""))[-30:].strip("_")
     li_name, o_name = f"li_bucketed_{tag}", f"o_bucketed_{tag}"
+    # external tables in a per-process temp location: the in-memory
+    # catalog is session-scoped, so a stable warehouse path would collide
+    # with leftovers from previous processes
+    base = tempfile.mkdtemp(prefix="cascade_buckets_")
     if not spark.catalog.tableExists(li_name):
         (
             t(spark, sf_dir, "lineitem")
             .write.bucketBy(_BUCKETS, "l_orderkey")
             .sortBy("l_orderkey")
+            .option("path", f"{base}/{li_name}")
             .mode("overwrite")
             .saveAsTable(li_name)
         )
@@ -42,6 +48,7 @@ def bucketed_tables(spark, sf_dir: str) -> tuple[str, str]:
             t(spark, sf_dir, "orders")
             .write.bucketBy(_BUCKETS, "o_orderkey")
             .sortBy("o_orderkey")
+            .option("path", f"{base}/{o_name}")
             .mode("overwrite")
             .saveAsTable(o_name)
         )

@@ -1,0 +1,84 @@
+"""Property-based tests (hypothesis) for the determinism-critical
+primitives: exact rounded averages, distributed offset assignment,
+minhash permutation parity."""
+
+from __future__ import annotations
+
+from decimal import ROUND_HALF_UP, Decimal
+
+import duckdb
+from hypothesis import given, settings, strategies as st
+
+from cascade_spark.operators._util import sql_avg_round
+
+# scale-4 decimal sums as integers (sum*10^4), realistic magnitudes
+_SUMS = st.integers(min_value=0, max_value=10**13)
+_COUNTS = st.integers(min_value=1, max_value=10**6)
+
+
+@settings(max_examples=200, deadline=None)
+@given(s=_SUMS, c=_COUNTS, k=st.sampled_from([2, 4]))
+def test_sql_avg_round_is_half_up_decimal_rounding(s, c, k):
+    """The integer-arithmetic rounded average must equal Python's exact
+    Decimal half-up rounding of sum/count for every input."""
+    con = duckdb.connect()
+    dec_literal = f"CAST('{Decimal(s).scaleb(-4)}' AS DECIMAL(18,4))"
+    expr = sql_avg_round(dec_literal, k, count_expr=str(c))
+    got = con.sql(f"SELECT {expr} AS v").fetchall()[0][0]
+    want = float(
+        (Decimal(s) / Decimal(10**4) / Decimal(c)).quantize(
+            Decimal(1).scaleb(-k), rounding=ROUND_HALF_UP
+        )
+    )
+    assert got == want, (s, c, k, got, want)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    n=st.integers(min_value=0, max_value=300),
+    parts=st.integers(min_value=1, max_value=8),
+)
+def test_assign_offsets_dense_and_order_preserving(spark, n, parts):
+    """Offsets are a dense 0..n-1 permutation following the total order,
+    for any row count and partition count."""
+    from pyspark.sql import functions as F
+
+    from cascade_spark.operators.ingest import assign_offsets
+
+    df = spark.range(n).select(
+        (F.col("id") * 7919 % 104729).alias("key"), F.col("id").alias("uid")
+    )
+    out = assign_offsets(df, ["key", "uid"], num_partitions=parts).collect()
+    assert len(out) == n
+    by_offset = sorted(out, key=lambda r: r["offset"])
+    assert [r["offset"] for r in by_offset] == list(range(n))
+    assert by_offset == sorted(out, key=lambda r: (r["key"], r["uid"]))
+
+
+def test_minhash_permutation_parity_spark_duckdb(spark):
+    """The affine permutation family produces identical values in Spark
+    and DuckDB over a range of base hashes."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from cascade_spark.operators.dedup import MH_A, MH_B, MH_P
+
+    base = list(range(0, 2**30, 2**30 // 97))
+    sdf = spark.createDataFrame([(h,) for h in base], "h0 long")
+    scols = [
+        F.expr(f"({MH_A[k]} * h0 + {MH_B[k]}) % {MH_P}").alias(f"h{k}") for k in range(4)
+    ]
+    srows = sorted(tuple(r) for r in sdf.select(*scols).collect())
+    con = duckdb.connect()
+    con.sql("CREATE TABLE t(h0 BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(h,) for h in base])
+    drows = sorted(
+        tuple(r)
+        for r in con.sql(
+            "SELECT "
+            + ", ".join(f"({MH_A[k]} * h0 + {MH_B[k]}) % {MH_P}" for k in range(4))
+            + " FROM t"
+        ).fetchall()
+    )
+    assert srows == drows
