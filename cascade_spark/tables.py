@@ -30,6 +30,16 @@ TABLE_NAMES = [
 BROADCASTABLE = {"region", "nation", "supplier", "part", "customer"}
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Runtime confs this engine depends on, set defensively so queries
+    behave identically on an externally-created SparkSession (e.g. the
+    driver harness's): UTC timestamps (oracle parity) and nanos-as-long
+    parquet reads (events.ts is TIMESTAMP(NANOS), which vanilla Spark
+    refuses). Both are runtime-settable SQL confs."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table.
 
@@ -38,6 +48,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     floor-divide to microseconds — the same truncation DuckDB applies when
     it reads nanos into its µs TIMESTAMP, so oracle comparisons agree.
     """
+    ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -1,0 +1,32 @@
+"""The driver harness creates its OWN SparkSession — the engine must
+work on a vanilla session with none of our build-time configs (and even
+a hostile timezone). ensure_session_confs in tables.load is the
+mechanism; this test locks it in."""
+
+from __future__ import annotations
+
+
+def test_queries_survive_foreign_session_confs(spark, sf_dir):
+    import __spark_entry__ as ent
+    from cascade_spark.plans.compare import compare
+
+    # sabotage the runtime confs the way an uninitialized session would be
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    try:
+        qs, osql = ent.queries(), ent.oracle_sql()
+        for name in ["fn_datetime", "agg_global", "ingest_consume_roundtrip"]:
+            ok, msg = compare(qs[name](spark, sf_dir), osql[name], sf_dir)
+            assert ok, f"{name}: {msg}"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as ent
+
+    df = ent.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(ent.oracle_sql()) <= set(ent.queries())
