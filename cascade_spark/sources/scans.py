@@ -101,6 +101,34 @@ def sink_partitioned(spark, sf_dir):
 
 
 @register(
+    "scan_orc_roundtrip",
+    "sources",
+    doc="ORC sink + scan (Spark's other columnar format; zstd-compressed "
+    "— codec choice is a write option, transparent to readers).",
+    oracle="""
+SELECT c_mktsegment, COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,4))), 2) AS DOUBLE) AS total_bal
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def scan_orc_roundtrip(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    out = tempfile.mkdtemp(prefix="cascade_orc_") + "/customer"
+    c.write.mode("overwrite").option("compression", "zstd").orc(out)
+    back = spark.read.orc(out)
+    return (
+        back.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            d2(F.sum(dec("c_acctbal"))).alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
     "sink_overwrite",
     "sources",
     doc="Overwrite sink semantics: two successive overwrites leave only "
