@@ -163,7 +163,8 @@ def fn_map_struct(spark, sf_dir):
 SELECT event_id,
        JSON_EXTRACT_STRING(props, '$.k') AS k_str,
        CAST(JSON_EXTRACT(props, '$.k') AS BIGINT) AS k_int,
-       JSON_EXTRACT_STRING(props, '$.missing') AS absent
+       JSON_EXTRACT_STRING(props, '$.missing') AS absent,
+       JSON_EXTRACT_STRING(props, '$.k') AS k_tuple
 FROM events
 ORDER BY event_id
 """,
@@ -176,6 +177,7 @@ def fn_json(spark, sf_dir):
         F.get_json_object("props", "$.k").alias("k_str"),
         parsed.getField("k").alias("k_int"),
         F.get_json_object("props", "$.missing").alias("absent"),
+        F.json_tuple("props", "k").alias("k_tuple"),
     ).orderBy("event_id")
 
 

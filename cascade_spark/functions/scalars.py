@@ -222,7 +222,10 @@ SELECT event_id,
        CAST(TRUNC(value) AS BIGINT) AS value_int,
        CAST(CAST(TRUNC(value) AS INTEGER) AS DOUBLE) AS value_roundtrip,
        CAST(event_id AS VARCHAR) AS id_str,
-       PRINTF('%s|%03d|%.2f', event_type, CAST(user_id AS INTEGER), value) AS formatted
+       PRINTF('%s|%03d|%.2f', event_type, CAST(user_id AS INTEGER), value) AS formatted,
+       FORMAT('{:,}', CAST(FLOOR(CAST(value * 1000 AS DECIMAL(12,2))) AS BIGINT))
+         || '.' || LPAD(CAST(CAST(CAST(value * 1000 AS DECIMAL(12,2)) * 100 AS BIGINT) % 100
+                             AS VARCHAR), 2, '0') AS grouped_number
 FROM events
 ORDER BY event_id
 """,
@@ -237,4 +240,5 @@ def fn_cast_format(spark, sf_dir):
         F.format_string(
             "%s|%03d|%.2f", F.col("event_type"), F.col("user_id").cast("int"), F.col("value")
         ).alias("formatted"),
+        F.format_number((F.col("value") * 1000).cast("decimal(12,2)"), 2).alias("grouped_number"),
     ).orderBy("event_id")
