@@ -7,6 +7,7 @@ from cascade_spark.operators import (  # noqa: F401
     asof,
     bucketing,
     consume,
+    curation,
     dedup,
     filters,
     grouping,
