@@ -30,7 +30,9 @@ SELECT o_custkey, o_orderkey,
        ROW_NUMBER() OVER w AS rn,
        RANK() OVER w AS rnk,
        DENSE_RANK() OVER w AS drnk,
-       CAST(NTILE(4) OVER w AS BIGINT) AS quartile
+       CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 6) AS cume
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
 ORDER BY o_custkey, rn
@@ -46,6 +48,8 @@ def window_ranking(spark, sf_dir):
         F.rank().over(w).alias("rnk"),
         F.dense_rank().over(w).alias("drnk"),
         F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
     ).orderBy("o_custkey", "rn")
 
 
