@@ -227,6 +227,44 @@ def similarity_pandas_cosine(spark, sf_dir):
 
 
 @register(
+    "similarity_ivf_kmeans",
+    "similarity",
+    oracle=None,  # k-means training is not SQL-expressible — rows-only +
+    # recall asserted vs the exact baseline in tests
+    doc="IVF-style ANN: MLlib KMeans (fixed seed) as the coarse "
+    "quantizer; score exact cosine only inside the query's cell (plus "
+    "its own). At 100 TB the centroid table broadcasts and cell "
+    "assignment is a map-only pass — the classic inverted-file layout.",
+)
+def similarity_ivf_kmeans(spark, sf_dir):
+    try:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+    except ImportError:  # pragma: no cover
+        return t(spark, sf_dir, "embeddings").select("vec_id").limit(0)
+
+    e = t(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", "embedding", array_to_vector("embedding").alias("features"))
+    km = KMeans(k=8, seed=42, maxIter=10, featuresCol="features", predictionCol="cell")
+    model = km.fit(vecs)
+    assigned = model.transform(vecs).select("vec_id", "embedding", "cell")
+    qcell = (
+        assigned.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(F.col("cell").alias("qcell"))
+    )
+    query = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("embedding").alias("_qv"))
+    cand = (
+        assigned.crossJoin(F.broadcast(qcell))
+        .filter((F.col("cell") == F.col("qcell")) & (F.col("vec_id") != QUERY_VEC_ID))
+        .select("vec_id", "embedding")
+    )
+    scored = cand.crossJoin(F.broadcast(query)).select(
+        "vec_id", _cos("embedding", "_qv").alias("cos_sim")
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), "vec_id").limit(TOP_K)
+
+
+@register(
     "embedding_neardup_blocked",
     "similarity",
     doc="Embedding-cosine near-dup pairs, label-blocked (coarse IVF "

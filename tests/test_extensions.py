@@ -31,6 +31,18 @@ def test_ann_lsh_results_subset_of_corpus_and_sane(spark, sf_dir):
     assert len(ann) > 0
 
 
+def test_ivf_kmeans_scores_match_exact(spark, sf_dir):
+    """Every IVF hit must carry the same cosine as the exact baseline
+    computes for that vector (scoring path is shared)."""
+    exact = {r["vec_id"]: r["cos_sim"] for r in
+             REG["similarity_cosine_topk"].builder(spark, sf_dir).collect()}
+    ivf = REG["similarity_ivf_kmeans"].builder(spark, sf_dir).collect()
+    assert len(ivf) > 0
+    for r in ivf:
+        if r["vec_id"] in exact:
+            assert abs(exact[r["vec_id"]] - r["cos_sim"]) < 1e-9
+
+
 def test_minhash_estimates_track_true_jaccard(spark, sf_dir):
     true = {
         (r["d1"], r["d2"]): r["jaccard"]
