@@ -112,6 +112,44 @@ def udf_python_row(spark, sf_dir):
 
 
 @register(
+    "udtf_chunk_documents",
+    "udf",
+    doc="Python UDTF (table function): expand each document into 10-word "
+    "chunks with per-chunk word counts — the document-splitting shape of "
+    "a training-data pipeline. Deterministic → fully hash-checked "
+    "against a generate_series oracle.",
+    oracle="""
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_idx,
+       CAST(LEAST(10, LEN(STRING_SPLIT(text, ' ')) - i * 10) AS BIGINT) AS n_words
+FROM documents,
+     LATERAL (SELECT UNNEST(GENERATE_SERIES(0,
+                CAST(CEIL(LEN(STRING_SPLIT(text, ' ')) / 10.0) AS BIGINT) - 1)) AS i)
+ORDER BY doc_id, chunk_idx
+""",
+)
+def udtf_chunk_documents(spark, sf_dir):
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx: long, n_words: long")
+    class ChunkDoc:
+        def eval(self, text: str):
+            words = text.split(" ")
+            for i in range(0, (len(words) + 9) // 10):
+                yield i, min(10, len(words) - i * 10)
+
+    ChunkDoc = spark.udtf.register("chunk_doc", ChunkDoc)
+    t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.n_words
+        FROM documents d, LATERAL chunk_doc(d.text) c
+        ORDER BY d.doc_id, c.chunk_idx
+        """
+    )
+
+
+@register(
     "text_tfidf_mllib",
     "udf",
     oracle=None,  # MLlib HashingTF/IDF — deterministic but not SQL-expressible
