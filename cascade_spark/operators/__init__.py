@@ -11,6 +11,7 @@ from cascade_spark.operators import (  # noqa: F401
     dedup,
     filters,
     grouping,
+    incremental,
     ingest,
     joins,
     multimodal,
