@@ -15,6 +15,7 @@ from cascade_spark.operators import (  # noqa: F401
     ingest,
     joins,
     multimodal,
+    profiling,
     roundtrip,
     setops,
     similarity,

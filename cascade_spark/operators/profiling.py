@@ -1,0 +1,134 @@
+"""Data profiling + deterministic sampling — pipeline hygiene operators.
+
+- ``profile_events``: per-column null/distinct/min/max profile in ONE
+  pass (all aggregates fused into a single partial+final hash aggregate
+  — a 100 TB profile costs one scan).
+- ``sample_deterministic``: content-hash Bernoulli sampling —
+  md5(key) % 100 < rate. Unlike ``df.sample()`` (seeded per-partition
+  RNG, layout-dependent), the hash sample is a pure row function:
+  reproducible across engines, partitionings, and reruns, which is what
+  corpus subsampling needs.
+- ``events_transition_matrix``: Markov transition counts between
+  consecutive event types per user (lag window) — sequence analytics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from cascade_spark.plans.registry import register
+from cascade_spark.operators._util import d2, dec, sql_avg_round, t
+
+
+@register(
+    "profile_events",
+    "analytics",
+    doc="One-pass column profile: counts, nulls, distincts, min/max per "
+    "column — all fused into a single aggregate over one scan.",
+    oracle="""
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_event_type,
+       COUNT(DISTINCT event_type) AS distinct_event_type,
+       COUNT(DISTINCT user_id) AS distinct_user_id,
+       MIN(event_id) AS min_event_id,
+       MAX(event_id) AS max_event_id,
+       CAST(ROUND(MIN(CAST(value AS DECIMAL(12,4))), 2) AS DOUBLE) AS min_value,
+       CAST(ROUND(MAX(CAST(value AS DECIMAL(12,4))), 2) AS DOUBLE) AS max_value,
+       STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS min_ts,
+       STRFTIME(MAX(ts), '%Y-%m-%d %H:%M:%S') AS max_ts
+FROM events
+""",
+)
+def profile_events(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("event_type").isNull(), 1).otherwise(0)).cast("long").alias("null_event_type"),
+        F.countDistinct("event_type").alias("distinct_event_type"),
+        F.countDistinct("user_id").alias("distinct_user_id"),
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
+        d2(F.min(dec("value"))).alias("min_value"),
+        d2(F.max(dec("value"))).alias("max_value"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("min_ts"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("max_ts"),
+    )
+
+
+@register(
+    "sample_deterministic",
+    "analytics",
+    doc="Content-hash Bernoulli sample (~10%) + per-lang stratified "
+    "counts: md5(doc_id) % 100 < 10 — reproducible across engines, "
+    "partitionings, and reruns (unlike seeded per-partition RNG).",
+    oracle="""
+WITH sampled AS (
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE ('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 10
+)
+SELECT lang, COUNT(*) AS n_sampled, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM sampled
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def sample_deterministic(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) % 100
+    return (
+        d.filter(bucket < 10)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "events_transition_matrix",
+    "analytics",
+    doc="Markov transition counts between consecutive event types per "
+    "user (lag window over the per-user shuffle) with transition "
+    "probability per source state.",
+    oracle=f"""
+WITH seq AS (
+    SELECT user_id, event_type,
+           LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+    FROM events
+),
+trans AS (
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+)
+SELECT prev_type, next_type, n,
+       {sql_avg_round("CAST(n AS DECIMAL(12,4))",
+                      4,
+                      "SUM(n) OVER (PARTITION BY prev_type)")} AS p
+FROM trans
+ORDER BY prev_type, next_type
+""",
+)
+def events_transition_matrix(spark, sf_dir):
+    from cascade_spark.operators._util import avg_round
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    trans = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = F.sum("n").over(Window.partitionBy("prev_type"))
+    return trans.select(
+        "prev_type",
+        "next_type",
+        "n",
+        avg_round(dec("n"), total, 4).alias("p"),
+    ).orderBy("prev_type", "next_type")
