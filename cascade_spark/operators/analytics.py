@@ -184,6 +184,86 @@ def tpch_q3_shipping_priority(spark, sf_dir):
 
 
 @register(
+    "tpch_q5_local_supplier",
+    "analytics",
+    doc="TPC-H Q5 shape: revenue from orders where customer and supplier "
+    "share the nation, region-filtered — 6-table join, all dims "
+    "broadcast, facts shuffle once each.",
+    oracle="""
+SELECT n_name,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                      * (1 - CAST(l_discount AS DECIMAL(12,4)))), 2) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+""",
+)
+def tpch_q5_local_supplier(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(d2(F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+@register(
+    "events_rolling_active_users",
+    "analytics",
+    doc="Rolling 7-day distinct active users per day: calendar spine "
+    "range-joined to events (exact windowed distinct — the metric HLL "
+    "sketch-merge approximates at 100 TB; the exact form is the oracle "
+    "for it).",
+    oracle="""
+WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+SELECT STRFTIME(d.day, '%Y-%m-%d') AS day,
+       COUNT(DISTINCT e.user_id) AS active_7d
+FROM days d JOIN events e
+  ON CAST(e.ts AS DATE) BETWEEN d.day - 6 AND d.day
+GROUP BY d.day
+ORDER BY day
+""",
+)
+def events_rolling_active_users(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    days = ev.select(F.col("ts").cast("date").alias("day")).distinct()
+    e = ev.select(F.col("ts").cast("date").alias("eday"), "user_id")
+    return (
+        days.join(
+            e,
+            (F.col("eday") >= F.date_sub(F.col("day"), 6)) & (F.col("eday") <= F.col("day")),
+        )
+        .groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .agg(F.countDistinct("user_id").alias("active_7d"))
+        .orderBy("day")
+    )
+
+
+@register(
     "subquery_scalar_and_in",
     "analytics",
     doc="Subquery shapes: scalar subquery (global avg) in a predicate + "
