@@ -204,6 +204,22 @@ def fn_json_to_json(spark, sf_dir):
 
 
 @register(
+    "fn_json_schema",
+    "functions",
+    oracle=None,  # schema_of_json's type-string format is engine-specific
+    doc="schema_of_json: infer the schema of the props JSON column "
+    "(Spark type-string output; DuckDB's json_structure format differs, "
+    "so rows-only).",
+)
+def fn_json_schema(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.limit(1)
+        .select(F.schema_of_json(F.lit('{"k": 1}')).alias("props_schema"))
+    )
+
+
+@register(
     "fn_hash",
     "functions",
     doc="Hash family shared across engines: md5 / sha2-256 (these also "
