@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from cascade_spark.plans.registry import register
-from cascade_spark.operators._util import avg_round, bigint, d2, dec, sql_avg_round, t
+from cascade_spark.operators._util import avg_round, d2, dec, sql_avg_round, t
 
 
 @register(

@@ -19,7 +19,7 @@ pre-deduplicated per (entity, ts) so ties are impossible on both engines.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from cascade_spark.plans.registry import register

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from cascade_spark.plans.registry import register
-from cascade_spark.operators._util import bigint, d2, dec, t
+from cascade_spark.operators._util import d2, dec, t
 
 
 @register(

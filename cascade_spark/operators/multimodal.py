@@ -24,7 +24,7 @@ import hashlib
 from pyspark.sql import functions as F
 
 from cascade_spark.plans.registry import register
-from cascade_spark.operators._util import t, widen
+from cascade_spark.operators._util import t
 
 _SCHEMA = "doc_id long, byte_len long, width long, height long, n_frames long, status string"
 

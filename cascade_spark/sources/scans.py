@@ -12,7 +12,6 @@ parquet remains the default columnar format with predicate pushdown.
 
 from __future__ import annotations
 
-import os
 import tempfile
 
 from pyspark.sql import functions as F

@@ -18,7 +18,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from cascade_spark.plans.registry import register
-from cascade_spark.operators._util import sql_avg_round
 from cascade_spark.streaming.pipeline import run_to_memory, stage_stream_input
 
 _OUT_SCHEMA = "user_id long, n_events long, total_value double"
