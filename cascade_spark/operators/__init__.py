@@ -17,6 +17,7 @@ from cascade_spark.operators import (  # noqa: F401
     multimodal,
     profiling,
     roundtrip,
+    scd,
     setops,
     similarity,
     sorts,
