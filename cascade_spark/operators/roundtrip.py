@@ -60,19 +60,19 @@ def ingest_consume_roundtrip(spark, sf_dir):
     "consume_last_event",
     "ingest",
     doc="Last-event resolution (reference R3: the n == count-1 branch, "
-    "src/broker/main.rs:136-144) — max-offset row.",
+    "src/broker/main.rs:136-144). Offsets are row_number over (ts, "
+    "event_id) minus 1, so the last event is the max-(ts, event_id) row "
+    "and its offset is count-1 — one map-side-combinable aggregate "
+    "(max_by + count), no global window or sort.",
     oracle="""
-SELECT event_id, "offset"
-FROM (
-    SELECT event_id, ROW_NUMBER() OVER (ORDER BY ts, event_id) - 1 AS "offset"
-    FROM events
-)
-ORDER BY "offset" DESC LIMIT 1
+SELECT (SELECT event_id FROM events ORDER BY ts DESC, event_id DESC LIMIT 1) AS event_id,
+       CAST(COUNT(*) - 1 AS BIGINT) AS "offset"
+FROM events
 """,
 )
 def consume_last_event(spark, sf_dir):
-    from cascade_spark.operators.ingest import assign_offsets
-
     ev = t(spark, sf_dir, "events")
-    with_off = assign_offsets(ev, ["ts", "event_id"])
-    return with_off.select("event_id", "offset").orderBy(F.col("offset").desc()).limit(1)
+    return ev.agg(
+        F.max_by("event_id", F.struct("ts", "event_id")).alias("event_id"),
+        (F.count(F.lit(1)) - 1).cast("long").alias("offset"),
+    )

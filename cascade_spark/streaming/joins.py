@@ -12,27 +12,15 @@ Verified against the batch self-join oracle (replay equivalence).
 
 from __future__ import annotations
 
-from contextlib import contextmanager
 
 from pyspark.sql import functions as F
 
 from cascade_spark.plans.registry import register
-from cascade_spark.streaming.pipeline import run_to_memory, stage_stream_input
-
-
-@contextmanager
-def _shuffle_partitions(spark, n: int):
-    """Stream-stream joins keep FOUR state stores per shuffle partition;
-    at this key cardinality the per-store checkpoint I/O dominates, so
-    the join runs with fewer, larger state partitions (measured 4×
-    faster at 8 vs 32 locally). On a real cluster this knob tracks state
-    volume per executor, not core count."""
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(n))
-    try:
-        yield
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+from cascade_spark.streaming.pipeline import (
+    run_to_memory,
+    stage_stream_input,
+    state_partitions,
+)
 
 
 @register(
@@ -77,6 +65,6 @@ def stream_stream_join(spark, sf_dir):
         F.col("c.event_id").alias("click_id"),
         F.col("p.user_id").alias("user_id"),
     )
-    with _shuffle_partitions(spark, 8):
+    with state_partitions(spark, 8):
         out = run_to_memory(joined, "append")
     return out.orderBy("purchase_id", "click_id")

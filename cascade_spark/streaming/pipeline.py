@@ -25,6 +25,7 @@ from __future__ import annotations
 import os
 import tempfile
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -37,6 +38,25 @@ _TS = "yyyy-MM-dd HH:mm:ss"
 
 
 _STAGE_CACHE: dict = {}
+
+
+@contextmanager
+def state_partitions(spark, n: int):
+    """Run a stateful streaming query with fewer, larger state partitions.
+
+    Every stateful operator keeps one state store per shuffle partition
+    (stream-stream joins keep four); per-store checkpoint I/O dominates
+    at small-to-medium key cardinality, so 8 partitions beat 32 by ~4×
+    locally (first measured on stream_stream_join). The conf is read at
+    query *start* and baked into the checkpoint, so the context only
+    needs to cover ``run_to_memory``. On a real cluster this knob tracks
+    state volume per executor, not core count."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def stage_stream_input(
@@ -126,15 +146,16 @@ def stream_tumbling_window(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         d2(F.sum(dec("value"))).alias("total_value"),
     )
-    out = run_to_memory(
-        agg.select(
-            F.date_format("w.start", _TS).alias("window_start"),
-            "event_type",
-            "n",
-            "total_value",
-        ),
-        "complete",
-    )
+    with state_partitions(spark, 8):
+        out = run_to_memory(
+            agg.select(
+                F.date_format("w.start", _TS).alias("window_start"),
+                "event_type",
+                "n",
+                "total_value",
+            ),
+            "complete",
+        )
     return out.orderBy("window_start", "event_type")
 
 
@@ -161,10 +182,11 @@ def stream_sliding_window(spark, sf_dir):
     agg = src.groupBy(F.window("ts", "2 hours", "1 hour").alias("w")).agg(
         F.count(F.lit(1)).alias("n")
     )
-    out = run_to_memory(
-        agg.select(F.date_format("w.start", _TS).alias("window_start"), "n"),
-        "complete",
-    )
+    with state_partitions(spark, 8):
+        out = run_to_memory(
+            agg.select(F.date_format("w.start", _TS).alias("window_start"), "n"),
+            "complete",
+        )
     return out.orderBy("window_start")
 
 
@@ -208,15 +230,16 @@ def stream_session_window(spark, sf_dir):
         .groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    out = run_to_memory(
-        agg.select(
-            "user_id",
-            F.date_format("w.start", _TS).alias("session_start"),
-            F.date_format("w.end", _TS).alias("session_end"),
-            "n",
-        ),
-        "append",
-    )
+    with state_partitions(spark, 8):
+        out = run_to_memory(
+            agg.select(
+                "user_id",
+                F.date_format("w.start", _TS).alias("session_start"),
+                F.date_format("w.end", _TS).alias("session_end"),
+                "n",
+            ),
+            "append",
+        )
     # Sentinel exclusion happens on the *batch* result: a filter on the
     # grouping key inside the streaming plan would be pushed below the
     # aggregation into the scan, removing the sentinel rows before they
@@ -241,7 +264,8 @@ def stream_dedup_watermark(spark, sf_dir):
     indir, schema, _, _ = stage_stream_input(spark, sf_dir, duplicate=True)
     src = spark.readStream.schema(schema).parquet(indir)
     deduped = src.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
-    out = run_to_memory(deduped, "append")
+    with state_partitions(spark, 8):
+        out = run_to_memory(deduped, "append")
     return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).orderBy("event_type")
 
 

@@ -64,6 +64,10 @@ def stream_stateful_counter(spark, sf_dir):
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+    # NOT wrapped in state_partitions(8): the bottleneck here is the
+    # Arrow/pandas Python workers, not state-store I/O — fewer partitions
+    # means fewer concurrent Python workers (measured 5.4s at 8 vs 3.4s
+    # at 32 locally).
     out = run_to_memory(updates, "update")
     # last (= max, counters are monotone) emission per user is the total
     return (
