@@ -1,0 +1,228 @@
+"""Statistical & utility operators round-out: exact median + manual
+deterministic mode, bitwise function family, z-score anomaly detection
+with exact-moment accumulation, canonical-representative dedup, and a
+time-hierarchy rollup over the event stream (the hypertable-rollup
+pattern).
+
+Scale notes: the z-score query is the canonical two-pass-made-one-pass
+trick — accumulate (n, Σx, Σx²) per group in exact decimals (map-side
+combinable), broadcast the tiny moment table back onto the stream, score
+per row with no second shuffle. The time rollup aggregates once per
+(day, hour) leaf and lets ROLLUP add the day and grand totals from the
+leaf partials.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from cascade_spark.plans.registry import register
+from cascade_spark.operators._util import bigint, d2, dec, t
+
+
+@register(
+    "agg_median_mode",
+    "aggregations",
+    doc="Exact grouped median (percentile 0.5, linear interpolation — "
+    "identical in both engines) and a *deterministic* mode: argmax of "
+    "value counts with min-value tie-break, built from two aggregates "
+    "instead of trusting engine-specific MODE() tie behavior.",
+    oracle="""
+WITH med AS (
+    SELECT l_returnflag, MEDIAN(l_quantity) AS median_qty, COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+),
+cnt AS (
+    SELECT l_returnflag, l_linenumber, COUNT(*) AS c
+    FROM lineitem GROUP BY l_returnflag, l_linenumber
+),
+mx AS (SELECT l_returnflag, MAX(c) AS mc FROM cnt GROUP BY l_returnflag),
+md AS (
+    SELECT c.l_returnflag, MIN(c.l_linenumber) AS mode_linenumber
+    FROM cnt c JOIN mx ON mx.l_returnflag = c.l_returnflag AND c.c = mx.mc
+    GROUP BY c.l_returnflag
+)
+SELECT m.l_returnflag, m.median_qty, md.mode_linenumber, CAST(m.n AS BIGINT) AS n
+FROM med m JOIN md ON md.l_returnflag = m.l_returnflag
+ORDER BY m.l_returnflag
+""",
+)
+def agg_median_mode(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.median("l_quantity").alias("median_qty"),
+        bigint(F.count(F.lit(1))).alias("n"),
+    )
+    cnt = li.groupBy("l_returnflag", "l_linenumber").agg(F.count(F.lit(1)).alias("c"))
+    mx = cnt.groupBy(F.col("l_returnflag").alias("rf")).agg(F.max("c").alias("mc"))
+    md = (
+        cnt.join(mx, (F.col("rf") == F.col("l_returnflag")) & (F.col("c") == F.col("mc")))
+        .groupBy("l_returnflag")
+        .agg(F.min("l_linenumber").alias("mode_linenumber"))
+    )
+    return (
+        med.join(md, "l_returnflag")
+        .select("l_returnflag", "median_qty", "mode_linenumber", "n")
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "fn_bitwise",
+    "functions",
+    doc="Bitwise function family: AND/OR/XOR/NOT, shifts, popcount — "
+    "deterministically sampled (one key in ~1000) so the checked result "
+    "stays small while the expressions run over the full scan.",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CAST(l_partkey & 255 AS BIGINT) AS and_mask,
+       CAST(l_suppkey | 15 AS BIGINT) AS or_mask,
+       CAST(XOR(l_partkey, l_suppkey) AS BIGINT) AS xor_keys,
+       CAST(~l_linenumber AS BIGINT) AS not_line,
+       CAST(l_linenumber << 3 AS BIGINT) AS shl,
+       CAST(l_partkey >> 2 AS BIGINT) AS shr,
+       CAST(BIT_COUNT(l_orderkey) AS BIGINT) AS popcount
+FROM lineitem
+WHERE l_orderkey % 997 = 0
+ORDER BY l_orderkey, l_linenumber
+""",
+)
+def fn_bitwise(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 997 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        bigint(F.col("l_partkey").bitwiseAND(F.lit(255))).alias("and_mask"),
+        bigint(F.col("l_suppkey").bitwiseOR(F.lit(15))).alias("or_mask"),
+        bigint(F.col("l_partkey").bitwiseXOR(F.col("l_suppkey"))).alias("xor_keys"),
+        bigint(F.bitwise_not(F.col("l_linenumber"))).alias("not_line"),
+        bigint(F.shiftleft(F.col("l_linenumber"), 3)).alias("shl"),
+        bigint(F.shiftright(F.col("l_partkey"), 2)).alias("shr"),
+        bigint(F.bit_count(F.col("l_orderkey"))).alias("popcount"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "events_anomaly_zscore",
+    "analytics",
+    doc="Z-score outlier detection per event_type: one aggregate pass "
+    "collects exact decimal moments (n, Σx, Σx²), the tiny moment table "
+    "broadcasts back onto the stream, rows score inline (|z| > 3). "
+    "Identical IEEE doubles in both engines because the moments are "
+    "exact decimals before the single cast.",
+    oracle="""
+WITH mom AS (
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS s1,
+           CAST(SUM(CAST(value AS DECIMAL(12,4)) * CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS s2
+    FROM events GROUP BY event_type
+),
+scored AS (
+    SELECT e.event_id, e.event_type, e.value,
+           (e.value - m.s1 / m.n)
+             / SQRT(GREATEST((m.s2 - m.s1 * m.s1 / m.n) / (m.n - 1), 1e-12)) AS z
+    FROM events e JOIN mom m ON m.event_type = e.event_type
+)
+SELECT event_id, event_type, value, ROUND(z, 4) AS zscore
+FROM scored
+WHERE ABS(z) > 3
+ORDER BY event_id
+""",
+)
+def events_anomaly_zscore(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    mom = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("value")).cast("double").alias("s1"),
+        F.sum(dec("value") * dec("value")).cast("double").alias("s2"),
+    )
+    z = (F.col("value") - F.col("s1") / F.col("n")) / F.sqrt(
+        F.greatest(
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1),
+            F.lit(1e-12),
+        )
+    )
+    return (
+        ev.join(F.broadcast(mom), "event_type")
+        .select("event_id", "event_type", "value", F.round(z, 4).alias("zscore"))
+        .filter(F.abs(F.col("zscore")) > 3)
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "dedup_keep_best",
+    "dedup",
+    doc="Canonical-representative dedup: group documents by normalized "
+    "content fingerprint, keep the longest (then lowest-id) member — "
+    "the curation step after exact dedup finds its clusters. One window "
+    "over the fingerprint shuffle.",
+    oracle="""
+WITH fp AS (
+    SELECT doc_id, n_chars,
+           MD5(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g')))) AS fingerprint
+    FROM documents
+),
+ranked AS (
+    SELECT doc_id, fingerprint, n_chars,
+           ROW_NUMBER() OVER (PARTITION BY fingerprint
+                              ORDER BY n_chars DESC, doc_id) AS rn,
+           COUNT(*) OVER (PARTITION BY fingerprint) AS cluster_size
+    FROM fp
+)
+SELECT doc_id, fingerprint, CAST(cluster_size AS BIGINT) AS cluster_size
+FROM ranked WHERE rn = 1
+ORDER BY doc_id
+""",
+)
+def dedup_keep_best(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id",
+        "n_chars",
+        F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))).alias("fingerprint"),
+    )
+    w = Window.partitionBy("fingerprint")
+    ranked = fp.select(
+        "doc_id",
+        "fingerprint",
+        F.row_number().over(w.orderBy(F.desc("n_chars"), "doc_id")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+    )
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .select("doc_id", "fingerprint", bigint(F.col("cluster_size")).alias("cluster_size"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "events_time_rollup",
+    "analytics",
+    doc="Time-hierarchy rollup (hypertable-style continuous aggregate): "
+    "day → hour leaves with ROLLUP supplying day and grand totals from "
+    "the leaf partials; one shuffle, totals come free.",
+    oracle="""
+SELECT STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d') AS day,
+       CAST(HOUR(ts) AS BIGINT) AS hour,
+       COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(12,4))), 2) AS DOUBLE) AS total_value
+FROM events
+GROUP BY ROLLUP (STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d'), HOUR(ts))
+ORDER BY day NULLS FIRST, hour NULLS FIRST
+""",
+)
+def events_time_rollup(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    hour = F.hour("ts").cast("long")
+    return (
+        ev.select(day.alias("day"), hour.alias("hour"), "value")
+        .rollup("day", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            d2(F.sum(dec("value"))).alias("total_value"),
+        )
+        .orderBy(F.col("day").asc_nulls_first(), F.col("hour").asc_nulls_first())
+    )
