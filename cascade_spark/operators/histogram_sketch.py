@@ -1,0 +1,133 @@
+"""Histograms, mergeable sketches, and bucketed range joins.
+
+The HLL query demonstrates the sketch-mergeability pattern that makes
+100 TB distinct-count rollups cheap: build one small sketch per day
+(map-side partial agg), then union sketches for any coarser rollup
+instead of re-scanning raw data. Spark's hll_sketch_agg/hll_union_agg
+are Apache DataSketches HLL under the hood; DuckDB has no compatible
+sketch, so the query is registered rows-only and its accuracy is
+asserted against the exact distinct count in-result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cascade_spark.plans.registry import register
+from cascade_spark.operators._util import bigint, d2, dec, t
+
+N_BUCKETS = 20
+V_LO, V_HI = 0.0, 600.0
+
+
+@register(
+    "agg_histogram_width_bucket",
+    "aggregations",
+    doc="Equi-width histogram of event values via width_bucket "
+    "(20 buckets over [0, 600)): single hash-agg on the bucket id — "
+    "the one-pass distributed histogram.",
+    # DuckDB has no WIDTH_BUCKET — the CASE replicates Spark's exact
+    # semantics: floor((v - lo) / ((hi - lo)/n)) + 1, 0 below, n+1 above.
+    # (hi-lo)/n = 30.0 is FP-exact, so both engines floor the same double.
+    oracle=f"""
+SELECT CAST(CASE WHEN value < {V_LO} THEN 0
+            WHEN value >= {V_HI} THEN {N_BUCKETS + 1}
+            ELSE CAST(FLOOR((value - {V_LO}) / (({V_HI} - {V_LO}) / {N_BUCKETS})) AS BIGINT) + 1
+       END AS BIGINT) AS bucket,
+       COUNT(*) AS n,
+       MIN(value) AS lo,
+       MAX(value) AS hi,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(12,4))), 2) AS DOUBLE) AS mass
+FROM events
+GROUP BY 1
+ORDER BY bucket
+""",
+)
+def agg_histogram_width_bucket(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            bigint(F.width_bucket("value", F.lit(V_LO), F.lit(V_HI), F.lit(N_BUCKETS))).alias(
+                "bucket"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+            d2(F.sum(dec("value"))).alias("mass"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "agg_hll_sketch_merge",
+    "aggregations",
+    oracle=None,  # DataSketches HLL has no DuckDB equivalent — rows-only
+    doc="Mergeable distinct-count sketches: one HLL sketch of user_id "
+    "per day, unioned into a monthly estimate — the rollup never "
+    "re-reads raw data. Result carries the exact count alongside the "
+    "estimate; tests assert <5% error.",
+)
+def agg_hll_sketch_merge(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sketch"),
+        F.countDistinct("user_id").alias("exact_daily"),
+    )
+    monthly = daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_monthly_users"),
+    )
+    exact = ev.agg(F.countDistinct("user_id").alias("exact_monthly_users"))
+    return monthly.crossJoin(exact).select(
+        bigint(F.col("n_days")).alias("n_days"),
+        bigint(F.col("est_monthly_users")).alias("est_monthly_users"),
+        bigint(F.col("exact_monthly_users")).alias("exact_monthly_users"),
+    )
+
+
+@register(
+    "join_range_bucketed",
+    "joins",
+    doc="Range join via bucket-key derivation: events matched to per-day "
+    "business-hour windows (09:00-17:00). The range condition is "
+    "rewritten as an equi-join on the derived day key + residual time "
+    "predicate — hash join instead of the nested-loop a pure interval "
+    "join would force; the bucket-derivation trick is the 100 TB shape "
+    "for any interval join whose span is bounded.",
+    oracle="""
+WITH windows AS (
+    SELECT DISTINCT DATE_TRUNC('day', ts) AS day FROM events
+)
+SELECT STRFTIME(w.day, '%Y-%m-%d') AS day,
+       COUNT(*) AS n_in_window,
+       CAST(ROUND(SUM(CAST(e.value AS DECIMAL(12,4))), 2) AS DOUBLE) AS window_value
+FROM windows w
+JOIN events e
+  ON DATE_TRUNC('day', e.ts) = w.day
+ AND e.ts >= w.day + INTERVAL 9 HOUR
+ AND e.ts < w.day + INTERVAL 17 HOUR
+GROUP BY w.day
+ORDER BY day
+""",
+)
+def join_range_bucketed(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    windows = ev.select(F.date_trunc("day", "ts").alias("day")).distinct()
+    e = ev.select("ts", "value", F.date_trunc("day", "ts").alias("e_day"))
+    return (
+        windows.join(
+            e,
+            (F.col("e_day") == F.col("day"))
+            & (F.col("ts") >= F.col("day") + F.expr("INTERVAL 9 HOURS"))
+            & (F.col("ts") < F.col("day") + F.expr("INTERVAL 17 HOURS")),
+        )
+        .groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_in_window"),
+            d2(F.sum(dec("value"))).alias("window_value"),
+        )
+        .orderBy("day")
+    )

@@ -72,3 +72,15 @@ def test_rate_source_smoke(spark):
         assert spark.table("rate_smoke").count() > 0
     finally:
         q.stop()
+
+
+def test_hll_sketch_estimate_within_5pct(spark, sf_dir):
+    """Mergeable-sketch rollup: daily HLL union estimate stays within 5%
+    of the exact monthly distinct-user count."""
+    from cascade_spark.plans.registry import load_all
+
+    q = load_all()["agg_hll_sketch_merge"]
+    row = q.builder(spark, sf_dir).collect()[0]
+    est, exact = row.est_monthly_users, row.exact_monthly_users
+    assert exact > 0
+    assert abs(est - exact) / exact < 0.05
