@@ -78,3 +78,46 @@ def test_offset_assignment_no_single_partition_sort(spark, sf_dir):
     # a SinglePartition exchange feeding the full row set
     assert "partitionBy=[_pid]" in plan.replace(" ", "") or "_pid" in plan
     assert df.count() == ev.count()
+
+
+def test_q6_full_pushdown_and_pruning(spark, sf_dir):
+    from cascade_spark.plans.registry import load_all
+
+    df = load_all()["tpch_q6_forecast_revenue"].builder(spark, sf_dir)
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), IsNotNull(l_quantity)" in plan, plan
+    assert (
+        "ReadSchema: struct<l_quantity:double,l_extendedprice:double,"
+        "l_discount:double,l_shipdate:timestamp" in plan
+    ), plan
+
+
+def test_q10_broadcasts_dims_and_takes_topk(spark, sf_dir):
+    from cascade_spark.plans.registry import load_all
+
+    df = load_all()["tpch_q10_returned_items"].builder(spark, sf_dir)
+    df.collect()  # final AQE plan
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "TakeOrderedAndProject(limit=20" in plan, plan
+    assert "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)" in plan, plan
+
+
+def test_zscore_broadcasts_moments(spark, sf_dir):
+    from cascade_spark.plans.registry import load_all
+
+    df = load_all()["events_anomaly_zscore"].builder(spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_range_bucketed_join_is_hash_not_nested_loop(spark, sf_dir):
+    from cascade_spark.plans.registry import load_all
+
+    df = load_all()["join_range_bucketed"].builder(spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
