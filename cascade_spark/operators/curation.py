@@ -98,3 +98,98 @@ def pipeline_corpus_curation(spark, sf_dir):
         )
         .orderBy("pred_lang", "source")
     )
+
+
+@register(
+    "pipeline_train_split",
+    "analytics",
+    doc="Deterministic train/val/test split: md5(doc_id) % 100 → "
+    "80/10/10 buckets — a pure row function (reproducible across "
+    "engines, partitionings, reruns; no seeded RNG), reported as "
+    "per-split doc/char counts. Map-only + tiny aggregate.",
+    oracle="""
+WITH tagged AS (
+    SELECT doc_id, n_chars,
+           ('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
+    FROM documents
+)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+FROM tagged
+GROUP BY 1
+ORDER BY split
+""",
+)
+def pipeline_train_split(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split")
+    )
+    return (
+        d.select(split, "n_chars", "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("doc_id").cast("long").alias("min_doc_id"),
+        )
+        .orderBy("split")
+    )
+
+
+@register(
+    "pipeline_pack_context_windows",
+    "analytics",
+    doc="Context-window packing: documents in doc_id order fill "
+    "4096-token packs by running token total (cumulative-sum window → "
+    "floor-divide bucket id) — the sequence-packing step before "
+    "training. One global-order window over per-doc token counts "
+    "(tiny: one row per doc, not per token); per-pack stats out.",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id, LEN(STRING_SPLIT(text, ' ')) AS n_tok
+    FROM documents
+),
+packed AS (
+    SELECT doc_id, n_tok,
+           (SUM(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok)
+             // 4096 AS pack_id
+    FROM toks
+)
+SELECT CAST(pack_id AS BIGINT) AS pack_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS pack_tokens,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS last_doc
+FROM packed
+GROUP BY pack_id
+ORDER BY pack_id
+""",
+)
+def pipeline_pack_context_windows(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.size(F.split("text", " ")).alias("n_tok"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    packed = toks.select(
+        "doc_id",
+        "n_tok",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / 4096).alias("pack_id"),
+    )
+    return (
+        packed.groupBy(F.col("pack_id").cast("long").alias("pack_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("pack_tokens"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+            F.max("doc_id").cast("long").alias("last_doc"),
+        )
+        .orderBy("pack_id")
+    )

@@ -47,20 +47,25 @@ MH_B = [944465040, 1008001095, 776026401, 19180611, 504528511, 1712234077,
         2029304596, 1105833931, 2072697953, 480168534]
 
 
-def _shingles(docs: DataFrame) -> DataFrame:
-    """Distinct word 3-gram shingles per doc (empty for docs < 3 words).
+def _shingles(docs: DataFrame, distinct: bool = True) -> DataFrame:
+    """Word 3-gram shingles per doc (empty for docs < 3 words).
 
     posexplode + window-lead rather than array higher-order functions:
     HOFs (transform/element_at/array_distinct) evaluate interpreted
     per-element and were the measured bottleneck; the window form is one
     doc_id shuffle with codegen'd projections, and dedup happens in the
     shuffle instead of a quadratic per-row array_distinct.
+
+    ``distinct=False`` skips the dedup shuffle for duplicate-insensitive
+    consumers (MIN-aggregating minhash signatures) — the following
+    groupBy(doc_id) reuses the window's hash partitioning, so the whole
+    signature path costs exactly one shuffle.
     """
     from pyspark.sql import Window
 
     w = widen(docs).select("doc_id", F.posexplode(F.split("text", " ")).alias("p", "w"))
     win = Window.partitionBy("doc_id").orderBy("p")
-    return (
+    sh = (
         w.select(
             "doc_id",
             F.concat_ws(" ", "w", F.lead("w", 1).over(win), F.lead("w", 2).over(win)).alias("s"),
@@ -68,8 +73,8 @@ def _shingles(docs: DataFrame) -> DataFrame:
         )
         .filter(F.col("_w3").isNotNull())
         .drop("_w3")
-        .dropDuplicates(["doc_id", "s"])
     )
+    return sh.dropDuplicates(["doc_id", "s"]) if distinct else sh
 
 
 _SQL_SHINGLES = """
@@ -184,9 +189,10 @@ def dedup_ngram_jaccard(spark, sf_dir):
 def _signatures(spark, sf_dir) -> DataFrame:
     """One row per doc: columns h0..h15 (minhash signature) — a single
     md5 per shingle + 16 affine permutations folded into ONE groupBy
-    pass (no seed-explosion shuffle)."""
+    pass (no seed-explosion shuffle). Shingle duplicates are kept: MIN
+    is duplicate-insensitive, so the distinct shuffle is skipped."""
     d = t(spark, sf_dir, "documents")
-    sh = _shingles(d)
+    sh = _shingles(d, distinct=False)
     base = sh.select(
         "doc_id",
         F.conv(F.substring(F.md5("s"), 1, 8), 16, 10)
