@@ -121,3 +121,40 @@ def test_range_bucketed_join_is_hash_not_nested_loop(spark, sf_dir):
     plan = _plan(df)
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_tpch_q2_window_over_aggregate_not_fact(spark, sf_dir):
+    """Q2's min-per-part window must run over the (part,supp) aggregate,
+    never the raw fact: exactly one pre-window shuffle aggregate, and the
+    part/supplier/nation dims all broadcast."""
+    from cascade_spark.plans.registry import load_all
+
+    df = load_all()["tpch_q2_min_cost_supplier"].builder(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    # the window input is the HashAggregate over (l_partkey, l_suppkey)
+    win_pos = plan.find("Window")
+    agg_pos = plan.find("HashAggregate")
+    assert win_pos != -1 and agg_pos != -1, plan
+
+
+def test_tpch_q18_take_ordered_not_global_sort(spark, sf_dir):
+    """Q18's top-100 must plan TakeOrderedAndProject (streaming top-k),
+    not a full global Sort materialization."""
+    from cascade_spark.plans.registry import load_all
+
+    df = load_all()["tpch_q18_large_volume"].builder(spark, sf_dir)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_tpch_q21_semi_anti_pair(spark, sf_dir):
+    """Q21's EXISTS / NOT EXISTS pair must compile to left-semi and
+    left-anti joins — no cartesian or nested-loop fallback over the fact."""
+    from cascade_spark.plans.registry import load_all
+
+    df = load_all()["tpch_q21_waiting_suppliers"].builder(spark, sf_dir)
+    plan = _plan(df)
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
