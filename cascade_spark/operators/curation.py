@@ -193,3 +193,67 @@ def pipeline_pack_context_windows(spark, sf_dir):
         )
         .orderBy("pack_id")
     )
+
+
+@register(
+    "pipeline_domain_rebalance",
+    "analytics",
+    doc="Domain-mixture rebalancing: downsample each source toward a "
+    "uniform target share with a deterministic md5-bucket keep rule. "
+    "The keep test cross-multiplies to exact integers (bucket·k·n_src "
+    "< total·2^32) — no float probability compare; reruns, engines and "
+    "partitionings all agree. Per-source before/after counts out; the "
+    "counts table is a broadcast, the fact is scanned once.",
+    oracle="""
+WITH counts AS (
+    SELECT source, COUNT(*) AS n_before FROM documents GROUP BY source
+),
+tot AS (
+    SELECT CAST(SUM(n_before) AS BIGINT) AS total,
+           CAST(COUNT(*) AS BIGINT) AS k
+    FROM counts
+),
+kept AS (
+    SELECT d.source, COUNT(*) AS n_after
+    FROM documents d
+    JOIN counts c ON d.source = c.source
+    CROSS JOIN tot t
+    WHERE ('0x' || SUBSTR(MD5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+          * t.k * c.n_before < t.total * 4294967296
+    GROUP BY d.source
+)
+SELECT c.source, CAST(c.n_before AS BIGINT) AS n_before,
+       CAST(COALESCE(k.n_after, 0) AS BIGINT) AS n_after
+FROM counts c LEFT JOIN kept k ON c.source = k.source
+ORDER BY c.source
+""",
+)
+def pipeline_domain_rebalance(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_before"))
+    tot = counts.agg(
+        F.sum("n_before").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    kept = (
+        d.join(F.broadcast(counts), "source")
+        .crossJoin(F.broadcast(tot))
+        .filter(
+            bucket * F.col("k") * F.col("n_before")
+            < F.col("total") * F.lit(4294967296)
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_after"))
+    )
+    return (
+        counts.join(kept, "source", "left")
+        .select(
+            "source",
+            F.col("n_before").cast("long").alias("n_before"),
+            F.coalesce("n_after", F.lit(0)).cast("long").alias("n_after"),
+        )
+        .orderBy("source")
+    )

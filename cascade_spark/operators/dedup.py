@@ -222,15 +222,10 @@ _SQL_SIGNATURES = f"""
 """
 
 
-@register(
-    "dedup_minhash_lsh",
-    "dedup",
-    doc="MinHash+LSH near-dup: 16 md5-derived min-hashes, 4 bands × 4 "
-    "rows; candidate pairs share a band hash; estimated Jaccard = "
-    "signature agreement / 16, kept at ≥ 0.5. Deterministic → fully "
-    "oracle-checked (unlike MLlib's randomized MinHashLSH).",
-    oracle=f"""
-WITH sig AS ({_SQL_SIGNATURES}),
+# sig → bands → candidate pairs → signature-agreement scores: shared by
+# the pair query (dedup_minhash_lsh) and the cluster query
+# (dedup_connected_components).
+_SQL_PAIR_CTES = f"""sig AS ({_SQL_SIGNATURES}),
 bands AS (
     SELECT doc_id, band,
            MD5({" || ',' || ".join(
@@ -255,7 +250,18 @@ sim AS (
     FROM cand c
     JOIN sig x ON x.doc_id = c.d1
     JOIN sig y ON y.doc_id = c.d2
-)
+)"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    "dedup",
+    doc="MinHash+LSH near-dup: 16 md5-derived min-hashes, 4 bands × 4 "
+    "rows; candidate pairs share a band hash; estimated Jaccard = "
+    "signature agreement / 16, kept at ≥ 0.5. Deterministic → fully "
+    "oracle-checked (unlike MLlib's randomized MinHashLSH).",
+    oracle=f"""
+WITH {_SQL_PAIR_CTES}
 SELECT d1, d2, CAST(matches AS BIGINT) AS matches,
        CAST(matches AS DOUBLE) / {N_HASHES} AS est_jaccard
 FROM sim WHERE matches * 2 >= {N_HASHES}
@@ -263,6 +269,21 @@ ORDER BY d1, d2
 """,
 )
 def dedup_minhash_lsh(spark, sf_dir):
+    return (
+        _lsh_pairs(spark, sf_dir)
+        .select(
+            "d1",
+            "d2",
+            F.col("matches").cast("long").alias("matches"),
+            (F.col("matches").cast("double") / N_HASHES).alias("est_jaccard"),
+        )
+        .orderBy("d1", "d2")
+    )
+
+
+def _lsh_pairs(spark, sf_dir) -> DataFrame:
+    """Near-dup pairs (d1 < d2, signature agreement ≥ half): the shared
+    candidate machinery behind the pair and cluster queries."""
     sig = _signatures(spark, sf_dir)
     rpb = N_HASHES // BANDS
     band_rows = [
@@ -296,13 +317,132 @@ def dedup_minhash_lsh(spark, sf_dir):
         .join(y, "d2")
         .select("d1", "d2", matches.alias("matches"))
         .filter(F.col("matches") * 2 >= N_HASHES)
-        .select(
-            "d1",
-            "d2",
-            F.col("matches").cast("long").alias("matches"),
-            (F.col("matches").cast("double") / N_HASHES).alias("est_jaccard"),
+    )
+
+
+# Edge lists up to this size are solved with driver-side union-find —
+# the contracted near-dup graph is tiny next to the corpus (the
+# expensive, distributed part is FINDING the pairs). Above it, the
+# O(diameter) min-label-propagation loop runs (GraphFrames makes the
+# same small-graph/local cutover in its CC implementation).
+LOCAL_CC_MAX_EDGES = 2_000_000
+
+
+def _cc_local(pair_rows):
+    """Union-find with min-id roots: comp(x) = min doc_id of x's
+    component — identical output to the distributed loop."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    nodes = set()
+    for a, b in pair_rows:
+        nodes.add(a)
+        nodes.add(b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return [(n, find(n)) for n in sorted(nodes)]
+
+
+def _cc_labels_distributed(edges, labels):
+    """Min-label propagation over (src, nbr) edges — one co-partitioned
+    join + min-aggregate per iteration, O(graph diameter) iterations
+    (near-dup clusters are quasi-cliques: 2-4 hops). persist() keeps
+    each iteration from recomputing lineage."""
+    from pyspark import StorageLevel
+
+    for _ in range(32):
+        nbr_comp = labels.select(
+            F.col("node").alias("nbr"), F.col("comp").alias("nbr_comp")
         )
-        .orderBy("d1", "d2")
+        pulled = edges.join(nbr_comp, "nbr").groupBy("src").agg(
+            F.min("nbr_comp").alias("pulled_min")
+        )
+        proposed = labels.join(
+            pulled, labels["node"] == pulled["src"], "left"
+        ).select(
+            "node",
+            "comp",
+            F.least(F.col("comp"), F.coalesce("pulled_min", "comp")).alias("new_comp"),
+        )
+        proposed = proposed.persist(StorageLevel.MEMORY_AND_DISK)
+        changed = proposed.filter(F.col("new_comp") < F.col("comp")).limit(1).count()
+        new_labels = proposed.select("node", F.col("new_comp").alias("comp")).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+@register(
+    "dedup_connected_components",
+    "dedup",
+    doc="Near-dup cluster assignment: LSH pairs become an undirected "
+    "graph; each node converges to the minimum doc_id of its component. "
+    "The contracted graph is solved locally (union-find) when the edge "
+    "list is small — the distributed work is FINDING the pairs — and "
+    "falls back to iterative min-label propagation (MapReduce-CC / "
+    "GraphX style, O(diameter) joins) above LOCAL_CC_MAX_EDGES. Oracle "
+    "is a DuckDB recursive-CTE transitive closure — both engines agree "
+    "exactly because labels are integer mins, no floats anywhere.",
+    oracle=f"""
+WITH RECURSIVE {_SQL_PAIR_CTES},
+pairs AS (SELECT d1, d2 FROM sim WHERE matches * 2 >= {N_HASHES}),
+edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+          UNION ALL SELECT d2 AS a, d1 AS b FROM pairs),
+reach(src, dst) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+comp AS (
+    SELECT src AS node, LEAST(src, MIN(dst)) AS comp
+    FROM reach GROUP BY src
+)
+SELECT CAST(comp AS BIGINT) AS component_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MAX(node) AS BIGINT) AS max_doc
+FROM comp GROUP BY comp ORDER BY component_id
+""",
+)
+def dedup_connected_components(spark, sf_dir):
+    from pyspark import StorageLevel
+
+    pairs = (
+        _lsh_pairs(spark, sf_dir).select("d1", "d2")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if pairs.count() <= LOCAL_CC_MAX_EDGES:
+        rows = [(r[0], r[1]) for r in pairs.toLocalIterator()]
+        labels = spark.createDataFrame(_cc_local(rows), "node long, comp long")
+    else:
+        fwd = pairs.select(F.col("d1").alias("src"), F.col("d2").alias("nbr"))
+        rev = pairs.select(F.col("d2").alias("src"), F.col("d1").alias("nbr"))
+        edges = fwd.union(rev).persist(StorageLevel.MEMORY_AND_DISK)
+        init = (
+            edges.select("src").distinct().select(F.col("src").alias("node"))
+            .withColumn("comp", F.col("node"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        labels = _cc_labels_distributed(edges, init)
+    return (
+        labels.groupBy(F.col("comp").cast("long").alias("component_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.max("node").cast("long").alias("max_doc"),
+        )
+        .orderBy("component_id")
     )
 
 

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Window, functions as F
 
 from cascade_spark.plans.registry import register
-from cascade_spark.operators._util import bigint, d2, dec, t
+from cascade_spark.operators._util import avg_round, bigint, d2, dec, sql_avg_round, t
 
 
 @register(
@@ -225,4 +225,88 @@ def events_time_rollup(spark, sf_dir):
             d2(F.sum(dec("value"))).alias("total_value"),
         )
         .orderBy(F.col("day").asc_nulls_first(), F.col("hour").asc_nulls_first())
+    )
+
+
+@register(
+    "events_gapfill_interpolate",
+    "analytics",
+    doc="Time-series gap filling: a generated date spine (sequence/"
+    "generate_series) per event type left-joins the daily aggregate; "
+    "missing days get count 0 and a forward-filled average via the "
+    "engine-portable two-window trick (cumulative COUNT of non-nulls "
+    "assigns fill groups, MAX within group carries the value — no "
+    "IGNORE NULLS dependence). The spine is |types| × |days|, never "
+    "data-sized; daily averages use exact-integer half-up rounding.",
+    oracle=f"""
+WITH daily AS (
+    SELECT event_type, DATE_TRUNC('day', ts)::DATE AS day,
+           COUNT(*) AS n_events,
+           {sql_avg_round("SUM(CAST(value AS DECIMAL(12,4)))")} AS day_avg
+    FROM events GROUP BY 1, 2
+),
+span AS (
+    SELECT MIN(DATE_TRUNC('day', ts))::DATE AS d0,
+           MAX(DATE_TRUNC('day', ts))::DATE AS d1
+    FROM events
+),
+spine AS (
+    SELECT t.event_type, gs.day::DATE AS day
+    FROM (SELECT DISTINCT event_type FROM events) t
+    CROSS JOIN span
+    CROSS JOIN LATERAL (
+        SELECT UNNEST(GENERATE_SERIES(span.d0::TIMESTAMP, span.d1::TIMESTAMP,
+                                      INTERVAL 1 DAY)) AS day
+    ) gs
+),
+j AS (
+    SELECT s.event_type, s.day,
+           COALESCE(d.n_events, 0) AS n_events, d.day_avg,
+           COUNT(d.day_avg) OVER (PARTITION BY s.event_type ORDER BY s.day
+                                  ROWS UNBOUNDED PRECEDING) AS grp
+    FROM spine s
+    LEFT JOIN daily d ON s.event_type = d.event_type AND s.day = d.day
+)
+SELECT event_type, STRFTIME(day, '%Y-%m-%d') AS day,
+       CAST(n_events AS BIGINT) AS n_events,
+       MAX(day_avg) OVER (PARTITION BY event_type, grp) AS filled_avg
+FROM j ORDER BY event_type, day
+""",
+)
+def events_gapfill_interpolate(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").cast("date")
+    daily = ev.groupBy("event_type", day.alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        avg_round(F.sum(dec("value")), F.count(F.lit(1))).alias("day_avg"),
+    )
+    span = ev.agg(F.min(day).alias("d0"), F.max(day).alias("d1"))
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(span))
+        .select("event_type", F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    joined = spine.join(daily, ["event_type", "day"], "left")
+    w_grp = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    staged = joined.select(
+        "event_type",
+        "day",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        "day_avg",
+        F.count("day_avg").over(w_grp).alias("grp"),
+    )
+    w_fill = Window.partitionBy("event_type", "grp")
+    return (
+        staged.select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_events",
+            F.max("day_avg").over(w_fill).alias("filled_avg"),
+        )
+        .orderBy("event_type", "day")
     )

@@ -71,3 +71,33 @@ def test_publish_preserves_all_rows_and_schema(spark, sf_dir, tmp_path):
     src = ev.select("event_id", "value", "props")
     joined = back.select("event_id", "value", "props").exceptAll(src)
     assert joined.count() == 0
+
+
+def test_cc_local_and_distributed_paths_agree(spark, sf_dir):
+    """The union-find fast path and the min-label-propagation loop must
+    produce identical component labels on the same LSH pair set."""
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+
+    from cascade_spark.operators.dedup import (
+        _cc_labels_distributed,
+        _cc_local,
+        _lsh_pairs,
+    )
+
+    pairs = _lsh_pairs(spark, sf_dir).select("d1", "d2").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    local = sorted(_cc_local([(r[0], r[1]) for r in pairs.collect()]))
+    fwd = pairs.select(F.col("d1").alias("src"), F.col("d2").alias("nbr"))
+    rev = pairs.select(F.col("d2").alias("src"), F.col("d1").alias("nbr"))
+    edges = fwd.union(rev).persist(StorageLevel.MEMORY_AND_DISK)
+    init = (
+        edges.select("src").distinct().select(F.col("src").alias("node"))
+        .withColumn("comp", F.col("node"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dist = sorted(
+        (r["node"], r["comp"]) for r in _cc_labels_distributed(edges, init).collect()
+    )
+    assert local == dist and len(local) > 0
