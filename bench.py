@@ -53,14 +53,34 @@ def main() -> None:
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
-    print(
-        json.dumps(
+    errors = sorted(n for n, v in timings.items() if v < 0)
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    # Full per-query timings go to a sidecar file; stdout stays one COMPACT
+    # line so the driver's tail capture never truncates it mid-JSON.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as fh:
+        json.dump(
             {
                 "metric": "total_declared_query_wall_clock",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+            },
+            fh,
+            indent=1,
+        )
+    print(
+        json.dumps(
+            {
+                "metric": "total_declared_query_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": slowest,
+                "n_queries": len(timings),
+                "n_errors": len(errors),
+                "sf": sf,
+                "detail": "BENCH_DETAIL.json",
             }
         )
     )

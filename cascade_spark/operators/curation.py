@@ -151,8 +151,10 @@ def pipeline_train_split(spark, sf_dir):
     doc="Context-window packing: documents in doc_id order fill "
     "4096-token packs by running token total (cumulative-sum window → "
     "floor-divide bucket id) — the sequence-packing step before "
-    "training. One global-order window over per-doc token counts "
-    "(tiny: one row per doc, not per token); per-pack stats out.",
+    "training. The running total is the two-phase range-partition + "
+    "per-partition cumsum + broadcast-base form (ingest.assign_prefix_sum) "
+    "— NO single-task global window, so the cumsum parallelizes across "
+    "the cluster at 100 TB; per-pack stats out.",
     oracle="""
 WITH toks AS (
     SELECT doc_id, LEN(STRING_SPLIT(text, ' ')) AS n_tok
@@ -175,13 +177,14 @@ ORDER BY pack_id
 """,
 )
 def pipeline_pack_context_windows(spark, sf_dir):
+    from cascade_spark.operators.ingest import assign_prefix_sum
+
     d = t(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.size(F.split("text", " ")).alias("n_tok"))
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    packed = toks.select(
+    packed = assign_prefix_sum(toks, ["doc_id"], "n_tok").select(
         "doc_id",
         "n_tok",
-        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / 4096).alias("pack_id"),
+        F.floor(F.col("prefix_sum") / 4096).alias("pack_id"),
     )
     return (
         packed.groupBy(F.col("pack_id").cast("long").alias("pack_id"))

@@ -41,14 +41,21 @@ def agg_grouping_sets(spark, sf_dir):
     "aggregations",
     oracle=None,  # sketch-based — tolerance-checked in tests, rows-only here
     doc="approx_percentile (KLL-style sketch) — the 100 TB path for "
-    "quantiles (fixed-size sketch state vs exact percentile's full sort).",
+    "quantiles (fixed-size sketch state vs exact percentile's full sort). "
+    "Quartiles are projected as three scalar double columns (driver "
+    "canonicalizer requires hashable top-level values, not arrays).",
 )
 def agg_percentile_approx(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
+    quartiles = F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10000)
     return (
         li.groupBy("l_returnflag")
-        .agg(
-            F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10000).alias("price_quartiles")
+        .agg(quartiles.alias("_q"))
+        .select(
+            "l_returnflag",
+            F.col("_q")[0].cast("double").alias("q25"),
+            F.col("_q")[1].cast("double").alias("q50"),
+            F.col("_q")[2].cast("double").alias("q75"),
         )
         .orderBy("l_returnflag")
     )

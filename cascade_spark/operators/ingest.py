@@ -53,6 +53,40 @@ def assign_offsets(df: DataFrame, order_cols: list[str], num_partitions: int = 3
     )
 
 
+def assign_prefix_sum(
+    df: DataFrame, order_cols: list[str], value_col: str, num_partitions: int = 32
+) -> DataFrame:
+    """Add an EXCLUSIVE running total of ``value_col`` (``prefix_sum``)
+    following the total order of ``order_cols`` — the same two-phase
+    trick as :func:`assign_offsets`, generalized from counting rows to
+    summing a value column. Phase 1: range-repartition + per-partition
+    cumsum (parallel). Phase 2: one tiny per-partition total aggregate →
+    cumulative bases, broadcast back. No single-task global window."""
+    part = df.repartitionByRange(num_partitions, *[F.col(c) for c in order_cols])
+    part = part.withColumn("_pid", F.spark_partition_id())
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = part.withColumn("_local", F.sum(value_col).over(w) - F.col(value_col))
+    sums = (
+        local.groupBy("_pid")
+        .agg(F.sum(value_col).alias("_psum"))
+        .withColumn(
+            "_base",
+            F.sum("_psum").over(Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)),
+        )
+        .withColumn("_base", F.coalesce(F.col("_base"), F.lit(0)))
+        .select("_pid", "_base")
+    )
+    return (
+        local.join(F.broadcast(sums), "_pid")
+        .withColumn("prefix_sum", (F.col("_base") + F.col("_local")).cast("long"))
+        .drop("_pid", "_local", "_base")
+    )
+
+
 def assign_partitioned_offsets(
     df: DataFrame, key: Column, num_partitions: int, order_cols: list[str]
 ) -> DataFrame:

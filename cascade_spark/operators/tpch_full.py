@@ -15,9 +15,10 @@ thresholds (Q11 grand total) are single-row broadcasts. All money math
 accumulates in DECIMAL(12,4)-derived exact decimals so parallel
 summation order never changes a bit (see _util.py).
 
-Reference parity: stevenewald/cascade test queries cover the TPC-H
-shapes (reference tests/queries/*); these complete the 22-query family
-alongside tpch_more.py (Q4/Q6/Q10/Q12) and analytics.py (Q1/Q3/Q5).
+Provenance: the reference repo ships no test queries of its own; the
+TPC-H 22-query family here comes from the north-star analytics breadth
+goal, completing the set alongside tpch_more.py (Q4/Q6/Q10/Q12) and
+analytics.py (Q1/Q3/Q5).
 """
 
 from __future__ import annotations

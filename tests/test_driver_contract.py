@@ -30,3 +30,22 @@ def test_entry_contract(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert set(ent.oracle_sql()) <= set(ent.queries())
+
+
+def test_no_complex_types_in_declared_query_output(spark, sf_dir):
+    """The driver canonicalizes EVERY query's result (oracle-checked and
+    rows-only alike) via a pandas sort, which raises on unhashable cells
+    — so no declared query may emit a top-level array/map/struct column.
+    (agg_percentile_approx broke this in round 1; this walks the whole
+    registry so the class of bug can't recur.)"""
+    from pyspark.sql import types as T
+
+    from cascade_spark.plans.registry import load_all
+
+    offenders = []
+    for name, q in sorted(load_all().items()):
+        df = q.builder(spark, sf_dir)
+        for f in df.schema.fields:
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
+                offenders.append((name, f.name, f.dataType.simpleString()))
+    assert not offenders, offenders

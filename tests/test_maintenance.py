@@ -73,5 +73,5 @@ def test_percentile_approx_within_tolerance(spark, sf_dir):
     }
     con.close()
     for r in rows:
-        for got, want in zip(r["price_quartiles"], exact[r["l_returnflag"]]):
+        for got, want in zip((r["q25"], r["q50"], r["q75"]), exact[r["l_returnflag"]]):
             assert abs(got - float(want)) <= 0.02 * float(want), (r["l_returnflag"], got, want)

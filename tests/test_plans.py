@@ -158,3 +158,16 @@ def test_tpch_q21_semi_anti_pair(spark, sf_dir):
     assert "LeftSemi" in plan, plan
     assert "LeftAnti" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_pack_context_windows_no_global_data_window(spark, sf_dir):
+    """The packing cumsum must be the two-phase form: the data-bearing
+    window partitions by _pid; the only SinglePartition exchange allowed
+    feeds the tiny per-partition totals (_psum), never the document rows."""
+    from cascade_spark.plans.registry import load_all
+
+    df = load_all()["pipeline_pack_context_windows"].builder(spark, sf_dir)
+    plan = _plan(df)
+    assert "_pid" in plan, plan
+    for seg in plan.split("Exchange SinglePartition")[1:]:
+        assert "_psum" in seg[:3000], plan
