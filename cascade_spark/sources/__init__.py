@@ -1,3 +1,4 @@
 """Batch sources & sinks (parquet/csv/json scans, partitioned writes)."""
 
 from cascade_spark.sources import scans  # noqa: F401
+from cascade_spark.sources import cascade_bus  # noqa: F401

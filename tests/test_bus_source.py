@@ -1,0 +1,101 @@
+"""cascade_bus custom source connector — admission control, round-robin
+offsets, batch/stream equivalence, micro-batch replay determinism."""
+
+from __future__ import annotations
+
+import uuid
+
+from cascade_spark.sources.cascade_bus import (
+    BusProducer,
+    BusStreamReader,
+    RingBuffer,
+    register_bus,
+    stage_bus_topic,
+)
+
+
+def test_ring_buffer_rejects_on_full():
+    rb = RingBuffer(capacity=4)
+    assert all(rb.try_push(i) for i in range(4))
+    assert not rb.try_push(99)  # full — reject, don't block or drop silently
+    assert rb.drain() == [0, 1, 2, 3]
+    assert rb.try_push(99)  # drained slot admits again
+
+
+def test_producer_round_robin_and_dense_offsets(tmp_path):
+    topic = str(tmp_path / "t")
+    prod = BusProducer(topic, num_partitions=3, capacity=8)
+    n = prod.publish_all([{"event_id": i, "ts_us": 0, "user_id": 0, "event_type": "x", "value": 0.0} for i in range(10)])
+    assert n == 10 and prod.rejected == 0
+    reader = BusStreamReader({"path": topic})
+    rows = reader.readBetweenOffsets({"0": 0, "1": 0, "2": 0}, {"0": 4, "1": 3, "2": 3})
+    # event i → partition i % 3, offset i // 3, no gaps
+    for part, off, event_id, *_ in rows:
+        assert part == event_id % 3
+        assert off == event_id // 3
+
+
+def test_producer_overrun_rejects(tmp_path):
+    topic = str(tmp_path / "t")
+    prod = BusProducer(topic, num_partitions=2, capacity=4)
+    accepted = prod.publish([{"event_id": i, "ts_us": 0, "user_id": 0, "event_type": "x", "value": 0.0} for i in range(10)])
+    assert accepted == 4 and prod.rejected == 6  # reference acks 0 past capacity
+    assert prod.flush() == 4  # only admitted records reach the logs
+    rows = BusStreamReader({"path": topic}).readBetweenOffsets({"0": 0, "1": 0}, {"0": 2, "1": 2})
+    assert sorted(r[2] for r in rows) == [0, 1, 2, 3]
+
+
+def test_producer_resumes_offsets_across_instances(tmp_path):
+    topic = str(tmp_path / "t")
+    mk = lambda i: {"event_id": i, "ts_us": 0, "user_id": 0, "event_type": "x", "value": 0.0}
+    BusProducer(topic, num_partitions=2).publish_all([mk(i) for i in range(5)])
+    p2 = BusProducer(topic, num_partitions=2)  # new producer, same logs
+    p2.publish_all([mk(i) for i in range(5, 9)])
+    reader = BusStreamReader({"path": topic})
+    ends = {"0": 5, "1": 4}
+    rows = sorted(reader.readBetweenOffsets({"0": 0, "1": 0}, ends), key=lambda r: r[2])
+    assert [r[2] for r in rows] == list(range(9))
+    for part, off, event_id, *_ in rows:
+        assert part == event_id % 2 and off == event_id // 2
+
+
+def test_batch_stream_equivalence_multi_batch(spark, sf_dir):
+    """Capped micro-batches must drain the full backlog with no loss or
+    duplication, matching the parallel batch read exactly."""
+    topic = stage_bus_topic(spark, sf_dir)
+    register_bus(spark)
+    batch = spark.read.format("cascade_bus").option("path", topic).load()
+    s = (
+        spark.readStream.format("cascade_bus")
+        .option("path", topic)
+        .option("maxRecordsPerBatch", "300")
+        .load()
+    )
+    name = "bus" + uuid.uuid4().hex[:8]
+    q = (
+        s.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = spark.table(name)
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert n_batches >= 2, "cap should force multiple micro-batches"
+    assert sorted(map(tuple, batch.collect())) == sorted(map(tuple, streamed.collect()))
+
+
+def test_read_between_offsets_replay_deterministic(spark, sf_dir):
+    """Replaying an uncommitted batch (checkpoint recovery path) returns
+    byte-identical rows."""
+    topic = stage_bus_topic(spark, sf_dir)
+    reader = BusStreamReader({"path": topic})
+    start = {str(p): 3 for p in range(4)}
+    end = {str(p): 17 for p in range(4)}
+    a = reader.readBetweenOffsets(start, end)
+    b = reader.readBetweenOffsets(start, end)
+    assert a == b and len(a) == 4 * 14
