@@ -50,3 +50,40 @@ def test_offsets_per_partition_kafka_model(spark, sf_dir):
     for row in agg.collect():
         assert row["mn"] == 0
         assert row["mx"] == row["n"] - 1
+
+
+def test_persistent_registry_partition_pruning_plan(spark, sf_dir):
+    """Consume by (topic, partition) must prune at planning time: both
+    predicates appear as PartitionFilters and pruned file counts shrink."""
+    from cascade_spark.catalog import consume_topic_partitions
+    from cascade_spark.sources.topics import stage_topic_registry
+
+    table, _ = stage_topic_registry(spark, sf_dir)
+    df = consume_topic_partitions(spark, table, "events", [1, 3])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, plan
+    frag = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "topic" in frag and "= events" in frag, frag
+    assert "partition" in frag and "IN (1,3)" in frag.replace(" ", "").replace("IN(", "IN ("), frag
+    # pruning is real: only the two requested partitions' rows come back
+    assert df.select("partition").distinct().count() == 2
+
+
+def test_persistent_registry_survives_new_session(spark, sf_dir):
+    """The external table outlives the session that registered it (temp
+    views don't) — the coordinator's registry made durable."""
+    from cascade_spark.sources.topics import stage_topic_registry
+
+    table, root = stage_topic_registry(spark, sf_dir)
+    catalog.register_topic(spark, "volatile_demo", root + "/topic=events/partition=0")
+    fresh = spark.newSession()
+    # persistent registration visible in the fresh session
+    assert fresh.catalog.tableExists(table)
+    assert fresh.table(table).limit(1).count() == 1
+    # session-scoped temp view is NOT
+    assert not fresh.catalog.tableExists("topic_volatile_demo")
+    # and a cold process re-registers from the layout alone
+    from cascade_spark.catalog import register_persistent_topic
+
+    again = register_persistent_topic(fresh, table + "_again", root)
+    assert again.groupBy("topic").count().count() == 2
