@@ -285,7 +285,17 @@ def stage_bus_topic(spark, sf_dir: str, num_partitions: int = 4) -> str:
     )
     topic_dir = os.path.join(tempfile.mkdtemp(prefix="cascade_bus_"), "events")
     producer = BusProducer(topic_dir, num_partitions=num_partitions)
-    rows = (r.asDict() for r in ev.toLocalIterator())
+    pdf = ev.toPandas()  # columns: event_id, ts_us, user_id, event_type, value
+    rows = (
+        {
+            "event_id": int(a),
+            "ts_us": int(b),
+            "user_id": int(c),
+            "event_type": d,
+            "value": float(e),
+        }
+        for a, b, c, d, e in pdf.itertuples(index=False, name=None)
+    )
     producer.publish_all(rows)
     assert producer.rejected == 0
     _TOPIC_CACHE[key] = topic_dir
