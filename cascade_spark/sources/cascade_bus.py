@@ -29,10 +29,16 @@ Spark-side design: the connector is a **Python Data Source**
   ``{partition: next_offset}`` — the Kafka offset contract, so
   micro-batch replay (``readBetweenOffsets``) is deterministic and
   exactly-once composes with checkpointed sinks.
+- write: ``df.write`` / ``writeStream.format("cascade_bus")`` — tasks
+  stream per-bus-partition **segment files** in parallel (data plane);
+  the driver-side commit atomically appends them to the topic's
+  ``index.json`` (control plane, the broker's index.table analog), with
+  micro-batch-id idempotency so a replayed batch after restart commits
+  nothing twice. Uncommitted/aborted segments are invisible to readers.
 
 The producer is deliberately a driver-side client (the reference's
 producer is a single gRPC process, not a distributed job); the
-*read* side is the distributed Spark surface.
+read and write paths are the distributed Spark surface.
 """
 
 from __future__ import annotations
@@ -40,11 +46,17 @@ from __future__ import annotations
 import json
 import os
 
+import uuid
+from dataclasses import dataclass, field
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 BUS_SCHEMA = (
@@ -154,38 +166,81 @@ class BusProducer:
         return total
 
 
-def _read_log(topic_dir: str, p: int, start: int, end: int | None):
-    """Yield schema-ordered tuples for lines [start, end) of partition
-    p's log — the broker's index[offset]..index[offset+1] seek."""
+def _load_index(topic_dir: str) -> dict | None:
+    """The topic's committed-segment index — the broker's index.table
+    analog (src/broker/main.rs:91-98): an ordered list of segments per
+    partition; a partition's offset space is the concatenation of its
+    committed segments. Producer-style topics (single p{k}.jsonl log per
+    partition) have no index and are handled as one implicit segment."""
+    path = os.path.join(topic_dir, "index.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def _save_index(topic_dir: str, idx: dict) -> None:
+    """Atomic replace — commits are all-or-nothing, readers never see a
+    torn index (the sink's exactly-once hinge)."""
+    tmp = os.path.join(topic_dir, f".index.{uuid.uuid4().hex}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(idx, fh)
+    os.replace(tmp, os.path.join(topic_dir, "index.json"))
+
+
+def _segment_files(topic_dir: str, p: int) -> list[tuple[str, int]]:
+    """[(absolute path, n_rows)] in committed offset order."""
+    idx = _load_index(topic_dir)
+    if idx is not None:
+        return [
+            (os.path.join(topic_dir, "segments", seg["file"]), seg["n"])
+            for seg in idx["segments"].get(str(p), [])
+        ]
     path = os.path.join(topic_dir, f"p{p}.jsonl")
     if not os.path.exists(path):
-        return
+        return []
     with open(path) as fh:
-        for i, line in enumerate(fh):
-            if i < start:
-                continue
-            if end is not None and i >= end:
-                break
-            rec = json.loads(line)
-            yield (p, rec["offset"]) + tuple(rec[f] for f in _FIELDS)
+        n = sum(1 for _ in fh)
+    return [(path, n)]
+
+
+def _read_log(topic_dir: str, p: int, start: int, end: int | None):
+    """Yield schema-ordered tuples for offsets [start, end) of partition
+    p — the broker's index[offset]..index[offset+1] seek, generalized to
+    a committed-segment chain: skip whole segments by their row counts,
+    then line-scan only the overlapping ones."""
+    base = 0
+    for path, n in _segment_files(topic_dir, p):
+        seg_end = base + n
+        if seg_end <= start or (end is not None and base >= end):
+            base = seg_end
+            continue
+        with open(path) as fh:
+            for i, line in enumerate(fh):
+                off = base + i
+                if off < start:
+                    continue
+                if end is not None and off >= end:
+                    break
+                rec = json.loads(line)
+                yield (p, off) + tuple(rec[f] for f in _FIELDS)
+        base = seg_end
 
 
 def _num_partitions(topic_dir: str) -> int:
+    idx = _load_index(topic_dir)
+    if idx is not None:
+        return int(idx["num_partitions"])
     return sum(
         1 for f in os.listdir(topic_dir) if f.startswith("p") and f.endswith(".jsonl")
     )
 
 
 def _log_lens(topic_dir: str) -> dict[str, int]:
-    out = {}
-    for p in range(_num_partitions(topic_dir)):
-        path = os.path.join(topic_dir, f"p{p}.jsonl")
-        n = 0
-        if os.path.exists(path):
-            with open(path) as fh:
-                n = sum(1 for _ in fh)
-        out[str(p)] = n
-    return out
+    return {
+        str(p): sum(n for _, n in _segment_files(topic_dir, p))
+        for p in range(_num_partitions(topic_dir))
+    }
 
 
 class BusBatchReader(DataSourceReader):
@@ -234,9 +289,106 @@ class BusStreamReader(SimpleDataSourceStreamReader):
         ]
 
 
+@dataclass
+class BusCommitMessage(WriterCommitMessage):
+    """(bus partition, segment file name, row count) per segment written
+    by one task. Picklable — travels executor → driver for commit()."""
+
+    entries: list = field(default_factory=list)
+
+
+class _BusWriterBase:
+    """Distributed write path: each Spark task streams its rows into
+    per-bus-partition segment files (data plane, fully parallel on
+    executors — shared storage on a real cluster); the driver-side
+    commit appends the segment list to the atomic index (control plane,
+    one tiny file op per batch). Mirrors the broker's append + index
+    write (src/broker/main.rs:91-98) with the single-process broker
+    replaced by a two-phase distributed commit. Uncommitted segments are
+    invisible to readers; abort deletes them."""
+
+    def __init__(self, options, overwrite: bool):
+        if overwrite:
+            raise ValueError("cascade_bus is append-only (the reference log never truncates)")
+        self.topic_dir = options["path"]
+        self.num_partitions = int(options.get("numpartitions", 4))
+        os.makedirs(os.path.join(self.topic_dir, "segments"), exist_ok=True)
+
+    def write(self, iterator) -> BusCommitMessage:
+        handles: dict[int, tuple[str, object]] = {}
+        counts: dict[int, int] = {}
+        try:
+            for row in iterator:
+                p = int(row["partition"]) % self.num_partitions
+                if p not in handles:
+                    fname = f"seg-{uuid.uuid4().hex}-p{p}.jsonl"
+                    handles[p] = (
+                        fname,
+                        open(os.path.join(self.topic_dir, "segments", fname), "w"),
+                    )
+                    counts[p] = 0
+                handles[p][1].write(
+                    json.dumps({f: row[f] for f in _FIELDS}) + "\n"
+                )
+                counts[p] += 1
+        finally:
+            for _, fh in handles.values():
+                fh.close()
+        return BusCommitMessage(
+            entries=[(p, fname, counts[p]) for p, (fname, _) in sorted(handles.items())]
+        )
+
+    def _commit(self, messages, batch_id: int | None = None) -> None:
+        idx = _load_index(self.topic_dir) or {
+            "num_partitions": self.num_partitions,
+            "batches": [],
+            "segments": {str(p): [] for p in range(self.num_partitions)},
+        }
+        if batch_id is not None and batch_id in idx["batches"]:
+            # replayed micro-batch (restart after commit): drop the
+            # duplicate segments — exactly-once
+            self._delete_segments(messages)
+            return
+        for msg in messages:
+            if msg is None:
+                continue
+            for p, fname, n in msg.entries:
+                idx["segments"][str(p)].append({"file": fname, "n": n})
+        if batch_id is not None:
+            idx["batches"].append(batch_id)
+        _save_index(self.topic_dir, idx)
+
+    def _delete_segments(self, messages) -> None:
+        for msg in messages:
+            if msg is None:
+                continue
+            for _, fname, _ in msg.entries:
+                try:
+                    os.remove(os.path.join(self.topic_dir, "segments", fname))
+                except FileNotFoundError:
+                    pass
+
+
+class BusBatchWriter(_BusWriterBase, DataSourceWriter):
+    def commit(self, messages) -> None:
+        self._commit(messages)
+
+    def abort(self, messages) -> None:
+        self._delete_segments(messages)
+
+
+class BusStreamWriter(_BusWriterBase, DataSourceStreamWriter):
+    def commit(self, messages, batchId: int) -> None:
+        self._commit(messages, batch_id=batchId)
+
+    def abort(self, messages, batchId: int) -> None:
+        self._delete_segments(messages)
+
+
 class CascadeBusDataSource(DataSource):
     """spark.dataSource.register(CascadeBusDataSource) →
-    spark.read/readStream.format("cascade_bus").option("path", topic_dir)."""
+    spark.read/readStream/write/writeStream.format("cascade_bus")
+    .option("path", topic_dir)."""
 
     @classmethod
     def name(cls) -> str:
@@ -250,6 +402,12 @@ class CascadeBusDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> BusStreamReader:
         return BusStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> BusBatchWriter:
+        return BusBatchWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> BusStreamWriter:
+        return BusStreamWriter(self.options, overwrite)
 
 
 def register_bus(spark) -> None:
@@ -388,4 +546,137 @@ def bus_source_batch_scan(spark, sf_dir):
         .option("path", topic)
         .load()
         .orderBy("event_id")
+    )
+
+
+_SINK_CACHE: dict = {}
+
+
+@register(
+    "bus_sink_batch_write",
+    "sources",
+    doc="Custom-sink batch write: events hash-assigned to 4 bus "
+    "partitions (pmod(event_id, 4)), repartitioned so each task owns "
+    "its bus partitions, written via write.format('cascade_bus') — "
+    "executors stream segment files, the driver commit publishes them "
+    "in the atomic index; read back with offsets assigned by the "
+    "committed-segment chain. Hash-checked: offsets must equal the "
+    "relational ROW_NUMBER over (partition, event_id order).",
+    oracle="""
+WITH assigned AS (
+    SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value,
+           CAST(event_id % 4 AS INT) AS partition
+    FROM events
+)
+SELECT partition,
+       ROW_NUMBER() OVER (PARTITION BY partition ORDER BY event_id) - 1 AS "offset",
+       event_id, ts_us, user_id, event_type, value
+FROM assigned
+ORDER BY event_id
+""",
+)
+def bus_sink_batch_write(spark, sf_dir):
+    import tempfile
+
+    from cascade_spark.tables import load
+
+    register_bus(spark)
+    key = ("batch_sink", sf_dir)
+    if key not in _SINK_CACHE:
+        target = os.path.join(tempfile.mkdtemp(prefix="cascade_bus_sink_"), "events")
+        ev = load(spark, sf_dir, "events").select(
+            F.pmod(F.col("event_id"), F.lit(4)).cast("int").alias("partition"),
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+        (
+            ev.repartition(4, "partition")
+            .sortWithinPartitions("event_id")
+            .write.format("cascade_bus")
+            .option("path", target)
+            .option("numPartitions", "4")
+            .mode("append")
+            .save()
+        )
+        _SINK_CACHE[key] = target
+    return (
+        spark.read.format("cascade_bus")
+        .option("path", _SINK_CACHE[key])
+        .load()
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "bus_sink_stream_roundtrip",
+    "sources",
+    doc="End-to-end custom connector: file stream → "
+    "writeStream.format('cascade_bus') (micro-batch segment commits "
+    "with batch-id idempotency = exactly-once) → batch read back. The "
+    "aggregate is batch-split-invariant (counts + exact checksums per "
+    "partition), so it hash-checks regardless of micro-batch "
+    "boundaries.",
+    oracle="""
+WITH assigned AS (
+    SELECT event_id, event_id % 4 AS partition FROM events
+)
+SELECT CAST(partition AS INT) AS partition,
+       COUNT(*) AS n_events,
+       CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+       CAST(MIN(event_id) AS BIGINT) AS min_event_id,
+       CAST(MAX(event_id) AS BIGINT) AS max_event_id
+FROM assigned
+GROUP BY partition
+ORDER BY partition
+""",
+)
+def bus_sink_stream_roundtrip(spark, sf_dir):
+    import tempfile
+
+    from cascade_spark.streaming.pipeline import stage_stream_input
+
+    register_bus(spark)
+    key = ("stream_sink", sf_dir)
+    if key not in _SINK_CACHE:
+        indir, schema, _, _ = stage_stream_input(spark, sf_dir, n_files=4)
+        tmp = tempfile.mkdtemp(prefix="cascade_bus_ssink_")
+        target = os.path.join(tmp, "events")
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(indir)
+        )
+        proj = src.select(
+            F.pmod(F.col("event_id"), F.lit(4)).cast("int").alias("partition"),
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+        q = (
+            proj.writeStream.format("cascade_bus")
+            .option("path", target)
+            .option("numPartitions", "4")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        _SINK_CACHE[key] = target
+    return (
+        spark.read.format("cascade_bus")
+        .option("path", _SINK_CACHE[key])
+        .load()
+        .groupBy("partition")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("event_id").cast("long").alias("sum_event_id"),
+            F.min("event_id").cast("long").alias("min_event_id"),
+            F.max("event_id").cast("long").alias("max_event_id"),
+        )
+        .orderBy("partition")
     )

@@ -99,3 +99,109 @@ def test_read_between_offsets_replay_deterministic(spark, sf_dir):
     a = reader.readBetweenOffsets(start, end)
     b = reader.readBetweenOffsets(start, end)
     assert a == b and len(a) == 4 * 14
+
+
+def test_sink_commit_batch_idempotent(tmp_path):
+    """Replaying a committed micro-batch (restart-after-commit) must not
+    duplicate data: the second commit drops its segments."""
+    import os
+
+    from cascade_spark.sources.cascade_bus import (
+        BusStreamWriter,
+        _load_index,
+        _log_lens,
+    )
+
+    topic = str(tmp_path / "t")
+    w = BusStreamWriter({"path": topic, "numpartitions": "2"}, overwrite=False)
+
+    class Row(dict):
+        def __getitem__(self, k):
+            return dict.__getitem__(self, k)
+
+    def rows(lo, hi):
+        return [
+            Row(partition=i % 2, event_id=i, ts_us=0, user_id=0, event_type="x", value=0.0)
+            for i in range(lo, hi)
+        ]
+
+    m1 = w.write(iter(rows(0, 10)))
+    w.commit([m1], batchId=0)
+    assert _log_lens(topic) == {"0": 5, "1": 5}
+    # replay of batch 0 (same data rewritten by a restarted task)
+    m1b = w.write(iter(rows(0, 10)))
+    w.commit([m1b], batchId=0)
+    assert _log_lens(topic) == {"0": 5, "1": 5}, "replayed batch must be dropped"
+    # the replay's orphan segments are cleaned up
+    seg_files = os.listdir(os.path.join(topic, "segments"))
+    assert len(seg_files) == sum(
+        len(v) for v in _load_index(topic)["segments"].values()
+    )
+    # a NEW batch appends
+    m2 = w.write(iter(rows(10, 14)))
+    w.commit([m2], batchId=1)
+    assert _log_lens(topic) == {"0": 7, "1": 7}
+
+
+def test_sink_abort_deletes_segments(tmp_path):
+    import os
+
+    from cascade_spark.sources.cascade_bus import BusBatchWriter, _log_lens
+
+    topic = str(tmp_path / "t")
+    w = BusBatchWriter({"path": topic, "numpartitions": "2"}, overwrite=False)
+
+    class Row(dict):
+        def __getitem__(self, k):
+            return dict.__getitem__(self, k)
+
+    msg = w.write(
+        iter([Row(partition=0, event_id=1, ts_us=0, user_id=0, event_type="x", value=0.0)])
+    )
+    assert len(os.listdir(os.path.join(topic, "segments"))) == 1
+    w.abort([msg])
+    assert os.listdir(os.path.join(topic, "segments")) == []
+    # nothing was ever committed: no index, no visible partitions
+    assert _log_lens(topic) == {}
+
+
+def test_stream_sink_checkpoint_rerun_no_duplicates(spark, sf_dir):
+    """Re-starting the completed streaming write with the same checkpoint
+    must add nothing (exactly-once across restarts)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cascade_spark.streaming.pipeline import stage_stream_input
+
+    register_bus(spark)
+    indir, schema, _, _ = stage_stream_input(spark, sf_dir, n_files=4)
+    tmp = tempfile.mkdtemp(prefix="bus_rerun_")
+    target = os.path.join(tmp, "t")
+
+    def run():
+        src = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(indir)
+        proj = src.select(
+            F.pmod(F.col("event_id"), F.lit(4)).cast("int").alias("partition"),
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+        q = (
+            proj.writeStream.format("cascade_bus")
+            .option("path", target)
+            .option("numPartitions", "4")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    n1 = spark.read.format("cascade_bus").option("path", target).load().count()
+    run()  # same checkpoint: nothing new to process
+    n2 = spark.read.format("cascade_bus").option("path", target).load().count()
+    assert n1 == n2 > 0
