@@ -23,15 +23,20 @@ Spark-side design: the connector is a **Python Data Source**
 
 - batch: ``spark.read.format("cascade_bus")`` — one ``InputPartition``
   per bus partition, read in parallel on executors (scales with
-  partition count; a 100 TB topic is just more partitions).
+  partition count; a 100 TB topic is just more partitions). Rows travel
+  as Arrow RecordBatches (columnar, no per-row Python); ``partition``
+  equality and ``offset`` range predicates are **pushed down** into the
+  reader (``pushFilters``), realizing the broker's index seek as
+  planning-time partition pruning + segment row-slicing.
 - streaming: ``spark.readStream.format("cascade_bus")`` via
   :class:`SimpleDataSourceStreamReader` with per-partition offsets
   ``{partition: next_offset}`` — the Kafka offset contract, so
   micro-batch replay (``readBetweenOffsets``) is deterministic and
   exactly-once composes with checkpointed sinks.
 - write: ``df.write`` / ``writeStream.format("cascade_bus")`` — tasks
-  stream per-bus-partition **segment files** in parallel (data plane);
-  the driver-side commit atomically appends them to the topic's
+  write per-bus-partition **columnar parquet segment files** in parallel
+  (data plane, Arrow in / parquet out, no per-row Python); the
+  driver-side commit atomically appends them to the topic's
   ``index.json`` (control plane, the broker's index.table analog), with
   micro-batch-id idempotency so a replayed batch after restart commits
   nothing twice. Uncommitted/aborted segments are invisible to readers.
@@ -49,12 +54,21 @@ import os
 import uuid
 from dataclasses import dataclass, field
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
-    DataSourceStreamWriter,
-    DataSourceWriter,
+    DataSourceStreamArrowWriter,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
     InputPartition,
+    LessThan,
+    LessThanOrEqual,
     SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
@@ -64,6 +78,22 @@ BUS_SCHEMA = (
     "user_id BIGINT, event_type STRING, value DOUBLE"
 )
 _FIELDS = ["event_id", "ts_us", "user_id", "event_type", "value"]
+
+# Canonical Arrow schemas: payload as stored in parquet segments, and the
+# full read schema (must match to_arrow_schema(BUS_SCHEMA) exactly — the
+# datasource worker hands our RecordBatches to the JVM unconverted).
+_PA_PAYLOAD = pa.schema(
+    [
+        ("event_id", pa.int64()),
+        ("ts_us", pa.int64()),
+        ("user_id", pa.int64()),
+        ("event_type", pa.string()),
+        ("value", pa.float64()),
+    ]
+)
+_PA_FULL = pa.schema(
+    [("partition", pa.int32()), ("offset", pa.int64())] + list(_PA_PAYLOAD)
+)
 
 
 class RingBuffer:
@@ -188,12 +218,18 @@ def _save_index(topic_dir: str, idx: dict) -> None:
     os.replace(tmp, os.path.join(topic_dir, "index.json"))
 
 
-def _segment_files(topic_dir: str, p: int) -> list[tuple[str, int]]:
-    """[(absolute path, n_rows)] in committed offset order."""
+def _segment_files(topic_dir: str, p: int) -> list[tuple[str, int, str]]:
+    """[(absolute path, n_rows, format)] in committed offset order.
+    Sink-committed segments are columnar parquet; producer logs are the
+    reference-shaped JSON-lines append logs."""
     idx = _load_index(topic_dir)
     if idx is not None:
         return [
-            (os.path.join(topic_dir, "segments", seg["file"]), seg["n"])
+            (
+                os.path.join(topic_dir, "segments", seg["file"]),
+                seg["n"],
+                seg.get("fmt", "jsonl"),
+            )
             for seg in idx["segments"].get(str(p), [])
         ]
     path = os.path.join(topic_dir, f"p{p}.jsonl")
@@ -201,30 +237,60 @@ def _segment_files(topic_dir: str, p: int) -> list[tuple[str, int]]:
         return []
     with open(path) as fh:
         n = sum(1 for _ in fh)
-    return [(path, n)]
+    return [(path, n, "jsonl")]
 
 
-def _read_log(topic_dir: str, p: int, start: int, end: int | None):
-    """Yield schema-ordered tuples for offsets [start, end) of partition
-    p — the broker's index[offset]..index[offset+1] seek, generalized to
-    a committed-segment chain: skip whole segments by their row counts,
-    then line-scan only the overlapping ones."""
+def _load_segment(path: str, fmt: str) -> pa.Table:
+    """One segment as an Arrow table of the 5 payload columns, in the
+    canonical types. JSONL parses through pyarrow's native C++ JSON
+    reader (no per-row Python), parquet is already columnar."""
+    if fmt == "parquet":
+        tbl = pq.read_table(path)
+    else:
+        import pyarrow.json as pj
+
+        tbl = pj.read_json(path)
+    return tbl.select(_FIELDS).cast(_PA_PAYLOAD)
+
+
+def _read_log_batches(topic_dir: str, p: int, start: int, end: int | None):
+    """Yield Arrow RecordBatches (full BUS_SCHEMA columns) for offsets
+    [start, end) of partition p — the broker's
+    index[offset]..index[offset+1] seek, generalized to a committed-
+    segment chain: whole segments are skipped by their row counts, the
+    overlapping ones are loaded columnar and row-sliced."""
     base = 0
-    for path, n in _segment_files(topic_dir, p):
+    for path, n, fmt in _segment_files(topic_dir, p):
         seg_end = base + n
         if seg_end <= start or (end is not None and base >= end):
             base = seg_end
             continue
-        with open(path) as fh:
-            for i, line in enumerate(fh):
-                off = base + i
-                if off < start:
-                    continue
-                if end is not None and off >= end:
-                    break
-                rec = json.loads(line)
-                yield (p, off) + tuple(rec[f] for f in _FIELDS)
+        lo = max(start, base)
+        hi = seg_end if end is None else min(end, seg_end)
+        if hi <= lo:
+            base = seg_end
+            continue
+        payload = _load_segment(path, fmt).slice(lo - base, hi - lo)
+        full = pa.table(
+            {
+                "partition": pa.array(np.full(hi - lo, p, dtype=np.int32)),
+                "offset": pa.array(np.arange(lo, hi, dtype=np.int64)),
+                **{f: payload.column(f) for f in _FIELDS},
+            },
+            schema=_PA_FULL,
+        )
+        yield from full.to_batches()
         base = seg_end
+
+
+def _batches_to_rows(batches) -> list[tuple]:
+    """Flatten RecordBatches to schema-ordered tuples (test helper /
+    small driver-side peeks)."""
+    out: list[tuple] = []
+    for b in batches:
+        cols = [b.column(i).to_pylist() for i in range(b.num_columns)]
+        out.extend(zip(*cols))
+    return out
 
 
 def _num_partitions(topic_dir: str) -> int:
@@ -238,20 +304,55 @@ def _num_partitions(topic_dir: str) -> int:
 
 def _log_lens(topic_dir: str) -> dict[str, int]:
     return {
-        str(p): sum(n for _, n in _segment_files(topic_dir, p))
+        str(p): sum(n for _, n, _ in _segment_files(topic_dir, p))
         for p in range(_num_partitions(topic_dir))
     }
 
 
 class BusBatchReader(DataSourceReader):
+    """Parallel batch scan: one InputPartition per bus partition, rows
+    transferred as Arrow RecordBatches. Supports **filter pushdown** on
+    the two physical columns — ``partition`` equality prunes whole
+    partitions at planning time, ``offset`` range bounds become the
+    broker's index seek (src/broker/main.rs:123-160: consumers read
+    ``index[offset]..index[offset+1]`` instead of scanning the log)."""
+
     def __init__(self, options):
         self.topic_dir = options["path"]
+        self.part_eq: int | None = None
+        self.off_lo: int = 0
+        self.off_hi: int | None = None  # exclusive
+
+    def pushFilters(self, filters):
+        for f in filters:
+            col = f.attribute
+            if isinstance(f, EqualTo) and col == ("partition",):
+                self.part_eq = int(f.value)
+            elif col == ("offset",) and isinstance(f, GreaterThanOrEqual):
+                self.off_lo = max(self.off_lo, int(f.value))
+            elif col == ("offset",) and isinstance(f, GreaterThan):
+                self.off_lo = max(self.off_lo, int(f.value) + 1)
+            elif col == ("offset",) and isinstance(f, LessThan):
+                v = int(f.value)
+                self.off_hi = v if self.off_hi is None else min(self.off_hi, v)
+            elif col == ("offset",) and isinstance(f, LessThanOrEqual):
+                v = int(f.value) + 1
+                self.off_hi = v if self.off_hi is None else min(self.off_hi, v)
+            else:
+                yield f  # not ours — Spark evaluates it post-scan
 
     def partitions(self):
-        return [InputPartition(p) for p in range(_num_partitions(self.topic_dir))]
+        n = _num_partitions(self.topic_dir)
+        if self.part_eq is not None:
+            # out-of-range partition still yields one (empty) split —
+            # Spark requires a non-empty partition list
+            return [InputPartition(self.part_eq)]
+        return [InputPartition(p) for p in range(n)]
 
     def read(self, partition):
-        yield from _read_log(self.topic_dir, partition.value, 0, None)
+        yield from _read_log_batches(
+            self.topic_dir, partition.value, self.off_lo, self.off_hi
+        )
 
 
 class BusStreamReader(SimpleDataSourceStreamReader):
@@ -280,12 +381,13 @@ class BusStreamReader(SimpleDataSourceStreamReader):
         return iter(self.readBetweenOffsets(start, end)), end
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        # materialized list, not a generator — the simple-reader wrapper
-        # prefetches on the driver and pickles the batch to executors
+        # materialized list of Arrow RecordBatches, not a generator — the
+        # simple-reader wrapper prefetches on the driver and pickles the
+        # batch to executors; Arrow keeps that transfer columnar
         return [
-            row
+            b
             for p in sorted(end, key=int)
-            for row in _read_log(self.topic_dir, int(p), start.get(p, 0), end[p])
+            for b in _read_log_batches(self.topic_dir, int(p), start.get(p, 0), end[p])
         ]
 
 
@@ -298,14 +400,18 @@ class BusCommitMessage(WriterCommitMessage):
 
 
 class _BusWriterBase:
-    """Distributed write path: each Spark task streams its rows into
-    per-bus-partition segment files (data plane, fully parallel on
-    executors — shared storage on a real cluster); the driver-side
-    commit appends the segment list to the atomic index (control plane,
-    one tiny file op per batch). Mirrors the broker's append + index
-    write (src/broker/main.rs:91-98) with the single-process broker
-    replaced by a two-phase distributed commit. Uncommitted segments are
-    invisible to readers; abort deletes them."""
+    """Distributed write path: each Spark task writes its rows into
+    per-bus-partition **columnar parquet segment files** (data plane,
+    fully parallel on executors — shared storage on a real cluster); the
+    driver-side commit appends the segment list to the atomic index
+    (control plane, one tiny file op per batch). Mirrors the broker's
+    append + index write (src/broker/main.rs:91-98) with the
+    single-process broker replaced by a two-phase distributed commit.
+    Uncommitted segments are invisible to readers; abort deletes them.
+
+    The task input arrives as Arrow RecordBatches (DataSourceArrowWriter)
+    — partition split and parquet encode are whole-column operations, no
+    per-row Python."""
 
     def __init__(self, options, overwrite: bool):
         if overwrite:
@@ -315,28 +421,21 @@ class _BusWriterBase:
         os.makedirs(os.path.join(self.topic_dir, "segments"), exist_ok=True)
 
     def write(self, iterator) -> BusCommitMessage:
-        handles: dict[int, tuple[str, object]] = {}
-        counts: dict[int, int] = {}
-        try:
-            for row in iterator:
-                p = int(row["partition"]) % self.num_partitions
-                if p not in handles:
-                    fname = f"seg-{uuid.uuid4().hex}-p{p}.jsonl"
-                    handles[p] = (
-                        fname,
-                        open(os.path.join(self.topic_dir, "segments", fname), "w"),
-                    )
-                    counts[p] = 0
-                handles[p][1].write(
-                    json.dumps({f: row[f] for f in _FIELDS}) + "\n"
-                )
-                counts[p] += 1
-        finally:
-            for _, fh in handles.values():
-                fh.close()
-        return BusCommitMessage(
-            entries=[(p, fname, counts[p]) for p, (fname, _) in sorted(handles.items())]
-        )
+        tables = [pa.Table.from_batches([b]) for b in iterator]
+        if not tables:
+            return BusCommitMessage(entries=[])
+        tbl = pa.concat_tables(tables).combine_chunks()
+        keys = tbl.column("partition").to_numpy() % self.num_partitions
+        entries = []
+        for p in sorted(np.unique(keys)):
+            # take() preserves input row order → offsets stay the
+            # caller's within-partition order
+            sub = tbl.take(pa.array(np.nonzero(keys == p)[0]))
+            payload = sub.select(_FIELDS).cast(_PA_PAYLOAD)
+            fname = f"seg-{uuid.uuid4().hex}-p{int(p)}.parquet"
+            pq.write_table(payload, os.path.join(self.topic_dir, "segments", fname))
+            entries.append((int(p), fname, payload.num_rows))
+        return BusCommitMessage(entries=entries)
 
     def _commit(self, messages, batch_id: int | None = None) -> None:
         idx = _load_index(self.topic_dir) or {
@@ -353,7 +452,9 @@ class _BusWriterBase:
             if msg is None:
                 continue
             for p, fname, n in msg.entries:
-                idx["segments"][str(p)].append({"file": fname, "n": n})
+                idx["segments"][str(p)].append(
+                    {"file": fname, "n": n, "fmt": "parquet"}
+                )
         if batch_id is not None:
             idx["batches"].append(batch_id)
         _save_index(self.topic_dir, idx)
@@ -369,7 +470,7 @@ class _BusWriterBase:
                     pass
 
 
-class BusBatchWriter(_BusWriterBase, DataSourceWriter):
+class BusBatchWriter(_BusWriterBase, DataSourceArrowWriter):
     def commit(self, messages) -> None:
         self._commit(messages)
 
@@ -377,7 +478,7 @@ class BusBatchWriter(_BusWriterBase, DataSourceWriter):
         self._delete_segments(messages)
 
 
-class BusStreamWriter(_BusWriterBase, DataSourceStreamWriter):
+class BusStreamWriter(_BusWriterBase, DataSourceStreamArrowWriter):
     def commit(self, messages, batchId: int) -> None:
         self._commit(messages, batch_id=batchId)
 
@@ -412,6 +513,9 @@ class CascadeBusDataSource(DataSource):
 
 def register_bus(spark) -> None:
     spark.dataSource.register(CascadeBusDataSource)
+    # required for BusBatchReader.pushFilters (Spark errors, not ignores,
+    # if a pushdown-capable python source runs with this disabled)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
 
 
 _TOPIC_CACHE: dict = {}
@@ -547,6 +651,38 @@ def bus_source_batch_scan(spark, sf_dir):
         .load()
         .orderBy("event_id")
     )
+
+
+@register(
+    "bus_source_offset_seek",
+    "sources",
+    doc="Consume-by-offset with real source pushdown (the broker's "
+    "index seek, src/broker/main.rs:123-160): partition = 2 AND offset "
+    "in [5, 25) is absorbed by BusBatchReader.pushFilters — planning "
+    "prunes the other 3 partitions entirely and the one remaining split "
+    "row-slices the segment chain instead of scanning it. Hash-checked "
+    "against the relational round-robin recomputation.",
+    oracle="""
+WITH seq AS (
+    SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value,
+           ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS i
+    FROM events
+)
+SELECT CAST(i % 4 AS INT) AS partition,
+       i // 4 AS "offset",
+       event_id, ts_us, user_id, event_type, value
+FROM seq
+WHERE i % 4 = 2 AND i // 4 >= 5 AND i // 4 < 25
+ORDER BY "offset"
+""",
+)
+def bus_source_offset_seek(spark, sf_dir):
+    topic = stage_bus_topic(spark, sf_dir)
+    register_bus(spark)
+    df = spark.read.format("cascade_bus").option("path", topic).load()
+    return df.filter(
+        (F.col("partition") == 2) & (F.col("offset") >= 5) & (F.col("offset") < 25)
+    ).orderBy("offset")
 
 
 _SINK_CACHE: dict = {}

@@ -38,6 +38,9 @@ def ensure_session_confs(spark: SparkSession) -> None:
     refuses). Both are runtime-settable SQL confs."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # cascade_bus implements pushFilters; Spark raises (not ignores) on a
+    # pushdown-capable python source when this is off
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

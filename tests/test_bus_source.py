@@ -5,13 +5,21 @@ from __future__ import annotations
 
 import uuid
 
+import pyarrow as pa
+
 from cascade_spark.sources.cascade_bus import (
     BusProducer,
     BusStreamReader,
     RingBuffer,
+    _batches_to_rows,
     register_bus,
     stage_bus_topic,
 )
+
+
+def _input_batch(rows: list[dict]) -> pa.RecordBatch:
+    """Arrow input batch shaped like the sink's projected dataframe."""
+    return pa.Table.from_pylist(rows).to_batches()[0]
 
 
 def test_ring_buffer_rejects_on_full():
@@ -28,7 +36,9 @@ def test_producer_round_robin_and_dense_offsets(tmp_path):
     n = prod.publish_all([{"event_id": i, "ts_us": 0, "user_id": 0, "event_type": "x", "value": 0.0} for i in range(10)])
     assert n == 10 and prod.rejected == 0
     reader = BusStreamReader({"path": topic})
-    rows = reader.readBetweenOffsets({"0": 0, "1": 0, "2": 0}, {"0": 4, "1": 3, "2": 3})
+    rows = _batches_to_rows(
+        reader.readBetweenOffsets({"0": 0, "1": 0, "2": 0}, {"0": 4, "1": 3, "2": 3})
+    )
     # event i → partition i % 3, offset i // 3, no gaps
     for part, off, event_id, *_ in rows:
         assert part == event_id % 3
@@ -41,7 +51,9 @@ def test_producer_overrun_rejects(tmp_path):
     accepted = prod.publish([{"event_id": i, "ts_us": 0, "user_id": 0, "event_type": "x", "value": 0.0} for i in range(10)])
     assert accepted == 4 and prod.rejected == 6  # reference acks 0 past capacity
     assert prod.flush() == 4  # only admitted records reach the logs
-    rows = BusStreamReader({"path": topic}).readBetweenOffsets({"0": 0, "1": 0}, {"0": 2, "1": 2})
+    rows = _batches_to_rows(
+        BusStreamReader({"path": topic}).readBetweenOffsets({"0": 0, "1": 0}, {"0": 2, "1": 2})
+    )
     assert sorted(r[2] for r in rows) == [0, 1, 2, 3]
 
 
@@ -53,7 +65,10 @@ def test_producer_resumes_offsets_across_instances(tmp_path):
     p2.publish_all([mk(i) for i in range(5, 9)])
     reader = BusStreamReader({"path": topic})
     ends = {"0": 5, "1": 4}
-    rows = sorted(reader.readBetweenOffsets({"0": 0, "1": 0}, ends), key=lambda r: r[2])
+    rows = sorted(
+        _batches_to_rows(reader.readBetweenOffsets({"0": 0, "1": 0}, ends)),
+        key=lambda r: r[2],
+    )
     assert [r[2] for r in rows] == list(range(9))
     for part, off, event_id, *_ in rows:
         assert part == event_id % 2 and off == event_id // 2
@@ -96,8 +111,8 @@ def test_read_between_offsets_replay_deterministic(spark, sf_dir):
     reader = BusStreamReader({"path": topic})
     start = {str(p): 3 for p in range(4)}
     end = {str(p): 17 for p in range(4)}
-    a = reader.readBetweenOffsets(start, end)
-    b = reader.readBetweenOffsets(start, end)
+    a = _batches_to_rows(reader.readBetweenOffsets(start, end))
+    b = _batches_to_rows(reader.readBetweenOffsets(start, end))
     assert a == b and len(a) == 4 * 14
 
 
@@ -115,14 +130,14 @@ def test_sink_commit_batch_idempotent(tmp_path):
     topic = str(tmp_path / "t")
     w = BusStreamWriter({"path": topic, "numpartitions": "2"}, overwrite=False)
 
-    class Row(dict):
-        def __getitem__(self, k):
-            return dict.__getitem__(self, k)
-
     def rows(lo, hi):
         return [
-            Row(partition=i % 2, event_id=i, ts_us=0, user_id=0, event_type="x", value=0.0)
-            for i in range(lo, hi)
+            _input_batch(
+                [
+                    dict(partition=i % 2, event_id=i, ts_us=0, user_id=0, event_type="x", value=0.0)
+                    for i in range(lo, hi)
+                ]
+            )
         ]
 
     m1 = w.write(iter(rows(0, 10)))
@@ -151,12 +166,14 @@ def test_sink_abort_deletes_segments(tmp_path):
     topic = str(tmp_path / "t")
     w = BusBatchWriter({"path": topic, "numpartitions": "2"}, overwrite=False)
 
-    class Row(dict):
-        def __getitem__(self, k):
-            return dict.__getitem__(self, k)
-
     msg = w.write(
-        iter([Row(partition=0, event_id=1, ts_us=0, user_id=0, event_type="x", value=0.0)])
+        iter(
+            [
+                _input_batch(
+                    [dict(partition=0, event_id=1, ts_us=0, user_id=0, event_type="x", value=0.0)]
+                )
+            ]
+        )
     )
     assert len(os.listdir(os.path.join(topic, "segments"))) == 1
     w.abort([msg])
@@ -205,3 +222,50 @@ def test_stream_sink_checkpoint_rerun_no_duplicates(spark, sf_dir):
     run()  # same checkpoint: nothing new to process
     n2 = spark.read.format("cascade_bus").option("path", target).load().count()
     assert n1 == n2 > 0
+
+
+def test_batch_reader_filter_pushdown_prunes(tmp_path):
+    """partition equality prunes splits at planning; offset bounds become
+    the segment-chain row slice (the broker's index seek)."""
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, LessThan, StringContains
+
+    from cascade_spark.sources.cascade_bus import BusBatchReader
+
+    topic = str(tmp_path / "t")
+    BusProducer(topic, num_partitions=3).publish_all(
+        [dict(event_id=i, ts_us=0, user_id=0, event_type="x", value=0.0) for i in range(30)]
+    )
+    r = BusBatchReader({"path": topic})
+    unsupported = StringContains(("event_type",), "x")
+    leftover = list(
+        r.pushFilters(
+            [
+                EqualTo(("partition",), 1),
+                GreaterThanOrEqual(("offset",), 2),
+                LessThan(("offset",), 5),
+                unsupported,
+            ]
+        )
+    )
+    assert leftover == [unsupported]  # only the non-native filter remains
+    parts = r.partitions()
+    assert [p.value for p in parts] == [1]
+    rows = _batches_to_rows(r.read(parts[0]))
+    assert [(x[0], x[1]) for x in rows] == [(1, 2), (1, 3), (1, 4)]
+    # event i → partition i % 3, offset i // 3
+    assert [x[2] for x in rows] == [7, 10, 13]
+
+
+def test_batch_reader_pushdown_end_to_end(spark, sf_dir):
+    """The pushed-down scan returns exactly what the unpushed scan +
+    post-filter returns."""
+    topic = stage_bus_topic(spark, sf_dir)
+    register_bus(spark)
+    df = spark.read.format("cascade_bus").option("path", topic).load()
+    pushed = df.filter("partition = 3 AND offset >= 10 AND offset <= 20").collect()
+    full = [
+        r
+        for r in spark.read.format("cascade_bus").option("path", topic).load().collect()
+        if r.partition == 3 and 10 <= r.offset <= 20
+    ]
+    assert sorted(map(tuple, pushed)) == sorted(map(tuple, full)) and len(pushed) == 11
