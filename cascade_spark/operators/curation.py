@@ -260,3 +260,39 @@ def pipeline_domain_rebalance(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@register(
+    "pipeline_stratified_sample",
+    "analytics",
+    doc="Deterministic fixed-size stratified sample: exactly k=25 docs "
+    "per source stratum, chosen by md5(doc_id) rank — a reproducible "
+    "'random' reservoir per stratum with no seeded RNG (identical "
+    "across engines, partitionings and reruns). Per-group top-k by "
+    "hash rank; at scale this is the same TakeOrdered-per-group shape "
+    "as the sorts.per_group_topk operator (one shuffle on the stratum "
+    "key, heap-k per partition — never a full sort of the stratum).",
+    oracle="""
+WITH ranked AS (
+    SELECT source, doc_id, n_chars,
+           MD5(CAST(doc_id AS VARCHAR)) AS hk,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY MD5(CAST(doc_id AS VARCHAR))) AS rk
+    FROM documents
+)
+SELECT source, doc_id, n_chars, rk
+FROM ranked
+WHERE rk <= 25
+ORDER BY source, rk
+""",
+)
+def pipeline_stratified_sample(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    hk = F.md5(F.col("doc_id").cast("string"))
+    win = Window.partitionBy("source").orderBy(hk.asc())
+    return (
+        d.select("source", "doc_id", "n_chars", F.row_number().over(win).alias("rk"))
+        .filter(F.col("rk") <= 25)
+        .orderBy("source", "rk")
+    )

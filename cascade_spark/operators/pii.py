@@ -1,0 +1,97 @@
+"""PII scrubbing — regex detection + redaction over document text (the
+privacy-filter step of a training-data pipeline).
+
+The fixture corpus contains no synthetic emails/phones (verified — it is
+digit-free), so the email/phone patterns legitimately count 0 and prove
+the no-match path; the sensitive-term pattern ('customer' as a stand-in
+for a denylist) exercises real redaction. The redacted text itself is
+verified bit-for-bit through an exact integer checksum (sum of 32-bit
+md5 prefixes per doc), not eyeballed counts.
+
+Scale design: pure per-row projection — map-only, no shuffle except the
+final tiny per-source aggregate (map-side combinable). Regexes run in
+the JVM (``regexp_count``/``regexp_replace``), not Python UDFs.
+
+Cross-engine parity notes (see _util.py docstring): DuckDB
+``regexp_replace`` needs the ``'g'`` flag to match Spark's replace-all;
+both engines' regex dialects (Java vs RE2) agree on the character
+classes and ``\\b`` word boundaries used here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cascade_spark.operators._util import t
+from cascade_spark.plans.registry import register
+
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PHONE_RE = r"\+?\d{3}[- ]\d{3}[- ]\d{4}"
+TERM_RE = r"\bcustomer\b"
+
+
+@register(
+    "pipeline_pii_scrub",
+    "analytics",
+    doc="PII scrub: JVM-side regex detection (emails, phones, a "
+    "sensitive-term denylist) + chained redaction, aggregated per "
+    "source with an exact integer checksum of every redacted text "
+    "(sum of 32-bit md5 prefixes) so the redaction output itself is "
+    "hash-verified. Map-only scan + combinable aggregate.",
+    oracle=f"""
+WITH scrubbed AS (
+    SELECT source,
+           LEN(regexp_extract_all(text, '{EMAIL_RE}')) AS n_email,
+           LEN(regexp_extract_all(text, '{PHONE_RE}')) AS n_phone,
+           LEN(regexp_extract_all(text, '{TERM_RE}')) AS n_term,
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(text, '{EMAIL_RE}', '[EMAIL]', 'g'),
+                   '{PHONE_RE}', '[PHONE]', 'g'),
+               '{TERM_RE}', '[REDACTED]', 'g') AS red
+    FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n_email + n_phone + n_term > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS docs_redacted,
+       CAST(SUM(n_email) AS BIGINT) AS total_email,
+       CAST(SUM(n_phone) AS BIGINT) AS total_phone,
+       CAST(SUM(n_term) AS BIGINT) AS total_term,
+       CAST(SUM(('0x' || SUBSTR(MD5(red), 1, 8))::BIGINT) AS BIGINT) AS red_checksum
+FROM scrubbed
+GROUP BY source
+ORDER BY source
+""",
+)
+def pipeline_pii_scrub(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), EMAIL_RE, "[EMAIL]"),
+            PHONE_RE,
+            "[PHONE]",
+        ),
+        TERM_RE,
+        "[REDACTED]",
+    )
+    scrubbed = d.select(
+        "source",
+        F.regexp_count(F.col("text"), F.lit(EMAIL_RE)).alias("n_email"),
+        F.regexp_count(F.col("text"), F.lit(PHONE_RE)).alias("n_phone"),
+        F.regexp_count(F.col("text"), F.lit(TERM_RE)).alias("n_term"),
+        F.conv(F.substring(F.md5(red), 1, 8), 16, 10).cast("long").alias("red_fp"),
+    )
+    hit = (F.col("n_email") + F.col("n_phone") + F.col("n_term") > 0).cast("int")
+    return (
+        scrubbed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(hit).cast("long").alias("docs_redacted"),
+            F.sum("n_email").cast("long").alias("total_email"),
+            F.sum("n_phone").cast("long").alias("total_phone"),
+            F.sum("n_term").cast("long").alias("total_term"),
+            F.sum("red_fp").cast("long").alias("red_checksum"),
+        )
+        .orderBy("source")
+    )

@@ -209,3 +209,55 @@ def text_fingerprint(spark, sf_dir):
         F.md5(norm).alias("content_fp"),
         F.md5(prefix).alias("prefix_fp"),
     ).orderBy("doc_id")
+
+
+@register(
+    "text_seqlen_histogram",
+    "text",
+    doc="Sequence-length distribution for packing/batching planning: "
+    "docs bucketed by whitespace token count (bucket width 16), with "
+    "doc/token totals per bucket and a running cumulative doc count. "
+    "Map-only projection + combinable groupBy; the cumulative window "
+    "runs over the ~dozen aggregated bucket rows, not the corpus.",
+    oracle="""
+WITH toks AS (
+    SELECT LEN(STRING_SPLIT(text, ' ')) AS n_tokens FROM documents
+),
+hist AS (
+    SELECT CAST(n_tokens // 16 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+    FROM toks GROUP BY 1
+)
+SELECT bucket, n_docs, total_tokens, min_tokens, max_tokens,
+       CAST(SUM(n_docs) OVER (ORDER BY bucket) AS BIGINT) AS cum_docs
+FROM hist
+ORDER BY bucket
+""",
+)
+def text_seqlen_histogram(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " "))
+    hist = (
+        d.select(n_tokens.alias("n_tokens"))
+        .groupBy((F.col("n_tokens") / 16).cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.min("n_tokens").cast("long").alias("min_tokens"),
+            F.max("n_tokens").cast("long").alias("max_tokens"),
+        )
+    )
+    win = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return hist.select(
+        "bucket",
+        "n_docs",
+        "total_tokens",
+        "min_tokens",
+        "max_tokens",
+        F.sum("n_docs").over(win).cast("long").alias("cum_docs"),
+    ).orderBy("bucket")
