@@ -315,3 +315,51 @@ def subquery_correlated_exists(spark, sf_dir):
         ORDER BY s_suppkey
         """
     )
+
+
+@register(
+    "subquery_recursive_cte",
+    "analytics",
+    doc="WITH RECURSIVE (ANSI recursive CTE, new SQL surface in Spark "
+    "4.x): every customer walks a synthetic 10-ary management chain "
+    "(parent = custkey/10) to the root; per-depth population + exact "
+    "custkey checksum. Recursion depth is log10(maxkey) (~6 iterations "
+    "at any SF) and each iteration is a map-only projection — the "
+    "iterative plan scales as O(depth) passes, never row-by-row.",
+    oracle="""
+WITH RECURSIVE chain AS (
+    SELECT c_custkey AS node, c_custkey AS cur, 0 AS depth FROM customer
+    UNION ALL
+    SELECT node, CAST(FLOOR(cur / 10) AS BIGINT), depth + 1 FROM chain WHERE cur > 0
+)
+SELECT depth,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(MIN(node) AS BIGINT) AS min_custkey,
+       CAST(MAX(node) AS BIGINT) AS max_custkey,
+       CAST(SUM(node) AS BIGINT) AS sum_custkey
+FROM chain
+WHERE cur = 0
+GROUP BY depth
+ORDER BY depth
+""",
+)
+def subquery_recursive_cte(spark, sf_dir):
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        WITH RECURSIVE chain AS (
+            SELECT c_custkey AS node, c_custkey AS cur, 0 AS depth FROM customer
+            UNION ALL
+            SELECT node, CAST(FLOOR(cur / 10) AS BIGINT), depth + 1 FROM chain WHERE cur > 0
+        )
+        SELECT depth,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(MIN(node) AS BIGINT) AS min_custkey,
+               CAST(MAX(node) AS BIGINT) AS max_custkey,
+               CAST(SUM(node) AS BIGINT) AS sum_custkey
+        FROM chain
+        WHERE cur = 0
+        GROUP BY depth
+        ORDER BY depth
+        """
+    )
