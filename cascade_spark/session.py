@@ -40,10 +40,12 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # events.parquet stores TIMESTAMP(NANOS) which vanilla Spark
-        # rejects; read as long and convert in tables.load (ns→µs floor,
-        # matching DuckDB's read-time truncation).
+        # events.parquet timestamp encoding varies by testdata generation:
+        # TIMESTAMP(NANOS) (vanilla Spark rejects — read as long, converted
+        # in tables.load) or µs-without-timezone (must infer LTZ, not NTZ,
+        # so unix_micros/watermarks resolve; identity under UTC session tz).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.driver.memory", os.environ.get("CASCADE_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         # ANSI off: declared queries rely on permissive casts matching

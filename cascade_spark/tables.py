@@ -33,11 +33,14 @@ BROADCASTABLE = {"region", "nation", "supplier", "part", "customer"}
 def ensure_session_confs(spark: SparkSession) -> None:
     """Runtime confs this engine depends on, set defensively so queries
     behave identically on an externally-created SparkSession (e.g. the
-    driver harness's): UTC timestamps (oracle parity) and nanos-as-long
-    parquet reads (events.ts is TIMESTAMP(NANOS), which vanilla Spark
-    refuses). Both are runtime-settable SQL confs."""
+    driver harness's): UTC timestamps (oracle parity), nanos-as-long
+    parquet reads (tolerates TIMESTAMP(NANOS) testdata generations, which
+    vanilla Spark refuses), and LTZ (not NTZ) inference for
+    timezone-less parquet timestamps so ``unix_micros`` et al. resolve.
+    All are runtime-settable SQL confs."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     # cascade_bus implements pushFilters; Spark raises (not ignores) on a
     # pushdown-capable python source when this is off
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
@@ -46,15 +49,23 @@ def ensure_session_confs(spark: SparkSession) -> None:
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table.
 
-    ``events.ts`` is TIMESTAMP(NANOS) in parquet; with
-    ``spark.sql.legacy.parquet.nanosAsLong`` it surfaces as a long that we
-    floor-divide to microseconds — the same truncation DuckDB applies when
-    it reads nanos into its µs TIMESTAMP, so oracle comparisons agree.
+    ``events.ts`` has varied across driver testdata generations —
+    TIMESTAMP(NANOS) (surfacing as long under
+    ``spark.sql.legacy.parquet.nanosAsLong``) or TIMESTAMP_MICROS without
+    timezone (surfacing as TIMESTAMP_NTZ when Spark 4's
+    ``inferTimestampNTZ`` is on). Normalize every variant to session-local
+    TIMESTAMP (LTZ, session tz pinned UTC) so downstream code —
+    ``unix_micros``, window functions, streaming watermarks — sees one
+    type, and the stored microsecond values match what DuckDB reads.
     """
     ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":  # TIMESTAMP(NANOS) read as long: ns → µs floor
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":  # NTZ → LTZ is identity under UTC
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
