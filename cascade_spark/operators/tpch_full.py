@@ -308,9 +308,18 @@ ORDER BY stock_value DESC, p_partkey
 """,
 )
 def tpch_q11_important_stock(spark, sf_dir):
+    # One pass over the fact: the grand total is the sum of the per-part
+    # aggregate, so persist the (small) per-part frame and derive both
+    # sides from it instead of scanning lineitem twice.
+    from pyspark import StorageLevel
+
     ps = _pseudo_partsupp(spark, sf_dir)
-    val = ps.groupBy("l_partkey").agg(F.sum("cost").alias("value"))
-    total = ps.agg(F.sum("cost").alias("grand_total"))
+    val = (
+        ps.groupBy("l_partkey")
+        .agg(F.sum("cost").alias("value"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    total = val.agg(F.sum("value").alias("grand_total"))
     return (
         val.join(F.broadcast(total))
         .filter(F.lit(1000) * F.col("value") > F.col("grand_total"))
