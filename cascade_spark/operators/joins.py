@@ -235,3 +235,37 @@ def join_star(spark, sf_dir):
         .agg(d2(F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))).alias("revenue"))
         .orderBy("r_name", "order_year")
     )
+
+
+@register(
+    "join_runtime_filtered_fact",
+    "joins",
+    doc="Selective dim filter on a fact join — the shape where Spark's "
+    "runtime bloom filter (InjectRuntimeFilter) pays off at 100 TB: the "
+    "filtered customer side builds a bloom filter that prunes orders "
+    "rows *before* the shuffle, so the fact-side exchange carries only "
+    "prospective matches. tests/test_plans.py asserts the might_contain "
+    "injection under production thresholds; at local fixture scale AQE "
+    "broadcasts instead (same rows either way).",
+    oracle="""
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+       COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,4))), 2) AS DOUBLE) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY c_nationkey
+ORDER BY nationkey
+""",
+)
+def join_runtime_filtered_fact(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").cast("long").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            d2(F.sum(dec("o_totalprice"))).alias("total_price"),
+        )
+        .orderBy("nationkey")
+    )

@@ -308,3 +308,50 @@ def embedding_neardup_blocked(spark, sf_dir):
         .filter(F.col("cos_sim") >= 0.2)
         .orderBy("v1", "v2")
     )
+
+
+Q_SCALE = 200  # |x| < 0.6 in the fixture embeddings → |q| < 120 fits int8
+
+
+@register(
+    "similarity_quantized_topk",
+    "similarity",
+    doc="int8-quantized dot-product top-10 (scalar quantization, the "
+    "memory-bound scale path: 4× smaller vectors, integer SIMD math). "
+    "q = floor(x * 200) is exact and identical in both engines "
+    "(float32→double widening is lossless, floor is unambiguous), so "
+    "the integer dot products hash-check exactly — no float tolerance.",
+    oracle=f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+SELECT e.vec_id,
+       CAST(SUM(FLOOR(CAST(e.embedding[i] AS DOUBLE) * {Q_SCALE})
+                * FLOOR(CAST(q.qv[i] AS DOUBLE) * {Q_SCALE})) AS BIGINT) AS qdot
+FROM embeddings e, q,
+     LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(e.embedding))) AS i)
+WHERE e.vec_id <> {QUERY_VEC_ID}
+GROUP BY e.vec_id
+ORDER BY qdot DESC, vec_id LIMIT {TOP_K}
+""",
+)
+def similarity_quantized_topk(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+
+    def _quant(col):
+        return F.transform(col, lambda x: F.floor(x.cast("double") * Q_SCALE))
+
+    query = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        _quant(F.col("embedding")).alias("_qq")
+    )
+    scored = (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(query))
+        .select(
+            "vec_id",
+            F.aggregate(
+                F.zip_with(_quant(F.col("embedding")), F.col("_qq"), lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("qdot"),
+        )
+    )
+    return scored.orderBy(F.col("qdot").desc(), "vec_id").limit(TOP_K)

@@ -1,0 +1,151 @@
+"""Span-level (substring) dedup and within-doc repetition detection.
+
+Two training-corpus passes the doc-level dedup family doesn't cover:
+
+- **Duplicated-span detection** (``dedup_dupspan_ngrams``): doc-level
+  MinHash misses *partial* overlap — a document that embeds a long span
+  copied from another document but is otherwise unique. The exact-
+  substring answer (Lee et al. 2022, "Deduplicating Training Data Makes
+  Language Models Better") is a corpus suffix array; the standard
+  distributed approximation is fixed-length n-gram span matching, which
+  is what this implements: every word 8-gram is fingerprinted, grams
+  are counted across the corpus, and each document reports how many of
+  its distinct spans also appear elsewhere. Downstream policy (clip the
+  span, drop the doc, weight it) consumes these counts.
+
+- **Within-doc repetition** (``text_repetition_top2gram``): the Gopher
+  rep-ngram family — a single document dominated by one repeated
+  2-gram is boilerplate/spam and gets flagged. Pure per-doc aggregation.
+
+Scale design (100 TB):
+- Spans are carried through the shuffle as md5 fingerprints, never as
+  raw 8-word strings (fixed-width keys; at production scale you'd use a
+  64-bit hash — md5-hex here because the DuckDB oracle must group on
+  bit-identical keys).
+- The gram→doc-frequency pass is one map-side-combinable groupBy; the
+  join back to docs is gram-hash-partitioned on both sides so the
+  shuffle is reused. Cost is linear in corpus token count — the same
+  asymptotics as the MinHash signature pass, and embarrassingly
+  partitionable.
+- Repetition detection never leaves the document: groupBy(doc_id, gram)
+  then groupBy(doc_id) — the second aggregation reuses the first's hash
+  partitioning (no extra shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from cascade_spark.plans.registry import register
+from cascade_spark.operators._util import t, widen
+
+SPAN_N = 8  # words per span fingerprint
+
+
+def _word_ngrams(docs: DataFrame, n: int, distinct: bool) -> DataFrame:
+    """(doc_id, s) word n-grams via posexplode + window leads (same
+    codegen-friendly shape as dedup._shingles, generalized to n)."""
+    from pyspark.sql import Window
+
+    w = widen(docs).select("doc_id", F.posexplode(F.split("text", " ")).alias("p", "w"))
+    win = Window.partitionBy("doc_id").orderBy("p")
+    leads = [F.lead("w", k).over(win) for k in range(1, n)]
+    g = (
+        w.select(
+            "doc_id",
+            F.concat_ws(" ", F.col("w"), *leads).alias("s"),
+            leads[-1].alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .drop("_last")
+    )
+    return g.dropDuplicates(["doc_id", "s"]) if distinct else g
+
+
+def _sql_word_ngrams(n: int, distinct: bool) -> str:
+    expr = " || ' ' || ".join(f"w[i+{j}]" for j in range(n))
+    d = "DISTINCT " if distinct else ""
+    return f"""
+    SELECT {d}doc_id, {expr} AS s
+    FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
+         LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(w) - {n - 1})) AS i)
+"""
+
+
+@register(
+    "dedup_dupspan_ngrams",
+    "dedup",
+    doc="Duplicated-span detection (exact-substring dedup approximated "
+    "by word 8-gram fingerprints): per doc, how many of its distinct "
+    "spans appear in at least one other document. Catches partial-copy "
+    "docs that doc-level MinHash scores as unique.",
+    oracle=f"""
+WITH g AS (
+    SELECT doc_id, MD5(s) AS gh FROM ({_sql_word_ngrams(SPAN_N, True)})
+),
+f AS (SELECT gh, COUNT(*) AS nd FROM g GROUP BY gh)
+SELECT g.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_spans
+FROM g JOIN f USING (gh)
+GROUP BY g.doc_id
+HAVING SUM(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) > 0
+ORDER BY doc_id
+""",
+)
+def dedup_dupspan_ngrams(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    g = _word_ngrams(d, SPAN_N, distinct=True).select(
+        "doc_id", F.md5("s").alias("gh")
+    )
+    # Distinct per doc already, so COUNT(*) per gram == document frequency.
+    freq = g.groupBy("gh").agg(F.count(F.lit(1)).alias("nd"))
+    return (
+        g.join(freq, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_shared_spans"),
+        )
+        .filter(F.col("n_shared_spans") > 0)
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_repetition_top2gram",
+    "text",
+    doc="Gopher-style within-doc repetition: per doc, the count of its "
+    "most frequent word 2-gram vs total 2-grams; repetitive if the top "
+    "2-gram covers more than 20% of the document. Two chained "
+    "aggregations sharing one hash partitioning — no second shuffle.",
+    oracle=f"""
+WITH g AS ({_sql_word_ngrams(2, False)}),
+c AS (SELECT doc_id, s, COUNT(*) AS cnt FROM g GROUP BY doc_id, s)
+SELECT doc_id,
+       CAST(SUM(cnt) AS BIGINT) AS n_2grams,
+       CAST(MAX(cnt) AS BIGINT) AS top_2gram_count,
+       (MAX(cnt) * 5 > SUM(cnt)) AS is_repetitive
+FROM c GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def text_repetition_top2gram(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    g = _word_ngrams(d, 2, distinct=False)
+    c = g.groupBy("doc_id", "s").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        c.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_2grams"),
+            F.max("cnt").cast("long").alias("top_2gram_count"),
+        )
+        .select(
+            "doc_id",
+            "n_2grams",
+            "top_2gram_count",
+            (F.col("top_2gram_count") * 5 > F.col("n_2grams")).alias("is_repetitive"),
+        )
+        .orderBy("doc_id")
+    )

@@ -171,3 +171,29 @@ def test_pack_context_windows_no_global_data_window(spark, sf_dir):
     assert "_pid" in plan, plan
     for seg in plan.split("Exchange SinglePartition")[1:]:
         assert "_psum" in seg[:3000], plan
+
+
+def test_runtime_bloom_filter_injected_on_filtered_dim_join(spark, sf_dir):
+    """Under production thresholds (fact scan large, filtered dim small)
+    InjectRuntimeFilter rewrites the fact side to
+    might_contain(bloom_filter_agg(dim_keys), fact_key) — row pruning
+    BEFORE the fact shuffle. Local fixtures are below the default 10 GB
+    application-side threshold, so pin the thresholds to the shape a
+    100 TB run would see and assert the injection happens."""
+    from cascade_spark.plans.registry import load_all
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = load_all()["join_runtime_filtered_fact"].builder(spark, sf_dir)
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in opt, opt
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
