@@ -150,8 +150,13 @@ def dedup_ngram_jaccard(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     # the shingle index feeds 4 plan branches (df counts, anti-join, sizes,
     # self-join both sides) — materialize once, exactly like a persisted
-    # inverted index at scale
-    sh = _shingles(d).persist(StorageLevel.MEMORY_AND_DISK)
+    # inverted index at scale. Shingles ride the shuffles as xxhash64
+    # fingerprints (8-byte keys vs ~30-byte strings; equality classes —
+    # and hence every count below — are unchanged barring a 64-bit
+    # collision, which at even 10^10 distinct shingles is ~1e-5 corpus-wide).
+    sh = _shingles(d).select("doc_id", F.xxhash64("s").alias("s")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     n_docs = d.agg(F.count(F.lit(1)).alias("_nd"))
     common = (
         sh.groupBy("s")

@@ -38,3 +38,58 @@ def compact_topic(
     shutil.move(tmp, topic_dir)
     after = len(glob.glob(f"{topic_dir}/*.parquet"))
     return before, after
+
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from cascade_spark.plans.registry import register  # noqa: E402
+from cascade_spark.operators._util import d2, dec, t  # noqa: E402
+
+_CUTOFF = "2024-01-25"  # fixture events span 2024-01-01 .. 2024-01-30
+
+
+@register(
+    "rollup_incremental_refresh",
+    "analytics",
+    doc="Incremental continuous-aggregate refresh (hypertable-style "
+    "materialized rollup): the maintained daily rollup (events before "
+    f"{_CUTOFF}) is merged with the new slice's partial aggregate by "
+    "re-aggregating partials — COUNT and decimal SUM are algebraically "
+    "mergeable, so the refresh touches only the delta, never the "
+    "history. Oracle = full recompute; exact equality because partials "
+    "accumulate in DECIMAL (order-independent). At 100 TB the base "
+    "rollup is a stored table of |days| rows and each refresh scans "
+    "one day's partition.",
+    oracle="""
+SELECT STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d') AS day,
+       COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(12,4))), 2) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1
+ORDER BY day
+""",
+)
+def rollup_incremental_refresh(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        "value",
+    )
+    cutoff = F.lit(_CUTOFF)
+    # the "materialized" base rollup a production system would read back
+    base = (
+        ev.filter(F.col("day") < cutoff)
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(dec("value")).alias("s"))
+    )
+    delta = (
+        ev.filter(F.col("day") >= cutoff)
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(dec("value")).alias("s"))
+    )
+    return (
+        base.unionByName(delta)
+        .groupBy("day")
+        .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+        .select("day", "n", d2(F.col("s")).alias("total_value"))
+        .orderBy("day")
+    )

@@ -355,3 +355,61 @@ def similarity_quantized_topk(spark, sf_dir):
         )
     )
     return scored.orderBy(F.col("qdot").desc(), "vec_id").limit(TOP_K)
+
+
+N_KNN_QUERIES = 5  # vec_id 0..4 act as the query batch
+KNN_K = 3
+
+
+@register(
+    "similarity_knn_join",
+    "similarity",
+    doc="Batch kNN join: top-3 cosine neighbors for EACH of a 5-vector "
+    "query batch (vec_id 0-4) in one pass — the retrieval/seed-dedup "
+    "shape. The query batch broadcasts (it is always the small side); "
+    "the base table streams through scoring map-only, then a per-query "
+    "window takes k. At 100 TB the same plan holds: broadcast the query "
+    "batch, partition-local TopK per query via the rank window over "
+    "(qid), no base-table shuffle until the k·|queries| survivors.",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+           WHERE vec_id < {N_KNN_QUERIES}),
+sims AS (
+    SELECT q.qid, e.vec_id,
+           ROUND(SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))
+                 / (SQRT(SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+                    * SQRT(SUM(CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))), 6)
+               AS cos_sim
+    FROM embeddings e CROSS JOIN q,
+         LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(e.embedding))) AS i)
+    WHERE e.vec_id <> q.qid
+    GROUP BY q.qid, e.vec_id
+),
+ranked AS (
+    SELECT qid, vec_id, cos_sim,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rnk
+    FROM sims
+)
+SELECT qid, vec_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= {KNN_K}
+ORDER BY qid, rnk
+""",
+)
+def similarity_knn_join(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_KNN_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("_qv")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", _cos("embedding", "_qv").alias("cos_sim"))
+    )
+    win = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(win).cast("long"))
+        .filter(F.col("rnk") <= KNN_K)
+        .orderBy("qid", "rnk")
+    )
