@@ -242,3 +242,39 @@ def fn_cast_format(spark, sf_dir):
         ).alias("formatted"),
         F.format_number((F.col("value") * 1000).cast("decimal(12,2)"), 2).alias("grouped_number"),
     ).orderBy("event_id")
+
+
+@register(
+    "fn_string_distance",
+    "functions",
+    doc="Edit-distance functions: levenshtein between every pair of "
+    "distinct event_type values (fuzzy-matching primitive; the "
+    "blocking-join form lives with the dedup operators). The distinct "
+    "pair table is tiny — the crossJoin is a broadcast of a handful of "
+    "rows, never data×data.",
+    oracle="""
+WITH tvals AS (SELECT DISTINCT event_type AS v FROM events)
+SELECT a.v AS v1, b.v AS v2,
+       CAST(LEVENSHTEIN(a.v, b.v) AS BIGINT) AS edit_dist,
+       CAST(LEVENSHTEIN(SUBSTR(a.v, 1, 3), SUBSTR(b.v, 1, 3)) AS BIGINT) AS prefix_dist
+FROM tvals a JOIN tvals b ON a.v < b.v
+ORDER BY v1, v2
+""",
+)
+def fn_string_distance(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    vals = ev.select(F.col("event_type").alias("v")).distinct()
+    a = vals.select(F.col("v").alias("v1"))
+    b = vals.select(F.col("v").alias("v2"))
+    return (
+        a.join(F.broadcast(b), F.col("v1") < F.col("v2"))
+        .select(
+            "v1",
+            "v2",
+            F.levenshtein("v1", "v2").cast("long").alias("edit_dist"),
+            F.levenshtein(F.substring("v1", 1, 3), F.substring("v2", 1, 3))
+            .cast("long")
+            .alias("prefix_dist"),
+        )
+        .orderBy("v1", "v2")
+    )

@@ -95,3 +95,39 @@ def pipeline_pii_scrub(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@register(
+    "pii_k_anonymity_audit",
+    "pii",
+    doc="k-anonymity audit over quasi-identifiers: cohort = (event_type, "
+    "hour-of-day, user decile) — any cohort with fewer than k=10 rows "
+    "re-identifies its members and must be suppressed or generalized "
+    "before the table ships as training data. One map-side-combinable "
+    "groupBy; the violating-cohort list is tiny by construction.",
+    oracle="""
+WITH cohorts AS (
+    SELECT event_type,
+           CAST(HOUR(ts) AS BIGINT) AS hour,
+           CAST(user_id % 10 AS BIGINT) AS user_decile,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1, 2, 3
+)
+SELECT event_type, hour, user_decile, n
+FROM cohorts WHERE n < 10
+ORDER BY event_type, hour, user_decile
+""",
+)
+def pii_k_anonymity_audit(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.hour("ts").cast("long").alias("hour"),
+            (F.col("user_id") % 10).cast("long").alias("user_decile"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") < 10)
+        .orderBy("event_type", "hour", "user_decile")
+    )

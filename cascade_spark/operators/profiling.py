@@ -132,3 +132,44 @@ def events_transition_matrix(spark, sf_dir):
         "n",
         avg_round(dec("n"), total, 4).alias("p"),
     ).orderBy("prev_type", "next_type")
+
+
+@register(
+    "profile_key_skew",
+    "profiling",
+    doc="Join/agg-key skew diagnostic: heavy-hitter share of events per "
+    "user_id — the pre-flight check that decides whether a key needs "
+    "salting (operators/bucketing.salted_join) before a 100 TB shuffle. "
+    "One map-side-combinable count, then TakeOrdered over the (small) "
+    "per-key table; skew expressed as exact integers (hitter count × "
+    "total keys vs total rows) so no float tolerance.",
+    oracle="""
+WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id),
+tot AS (SELECT COUNT(*) AS n_keys, SUM(cnt) AS n_rows FROM c)
+SELECT c.user_id, c.cnt,
+       CAST(t.n_keys AS BIGINT) AS n_keys,
+       CAST(t.n_rows AS BIGINT) AS n_rows,
+       (c.cnt * t.n_keys > 2 * t.n_rows) AS is_skewed
+FROM c CROSS JOIN tot t
+ORDER BY c.cnt DESC, c.user_id LIMIT 10
+""",
+)
+def profile_key_skew(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = c.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("cnt").cast("long").alias("n_rows"),
+    )
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            "user_id",
+            "cnt",
+            "n_keys",
+            "n_rows",
+            (F.col("cnt") * F.col("n_keys") > 2 * F.col("n_rows")).alias("is_skewed"),
+        )
+        .orderBy(F.col("cnt").desc(), "user_id")
+        .limit(10)
+    )

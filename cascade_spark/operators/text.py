@@ -261,3 +261,54 @@ def text_seqlen_histogram(spark, sf_dir):
         "max_tokens",
         F.sum("n_docs").over(win).cast("long").alias("cum_docs"),
     ).orderBy("bucket")
+
+
+@register(
+    "text_bigram_lm_topk",
+    "text",
+    doc="n-gram LM statistics: for each head word, the top-3 following "
+    "words by corpus bigram count (ties broken lexically) plus the "
+    "head's total continuation mass — the count table behind bigram "
+    "LM / tokenizer-fertility analysis. One corpus-token-linear "
+    "groupBy, then a rank window over the (small) distinct-bigram "
+    "table — never over raw tokens.",
+    oracle="""
+WITH g AS (
+    SELECT w[i] AS w1, w[i+1] AS w2
+    FROM (SELECT STRING_SPLIT(text, ' ') AS w FROM documents),
+         LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(w) - 1)) AS i)
+),
+c AS (SELECT w1, w2, COUNT(*) AS cnt FROM g GROUP BY w1, w2),
+tot AS (SELECT w1, SUM(cnt) AS head_total FROM c GROUP BY w1),
+ranked AS (
+    SELECT c.w1, c.w2, c.cnt,
+           ROW_NUMBER() OVER (PARTITION BY c.w1 ORDER BY c.cnt DESC, c.w2) AS rnk
+    FROM c
+)
+SELECT r.w1, r.w2, r.cnt, CAST(r.rnk AS BIGINT) AS rnk,
+       CAST(t.head_total AS BIGINT) AS head_total
+FROM ranked r JOIN tot t ON t.w1 = r.w1
+WHERE r.rnk <= 3
+ORDER BY r.w1, r.rnk
+""",
+)
+def text_bigram_lm_topk(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    w = widen(d).select(F.posexplode(F.split("text", " ")).alias("p", "w1"), "doc_id")
+    win_doc = Window.partitionBy("doc_id").orderBy("p")
+    g = (
+        w.select("w1", F.lead("w1", 1).over(win_doc).alias("w2"))
+        .filter(F.col("w2").isNotNull())
+    )
+    c = g.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = c.groupBy("w1").agg(F.sum("cnt").cast("long").alias("head_total"))
+    rnk_win = Window.partitionBy("w1").orderBy(F.col("cnt").desc(), "w2")
+    return (
+        c.withColumn("rnk", F.row_number().over(rnk_win).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .join(tot, "w1")
+        .select("w1", "w2", "cnt", "rnk", "head_total")
+        .orderBy("w1", "rnk")
+    )
