@@ -148,3 +148,43 @@ def multimodal_frame_sample(spark, sf_dir):
         )
         .orderBy("doc_id", "frame_idx")
     )
+
+
+@register(
+    "multimodal_binary_dedup",
+    "multimodal",
+    doc="Content-addressed dedup over the binary payload column, "
+    "per source: blob count vs distinct sha256 fingerprints + byte "
+    "totals — the storage-dedup audit a media lakehouse runs before "
+    "re-encoding. Pure metadata aggregation: with blobs in their own "
+    "parquet column this is one map-side-combinable groupBy that never "
+    "leaves the JVM.",
+    oracle="""
+SELECT source,
+       COUNT(*) AS n_blobs,
+       COUNT(DISTINCT SHA256(text)) AS n_unique,
+       CAST(SUM(OCTET_LENGTH(ENCODE(text))) AS BIGINT) AS total_bytes,
+       CAST(MAX(OCTET_LENGTH(ENCODE(text))) AS BIGINT) AS max_bytes
+FROM documents
+GROUP BY source
+ORDER BY source
+""",
+)
+def multimodal_binary_dedup(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    payload = F.col("text").cast("binary")
+    return (
+        d.select(
+            "source",
+            F.sha2(payload, 256).alias("fp"),
+            F.length(payload).cast("long").alias("nb"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_blobs"),
+            F.countDistinct("fp").alias("n_unique"),
+            F.sum("nb").cast("long").alias("total_bytes"),
+            F.max("nb").cast("long").alias("max_bytes"),
+        )
+        .orderBy("source")
+    )

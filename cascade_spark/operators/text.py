@@ -303,12 +303,18 @@ def text_bigram_lm_topk(spark, sf_dir):
         .filter(F.col("w2").isNotNull())
     )
     c = g.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
-    tot = c.groupBy("w1").agg(F.sum("cnt").cast("long").alias("head_total"))
+    # head_total via a whole-partition frame on the SAME w1 window the
+    # rank uses — one shuffle serves both; no aggregate+self-join branch
     rnk_win = Window.partitionBy("w1").orderBy(F.col("cnt").desc(), "w2")
+    all_rows = rnk_win.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return (
-        c.withColumn("rnk", F.row_number().over(rnk_win).cast("long"))
+        c.select(
+            "w1",
+            "w2",
+            "cnt",
+            F.row_number().over(rnk_win).cast("long").alias("rnk"),
+            F.sum("cnt").over(all_rows).cast("long").alias("head_total"),
+        )
         .filter(F.col("rnk") <= 3)
-        .join(tot, "w1")
-        .select("w1", "w2", "cnt", "rnk", "head_total")
         .orderBy("w1", "rnk")
     )

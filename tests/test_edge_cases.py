@@ -101,3 +101,77 @@ def test_cc_local_and_distributed_paths_agree(spark, sf_dir):
         (r["node"], r["comp"]) for r in _cc_labels_distributed(edges, init).collect()
     )
     assert local == dist and len(local) > 0
+
+
+def test_word_ngrams_short_docs_drop_out(spark):
+    """Docs with fewer than n words produce no n-grams (and never a
+    partial gram padded with nulls) — matches the oracle's
+    GENERATE_SERIES(1, len-n+1) which is empty for short docs."""
+    from cascade_spark.operators.substring_dedup import _word_ngrams
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c"), (3, "solo"), (4, "")],
+        "doc_id long, text string",
+    )
+    g8 = _word_ngrams(docs, 8, distinct=True)
+    assert [r["doc_id"] for r in g8.collect()] == [1]
+    assert g8.collect()[0]["s"] == "a b c d e f g h"
+    g2 = _word_ngrams(docs, 2, distinct=False)
+    got = {(r["doc_id"], r["s"]) for r in g2.collect()}
+    assert (1, "a b") in got and (2, "b c") in got
+    assert all(d != 3 and d != 4 for d, _ in got)
+
+
+def test_dupspan_counts_symmetric(spark):
+    """Two docs sharing one 8-word span each report exactly that shared
+    span; a third unrelated doc reports nothing."""
+    from cascade_spark.operators.substring_dedup import _word_ngrams
+    from pyspark.sql import functions as F
+
+    span = "w1 w2 w3 w4 w5 w6 w7 w8"
+    docs = spark.createDataFrame(
+        [
+            (1, "x y " + span),
+            (2, span + " p q"),
+            (3, "totally different words here never shared at all"),
+        ],
+        "doc_id long, text string",
+    )
+    g = _word_ngrams(docs, 8, distinct=True).select("doc_id", F.md5("s").alias("gh"))
+    freq = g.groupBy("gh").agg(F.count(F.lit(1)).alias("nd"))
+    shared = (
+        g.join(freq, "gh")
+        .groupBy("doc_id")
+        .agg(F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias("n_shared"))
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [(r["doc_id"], r["n_shared"]) for r in shared] == [(1, 1), (2, 1), (3, 0)]
+
+
+def test_quantized_dot_product_exact(spark):
+    """floor(x*200) quantization is exact for representable floats and
+    the integer dot product matches a Python reference."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    vals = [0.5, -0.25, 0.1, -0.000001]
+    q = [math.floor(v * 200) for v in vals]
+    expect = sum(a * b for a, b in zip(q, q))
+    df = spark.createDataFrame([(vals,)], "v array<float>")
+    qcol = F.transform(F.col("v"), lambda x: F.floor(x.cast("double") * 200))
+    got = df.select(
+        F.aggregate(
+            F.zip_with(qcol, qcol, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("dot")
+    ).collect()[0]["dot"]
+    # float32 storage: quantize the float32-rounded values in the reference
+    import struct
+
+    f32 = [struct.unpack("f", struct.pack("f", v))[0] for v in vals]
+    q32 = [math.floor(v * 200) for v in f32]
+    assert got == sum(a * b for a, b in zip(q32, q32))
+    assert expect == got  # these literals survive float32 round-trip
