@@ -17,6 +17,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# 160+ queries in one JVM accumulate shuffle/cache/streaming state; the
+# default 16g heap occasionally hits a multi-second full GC mid-query
+# (observed as a one-off 15 s outlier on an otherwise 2 s query). The
+# bench host has 128 GiB — give the single-JVM driver+executor heap room.
+os.environ.setdefault("CASCADE_DRIVER_MEM", "48g")
+
 
 def main() -> None:
     from cascade_spark.session import get_spark
