@@ -816,3 +816,57 @@ def bus_sink_stream_roundtrip(spark, sf_dir):
         )
         .orderBy("partition")
     )
+
+
+@register(
+    "bus_stream_windowed_agg",
+    "sources",
+    doc="End-to-end pipeline THROUGH the custom connector: cascade_bus "
+    "streaming source → timestamp decode (timestamp_micros) → tumbling "
+    "1-day window aggregation → memory sink. The connector composes "
+    "with the Structured Streaming operator surface exactly like a "
+    "built-in source (same micro-batch planner, same state store); "
+    "hash-checked against a plain SQL day rollup of the events fixture.",
+    oracle="""
+SELECT STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d') AS day,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,4))) * 10000 AS BIGINT) AS value_e4
+FROM events
+GROUP BY 1, 2
+ORDER BY day, event_type
+""",
+)
+def bus_stream_windowed_agg(spark, sf_dir):
+    from cascade_spark.streaming.pipeline import run_to_memory, state_partitions
+
+    topic = stage_bus_topic(spark, sf_dir)
+    register_bus(spark)
+    stream = (
+        spark.readStream.format("cascade_bus")
+        .option("path", topic)
+        .load()
+        .select(
+            F.timestamp_micros(F.col("ts_us")).alias("ts"),
+            "event_type",
+            "value",
+        )
+    )
+    agg = stream.groupBy(F.window("ts", "1 day").alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        # exact integer value sum (decimal scale-4) — float-tolerance-free
+        (F.sum(F.col("value").cast("decimal(12,4)")) * 10000)
+        .cast("long")
+        .alias("value_e4"),
+    )
+    with state_partitions(spark, 8):
+        out = run_to_memory(
+            agg.select(
+                F.date_format("w.start", "yyyy-MM-dd").alias("day"),
+                "event_type",
+                "n",
+                "value_e4",
+            ),
+            "complete",
+        )
+    return out.orderBy("day", "event_type")

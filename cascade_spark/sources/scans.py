@@ -147,3 +147,49 @@ def sink_overwrite(spark, sf_dir):
     o.filter(F.col("o_totalprice") > 10000.0).write.mode("overwrite").parquet(out)
     back = spark.read.parquet(out)
     return back.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n")).orderBy("o_orderstatus")
+
+
+@register(
+    "scan_schema_evolution",
+    "sources",
+    doc="Schema evolution across file generations: legacy files (even "
+    "doc_id) lack the later-added `source` column; new files carry it. "
+    "A mergeSchema read surfaces the union schema with NULLs for legacy "
+    "rows — the forward-compatible reading the reference's fixed proto "
+    "schema could not express. The aggregate proves NULL-vs-present "
+    "attribution is exact. At scale: mergeSchema costs one footer read "
+    "per file generation (not per file) when generations share footers; "
+    "production layouts version the schema in the table catalog instead.",
+    oracle="""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_source,
+       COUNT(DISTINCT CASE WHEN doc_id % 2 = 1 THEN source END) AS n_sources
+FROM documents
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def scan_schema_evolution(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="cascade_evolve_")
+    # generation 1: before `source` existed
+    d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text", "lang").write.parquet(
+        f"{out}/gen1"
+    )
+    # generation 2: schema grew
+    d.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "text", "lang", "source"
+    ).write.parquet(f"{out}/gen2")
+    back = spark.read.option("mergeSchema", "true").parquet(f"{out}/gen1", f"{out}/gen2")
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("source").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_with_source"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .orderBy("lang")
+    )
