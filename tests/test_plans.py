@@ -197,3 +197,44 @@ def test_runtime_bloom_filter_injected_on_filtered_dim_join(spark, sf_dir):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """The automatic complement to operators/bucketing.salted_join: under
+    production skew (one key owning ~90% of a fact side) AQE's
+    OptimizeSkewedJoin must split the hot partition at runtime —
+    final plan shows SortMergeJoin(skew=true) reading an
+    'AQEShuffleRead skewed'. Thresholds pinned to the local data size;
+    the mechanism (factor × median + byte threshold) is scale-relative."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "100KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "100KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 500_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0)).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("x" * 30), F.col("id")).alias("pad"),
+        )
+        right = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right, "k")
+        assert len(j.collect()) == 450_100
+        # executedPlan of the *executed* frame — AQE final stages
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        assert "skew=true" in final, final
+        assert "AQEShuffleRead skewed" in final, final
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
