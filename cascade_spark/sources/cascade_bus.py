@@ -781,8 +781,11 @@ def bus_sink_stream_roundtrip(spark, sf_dir):
         tmp = tempfile.mkdtemp(prefix="cascade_bus_ssink_")
         target = os.path.join(tmp, "events")
         src = (
+            # 2 files per trigger → 2 micro-batches: still exercises the
+            # multi-batch commit path (batch-id idempotency needs ≥2)
+            # at half the Python sink-writer spin-ups of one-file batches
             spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)
+            .option("maxFilesPerTrigger", 2)
             .parquet(indir)
         )
         proj = src.select(
