@@ -55,6 +55,13 @@ def main() -> None:
 
     register_bus(spark)
     spark.read.format("cascade_bus").option("path", topic).load().limit(1).count()
+    # applyInPandasWithState spins its own Arrow state-worker pool and
+    # state-store machinery on first use (~9 s once per process, measured
+    # 12.3 s cold vs 2.9 s warm at sf0.1) — warm it at the smallest tier
+    # so the timed run measures the operator, not process bring-up
+    smallest = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.001")
+    if os.path.isdir(smallest) and smallest != SF_DIR.rstrip("/"):
+        registry["stream_stateful_counter"].builder(spark, smallest).count()
 
     timings: dict[str, float] = {}
     for name in sorted(registry):

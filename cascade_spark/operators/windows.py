@@ -117,3 +117,36 @@ def window_frames(spark, sf_dir):
             "moving_avg"
         ),
     ).orderBy("user_id", "event_id")
+
+
+@register(
+    "window_time_range_frame",
+    "windows",
+    doc="Time-interval frame: trailing 1-hour event count + decimal sum "
+    "per user (RANGE over event-time, not row count — the frame every "
+    "rate-limit / rolling-exposure query needs). Spark expresses the "
+    "interval as rangeBetween on unix_micros; peers at the boundary are "
+    "value-defined, so both engines agree row-for-row.",
+    oracle="""
+SELECT user_id, event_id,
+       CAST(COUNT(*) OVER w1h AS BIGINT) AS n_1h,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(12,4))) OVER w1h, 2) AS DOUBLE) AS sum_1h
+FROM events
+WINDOW w1h AS (PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+ORDER BY user_id, event_id
+""",
+)
+def window_time_range_frame(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_1h"),
+        d2(F.sum(dec("value")).over(w)).alias("sum_1h"),
+    ).orderBy("user_id", "event_id")
