@@ -82,3 +82,39 @@ def test_minhash_permutation_parity_spark_duckdb(spark):
         ).fetchall()
     )
     assert srows == drows
+
+
+# -- word n-gram extraction parity (span dedup / bigram LM primitives) --
+
+_WORDS = st.lists(
+    st.text(alphabet="abcxyz", min_size=1, max_size=4), min_size=0, max_size=20
+)
+
+
+def _py_ngrams(words: list[str], n: int) -> list[str]:
+    return [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
+
+
+@settings(max_examples=20, deadline=None)
+@given(docs=st.lists(_WORDS, min_size=1, max_size=5), n=st.sampled_from([2, 3, 8]))
+def test_word_ngrams_match_python_reference(spark, docs, n):
+    """_word_ngrams (posexplode + window leads) must produce exactly the
+    sliding word n-grams a direct Python implementation yields, for any
+    word sequence — including docs shorter than n (empty) and repeated
+    words (kept when distinct=False)."""
+    from cascade_spark.operators.substring_dedup import _word_ngrams
+
+    rows = [(i, " ".join(w)) for i, w in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["s"])
+        for r in _word_ngrams(df, n, distinct=False).collect()
+    )
+    want = sorted(
+        (i, g)
+        # split(text,' ') on an empty string yields [''] in both engines;
+        # mirror that in the reference
+        for i, w in enumerate((" ".join(d)).split(" ") for d in docs)
+        for g in _py_ngrams(w, n)
+    )
+    assert got == want
