@@ -496,8 +496,12 @@ def tpch_q16_part_supplier_cnt(spark, sf_dir):
     doc="TPC-H Q17 shape: revenue from line items below 20% of their "
     "part's average quantity, for one brand. The avg threshold compare "
     "is cross-multiplied into exact decimals (5·qty·cnt < sum_qty) — "
-    "no float quotient in the predicate. Per-part stats are a tiny "
-    "aggregate broadcast back onto the filtered fact.",
+    "no float quotient in the predicate. Per-part stats are computed "
+    "ONLY for partkeys surviving the brand filter (semi-join before the "
+    "aggregate), so the broadcast side is bounded by the predicate's "
+    "selectivity (~1/brand_count of |part|), not |part| itself — an "
+    "unfiltered per-partkey aggregate grows with scale factor and would "
+    "OOM a forced broadcast at 100×.",
     oracle="""
 WITH stats AS (
     SELECT l_partkey, COUNT(*) AS cnt,
@@ -517,9 +521,20 @@ WHERE p.p_brand = 'Brand#3'
 def tpch_q17_small_quantity(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
     part = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
-    stats = li.groupBy(F.col("l_partkey").alias("st_partkey")).agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.sum(dec("l_quantity")).alias("sum_qty"),
+    # Semi-join the fact against the filtered dim BEFORE aggregating:
+    # stats cardinality is then bounded by the brand predicate, so the
+    # broadcast hint below is safe at any scale factor.
+    stats = (
+        li.join(
+            F.broadcast(part.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy(F.col("l_partkey").alias("st_partkey"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(dec("l_quantity")).alias("sum_qty"),
+        )
     )
     return (
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))

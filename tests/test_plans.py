@@ -238,3 +238,19 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_tpch_q17_broadcast_aggregate_is_bounded(spark, sf_dir):
+    """Q17's per-partkey stats aggregate is force-broadcast; an
+    UNFILTERED per-partkey aggregate has cardinality ~|part| and grows
+    with scale factor — broadcasting it OOMs at 100×. The aggregate must
+    therefore be computed over a LeftSemi-filtered fact (only partkeys
+    surviving the Brand#3 predicate). The tree prints parent-then-child,
+    so the semi-join must appear AFTER the stats HashAggregate line."""
+    from cascade_spark.plans.registry import load_all
+
+    df = load_all()["tpch_q17_small_quantity"].builder(spark, sf_dir)
+    plan = _plan(df)
+    assert "LeftSemi" in plan, plan
+    agg_pos = plan.index("HashAggregate(keys=[l_partkey")
+    assert plan.index("LeftSemi") > agg_pos, plan
