@@ -32,6 +32,15 @@ SHINGLE_DF_FRAC = 0.01  # drop shingles appearing in > 1% of docs
 SIMHASH_BITS = 48
 SIMHASH_BAND_BITS = 12
 HAMMING_MAX = 6
+# Band-bucket admission cap: the candidate self-join is quadratic WITHIN
+# a bucket, so a degenerate corpus (many near-empty docs -> identical
+# band chunks, e.g. simhash 0) makes one bucket O(n²) at scale. Buckets
+# above the cap are dropped — same bound class as SHINGLE_DF_FRAC for
+# Jaccard. 1024² ≈ 1M comparisons is the per-bucket worst case; both
+# test scales stay far below it (max bucket: 57 at sf0.01, 549 at
+# sf0.1), so capped output is identical there. Dropped buckets are
+# observable via the profile_simhash_buckets declared query.
+SIMHASH_BUCKET_CAP = 1024
 
 # MinHash = affine permutations of ONE md5-derived 30-bit base hash:
 # h_k(s) = (A[k]*h0(s) + B[k]) mod P. One md5 per shingle instead of 16;
@@ -488,7 +497,10 @@ def dedup_connected_components(spark, sf_dir):
     "dedup",
     doc="48-bit SimHash fingerprints (md5-derived word hashes, "
     "frequency-weighted bit votes) + near-dup pairs via 4×12-bit band "
-    "candidates and Hamming ≤ 6 verification (bit_count(xor)).",
+    "candidates and Hamming ≤ 6 verification (bit_count(xor)). Band "
+    "buckets above SIMHASH_BUCKET_CAP are dropped before the self-join "
+    "(quadratic-within-bucket bound; cap is part of the declared "
+    "semantics — the oracle applies it too).",
     oracle=f"""
 WITH wh AS (
     SELECT doc_id, ('0x' || SUBSTR(MD5(w), 1, {SIMHASH_BITS // 4}))::BIGINT AS h
@@ -505,10 +517,15 @@ sig AS (
            )}) AS simhash
     FROM wh GROUP BY doc_id
 ),
-banded AS (
+banded0 AS (
     SELECT doc_id, simhash, k,
            (simhash >> (k * {SIMHASH_BAND_BITS})) & {(1 << SIMHASH_BAND_BITS) - 1} AS chunk
     FROM sig CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, {BANDS - 1})) AS k)
+),
+banded AS (
+    SELECT * FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY k, chunk) AS bucket_n FROM banded0
+    ) WHERE bucket_n <= {SIMHASH_BUCKET_CAP}
 ),
 cand AS (
     SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
@@ -551,6 +568,16 @@ def dedup_simhash(spark, sf_dir):
         "k",
         F.expr(f"(simhash >> (k * {SIMHASH_BAND_BITS})) & {mask}").alias("chunk"),
     )
+    # Bucket-size admission via a window count over the SAME (k, chunk)
+    # key the self-join shuffles on — no extra join, the count rides the
+    # join's hash partitioning. Oversized buckets never reach the
+    # quadratic stage.
+    from pyspark.sql import Window
+
+    bucket_n = F.count(F.lit(1)).over(Window.partitionBy("k", "chunk"))
+    banded = banded.withColumn("bucket_n", bucket_n).filter(
+        F.col("bucket_n") <= SIMHASH_BUCKET_CAP
+    ).drop("bucket_n")
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -572,4 +599,79 @@ def dedup_simhash(spark, sf_dir):
         cand.filter(hamming <= HAMMING_MAX)
         .select("d1", "d2", hamming.cast("long").alias("hamming"))
         .orderBy("d1", "d2")
+    )
+
+@register(
+    "profile_simhash_buckets",
+    "dedup",
+    doc="SimHash band-bucket audit — per band: bucket count, max bucket "
+    "size, and docs that the SIMHASH_BUCKET_CAP admission drops. This is "
+    "the observable 'what was dropped' companion to dedup_simhash (a "
+    "lazy plan can't log; an auditable query can).",
+    oracle=f"""
+WITH wh AS (
+    SELECT doc_id, ('0x' || SUBSTR(MD5(w), 1, {SIMHASH_BITS // 4}))::BIGINT AS h
+    FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents)
+    WHERE w <> ''
+),
+sig AS (
+    SELECT doc_id,
+           ({" + ".join(
+               f"CASE WHEN 2 * SUM((h >> {j}) & 1) > COUNT(*) "
+               f"THEN CAST({1 << j} AS BIGINT) ELSE 0 END"
+               for j in range(SIMHASH_BITS)
+           )}) AS simhash
+    FROM wh GROUP BY doc_id
+),
+buckets AS (
+    SELECT k, (simhash >> (k * {SIMHASH_BAND_BITS})) & {(1 << SIMHASH_BAND_BITS) - 1} AS chunk,
+           COUNT(*) AS n
+    FROM sig CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, {BANDS - 1})) AS k)
+    GROUP BY k, chunk
+)
+SELECT CAST(k AS INT) AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(MAX(n) AS BIGINT) AS max_bucket,
+       CAST(COALESCE(SUM(n) FILTER (WHERE n > {SIMHASH_BUCKET_CAP}), 0) AS BIGINT)
+         AS n_dropped_docs
+FROM buckets GROUP BY k ORDER BY k
+""",
+)
+def profile_simhash_buckets(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    wh = (
+        widen(d).select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("w"), 1, SIMHASH_BITS // 4), 16, 10).cast("long").alias("h"),
+        )
+    )
+    votes = wh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(F.expr(f"(h >> {j}) & 1")).alias(f"s{j}") for j in range(SIMHASH_BITS)],
+    )
+    simhash = sum(
+        F.when(2 * F.col(f"s{j}") > F.col("n"), F.lit(1 << j).cast("long")).otherwise(0)
+        for j in range(SIMHASH_BITS)
+    )
+    sig = votes.select("doc_id", simhash.alias("simhash"))
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    ks = sig.sparkSession.range(BANDS).select(F.col("id").cast("int").alias("k"))
+    buckets = (
+        sig.crossJoin(F.broadcast(ks))
+        .select("k", F.expr(f"(simhash >> (k * {SIMHASH_BAND_BITS})) & {mask}").alias("chunk"))
+        .groupBy("k", "chunk")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        buckets.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("n").alias("max_bucket"),
+            F.coalesce(
+                F.sum(F.when(F.col("n") > SIMHASH_BUCKET_CAP, F.col("n"))), F.lit(0)
+            ).alias("n_dropped_docs"),
+        )
+        .orderBy("k")
     )

@@ -175,3 +175,36 @@ def test_quantized_dot_product_exact(spark):
     q32 = [math.floor(v * 200) for v in f32]
     assert got == sum(a * b for a, b in zip(q32, q32))
     assert expect == got  # these literals survive float32 round-trip
+
+
+def test_simhash_bucket_cap_drops_degenerate_corpus(spark, tmp_path):
+    """A pathological corpus — 1.5k near-empty docs that all hash to the
+    same band chunks (identical text => identical simhash) — must NOT
+    reach the quadratic within-bucket self-join (1.5k² x 4 bands ≈ 9M
+    pairs here; unbounded at scale). The SIMHASH_BUCKET_CAP admission
+    drops the oversized buckets, so the pair output is empty and the
+    audit query reports every doc dropped."""
+    from cascade_spark.operators.dedup import SIMHASH_BUCKET_CAP
+    from cascade_spark.plans.registry import load_all
+
+    n = SIMHASH_BUCKET_CAP + 476  # 1500 docs, all in one bucket per band
+    docs = spark.range(n).selectExpr(
+        "id AS doc_id",
+        "'tiny doc' AS text",
+        "'en' AS lang",
+        "'synthetic' AS source",
+        "CAST(8 AS BIGINT) AS n_chars",
+    )
+    sf = str(tmp_path / "degenerate")
+    docs.write.parquet(f"{sf}/documents.parquet")
+
+    reg = load_all()
+    pairs = reg["dedup_simhash"].builder(spark, sf)
+    assert pairs.count() == 0
+
+    audit = {r["k"]: r for r in reg["profile_simhash_buckets"].builder(spark, sf).collect()}
+    assert set(audit) == {0, 1, 2, 3}
+    for r in audit.values():
+        assert r["n_buckets"] == 1
+        assert r["max_bucket"] == n
+        assert r["n_dropped_docs"] == n
