@@ -2,8 +2,12 @@
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
 
-Each query is forced to full materialization via a count over the result
-(write-free, so timings measure compute+shuffle, not disk).
+Each query is forced to full materialization via a checksum aggregate
+over ALL result columns (write-free, so timings measure compute+shuffle,
+not disk). A bare count() would let Catalyst prune unreferenced
+projections, so projection-shaped queries (the fn_* family) would skip
+the very expressions being benchmarked; xxhash64 over every output
+column forces each expression to actually evaluate.
 """
 
 from __future__ import annotations
@@ -22,6 +26,15 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # (observed as a one-off 15 s outlier on an otherwise 2 s query). The
 # bench host has 128 GiB — give the single-JVM driver+executor heap room.
 os.environ.setdefault("CASCADE_DRIVER_MEM", "48g")
+
+
+def _materialize(df) -> None:
+    """Force full evaluation of every output column (checksum agg) —
+    a row count alone lets Catalyst drop unreferenced projections."""
+    from pyspark.sql import functions as F
+
+    h = F.xxhash64(*[F.col(c) for c in df.columns]) if df.columns else F.lit(0)
+    df.select(h.alias("_h")).agg(F.count("_h"), F.sum("_h")).collect()
 
 
 def main() -> None:
@@ -60,8 +73,13 @@ def main() -> None:
     # 12.3 s cold vs 2.9 s warm at sf0.1) — warm it at the smallest tier
     # so the timed run measures the operator, not process bring-up
     smallest = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.001")
+    warmed: dict[str, float] = {}
     if os.path.isdir(smallest) and smallest != SF_DIR.rstrip("/"):
+        w0 = time.perf_counter()
         registry["stream_stateful_counter"].builder(spark, smallest).count()
+        # disclose the warm-up: the timed sf0.1 number below is the WARM
+        # figure (operator cost); this records what bring-up cost once.
+        warmed["stream_stateful_counter"] = round(time.perf_counter() - w0, 3)
 
     timings: dict[str, float] = {}
     for name in sorted(registry):
@@ -71,7 +89,7 @@ def main() -> None:
         start = time.perf_counter()
         try:
             df = q.builder(spark, SF_DIR)
-            df.count()
+            _materialize(df)
             timings[name] = round(time.perf_counter() - start, 3)
         except Exception as exc:  # noqa: BLE001 — record failures, keep going
             timings[name] = -1.0
@@ -92,6 +110,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "warmed_queries_bringup_sec": warmed,
             },
             fh,
             indent=1,
