@@ -75,3 +75,86 @@ def stream_stateful_counter(spark, sf_dir):
         .agg(F.max("n_events").alias("n_events"))
         .orderBy("user_id")
     )
+
+# --- Spark 4 transformWithStateInPandas (env-gated) --------------------------
+# The modern stateful API's Python worker speaks the state-server wire
+# format via google.protobuf. Some containers (this one included, see
+# STATUS.md §9) ship a broken/absent protobuf that kills the worker at
+# runtime, so the query registers ONLY when the probe passes — present
+# where the environment allows, documented (not silently absent) where
+# it doesn't.
+
+
+def tws_available() -> bool:
+    """True iff transformWithStateInPandas can run: google.protobuf
+    imports cleanly and the processor API exists (Spark >= 4)."""
+    try:
+        import google.protobuf  # noqa: F401
+        from pyspark.sql.streaming.stateful_processor import (  # noqa: F401
+            StatefulProcessor,
+        )
+        return True
+    except Exception:
+        return False
+
+
+if tws_available():
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class _RunningCounterProcessor(StatefulProcessor):
+        """Per-user running event counter in ValueState — the same
+        ring-buffer-counter analog as stream_stateful_counter, on the
+        Spark 4 API (timers/TTL-capable state store)."""
+
+        def init(self, handle):
+            from pyspark.sql.types import LongType, StructField, StructType
+
+            self._n = handle.getValueState(
+                "n", StructType([StructField("n", LongType(), True)])
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            n = self._n.get()[0] if self._n.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+            self._n.update((n,))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+        def close(self):
+            pass
+
+    @register(
+        "stream_tws_counter",
+        "streaming",
+        doc="transformWithStateInPandas per-user running counter "
+        "(Spark 4 stateful API; ValueState). Same semantics and oracle "
+        "as stream_stateful_counter; registered only where the "
+        "environment's protobuf allows the state-server worker.",
+        oracle="""
+SELECT user_id, COUNT(*) AS n_events
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""",
+    )
+    def stream_tws_counter(spark, sf_dir):
+        indir, schema, _, _ = stage_stream_input(spark, sf_dir, n_files=4)
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(indir)
+        )
+        updates = src.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=_RunningCounterProcessor(),
+            outputStructType=_OUT_SCHEMA.rsplit(",", 1)[0],  # user_id, n_events
+            outputMode="Update",
+            timeMode="None",
+        )
+        out = run_to_memory(updates, "update")
+        return (
+            out.groupBy("user_id")
+            .agg(F.max("n_events").alias("n_events"))
+            .orderBy("user_id")
+        )

@@ -60,3 +60,30 @@ def test_late_event_cannot_revise_emitted_window(spark, tmp_path):
     # late event 4 was dropped, not merged, not re-emitted
     assert got["10:00"] == 2, rows
     assert got["12:00"] == 1 and got["13:00"] == 1 and got["14:00"] == 1, rows
+
+
+def test_tws_counter_matches_batch_aggregate(spark, sf_dir):
+    """Spark 4 transformWithStateInPandas running counter — skips where
+    the container's protobuf can't support the state-server worker
+    (probe-gated registration, STATUS.md §9)."""
+    import pytest
+
+    from cascade_spark.streaming.stateful import tws_available
+
+    if not tws_available():
+        pytest.skip("google.protobuf unavailable — transformWithStateInPandas gated off")
+
+    from cascade_spark.plans.registry import load_all
+
+    got = load_all()["stream_tws_counter"].builder(spark, sf_dir).collect()
+    from cascade_spark.tables import load as lt
+    from pyspark.sql import functions as F
+
+    want = (
+        lt(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("user_id")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
