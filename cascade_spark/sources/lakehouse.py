@@ -40,3 +40,51 @@ def read_jdbc(spark: SparkSession, url: str, table: str, **options) -> DataFrame
         "no JDBC endpoint in this container; "
         "spark.read.format('jdbc').option('url', url).option('dbtable', table)"
     )
+
+
+def lakehouse_probe() -> dict[str, bool]:
+    """Availability probe, run at import: which lakehouse paths can this
+    environment actually serve? (python package AND datasource jar)."""
+    import importlib.util
+
+    out = {
+        "delta": importlib.util.find_spec("delta") is not None,
+        "iceberg": False,  # needs iceberg-spark-runtime jar + catalog conf
+        "hudi": False,
+        "avro": False,  # core avro jars ship with Spark, but the
+        # spark-avro DATASOURCE jar is a separate artifact absent here
+        # (probe: spark.read.format('avro') -> "Failed to find data source")
+    }
+    try:
+        import pyspark, os, glob
+
+        jars = os.path.join(os.path.dirname(pyspark.__file__), "jars")
+        out["avro"] = bool(glob.glob(os.path.join(jars, "spark-avro*.jar")))
+        out["iceberg"] = bool(glob.glob(os.path.join(jars, "iceberg-spark-runtime*.jar")))
+        out["hudi"] = bool(glob.glob(os.path.join(jars, "hudi-spark*.jar")))
+    except Exception:
+        pass
+    return out
+
+
+if lakehouse_probe()["delta"]:
+    from pyspark.sql import functions as F
+
+    from cascade_spark.plans.registry import register
+    from cascade_spark.tables import load as _load
+
+    @register(
+        "scan_delta_roundtrip",
+        "sources",
+        doc="Delta Lake write+read roundtrip over the region table — "
+        "registered only where delta-spark is importable (probe-gated "
+        "like stream_tws_counter). Oracle = the parquet source itself.",
+        oracle="SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    )
+    def scan_delta_roundtrip(spark, sf_dir):
+        import tempfile
+
+        out = tempfile.mkdtemp(prefix="delta_rt_")
+        src = _load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+        src.write.format("delta").mode("overwrite").save(out)
+        return spark.read.format("delta").load(out).orderBy("r_regionkey")

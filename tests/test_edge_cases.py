@@ -208,3 +208,24 @@ def test_simhash_bucket_cap_drops_degenerate_corpus(spark, tmp_path):
         assert r["n_buckets"] == 1
         assert r["max_bucket"] == n
         assert r["n_dropped_docs"] == n
+
+
+def test_lakehouse_probe_documents_environment(spark):
+    """The probe IS the documented result the round calls for: in this
+    container every lakehouse backend is absent (no delta-spark package,
+    no spark-avro/iceberg/hudi datasource jars), so the read paths must
+    raise the clear NotImplementedError and the delta roundtrip query
+    must not be registered. On a cluster WITH the jars, the probe flips
+    and scan_delta_roundtrip registers + hash-checks automatically."""
+    from cascade_spark.sources.lakehouse import lakehouse_probe, read_delta
+    from cascade_spark.plans.registry import load_all
+
+    probe = lakehouse_probe()
+    if probe["delta"]:
+        assert "scan_delta_roundtrip" in load_all()
+    else:
+        assert "scan_delta_roundtrip" not in load_all()
+        import pytest
+
+        with pytest.raises(NotImplementedError):
+            read_delta(spark, "/tmp/nonexistent")
