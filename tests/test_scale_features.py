@@ -84,3 +84,43 @@ def test_hll_sketch_estimate_within_5pct(spark, sf_dir):
     est, exact = row.est_monthly_users, row.exact_monthly_users
     assert exact > 0
     assert abs(est - exact) / exact < 0.05
+
+
+def test_partitioned_offsets_skew_decision(spark):
+    """The salt-or-document decision for keyed offset assignment:
+    - Kafka-model (assign_partitioned_offsets) keeps per-key FIFO, so a
+      hot key MUST concentrate — documented behavior, asserted here.
+    - When ordering is waived, assign_salted_offsets bounds the max
+      partition share near uniform even with one key owning 90%.
+    Both keep offsets dense per partition."""
+    from pyspark.sql import functions as F
+
+    from cascade_spark.operators.ingest import (
+        assign_partitioned_offsets,
+        assign_salted_offsets,
+    )
+
+    n, parts = 100_000, 8
+    df = spark.range(n).select(
+        F.when(F.col("id") % 10 < 9, F.lit(0)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("seq"),
+    )
+
+    kafka = assign_partitioned_offsets(df, F.col("k"), parts, ["seq"])
+    shares = {r["partition"]: r["c"] for r in kafka.groupBy("partition").agg(F.count(F.lit(1)).alias("c")).collect()}
+    assert max(shares.values()) / n >= 0.9  # hot key concentrates: FIFO cost
+
+    salted = assign_salted_offsets(df, F.col("k"), parts, ["seq"])
+    sshares = {r["partition"]: r["c"] for r in salted.groupBy("partition").agg(F.count(F.lit(1)).alias("c")).collect()}
+    assert len(sshares) == parts
+    assert max(sshares.values()) / n <= 1.5 / parts  # bounded near uniform
+
+    # offsets dense within each partition (0..cnt-1) in both forms
+    for frame in (kafka, salted):
+        chk = (
+            frame.groupBy("partition")
+            .agg(F.count(F.lit(1)).alias("cnt"), F.min("offset").alias("lo"), F.max("offset").alias("hi"))
+            .collect()
+        )
+        for r in chk:
+            assert r["lo"] == 0 and r["hi"] == r["cnt"] - 1
