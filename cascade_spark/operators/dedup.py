@@ -211,34 +211,55 @@ _SIG_CACHE: dict = {}
 _PAIR_CACHE: dict = {}
 
 
+def _cached_frame(cache: dict, spark, sf_dir, build) -> DataFrame:
+    """Keyed persist-cache with eviction: entries from OTHER applications
+    are dropped on every miss (a stopped session's persisted blocks died
+    with it; holding the handle leaks driver memory), so the dict never
+    outgrows the live session's sf_dirs. Note for bench readers: the
+    first dedup query to run pays the shared build; later family members
+    read the cache — per-query timings are order-dependent amortized
+    figures (documented in STATUS.md)."""
+    from pyspark import StorageLevel
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = cache.get(key)
+    if cached is not None:
+        return cached
+    for stale in [k for k in cache if k[0] != key[0]]:
+        df = cache.pop(stale)
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already gone — handle drop is the cleanup
+    df = build().persist(StorageLevel.MEMORY_AND_DISK)
+    cache[key] = df
+    return df
+
+
 def _signatures(spark, sf_dir) -> DataFrame:
     """One row per doc: columns h0..h15 (minhash signature) — a single
     md5 per shingle + 16 affine permutations folded into ONE groupBy
     pass (no seed-explosion shuffle). Shingle duplicates are kept: MIN
     is duplicate-insensitive, so the distinct shuffle is skipped.
     Persisted once per (app, sf_dir) — see _SIG_CACHE note above."""
-    from pyspark import StorageLevel
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _SIG_CACHE.get(key)
-    if cached is not None:
-        return cached
-    d = t(spark, sf_dir, "documents")
-    sh = _shingles(d, distinct=False)
-    base = sh.select(
-        "doc_id",
-        F.conv(F.substring(F.md5("s"), 1, 8), 16, 10)
-        .cast("long")
-        .bitwiseAND(MH_MASK)
-        .alias("h0"),
-    )
-    mins = [
-        F.min((F.lit(MH_A[k]) * F.col("h0") + MH_B[k]) % MH_P).alias(f"h{k}")
-        for k in range(N_HASHES)
-    ]
-    sig = base.groupBy("doc_id").agg(*mins).persist(StorageLevel.MEMORY_AND_DISK)
-    _SIG_CACHE[key] = sig
-    return sig
+    def build() -> DataFrame:
+        d = t(spark, sf_dir, "documents")
+        sh = _shingles(d, distinct=False)
+        base = sh.select(
+            "doc_id",
+            F.conv(F.substring(F.md5("s"), 1, 8), 16, 10)
+            .cast("long")
+            .bitwiseAND(MH_MASK)
+            .alias("h0"),
+        )
+        mins = [
+            F.min((F.lit(MH_A[k]) * F.col("h0") + MH_B[k]) % MH_P).alias(f"h{k}")
+            for k in range(N_HASHES)
+        ]
+        return base.groupBy("doc_id").agg(*mins)
+
+    return _cached_frame(_SIG_CACHE, spark, sf_dir, build)
 
 
 _SQL_SIGNATURES = f"""
@@ -319,12 +340,14 @@ def _lsh_pairs(spark, sf_dir) -> DataFrame:
     """Near-dup pairs (d1 < d2, signature agreement ≥ half): the shared
     candidate machinery behind the pair and cluster queries. Persisted
     once per (app, sf_dir) — pair lists are tiny next to the corpus."""
-    from pyspark import StorageLevel
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _PAIR_CACHE.get(key)
-    if cached is not None:
-        return cached
+    def build() -> DataFrame:
+        return _build_lsh_pairs(spark, sf_dir)
+
+    return _cached_frame(_PAIR_CACHE, spark, sf_dir, build)
+
+
+def _build_lsh_pairs(spark, sf_dir) -> DataFrame:
     sig = _signatures(spark, sf_dir)
     rpb = N_HASHES // BANDS
     band_rows = [
@@ -353,15 +376,12 @@ def _lsh_pairs(spark, sf_dir) -> DataFrame:
     matches = sum(
         F.when(F.col(f"x{k}") == F.col(f"y{k}"), 1).otherwise(0) for k in range(N_HASHES)
     )
-    pairs = (
+    return (
         cand.join(x, "d1")
         .join(y, "d2")
         .select("d1", "d2", matches.alias("matches"))
         .filter(F.col("matches") * 2 >= N_HASHES)
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    _PAIR_CACHE[key] = pairs
-    return pairs
 
 
 # Edge lists up to this size are solved with driver-side union-find —

