@@ -55,4 +55,18 @@ def get_spark(
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # WindowExec's "No Partition Defined ... single partition" warning is
+    # expected at documented tiny-frame sites (per-partition count bases
+    # in ingest.assign_offsets, 20-row post-limit rank in text_filtering,
+    # histogram-bucket CDFs) where the frame is provably small. Raise
+    # that one logger to ERROR so a REAL unpartitioned window over data
+    # rows — which the plan tests guard against — doesn't hide in noise.
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass  # non-log4j2 logging backends: warning stays, harmless
     return spark
