@@ -31,6 +31,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # (tests/test_oracle.py) regardless of sampling.
 _NEW_THIS_ROUND: list[str] = [
     "profile_simhash_buckets",
+    "tpch_q20_potential_promotion",
+    "setop_bag_all_variants",
+    "join_null_safe",
+    "agg_filtered_conditional",
+    "text_type_token_ratio",
+    "text_oov_rate",
     # env-gated (register only where the container allows):
     "stream_tws_counter",
     "scan_delta_roundtrip",

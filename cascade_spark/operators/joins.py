@@ -269,3 +269,38 @@ def join_runtime_filtered_fact(spark, sf_dir):
         )
         .orderBy("nationkey")
     )
+
+
+@register(
+    "join_null_safe",
+    "joins",
+    doc="Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL "
+    "matches NULL, unlike plain '=' which drops NULL keys from an inner "
+    "join. Keys are nation ids with one value NULLed out on both sides "
+    "to exercise the NULL-bucket; output is the per-key pair count so "
+    "the NULL×NULL cross-bucket's cardinality is asserted exactly. "
+    "Plans as a regular hash join (null-safe equality is still an "
+    "equi-key: Spark wraps the key in a coalesce-struct), NOT a "
+    "nested-loop.",
+    oracle="""
+WITH c AS (SELECT NULLIF(c_nationkey, 3) AS k FROM customer),
+s AS (SELECT NULLIF(s_nationkey, 3) AS k FROM supplier)
+SELECT c.k AS k, COUNT(*) AS n_pairs
+FROM c JOIN s ON c.k IS NOT DISTINCT FROM s.k
+GROUP BY c.k
+ORDER BY k NULLS FIRST
+""",
+)
+def join_null_safe(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").select(
+        F.nullif(F.col("c_nationkey"), F.lit(3)).alias("k")
+    )
+    s = t(spark, sf_dir, "supplier").select(
+        F.nullif(F.col("s_nationkey"), F.lit(3)).alias("ks")
+    )
+    return (
+        c.join(s, F.col("k").eqNullSafe(F.col("ks")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy(F.col("k").asc_nulls_first())
+    )

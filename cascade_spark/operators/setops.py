@@ -94,3 +94,42 @@ def setop_dedup_keep_first(spark, sf_dir):
         .select("lang", "source", "doc_id")
         .orderBy("lang", "source")
     )
+
+
+@register(
+    "setop_bag_all_variants",
+    "setops",
+    doc="Multiset (bag) semantics: EXCEPT ALL keeps duplicate "
+    "multiplicity differences, INTERSECT ALL keeps min multiplicity — "
+    "distinct from the plain EXCEPT/INTERSECT queries above. Spark "
+    "plans both as hash aggregations over (value, count), no sort.",
+    oracle="""
+WITH a AS (SELECT o_orderpriority AS pri FROM orders WHERE o_totalprice > 50000.0),
+b AS (SELECT o_orderpriority AS pri FROM orders WHERE o_orderstatus = 'F')
+SELECT 'except_all' AS op, pri, COUNT(*) AS n
+FROM (SELECT pri FROM a EXCEPT ALL SELECT pri FROM b)
+GROUP BY pri
+UNION ALL
+SELECT 'intersect_all' AS op, pri, COUNT(*) AS n
+FROM (SELECT pri FROM a INTERSECT ALL SELECT pri FROM b)
+GROUP BY pri
+ORDER BY op, pri
+""",
+)
+def setop_bag_all_variants(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_totalprice") > 50000.0).select(F.col("o_orderpriority").alias("pri"))
+    b = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_orderpriority").alias("pri"))
+    ex = (
+        a.exceptAll(b)
+        .groupBy("pri")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("op"), "pri", "n")
+    )
+    inter = (
+        a.intersectAll(b)
+        .groupBy("pri")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "pri", "n")
+    )
+    return ex.unionAll(inter).orderBy("op", "pri")

@@ -310,3 +310,42 @@ def events_gapfill_interpolate(spark, sf_dir):
         )
         .orderBy("event_type", "day")
     )
+
+
+@register(
+    "agg_filtered_conditional",
+    "aggregations",
+    doc="FILTER-clause / conditional aggregation family in ONE grouped "
+    "pass: count_if, filtered decimal sums, and a filtered distinct "
+    "count per market segment — the idiom that replaces N separate "
+    "filtered scans with one map-side-combinable aggregate.",
+    oracle="""
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_all,
+       CAST(COUNT(*) FILTER (WHERE c_acctbal < 0) AS BIGINT) AS n_negative,
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,4))) FILTER (WHERE c_acctbal > 5000.0), 2)
+            AS DOUBLE) AS rich_bal,
+       CAST(COUNT(DISTINCT c_nationkey) FILTER (WHERE c_acctbal < 0) AS BIGINT)
+         AS n_negative_nations
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def agg_filtered_conditional(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    neg = F.col("c_acctbal") < 0
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_all"),
+            F.count_if(neg).cast("long").alias("n_negative"),
+            d2(
+                F.sum(F.when(F.col("c_acctbal") > 5000.0, dec("c_acctbal")))
+            ).alias("rich_bal"),
+            F.countDistinct(F.when(neg, F.col("c_nationkey")))
+            .cast("long")
+            .alias("n_negative_nations"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -318,3 +318,115 @@ def text_bigram_lm_topk(spark, sf_dir):
         .filter(F.col("rnk") <= 3)
         .orderBy("w1", "rnk")
     )
+
+
+@register(
+    "text_type_token_ratio",
+    "text",
+    doc="Lexical diversity (type-token ratio) per document — a standard "
+    "quality signal (low TTR = boilerplate/repetition). Integer counts, "
+    "ratio rounded at the final projection; map-only + one doc_id agg.",
+    oracle="""
+WITH tok AS (
+    SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents
+),
+tt AS (
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           COUNT(DISTINCT w) AS n_types
+    FROM tok WHERE w <> '' GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_types AS BIGINT) AS n_types,
+       ROUND(CAST(n_types AS DOUBLE) / n_tokens, 4) AS ttr
+FROM tt
+ORDER BY doc_id
+""",
+)
+def text_type_token_ratio(spark, sf_dir):
+    d = widen(t(spark, sf_dir, "documents"))
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w")).filter(
+        F.col("w") != ""
+    )
+    return (
+        tok.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.countDistinct("w").cast("long").alias("n_types"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_types",
+            F.round(F.col("n_types").cast("double") / F.col("n_tokens"), 4).alias("ttr"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# Vocabulary size for the OOV-rate query. Deterministic tie-break
+# (count DESC, word ASC) so both engines select the identical top-K set.
+OOV_VOCAB_K = 1000
+
+
+@register(
+    "text_oov_rate",
+    "text",
+    doc="Out-of-vocabulary rate per language against the corpus top-1k "
+    "word vocabulary — the 'how much of this slice does a fixed "
+    "tokenizer vocabulary cover' audit. Scale: vocab is a top-k "
+    "(TakeOrdered, distributed) then BROADCAST left-anti against the "
+    "token stream — no shuffle of the corpus tokens; ratios are "
+    "bigint/bigint at the final projection.",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents
+),
+tok2 AS (SELECT * FROM tok WHERE w <> ''),
+vocab AS (
+    SELECT w FROM tok2 GROUP BY w
+    ORDER BY COUNT(*) DESC, w LIMIT {OOV_VOCAB_K}
+),
+per AS (
+    SELECT lang,
+           COUNT(*) AS n_tokens,
+           SUM(CASE WHEN w IN (SELECT w FROM vocab) THEN 0 ELSE 1 END) AS n_oov
+    FROM tok2 GROUP BY lang
+)
+SELECT lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_oov AS BIGINT) AS n_oov,
+       ROUND(CAST(n_oov AS DOUBLE) / n_tokens, 4) AS oov_rate
+FROM per ORDER BY lang
+""",
+)
+def text_oov_rate(spark, sf_dir):
+    d = widen(t(spark, sf_dir, "documents"))
+    tok = d.select("lang", F.explode(F.split("text", " ")).alias("w")).filter(
+        F.col("w") != ""
+    )
+    vocab = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "w")
+        .limit(OOV_VOCAB_K)
+        .select("w")
+    )
+    flagged = tok.join(
+        F.broadcast(vocab.withColumn("_in_vocab", F.lit(1))), "w", "left_outer"
+    )
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .select(
+            "lang",
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov").cast("double") / F.col("n_tokens"), 4).alias("oov_rate"),
+        )
+        .orderBy("lang")
+    )

@@ -767,3 +767,58 @@ def tpch_q22_global_sales(spark, sf_dir):
         )
         .orderBy("nationkey")
     )
+
+
+@register(
+    "tpch_q20_potential_promotion",
+    "analytics",
+    doc="TPC-H Q20 shape (completes the Q1-Q22 set): suppliers whose "
+    "1997 shipped quantity of 'small' parts exceeds half their all-time "
+    "shipped quantity of those parts — the nested-aggregate + double "
+    "semi-join chain. The part filter is broadcast and pushed below the "
+    "per-(part,supp) aggregate, so the agg only sees filtered partkeys "
+    "(same boundedness discipline as Q17); the threshold compare is "
+    "2*qty_win > qty_total in exact decimals.",
+    oracle="""
+WITH target AS (SELECT p_partkey FROM part WHERE p_name LIKE 'small%'),
+qty AS (
+    SELECT l_partkey, l_suppkey,
+           SUM(CASE WHEN l_shipdate >= DATE '1997-01-01'
+                     AND l_shipdate < DATE '1998-01-01'
+                    THEN CAST(l_quantity AS DECIMAL(12,4)) ELSE 0 END) AS qty_win,
+           SUM(CAST(l_quantity AS DECIMAL(12,4))) AS qty_total
+    FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM target)
+    GROUP BY l_partkey, l_suppkey
+)
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+WHERE s.s_suppkey IN (SELECT l_suppkey FROM qty WHERE 2 * qty_win > qty_total)
+ORDER BY s.s_suppkey
+""",
+)
+def tpch_q20_potential_promotion(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    target = t(spark, sf_dir, "part").filter(F.col("p_name").like("small%")).select("p_partkey")
+    qty = (
+        li.join(F.broadcast(target), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("l_shipdate") >= "1997-01-01")
+                    & (F.col("l_shipdate") < "1998-01-01"),
+                    dec("l_quantity"),
+                ).otherwise(F.lit(0).cast("decimal(12,4)"))
+            ).alias("qty_win"),
+            F.sum(dec("l_quantity")).alias("qty_total"),
+        )
+        .filter(F.lit(2) * F.col("qty_win") > F.col("qty_total"))
+        .select("l_suppkey")
+    )
+    sup = t(spark, sf_dir, "supplier")
+    return (
+        sup.join(qty, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )

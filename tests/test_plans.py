@@ -254,3 +254,33 @@ def test_tpch_q17_broadcast_aggregate_is_bounded(spark, sf_dir):
     assert "LeftSemi" in plan, plan
     agg_pos = plan.index("HashAggregate(keys=[l_partkey")
     assert plan.index("LeftSemi") > agg_pos, plan
+
+
+def test_null_safe_join_is_hash_not_nested_loop(spark, sf_dir):
+    """eqNullSafe is still an equi-key (Spark coalesce-wraps it) — it
+    must plan a hash join, never BroadcastNestedLoop/Cartesian."""
+    from cascade_spark.plans.registry import load_all
+
+    plan = _plan(load_all()["join_null_safe"].builder(spark, sf_dir))
+    assert "HashJoin" in plan, plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_oov_vocab_is_broadcast(spark, sf_dir):
+    """The top-1k vocabulary must broadcast onto the token stream — the
+    corpus-sized side never shuffles for this join."""
+    from cascade_spark.plans.registry import load_all
+
+    plan = _plan(load_all()["text_oov_rate"].builder(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_q20_aggregate_behind_semi_join(spark, sf_dir):
+    """Q20's per-(part,supp) aggregate must only see partkeys surviving
+    the part filter: LeftSemi below the HashAggregate (Q17 discipline)."""
+    from cascade_spark.plans.registry import load_all
+
+    plan = _plan(load_all()["tpch_q20_potential_promotion"].builder(spark, sf_dir))
+    agg_pos = plan.index("HashAggregate(keys=[l_partkey")
+    assert "LeftSemi" in plan[agg_pos:], plan
