@@ -37,6 +37,9 @@ _NEW_THIS_ROUND: list[str] = [
     "agg_filtered_conditional",
     "text_type_token_ratio",
     "text_oov_rate",
+    "maintenance_compact_small_files",
+    "pipeline_weighted_sample",
+    "agg_string_concat_ordered",
     # env-gated (register only where the container allows):
     "stream_tws_counter",
     "scan_delta_roundtrip",

@@ -296,3 +296,48 @@ def pipeline_stratified_sample(spark, sf_dir):
         .filter(F.col("rk") <= 25)
         .orderBy("source", "rk")
     )
+
+
+@register(
+    "pipeline_weighted_sample",
+    "analytics",
+    doc="Quality-weighted deterministic sampling: each doc keeps with "
+    "probability proportional to a quality weight (here length-derived, "
+    "capped at 1), decided by comparing an md5-uniform of the doc_id "
+    "against the weight — reproducible across runs/engines, no rand(). "
+    "This is how a curation pipeline downsamples low-quality strata "
+    "without losing determinism for replay/audit. Map-only at scale.",
+    oracle="""
+WITH w AS (
+    SELECT doc_id, source,
+           LEAST(CAST(n_chars AS DOUBLE) / 2000.0, 1.0) AS weight,
+           CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE)
+             / 4294967296.0 AS u
+    FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) FILTER (WHERE u < weight) AS BIGINT) AS n_kept,
+       ROUND(CAST(COUNT(*) FILTER (WHERE u < weight) AS DOUBLE) / COUNT(*), 4) AS keep_rate
+FROM w GROUP BY source ORDER BY source
+""",
+)
+def pipeline_weighted_sample(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    weight = F.least(F.col("n_chars").cast("double") / 2000.0, F.lit(1.0))
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    kept = F.when(u < weight, 1).otherwise(0)
+    return (
+        d.select("source", kept.alias("_kept"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_kept").cast("long").alias("n_kept"),
+            F.round(F.sum("_kept").cast("double") / F.count(F.lit(1)), 4).alias("keep_rate"),
+        )
+        .orderBy("source")
+    )

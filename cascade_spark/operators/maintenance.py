@@ -93,3 +93,42 @@ def rollup_incremental_refresh(spark, sf_dir):
         .select("day", "n", d2(F.col("s")).alias("total_value"))
         .orderBy("day")
     )
+
+
+@register(
+    "maintenance_compact_small_files",
+    "sources",
+    doc="Small-file compaction as a declared operator: a fragmented "
+    "topic (32 shards of the events table) is rewritten to 4 files via "
+    "compact_topic, then read back — the aggregate must equal the "
+    "source table's exactly (content-preserving compaction). The "
+    "file-count assertion rides in the output row. At 100 TB this is "
+    "the per-partition maintenance job that keeps scan task counts "
+    "sane; the rewrite is one coalesce write, no shuffle.",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(12,4))), 2) AS DOUBLE) AS total_value,
+       CAST(1 AS BIGINT) AS compaction_ok
+FROM events
+""",
+)
+def maintenance_compact_small_files(spark, sf_dir):
+    import tempfile
+
+    if sf_dir not in _COMPACT_CACHE:
+        path = tempfile.mkdtemp(prefix="cascade_compact_") + "/topic"
+        t(spark, sf_dir, "events").repartition(32).write.parquet(path)
+        _COMPACT_CACHE[sf_dir] = (path, *compact_topic(spark, path, target_files=4))
+    out, before, after = _COMPACT_CACHE[sf_dir]
+    back = spark.read.parquet(out)
+    ok = F.lit(1 if (before > after and after <= 4) else 0).cast("long")
+    return back.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        d2(F.sum(dec("value"))).alias("total_value"),
+        ok.alias("compaction_ok"),
+    )
+
+
+_COMPACT_CACHE: dict = {}

@@ -349,3 +349,31 @@ def agg_filtered_conditional(spark, sf_dir):
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "agg_string_concat_ordered",
+    "aggregations",
+    doc="Deterministic string aggregation (listagg/string_agg): nation "
+    "names per region, sorted inside the aggregate so the concatenation "
+    "is order-independent of partitioning (collect_list alone is NOT "
+    "deterministic under parallelism — array_sort makes it so).",
+    oracle="""
+SELECT n_regionkey,
+       CAST(COUNT(*) AS BIGINT) AS n_nations,
+       STRING_AGG(n_name, ',' ORDER BY n_name) AS nations
+FROM nation
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+""",
+)
+def agg_string_concat_ordered(spark, sf_dir):
+    n = t(spark, sf_dir, "nation")
+    return (
+        n.groupBy("n_regionkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nations"),
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+        )
+        .orderBy("n_regionkey")
+    )
