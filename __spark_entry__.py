@@ -40,6 +40,8 @@ _NEW_THIS_ROUND: list[str] = [
     "maintenance_compact_small_files",
     "pipeline_weighted_sample",
     "agg_string_concat_ordered",
+    "embedding_norm_audit",
+    "fn_try_arithmetic",
     # env-gated (register only where the container allows):
     "stream_tws_counter",
     "scan_delta_roundtrip",

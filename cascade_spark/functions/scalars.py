@@ -278,3 +278,47 @@ def fn_string_distance(spark, sf_dir):
         )
         .orderBy("v1", "v2")
     )
+
+
+@register(
+    "fn_try_arithmetic",
+    "functions",
+    doc="Error-safe scalar family (try_divide / try_cast): NULL instead "
+    "of runtime failure — the semantics a 100 TB batch job needs so one "
+    "malformed row can't kill a 6-hour stage. Divide-by-zero nulls and "
+    "unparseable casts are counted exactly; quotient extremes use "
+    "min/max (order-independent, no float-accumulation hazard).",
+    oracle="""
+WITH q AS (
+    SELECT o_orderkey,
+           o_totalprice / NULLIF(o_custkey % 5, 0) AS quot,
+           TRY_CAST(o_orderstatus AS INTEGER) AS bad_int,
+           TRY_CAST(SUBSTR(CAST(o_orderkey AS VARCHAR), 1, 2) AS INTEGER) AS good_int
+    FROM orders
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) FILTER (WHERE quot IS NULL) AS BIGINT) AS n_div_null,
+       CAST(COUNT(*) FILTER (WHERE bad_int IS NULL) AS BIGINT) AS n_bad_cast,
+       CAST(SUM(good_int) AS BIGINT) AS sum_good_int,
+       ROUND(MIN(quot), 4) AS min_quot,
+       ROUND(MAX(quot), 4) AS max_quot
+FROM q
+""",
+)
+def fn_try_arithmetic(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    q = o.select(
+        F.try_divide(F.col("o_totalprice"), F.col("o_custkey") % 5).alias("quot"),
+        F.col("o_orderstatus").try_cast("int").alias("bad_int"),
+        F.substring(F.col("o_orderkey").cast("string"), 1, 2)
+        .try_cast("int")
+        .alias("good_int"),
+    )
+    return q.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("quot").isNull(), 1).otherwise(0)).cast("long").alias("n_div_null"),
+        F.sum(F.when(F.col("bad_int").isNull(), 1).otherwise(0)).cast("long").alias("n_bad_cast"),
+        F.sum("good_int").cast("long").alias("sum_good_int"),
+        F.round(F.min("quot"), 4).alias("min_quot"),
+        F.round(F.max("quot"), 4).alias("max_quot"),
+    )

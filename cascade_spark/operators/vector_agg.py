@@ -69,3 +69,61 @@ def embedding_centroid_per_label(spark, sf_dir):
         )
         .orderBy("label", "dim")
     )
+
+
+@register(
+    "embedding_norm_audit",
+    "similarity",
+    doc="Vector hygiene audit per label: vector count, dimension "
+    "consistency (min/max — a ragged dim is an ingest bug), zero-norm "
+    "count (unservable for cosine), and the exact quantized "
+    "sum-of-squares energy. Map-only over the embedding column with a "
+    "tiny per-label aggregate — the pre-flight every ANN build should "
+    "run at 100 TB before paying for an index. Quantization by "
+    "truncation (floor of scaled value) keeps both engines bit-exact.",
+    oracle=f"""
+WITH per_vec AS (
+    SELECT e.label,
+           LEN(e.embedding) AS dim,
+           (SELECT COALESCE(SUM(CAST(FLOOR(CAST(e.embedding[i] AS DOUBLE) * {Q}) AS BIGINT)
+                                * CAST(FLOOR(CAST(e.embedding[i] AS DOUBLE) * {Q}) AS BIGINT)), 0)
+            FROM UNNEST(GENERATE_SERIES(1, LEN(e.embedding))) AS t(i)) AS qnorm2
+    FROM embeddings e
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(MIN(dim) AS BIGINT) AS min_dim,
+       CAST(MAX(dim) AS BIGINT) AS max_dim,
+       CAST(SUM(CASE WHEN qnorm2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
+       CAST(SUM(qnorm2) AS BIGINT) AS total_qnorm2
+FROM per_vec GROUP BY label ORDER BY label
+""",
+)
+def embedding_norm_audit(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    qnorm2 = F.aggregate(
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * Q).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, q: acc + q * q,
+    )
+    per_vec = e.select(
+        "label",
+        F.size("embedding").alias("dim"),
+        qnorm2.alias("qnorm2"),
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.min("dim").cast("long").alias("min_dim"),
+            F.max("dim").cast("long").alias("max_dim"),
+            F.sum(F.when(F.col("qnorm2") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_zero_norm"),
+            F.sum("qnorm2").cast("long").alias("total_qnorm2"),
+        )
+        .orderBy("label")
+    )
