@@ -49,3 +49,13 @@ def test_no_complex_types_in_declared_query_output(spark, sf_dir):
             if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
                 offenders.append((name, f.name, f.dataType.simpleString()))
     assert not offenders, offenders
+
+
+def test_new_round_queries_surface_first():
+    """The driver samples a prefix of queries(); newly added queries must
+    occupy the front so each round's additions land in CORRECTNESS_r{N}."""
+    import __spark_entry__ as ent
+
+    names = list(ent.queries())
+    expected = [n for n in ent._NEW_THIS_ROUND if n in set(names)]
+    assert names[: len(expected)] == expected
