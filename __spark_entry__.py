@@ -30,6 +30,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # the sampled window; the full registry stays oracle-gated in pytest
 # (tests/test_oracle.py) regardless of sampling.
 _NEW_THIS_ROUND: list[str] = [
+    "graph_pagerank",
+    "maintenance_zorder_cluster",
+    "join_salted_skew",
+    "events_resample_ohlc",
+    "text_lm_commonality",
     "profile_simhash_buckets",
     "tpch_q20_potential_promotion",
     "setop_bag_all_variants",

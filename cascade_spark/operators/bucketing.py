@@ -104,3 +104,39 @@ def salted_join(
         (left_key == right_key) & (salted_left["_salt"] == salted_right["_salt"]),
     )
     return out.drop("_salt")
+
+
+@register(
+    "join_salted_skew",
+    "joins",
+    doc="Skew-salted fact-dim join as a declared operator: the events "
+    "fact (hot user keys — see profile_key_skew) joins the customer "
+    "dimension through salted_join (8-way salt: fact rows take a "
+    "deterministic hash salt, the dim side is exploded 8x), so one hot "
+    "key spreads across 8 reducers instead of one straggler task. "
+    "Salting is correctness-neutral — the oracle is the PLAIN join. At "
+    "100 TB this is the declarative fix when AQE skew-splitting can't "
+    "help (e.g. a skewed aggregate feeding the join).",
+    oracle="""
+SELECT c.c_mktsegment,
+       COUNT(*) AS n_events,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+       CAST(ROUND(SUM(CAST(e.value AS DECIMAL(12,4))), 2) AS DOUBLE) AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def join_salted_skew(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    dim = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = salted_join(ev, dim, ev["user_id"], dim["c_custkey"], salt=8)
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            d2(F.sum(dec("value"))).alias("total_value"),
+        )
+        .orderBy("c_mktsegment")
+    )

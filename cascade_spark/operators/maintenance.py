@@ -132,3 +132,80 @@ def maintenance_compact_small_files(spark, sf_dir):
 
 
 _COMPACT_CACHE: dict = {}
+
+
+# --- z-order (multi-dimensional) clustering ---------------------------------
+# Bit-interleave two bounded dimension keys into one sort key so a
+# range-clustered layout keeps BOTH dimensions locally bounded — the
+# standard data-skipping layout (Delta OPTIMIZE ZORDER, Iceberg sort
+# orders) expressed as plain arithmetic both engines evaluate identically.
+
+_ZBITS = 8  # 8 bits per dimension -> 16-bit z-value
+
+
+def _zvalue_expr(a: str, b: str, idiv: str) -> str:
+    """Arithmetic bit-interleave of two {0..2^_ZBITS-1} ints: dimension
+    ``a`` takes the odd bit positions, ``b`` the even. ``idiv`` is the
+    dialect's integer-division operator ('div' for Spark, '//' for
+    DuckDB); everything else is shared arithmetic."""
+    terms = []
+    for i in range(_ZBITS):
+        terms.append(f"((({a} {idiv} {2**i}) % 2) * {2 ** (2 * i + 1)})")
+        terms.append(f"((({b} {idiv} {2**i}) % 2) * {2 ** (2 * i)})")
+    return " + ".join(terms)
+
+
+@register(
+    "maintenance_zorder_cluster",
+    "sources",
+    doc="Z-order clustering audit: orders keyed by (custkey mod 256, "
+    "orderdate-epoch-day mod 256), bit-interleaved into a 16-bit "
+    "z-value; rows clustered into 256 z-range buckets (the file "
+    "boundaries a z-ordered rewrite would produce via "
+    "repartitionByRange(zvalue) + sortWithinPartitions). Output: "
+    "per-bucket count and min/max span of BOTH dimensions — each span "
+    "is bounded by 2^4-1=15, which is exactly why file-level zone maps "
+    "under this layout prune selective predicates on EITHER column. "
+    "Pure integer arithmetic, bit-identical across engines.",
+    oracle=f"""
+WITH keyed AS (
+    SELECT o_custkey % 256 AS cb,
+           DATEDIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) % 256 AS db
+    FROM orders
+),
+z AS (SELECT cb, db, {_zvalue_expr('cb', 'db', '//')} AS zv FROM keyed)
+SELECT CAST(zv // 256 AS BIGINT) AS zbucket,
+       COUNT(*) AS n_rows,
+       CAST(MIN(cb) AS BIGINT) AS min_cb, CAST(MAX(cb) AS BIGINT) AS max_cb,
+       CAST(MAX(cb) - MIN(cb) AS BIGINT) AS span_cb,
+       CAST(MIN(db) AS BIGINT) AS min_db, CAST(MAX(db) AS BIGINT) AS max_db,
+       CAST(MAX(db) - MIN(db) AS BIGINT) AS span_db
+FROM z
+GROUP BY 1
+ORDER BY zbucket
+""",
+)
+def maintenance_zorder_cluster(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    keyed = o.select(
+        (F.col("o_custkey") % 256).alias("cb"),
+        (F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")) % 256)
+        .cast("long")
+        .alias("db"),
+    )
+    z = keyed.select(
+        "cb", "db", F.expr(_zvalue_expr("cb", "db", "div")).alias("zv")
+    )
+    return (
+        z.groupBy(F.expr("zv div 256").cast("long").alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("cb").cast("long").alias("min_cb"),
+            F.max("cb").cast("long").alias("max_cb"),
+            (F.max("cb") - F.min("cb")).cast("long").alias("span_cb"),
+            F.min("db").cast("long").alias("min_db"),
+            F.max("db").cast("long").alias("max_db"),
+            (F.max("db") - F.min("db")).cast("long").alias("span_db"),
+        )
+        .orderBy("zbucket")
+    )

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Window, functions as F
 
 from cascade_spark.plans.registry import register
-from cascade_spark.operators._util import bigint, t, widen
+from cascade_spark.operators._util import bigint, sql_avg_round, t, widen
 from cascade_spark.operators.text import STOPWORDS, _sql_array
 
 MIN_WORDS, MAX_WORDS = 40, 10_000
@@ -171,3 +171,57 @@ def text_zipf_topwords(spark, sf_dir):
         bigint(F.col("c")).alias("freq"),
         bigint(F.row_number().over(w)).alias("rank"),
     ).orderBy("rank")
+
+
+@register(
+    "text_lm_commonality",
+    "text",
+    doc="CCNet-style LM quality proxy without floats: the corpus bigram "
+    "count table scores each document by the mean corpus frequency of "
+    "its bigrams (a doc of common constructions scores high; rare/"
+    "garbled text scores low — the same signal wiki-perplexity "
+    "filtering uses, as an exact rational instead of a log-prob). "
+    "Plan: one token-linear bigram count (map-side combinable), then a "
+    "doc-bigram -> count-table equi-join on (w1, w2) — the count table "
+    "is vocabulary-bounded, so at 100 TB AQE broadcasts it and the "
+    "score pass stays map-only. Exact integer avg (avg_round), "
+    "bit-identical to the oracle.",
+    oracle=f"""
+WITH g AS (
+    SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+    FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
+         LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(w) - 1)) AS i)
+),
+c AS (SELECT w1, w2, COUNT(*) AS cnt FROM g GROUP BY w1, w2),
+scored AS (
+    SELECT g.doc_id, COUNT(*) AS n_bigrams,
+           SUM(CAST(c.cnt AS DECIMAL(12,4))) AS s
+    FROM g JOIN c ON g.w1 = c.w1 AND g.w2 = c.w2
+    GROUP BY g.doc_id
+)
+SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       {sql_avg_round("s", 4, "n_bigrams")} AS mean_bigram_freq
+FROM scored
+ORDER BY doc_id
+""",
+)
+def text_lm_commonality(spark, sf_dir):
+    from cascade_spark.operators._util import avg_round, dec
+
+    d = widen(t(spark, sf_dir, "documents"))
+    w = d.select("doc_id", F.posexplode(F.split("text", " ")).alias("p", "w1"))
+    win_doc = Window.partitionBy("doc_id").orderBy("p")
+    g = w.select(
+        "doc_id", "w1", F.lead("w1", 1).over(win_doc).alias("w2")
+    ).filter(F.col("w2").isNotNull())
+    c = g.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    scored = (
+        g.join(c, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.sum(dec("cnt")).alias("s"))
+    )
+    return scored.select(
+        "doc_id",
+        bigint(F.col("n_bigrams")).alias("n_bigrams"),
+        avg_round(F.col("s"), F.col("n_bigrams"), 4).alias("mean_bigram_freq"),
+    ).orderBy("doc_id")

@@ -1,0 +1,139 @@
+"""Semantic tests for the round-4 additions: PageRank invariants,
+z-order span bounds, OHLC bar edge cases, LM-commonality invariants.
+(Oracle equality for all of these is covered by test_oracle.py's
+full-registry parametrization; these pin the properties an oracle
+diff would not explain well.)"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cascade_spark.plans.registry import load_all
+
+
+def test_pagerank_mass_conserved_and_types_rank_top(spark, sf_dir):
+    from cascade_spark.operators.graph import _TOTAL, _pagerank_frames
+
+    reg = load_all()
+    top = reg["graph_pagerank"].builder(spark, sf_dir).collect()
+    assert len(top) == 20
+    # the 5 event-type hubs aggregate user mass — they must be the head
+    assert all(r.node.startswith("t:") for r in top[:5])
+    # rank mass is conserved up to floor-division loss: each of the 3
+    # iterations loses < 1 nano-unit per edge (contrib floor) plus 1 per
+    # node (damping floor); bound the drift loosely
+    _, nodes = _pagerank_frames(spark, sf_dir)
+    n_nodes = nodes.count()
+    # recompute full rank frame (not just top-20) for the mass check
+    import cascade_spark.operators.graph as G
+
+    full = None
+    orig = G._ITERS
+    # builder returns top-20; reuse internals for the full frame
+    e, nodes_df = _pagerank_frames(spark, sf_dir)
+    from cascade_spark.operators._util import _intdiv
+
+    scal = F.broadcast(
+        nodes_df.agg(_intdiv(F.lit(_TOTAL), F.count(F.lit(1))).alias("tpn")).select(
+            "tpn", _intdiv(F.lit(15) * F.col("tpn"), F.lit(100)).alias("base")
+        )
+    )
+    r = nodes_df.crossJoin(scal).select("node", F.col("tpn").alias("pr"))
+    for _ in range(orig):
+        contrib = e.join(r, e["src"] == r["node"]).select(
+            "dst", _intdiv(F.col("pr") * F.col("w"), F.col("outw")).alias("c")
+        )
+        inflow = contrib.groupBy("dst").agg(F.sum("c").cast("long").alias("inflow"))
+        r = (
+            nodes_df.join(inflow, nodes_df["node"] == inflow["dst"], "left")
+            .crossJoin(scal)
+            .select(
+                "node",
+                (
+                    F.col("base")
+                    + _intdiv(
+                        F.lit(85) * F.coalesce(F.col("inflow"), F.lit(0)), F.lit(100)
+                    )
+                ).alias("pr"),
+            )
+        )
+    mass = r.agg(F.sum("pr")).collect()[0][0]
+    n_edges = e.count()
+    max_loss = orig * (n_edges + 2 * n_nodes + 200)
+    assert _TOTAL - max_loss <= mass <= _TOTAL
+    assert r.count() == n_nodes
+
+
+def test_zorder_spans_bounded(spark, sf_dir):
+    reg = load_all()
+    rows = reg["maintenance_zorder_cluster"].builder(spark, sf_dir).collect()
+    assert rows, "expected non-empty z-bucket audit"
+    # 256 z-range buckets over a 16-bit z-value leave 4 bits per
+    # dimension inside a bucket -> every span is <= 15. This is the
+    # data-skipping guarantee the layout exists for.
+    for r in rows:
+        assert 0 <= r.span_cb <= 15, r
+        assert 0 <= r.span_db <= 15, r
+
+
+def test_ohlc_single_row_bucket_open_equals_close(spark):
+    import pandas as pd
+
+    from cascade_spark.operators.timeseries import events_resample_ohlc
+    import tempfile, os
+
+    # synthetic: one bucket with 3 rows, one bucket with a single row
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 01:00:00",
+                    "2024-01-01 02:00:00",
+                    "2024-01-01 03:00:00",
+                    "2024-01-02 01:00:00",
+                ]
+            ),
+            "user_id": [1, 1, 1, 1],
+            "event_type": ["click"] * 4,
+            "value": [10.0, 99.0, 20.0, 7.0],
+            "props": ["{}"] * 4,
+        }
+    )
+    d = tempfile.mkdtemp(prefix="cascade_ohlc_")
+    spark.createDataFrame(pdf).write.parquet(os.path.join(d, "events.parquet"))
+    out = {(r.day, r.event_type): r for r in events_resample_ohlc(spark, d).collect()}
+    b1 = out[("2024-01-01", "click")]
+    assert (b1.open, b1.high, b1.low, b1.close, b1.volume) == (10.0, 99.0, 10.0, 20.0, 3)
+    b2 = out[("2024-01-02", "click")]
+    assert b2.open == b2.close == b2.high == b2.low == 7.0 and b2.volume == 1
+
+
+def test_lm_commonality_invariants(spark, sf_dir):
+    reg = load_all()
+    df = reg["text_lm_commonality"].builder(spark, sf_dir)
+    rows = df.collect()
+    assert rows
+    # every bigram occurs at least once (itself) -> score >= 1; and the
+    # doc's bigram count is positive for every scored doc
+    assert all(r.mean_bigram_freq >= 1.0 and r.n_bigrams > 0 for r in rows)
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    reg = load_all()
+    salted = reg["join_salted_skew"].builder(spark, sf_dir)
+    from cascade_spark.operators._util import d2, dec, t
+
+    ev = t(spark, sf_dir, "events")
+    dim = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    plain = (
+        ev.join(dim, ev["user_id"] == dim["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            d2(F.sum(dec("value"))).alias("total_value"),
+        )
+        .orderBy("c_mktsegment")
+    )
+    assert [tuple(r) for r in salted.collect()] == [tuple(r) for r in plain.collect()]
