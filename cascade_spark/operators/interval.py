@@ -1,0 +1,142 @@
+"""Interval-overlap self-join — the interval x interval join class.
+
+``join_range_bucketed`` handles point-in-interval; this operator joins
+INTERVALS to INTERVALS: which users' activity sessions overlapped in
+time. A naive overlap join is a nested-loop cross product; the scale
+shape is bucket blocking — each session explodes into the hour buckets
+it covers, candidates equi-join on the bucket (hash join), the exact
+overlap predicate runs as a residual filter, and bucket-induced
+duplicate candidate pairs collapse with one distinct before the
+aggregate.
+
+Cost at 100 TB: candidates are quadratic only within an hour bucket of
+concurrently-active sessions, linear across buckets — the same bound
+class as the LSH band join in dedup.py, and like it the degenerate-hour
+guard is a per-bucket cap (drop or sub-split buckets whose active count
+explodes); the fixtures stay far under any sensible cap so the declared
+semantics need none.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from cascade_spark.plans.registry import register
+from cascade_spark.operators._util import bigint, t
+
+_GAP_MIN = 45  # inactivity gap; bounds session span (and with it the
+# number of concurrently-active sessions per hour bucket — the quantity
+# that drives candidate-join cost)
+
+
+def _sessions(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(
+            prev.isNull() | (F.col("ts") > prev + F.expr(f"INTERVAL {_GAP_MIN} MINUTES")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    sess = flagged.select(
+        "user_id",
+        "ts",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("sidx"),
+    )
+    return sess.groupBy("user_id", "sidx").agg(
+        F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts")
+    )
+
+
+@register(
+    "join_interval_overlap",
+    "joins",
+    doc=f"Interval-overlap self-join: gap-based sessions ({_GAP_MIN}-min "
+    "gap) from different users that overlap in time, counted per user "
+    "pair (top-100 by overlap count). Blocked by hour buckets: each "
+    "session explodes into its covered hours, candidates hash-join on "
+    "the bucket, the exact closed-interval overlap predicate is a "
+    "residual filter, and multi-bucket duplicates collapse via one "
+    "distinct. The oracle is the naive quadratic overlap join — "
+    "blocking must be a pure optimization.",
+    oracle=f"""
+WITH gaps AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts > LAG(ts) OVER w + INTERVAL {_GAP_MIN} MINUTE
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess0 AS (
+    SELECT user_id, ts,
+           SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sidx
+    FROM gaps
+),
+sess AS (
+    SELECT user_id, sidx, MIN(ts) AS start_ts, MAX(ts) AS end_ts
+    FROM sess0 GROUP BY user_id, sidx
+)
+SELECT a.user_id AS user_a, b.user_id AS user_b, COUNT(*) AS n_overlaps
+FROM sess a JOIN sess b
+  ON a.user_id < b.user_id
+ AND a.start_ts <= b.end_ts
+ AND b.start_ts <= a.end_ts
+GROUP BY 1, 2
+ORDER BY n_overlaps DESC, user_a, user_b
+LIMIT 100
+""",
+)
+def join_interval_overlap(spark, sf_dir):
+    sess = _sessions(spark, sf_dir)
+    bucketed = sess.select(
+        "user_id",
+        "sidx",
+        "start_ts",
+        "end_ts",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "start_ts"),
+                F.date_trunc("hour", "end_ts"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("bucket"),
+    )
+    a = bucketed.select(
+        F.col("user_id").alias("user_a"),
+        F.col("sidx").alias("sidx_a"),
+        F.col("start_ts").alias("start_a"),
+        F.col("end_ts").alias("end_a"),
+        "bucket",
+    )
+    b = bucketed.select(
+        F.col("user_id").alias("user_b"),
+        F.col("sidx").alias("sidx_b"),
+        F.col("start_ts").alias("start_b"),
+        F.col("end_ts").alias("end_b"),
+        "bucket",
+    )
+    pairs = (
+        a.join(b, "bucket")
+        .filter(
+            (F.col("user_a") < F.col("user_b"))
+            & (F.col("start_a") <= F.col("end_b"))
+            & (F.col("start_b") <= F.col("end_a"))
+        )
+        # a session pair sharing several hour buckets must count once
+        .select("user_a", "sidx_a", "user_b", "sidx_b")
+        .distinct()
+    )
+    return (
+        pairs.groupBy("user_a", "user_b")
+        .agg(bigint(F.count(F.lit(1))).alias("n_overlaps"))
+        .orderBy(F.col("n_overlaps").desc(), "user_a", "user_b")
+        .limit(100)
+    )

@@ -284,3 +284,25 @@ def test_q20_aggregate_behind_semi_join(spark, sf_dir):
     plan = _plan(load_all()["tpch_q20_potential_promotion"].builder(spark, sf_dir))
     agg_pos = plan.index("HashAggregate(keys=[l_partkey")
     assert "LeftSemi" in plan[agg_pos:], plan
+
+
+def test_interval_overlap_is_hash_join_not_nested_loop(spark, sf_dir):
+    from cascade_spark.plans.registry import load_all
+
+    df = load_all()["join_interval_overlap"].builder(spark, sf_dir)
+    plan = _plan(df)
+    # the bucket key must carry the join; the overlap inequality is a
+    # residual — a nested-loop/cartesian plan would be the naive O(n^2)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_pagerank_edge_frame_is_persisted(spark, sf_dir):
+    from cascade_spark.plans.registry import load_all
+
+    df = load_all()["graph_pagerank"].builder(spark, sf_dir)
+    plan = _plan(df)
+    # 3 iterations must reuse the out-weighted edge frame from cache,
+    # not recompute the events aggregation per round
+    assert "InMemoryTableScan" in plan, plan
