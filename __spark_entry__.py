@@ -31,7 +31,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # (tests/test_oracle.py) regardless of sampling.
 _NEW_THIS_ROUND: list[str] = [
     "graph_pagerank",
+    "graph_triangle_count",
     "join_interval_overlap",
+    "events_new_vs_returning",
     "maintenance_zorder_cluster",
     "join_salted_skew",
     "events_resample_ohlc",

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from cascade_spark.plans.registry import register
-from cascade_spark.operators._util import _intdiv, t
+from cascade_spark.operators._util import _intdiv, sql_avg_round, t
 
 _TOTAL = 1_000_000_000  # total rank mass, in nano-rank units
 _EDGE_CACHE: dict = {}
@@ -143,3 +143,112 @@ def graph_pagerank(spark, sf_dir):
             )
         )
     return r.orderBy(F.col("pr").desc(), "node").limit(20)
+
+
+@register(
+    "graph_triangle_count",
+    "analytics",
+    doc="Triangle counting + global clustering coefficient over the "
+    "co-activity graph: edges are user pairs whose sessions overlapped "
+    ">= 2 times (from the shared persisted overlap-pair frame — one "
+    "build serves join_interval_overlap and this query). Triangles are "
+    "enumerated once each via the ordered-edge join (a<b<c), wedges "
+    "from per-node degree counts; the coefficient 3*tri/wedges is an "
+    "exact integer rational (avg_round), so the output hash-matches "
+    "the oracle. At 100 TB the edge list is the only big frame; the "
+    "two-hop join is bounded by the degree distribution and the "
+    "standard mitigation for hub nodes (degree-cap or high-degree "
+    "split) slots in exactly where the >=2-overlap threshold sits.",
+    oracle=f"""
+WITH gaps AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts > LAG(ts) OVER w + INTERVAL 45 MINUTE
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess0 AS (
+    SELECT user_id, ts,
+           SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sidx
+    FROM gaps
+),
+sess AS (
+    SELECT user_id, sidx, MIN(ts) AS start_ts, MAX(ts) AS end_ts
+    FROM sess0 GROUP BY user_id, sidx
+),
+p AS (
+    SELECT a.user_id AS ua, b.user_id AS ub, COUNT(*) AS n
+    FROM sess a JOIN sess b
+      ON a.user_id < b.user_id
+     AND a.start_ts <= b.end_ts AND b.start_ts <= a.end_ts
+    GROUP BY 1, 2
+),
+e AS (SELECT ua, ub FROM p WHERE n >= 2),
+deg AS (
+    SELECT u, COUNT(*) AS d FROM (
+        SELECT ua AS u FROM e UNION ALL SELECT ub AS u FROM e
+    ) GROUP BY u
+),
+tri AS (
+    SELECT COUNT(*) AS n_tri
+    FROM e ab JOIN e bc ON ab.ub = bc.ua
+              JOIN e ac ON ac.ua = ab.ua AND ac.ub = bc.ub
+),
+agg AS (
+    SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+           (SELECT COUNT(*) FROM e) AS n_edges,
+           (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) FROM deg) AS n_wedges,
+           (SELECT n_tri FROM tri) AS n_triangles
+)
+SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+       CAST(n_edges AS BIGINT) AS n_edges,
+       n_wedges,
+       CAST(n_triangles AS BIGINT) AS n_triangles,
+       {sql_avg_round("CAST(3 * n_triangles AS DECIMAL(12,4))", 4, "GREATEST(n_wedges, 1)")} AS clustering_coef
+FROM agg
+""",
+)
+def graph_triangle_count(spark, sf_dir):
+    from cascade_spark.operators._util import avg_round, dec
+    from cascade_spark.operators.interval import _overlap_pairs
+
+    pairs = _overlap_pairs(spark, sf_dir)
+    e = (
+        pairs.groupBy(F.col("user_a").alias("ua"), F.col("user_b").alias("ub"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("ua", "ub")
+    )
+    deg = (
+        e.select(F.col("ua").alias("u"))
+        .unionByName(e.select(F.col("ub").alias("u")))
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ab = e.select(F.col("ua").alias("a"), F.col("ub").alias("b"))
+    bc = e.select(F.col("ua").alias("b2"), F.col("ub").alias("c"))
+    ac = e.select(F.col("ua").alias("a3"), F.col("ub").alias("c3"))
+    tri = (
+        ab.join(bc, ab["b"] == bc["b2"])
+        .join(ac, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")), "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    stats = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        (F.sum(F.col("d") * (F.col("d") - 1) / 2)).cast("long").alias("n_wedges"),
+    )
+    n_edges = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    out = stats.crossJoin(n_edges).crossJoin(tri)
+    return out.select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        F.col("n_triangles").cast("long").alias("n_triangles"),
+        avg_round(
+            dec(F.lit(3) * F.col("n_triangles")),
+            F.greatest(F.col("n_wedges"), F.lit(1)),
+            4,
+        ).alias("clustering_coef"),
+    )

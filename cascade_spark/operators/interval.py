@@ -95,6 +95,28 @@ LIMIT 100
 """,
 )
 def join_interval_overlap(spark, sf_dir):
+    pairs = _overlap_pairs(spark, sf_dir)
+    return (
+        pairs.groupBy("user_a", "user_b")
+        .agg(bigint(F.count(F.lit(1))).alias("n_overlaps"))
+        .orderBy(F.col("n_overlaps").desc(), "user_a", "user_b")
+        .limit(100)
+    )
+
+
+_PAIR_CACHE: dict = {}
+
+
+def _overlap_pairs(spark, sf_dir):
+    """Distinct overlapping session pairs (user_a < user_b), blocked by
+    hour buckets. Persisted per (app, sf_dir): the overlap join and the
+    graph queries built on it (triangle counting) share one build."""
+    from cascade_spark.operators.dedup import _cached_frame
+
+    return _cached_frame(_PAIR_CACHE, spark, sf_dir, lambda: _build_pairs(spark, sf_dir))
+
+
+def _build_pairs(spark, sf_dir):
     sess = _sessions(spark, sf_dir)
     bucketed = sess.select(
         "user_id",
@@ -123,7 +145,7 @@ def join_interval_overlap(spark, sf_dir):
         F.col("end_ts").alias("end_b"),
         "bucket",
     )
-    pairs = (
+    return (
         a.join(b, "bucket")
         .filter(
             (F.col("user_a") < F.col("user_b"))
@@ -133,10 +155,4 @@ def join_interval_overlap(spark, sf_dir):
         # a session pair sharing several hour buckets must count once
         .select("user_a", "sidx_a", "user_b", "sidx_b")
         .distinct()
-    )
-    return (
-        pairs.groupBy("user_a", "user_b")
-        .agg(bigint(F.count(F.lit(1))).alias("n_overlaps"))
-        .orderBy(F.col("n_overlaps").desc(), "user_a", "user_b")
-        .limit(100)
     )

@@ -82,3 +82,65 @@ def events_resample_ohlc(spark, sf_dir):
         )
         .orderBy("day", "event_type")
     )
+
+
+@register(
+    "events_new_vs_returning",
+    "analytics",
+    doc="New-vs-returning daily actives + cumulative unique users. The "
+    "naive form is COUNT(DISTINCT user) over an expanding window — "
+    "quadratic state at scale. The scalable rewrite computes each "
+    "user's first-seen day once (one combinable min-aggregate), turns "
+    "cumulative-distinct into a cumulative SUM of first-seen counts "
+    "over the |days|-row frame, and splits daily actives into "
+    "new/returning by comparing against first_seen. All shuffles are "
+    "key-bounded (user, day); the only window runs over ~30 day rows.",
+    oracle="""
+WITH d AS (
+    SELECT STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d') AS day, user_id
+    FROM events GROUP BY 1, 2
+),
+first_seen AS (SELECT user_id, MIN(day) AS first_day FROM d GROUP BY user_id),
+daily AS (
+    SELECT d.day,
+           COUNT(*) AS active_users,
+           CAST(SUM(CASE WHEN f.first_day = d.day THEN 1 ELSE 0 END) AS BIGINT) AS new_users
+    FROM d JOIN first_seen f ON d.user_id = f.user_id
+    GROUP BY d.day
+)
+SELECT day, active_users,
+       new_users,
+       active_users - new_users AS returning_users,
+       CAST(SUM(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_unique_users
+FROM daily
+ORDER BY day
+""",
+)
+def events_new_vs_returning(spark, sf_dir):
+    d = (
+        t(spark, sf_dir, "events")
+        .select(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            "user_id",
+        )
+        .distinct()
+    )
+    first = d.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    daily = (
+        d.join(first, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("active_users"),
+            F.sum(F.when(F.col("first_day") == F.col("day"), 1).otherwise(0))
+            .cast("long")
+            .alias("new_users"),
+        )
+    )
+    win = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        "active_users",
+        "new_users",
+        (F.col("active_users") - F.col("new_users")).alias("returning_users"),
+        F.sum("new_users").over(win).cast("long").alias("cum_unique_users"),
+    ).orderBy("day")
