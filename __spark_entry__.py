@@ -30,6 +30,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # the sampled window; the full registry stays oracle-gated in pytest
 # (tests/test_oracle.py) regardless of sampling.
 _NEW_THIS_ROUND: list[str] = [
+    "multimodal_decode_ppm",
     "graph_pagerank",
     "graph_triangle_count",
     "join_interval_overlap",

@@ -137,3 +137,25 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
         .orderBy("c_mktsegment")
     )
     assert [tuple(r) for r in salted.collect()] == [tuple(r) for r in plain.collect()]
+
+
+def test_ppm_decoder_is_a_real_parser():
+    import pytest
+
+    from cascade_spark.operators.multimodal import decode_ppm, synth_ppm
+
+    # hand-built image, decoder never sees the generation parameters
+    blob = b"P6\n2 2\n255\n" + bytes(range(12))
+    w, h, mv, nb, psum = decode_ppm(blob)
+    assert (w, h, mv, nb) == (2, 2, 255, 12)
+    assert psum == sum(range(12))
+    # synth round-trip
+    for doc_id in (0, 7, 123456):
+        w, h, mv, nb, psum = decode_ppm(synth_ppm(doc_id))
+        assert (w, h) == (4 + doc_id % 13, 3 + doc_id % 7)
+        assert nb == 3 * w * h
+    # garbage rejected, not fake-decoded
+    with pytest.raises(ValueError):
+        decode_ppm(b"P5\n2 2\n255\n" + bytes(12))
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6\n4 4\n255\n" + bytes(5))  # truncated
