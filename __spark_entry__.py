@@ -31,6 +31,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # (tests/test_oracle.py) regardless of sampling.
 _NEW_THIS_ROUND: list[str] = [
     "multimodal_decode_ppm",
+    "multimodal_decode_wav",
     "graph_pagerank",
     "graph_triangle_count",
     "join_interval_overlap",

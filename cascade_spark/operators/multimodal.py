@@ -8,16 +8,17 @@ partition-friendly projections.
 
 Decode comes in two tiers:
 
-- ``decode_ppm`` (multimodal_decode_ppm) is a REAL decoder — binary PPM
-  (P6) needs no codec library, so the header tokenization and raw-RGB
-  numpy parse are actual byte-level decode work, verified end-to-end
-  against an oracle that recomputes dimensions and the exact pixel
-  checksum.
+- ``decode_ppm`` (multimodal_decode_ppm) and ``decode_wav``
+  (multimodal_decode_wav) are REAL decoders — binary PPM (P6) and
+  canonical PCM16 WAV need no codec library, so the header/chunk
+  parsing and numpy frombuffer work are actual byte-level decode,
+  verified end-to-end against oracles that recompute dimensions, the
+  exact pixel checksum, and the exact sample energy.
 - ``decode_image_stub`` (multimodal_decode) covers the codec formats the
-  container cannot serve (JPEG/PNG/audio): it tries the real decoder
-  import and falls back to a deterministic fake whose outputs are pure
-  functions of the blob's md5 — which is what lets the DuckDB oracle
-  check that plumbing end-to-end too.
+  container cannot serve (JPEG/PNG/compressed audio): it tries the real
+  decoder import and falls back to a deterministic fake whose outputs
+  are pure functions of the blob's md5 — which is what lets the DuckDB
+  oracle check that plumbing end-to-end too.
 
 At 100 TB: blobs ride in their own parquet column (column pruning keeps
 metadata-only scans cheap); decode fan-out is a map-only mapInPandas
@@ -286,5 +287,107 @@ def multimodal_decode_ppm(spark, sf_dir):
     schema = (
         "doc_id long, width long, height long, maxval long, "
         "n_bytes long, pixel_sum long, status string"
+    )
+    return ids.mapInPandas(synth_and_decode, schema=schema).orderBy("doc_id")
+
+
+# --- REAL audio decode: WAV (RIFF/PCM16) via pure bytes/numpy --------------
+# Same tier as decode_ppm: canonical PCM16 WAV is struct-parseable with
+# no codec library, so this is actual byte-level audio decode work.
+
+
+def synth_wav(doc_id: int) -> bytes:
+    """Deterministic valid mono PCM16 WAV: sample rate from doc_id,
+    samples (doc_id * 7 + i) % 65536 - 32768."""
+    import struct
+
+    sample_rate = 8000 + (doc_id % 3) * 4000  # 8k / 12k / 16k
+    n_samples = 64 + doc_id % 129
+    samples = [(doc_id * 7 + i) % 65536 - 32768 for i in range(n_samples)]
+    data = struct.pack(f"<{n_samples}h", *samples)
+    byte_rate = sample_rate * 2
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, byte_rate, 2, 16)
+        + b"data" + struct.pack("<I", len(data))
+    )
+    return hdr + data
+
+
+def decode_wav(blob: bytes) -> tuple[int, int, int, int]:
+    """Real RIFF/PCM16 parser: (n_channels, sample_rate, n_samples,
+    sum_sq) — sum of squared samples as an exact integer (the energy
+    statistic; no float RMS so the oracle matches bit-for-bit). Walks
+    the chunk list properly; raises ValueError on non-PCM16 payloads."""
+    import struct
+
+    import numpy as np
+
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(blob):
+        cid, size = blob[pos : pos + 4], struct.unpack("<I", blob[pos + 4 : pos + 8])[0]
+        body = blob[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, n_ch, rate, _, _, bits = fmt
+    if audio_fmt != 1 or bits != 16:
+        raise ValueError(f"not PCM16: fmt={audio_fmt} bits={bits}")
+    samples = np.frombuffer(data, dtype="<i2")
+    sum_sq = int((samples.astype("int64") ** 2).sum())
+    return n_ch, rate, int(samples.size) // n_ch, sum_sq
+
+
+@register(
+    "multimodal_decode_wav",
+    "multimodal",
+    doc="REAL audio decode end-to-end: canonical mono PCM16 WAV blobs "
+    "(RIFF chunk walk, little-endian int16 frombuffer — the decoder "
+    "sees only the bytes) synthesized per doc with doc_id-derived rate "
+    "and samples; output carries the exact integer energy (sum of "
+    "squared samples) so the SQL oracle matches bit-for-bit. The "
+    "map-only mapInPandas shape is identical to the image path.",
+    oracle="""
+SELECT d.doc_id,
+       CAST(1 AS BIGINT) AS n_channels,
+       8000 + (d.doc_id % 3) * 4000 AS sample_rate,
+       64 + d.doc_id % 129 AS n_samples,
+       (SELECT CAST(SUM(((d.doc_id * 7 + i) % 65536 - 32768)
+                        * ((d.doc_id * 7 + i) % 65536 - 32768)) AS BIGINT)
+        FROM UNNEST(GENERATE_SERIES(0, 64 + d.doc_id % 129 - 1)) AS s(i)
+       ) AS sum_sq,
+       'decoded-wav' AS status
+FROM documents d
+ORDER BY d.doc_id
+""",
+)
+def multimodal_decode_wav(spark, sf_dir):
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents")
+    ids = d.repartition(8).select("doc_id")
+
+    def synth_and_decode(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                blob = synth_wav(doc_id)
+                n_ch, rate, n_samples, sum_sq = decode_wav(blob)
+                rows.append((doc_id, n_ch, rate, n_samples, sum_sq, "decoded-wav"))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_channels", "sample_rate", "n_samples", "sum_sq", "status"],
+            )
+
+    schema = (
+        "doc_id long, n_channels long, sample_rate long, "
+        "n_samples long, sum_sq long, status string"
     )
     return ids.mapInPandas(synth_and_decode, schema=schema).orderBy("doc_id")

@@ -159,3 +159,32 @@ def test_ppm_decoder_is_a_real_parser():
         decode_ppm(b"P5\n2 2\n255\n" + bytes(12))
     with pytest.raises(ValueError):
         decode_ppm(b"P6\n4 4\n255\n" + bytes(5))  # truncated
+
+
+def test_wav_decoder_is_a_real_parser():
+    import struct
+
+    import pytest
+
+    from cascade_spark.operators.multimodal import decode_wav, synth_wav
+
+    # hand-built 2-sample mono 8k WAV
+    data = struct.pack("<2h", -5, 7)
+    blob = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    assert decode_wav(blob) == (1, 8000, 2, 25 + 49)
+    # synth round-trip
+    for doc_id in (0, 5, 99999):
+        n_ch, rate, n_samples, sum_sq = decode_wav(synth_wav(doc_id))
+        assert n_ch == 1 and rate == 8000 + (doc_id % 3) * 4000
+        assert n_samples == 64 + doc_id % 129
+    # wrong container / wrong codec rejected
+    with pytest.raises(ValueError):
+        decode_wav(b"OggS" + bytes(40))
+    bad_fmt = blob.replace(struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16),
+                           struct.pack("<IHHIIHH", 16, 3, 1, 8000, 16000, 2, 16))
+    with pytest.raises(ValueError):
+        decode_wav(bad_fmt)
