@@ -32,6 +32,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _NEW_THIS_ROUND: list[str] = [
     "multimodal_decode_ppm",
     "multimodal_decode_wav",
+    "bus_index_dump",
     "graph_pagerank",
     "graph_triangle_count",
     "join_interval_overlap",

@@ -873,3 +873,46 @@ def bus_stream_windowed_agg(spark, sf_dir):
             "complete",
         )
     return out.orderBy("day", "event_type")
+
+
+@register(
+    "bus_index_dump",
+    "sources",
+    doc="Index dump (reference R16, src/broker/main.rs index.table): the "
+    "topic's committed-segment index rendered as a relation — per bus "
+    "partition, the segment chain with row counts and the cumulative "
+    "offset range each segment serves. Control-plane data: the index is "
+    "#partitions x #segments rows regardless of topic volume, so the "
+    "driver-side file read is bounded like any catalog lookup; the "
+    "oracle recomputes the round-robin offset spaces relationally.",
+    oracle="""
+WITH seq AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS i FROM events
+),
+assigned AS (SELECT CAST(i % 4 AS INT) AS partition FROM seq)
+SELECT partition,
+       CAST(0 AS BIGINT) AS segment_seq,
+       'jsonl' AS fmt,
+       COUNT(*) AS n_rows,
+       CAST(0 AS BIGINT) AS start_offset,
+       COUNT(*) AS next_offset
+FROM assigned
+GROUP BY partition
+ORDER BY partition, segment_seq
+""",
+)
+def bus_index_dump(spark, sf_dir):
+    topic = stage_bus_topic(spark, sf_dir)
+    idx = _load_index(topic)
+    n_parts = (idx or {}).get("num_partitions", 4)
+    rows = []
+    for p in range(n_parts):
+        base = 0
+        for seq, (path, n, fmt) in enumerate(_segment_files(topic, p)):
+            rows.append((p, seq, fmt, n, base, base + n))
+            base += n
+    return spark.createDataFrame(
+        rows,
+        "partition int, segment_seq long, fmt string, n_rows long, "
+        "start_offset long, next_offset long",
+    ).orderBy("partition", "segment_seq")
