@@ -33,6 +33,7 @@ _NEW_THIS_ROUND: list[str] = [
     "multimodal_decode_ppm",
     "multimodal_decode_wav",
     "bus_index_dump",
+    "scan_binaryfile_blobs",
     "graph_pagerank",
     "graph_triangle_count",
     "join_interval_overlap",

@@ -391,3 +391,69 @@ def multimodal_decode_wav(spark, sf_dir):
         "n_samples long, sum_sq long, status string"
     )
     return ids.mapInPandas(synth_and_decode, schema=schema).orderBy("doc_id")
+
+
+_BINFILE_CACHE: dict = {}
+
+
+@register(
+    "scan_binaryfile_blobs",
+    "sources",
+    doc="Media ingestion through Spark's binaryFile source — the real "
+    "on-disk path for multimodal corpora: a directory of .ppm image "
+    "files is read as (path, length, content) rows, pruned to the "
+    "binary column, and decoded by the REAL PPM parser inside "
+    "mapInPandas. The oracle recomputes each image's dimensions and "
+    "exact pixel checksum from its id. At 100 TB this is the "
+    "object-store listing + ranged-read scan; decode stays map-only "
+    "and the scan parallelizes per file.",
+    oracle="""
+SELECT i AS img_id,
+       4 + i % 13 AS width,
+       3 + i % 7 AS height,
+       3 * (4 + i % 13) * (3 + i % 7) AS n_bytes,
+       (SELECT CAST(SUM((i * 31 + j) % 256) AS BIGINT)
+        FROM UNNEST(GENERATE_SERIES(0, 3 * (4 + i % 13) * (3 + i % 7) - 1)) AS s(j)
+       ) AS pixel_sum
+FROM UNNEST(GENERATE_SERIES(0, 31)) AS t(i)
+ORDER BY img_id
+""",
+)
+def scan_binaryfile_blobs(spark, sf_dir):
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    if sf_dir not in _BINFILE_CACHE:
+        blob_dir = tempfile.mkdtemp(prefix="cascade_blobs_")
+        for i in range(32):
+            with open(os.path.join(blob_dir, f"img_{i:04d}.ppm"), "wb") as fh:
+                fh.write(synth_ppm(i))
+        _BINFILE_CACHE[sf_dir] = blob_dir
+    blob_dir = _BINFILE_CACHE[sf_dir]
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.ppm")
+        .load(blob_dir)
+        .select(
+            F.regexp_extract(F.col("path"), r"img_(\d+)\.ppm$", 1)
+            .cast("long")
+            .alias("img_id"),
+            "content",
+        )
+    )
+
+    def decode_batches(batches):
+        for pdf in batches:
+            rows = []
+            for img_id, blob in zip(pdf["img_id"], pdf["content"]):
+                w, h, _, nb, psum = decode_ppm(bytes(blob))
+                rows.append((int(img_id), w, h, nb, psum))
+            yield pd.DataFrame(
+                rows, columns=["img_id", "width", "height", "n_bytes", "pixel_sum"]
+            )
+
+    schema = "img_id long, width long, height long, n_bytes long, pixel_sum long"
+    return files.mapInPandas(decode_batches, schema=schema).orderBy("img_id")
