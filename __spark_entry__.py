@@ -34,6 +34,10 @@ _NEW_THIS_ROUND: list[str] = [
     "multimodal_decode_wav",
     "bus_index_dump",
     "scan_binaryfile_blobs",
+    "subquery_lateral_topn",
+    "window_ignore_nulls",
+    "agg_bool_flags",
+    "fn_url_parse",
     "graph_pagerank",
     "graph_triangle_count",
     "join_interval_overlap",
