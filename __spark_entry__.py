@@ -38,6 +38,8 @@ _NEW_THIS_ROUND: list[str] = [
     "window_ignore_nulls",
     "agg_bool_flags",
     "fn_url_parse",
+    "agg_trend_regression",
+    "events_anomaly_mad",
     "graph_pagerank",
     "graph_triangle_count",
     "join_interval_overlap",

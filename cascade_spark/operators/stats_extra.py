@@ -377,3 +377,105 @@ def agg_string_concat_ordered(spark, sf_dir):
         )
         .orderBy("n_regionkey")
     )
+
+
+@register(
+    "agg_trend_regression",
+    "aggregations",
+    doc="Linear-regression aggregates (regr_slope / regr_intercept / "
+    "regr_r2): per event type, daily counts regressed on the day index "
+    "— distributed trend estimation over the pre-aggregated day table "
+    "(|days| rows per group, never raw events). Co-moment merge order "
+    "wiggles last ulps, so outputs round to 4 (same discipline as "
+    "agg_correlation).",
+    oracle="""
+WITH daily AS (
+    SELECT event_type,
+           DATE_DIFF('day', DATE '2024-01-01', CAST(DATE_TRUNC('day', ts) AS DATE)) AS x,
+           COUNT(*) AS y
+    FROM events
+    GROUP BY event_type, DATE_TRUNC('day', ts)
+)
+SELECT event_type,
+       ROUND(REGR_SLOPE(y, x), 4) AS slope,
+       ROUND(REGR_INTERCEPT(y, x), 4) AS intercept,
+       ROUND(REGR_R2(y, x), 4) AS r2,
+       CAST(COUNT(*) AS BIGINT) AS n_days
+FROM daily
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def agg_trend_regression(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.date_trunc("day", "ts"), F.lit("2024-01-01")).alias("x"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.round(F.regr_slope("y", "x"), 4).alias("slope"),
+            F.round(F.regr_intercept("y", "x"), 4).alias("intercept"),
+            F.round(F.regr_r2("y", "x"), 4).alias("r2"),
+            bigint(F.count(F.lit(1))).alias("n_days"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "events_anomaly_mad",
+    "analytics",
+    doc="Robust outlier detection via median absolute deviation — the "
+    "breakdown-resistant complement to events_anomaly_zscore (a few "
+    "extreme values cannot drag the threshold the way they drag a "
+    "mean/stddev). Two grouped medians (value, then |value - median|, "
+    "both exact interpolated percentiles with cross-engine parity) and "
+    "one broadcast-joined scoring pass; outliers flagged at "
+    "|v - med| > 5 * MAD with an integer multiplier so the comparison "
+    "is bit-identical.",
+    oracle="""
+WITH med AS (
+    SELECT event_type, MEDIAN(value) AS med FROM events GROUP BY event_type
+),
+dev AS (
+    SELECT e.event_type, MEDIAN(ABS(e.value - m.med)) AS mad
+    FROM events e JOIN med m ON e.event_type = m.event_type
+    GROUP BY e.event_type
+)
+SELECT e.event_type,
+       m.med,
+       d.mad,
+       CAST(SUM(CASE WHEN ABS(e.value - m.med) > 5 * d.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       COUNT(*) AS n
+FROM events e
+JOIN med m ON e.event_type = m.event_type
+JOIN dev d ON e.event_type = d.event_type
+GROUP BY e.event_type, m.med, d.mad
+ORDER BY e.event_type
+""",
+)
+def events_anomaly_mad(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(F.median(F.abs(F.col("value") - F.col("med"))).alias("mad"))
+    )
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(dev), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.sum(
+                F.when(F.abs(F.col("value") - F.col("med")) > 5 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("event_type", "med", "mad", "n_outliers", "n")
+        .orderBy("event_type")
+    )
