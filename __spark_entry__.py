@@ -40,6 +40,9 @@ _NEW_THIS_ROUND: list[str] = [
     "fn_url_parse",
     "agg_trend_regression",
     "events_anomaly_mad",
+    "fn_variant_json",
+    "agg_collated_group",
+    "scan_csv_permissive_badrecords",
     "graph_pagerank",
     "graph_triangle_count",
     "join_interval_overlap",

@@ -162,3 +162,123 @@ def fn_url_parse(spark, sf_dir):
         F.parse_url(url, F.lit("QUERY")).alias("query"),
         F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
     ).orderBy("doc_id")
+
+
+@register(
+    "fn_variant_json",
+    "functions",
+    doc="VARIANT semi-structured type (Spark 4): events.props parsed "
+    "with parse_json into a variant column, fields extracted with "
+    "variant_get at a declared type, schema introspected with "
+    "schema_of_variant, and try_parse_json shown null-safe on garbage "
+    "— the modern open-schema path that replaces string-JSON "
+    "re-parsing per access. Oracle extracts the same fields with "
+    "DuckDB's JSON accessors.",
+    oracle="""
+SELECT event_id,
+       CAST(props ->> '$.k' AS BIGINT) AS k,
+       CAST(props ->> '$.k' AS BIGINT) * 2 AS k_doubled,
+       'OBJECT<k: BIGINT>' AS variant_schema,
+       CAST(NULL AS BIGINT) AS bad_parse
+FROM events
+ORDER BY event_id
+""",
+)
+def fn_variant_json(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "long").alias("k"),
+        (F.variant_get(v, "$.k", "long") * 2).alias("k_doubled"),
+        F.schema_of_variant(v).alias("variant_schema"),
+        F.variant_get(F.try_parse_json(F.lit("{not json")), "$.k", "long").alias("bad_parse"),
+    ).orderBy("event_id")
+
+
+@register(
+    "agg_collated_group",
+    "aggregations",
+    doc="Collation-aware grouping (Spark 4 collations): a mixed-case "
+    "language column grouped under UTF8_LCASE compares "
+    "case-insensitively in the groupBy itself — no lower() projection "
+    "— with the canonical key and a deterministic min-raw "
+    "representative projected for the output. Oracle = the classic "
+    "LOWER() rewrite, pinning that the collated group is exactly the "
+    "case-folded group.",
+    oracle="""
+WITH mixed AS (
+    SELECT CASE WHEN doc_id % 2 = 0 THEN UPPER(lang) ELSE lang END AS m
+    FROM documents
+)
+SELECT LOWER(m) AS lang_ci,
+       COUNT(*) AS n,
+       MIN(m) AS min_raw
+FROM mixed
+GROUP BY LOWER(m)
+ORDER BY lang_ci
+""",
+)
+def agg_collated_group(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    mixed = d.select(
+        F.when(F.col("doc_id") % 2 == 0, F.upper("lang")).otherwise(F.col("lang")).alias("m")
+    )
+    return (
+        mixed.groupBy(F.collate(F.col("m"), "UTF8_LCASE").alias("mc"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.collate(F.col("m"), "UTF8_BINARY")).alias("min_raw"),
+        )
+        .select(F.lower(F.col("mc")).alias("lang_ci"), "n", "min_raw")
+        .orderBy("lang_ci")
+    )
+
+
+_CSV_BAD_CACHE: dict = {}
+
+
+@register(
+    "scan_csv_permissive_badrecords",
+    "sources",
+    doc="Malformed-record handling on ingest: a CSV where every 10th "
+    "row has a non-numeric value is read under PERMISSIVE mode with a "
+    "corrupt-record column — bad rows surface as NULL fields + the raw "
+    "line instead of failing the job (the operational contract for "
+    "ingesting dirty feeds at scale; DROPMALFORMED/FAILFAST are the "
+    "stricter modes of the same knob). Output: good/bad counts and the "
+    "good-row sum, derived by the oracle from the generation rule.",
+    oracle="""
+WITH rows_ AS (SELECT UNNEST(GENERATE_SERIES(0, 99)) AS id)
+SELECT CAST(SUM(CASE WHEN id % 10 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+       CAST(SUM(CASE WHEN id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+       CAST(SUM(CASE WHEN id % 10 <> 0 THEN id * 3 END) AS BIGINT) AS sum_good_val
+FROM rows_
+""",
+)
+def scan_csv_permissive_badrecords(spark, sf_dir):
+    import os
+    import tempfile
+
+    if sf_dir not in _CSV_BAD_CACHE:
+        d = tempfile.mkdtemp(prefix="cascade_badcsv_")
+        path = os.path.join(d, "feed.csv")
+        with open(path, "w") as fh:
+            fh.write("id,val\n")
+            for i in range(100):
+                fh.write(f"{i},xx\n" if i % 10 == 0 else f"{i},{i * 3}\n")
+        _CSV_BAD_CACHE[sf_dir] = path
+    df = (
+        spark.read.schema("id long, val long, _corrupt string")
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(_CSV_BAD_CACHE[sf_dir])
+        # corrupt-record access requires materializing the raw column
+        .cache()
+    )
+    return df.agg(
+        F.sum(F.when(F.col("_corrupt").isNull(), 1).otherwise(0)).cast("long").alias("n_good"),
+        F.sum(F.when(F.col("_corrupt").isNotNull(), 1).otherwise(0)).cast("long").alias("n_bad"),
+        F.sum(F.when(F.col("_corrupt").isNull(), F.col("val"))).cast("long").alias("sum_good_val"),
+    )
