@@ -1,0 +1,42 @@
+"""Parallelism invariance — the determinism-at-scale contract.
+
+SCALE.md claims results do not drift with parallelism (decimal
+accumulation, exact integer arithmetic, md5-derived hash families).
+This pins it: representative hash-checked queries must return
+IDENTICAL rows under different spark.sql.shuffle.partitions settings —
+the knob that changes merge order, partition boundaries, and reduce
+fan-in, i.e. exactly what differs between local[32] and a
+1000-executor cluster.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from cascade_spark.plans.registry import load_all
+
+# float-aggregate, windowed, iterative, and hash-family representatives
+QUERIES = [
+    "agg_grouped_q1",            # decimal accumulation
+    "events_transition_matrix",  # exact integer rounded averages
+    "rollup_incremental_refresh",  # mergeable partials
+    "graph_pagerank",            # iterative integer fixed point
+    "text_lm_commonality",       # corpus join + avg_round
+    "dedup_minhash_lsh",         # md5-derived hash family
+    "events_resample_ohlc",      # order-sensitive first/last
+]
+
+
+def _rows(session, name, sf_dir):
+    df = load_all()[name].builder(session, sf_dir)
+    return [tuple(r) for r in df.collect()]
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_results_identical_across_shuffle_partition_counts(spark, sf_dir, name):
+    base = _rows(spark, name, sf_dir)
+    assert base, name
+    for parts in ("3", "57"):
+        s2 = spark.newSession()
+        s2.conf.set("spark.sql.shuffle.partitions", parts)
+        assert _rows(s2, name, sf_dir) == base, f"{name} drifted at {parts} partitions"
