@@ -43,6 +43,8 @@ _NEW_THIS_ROUND: list[str] = [
     "fn_variant_json",
     "agg_collated_group",
     "scan_csv_permissive_badrecords",
+    "agg_grouping_id",
+    "events_session_window_batch",
     "graph_pagerank",
     "graph_triangle_count",
     "join_interval_overlap",

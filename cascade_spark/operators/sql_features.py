@@ -282,3 +282,84 @@ def scan_csv_permissive_badrecords(spark, sf_dir):
         F.sum(F.when(F.col("_corrupt").isNotNull(), 1).otherwise(0)).cast("long").alias("n_bad"),
         F.sum(F.when(F.col("_corrupt").isNull(), F.col("val"))).cast("long").alias("sum_good_val"),
     )
+
+
+@register(
+    "agg_grouping_id",
+    "aggregations",
+    doc="GROUPING()/GROUPING_ID() flags on a rollup: subtotal rows are "
+    "distinguished from genuine NULL group keys by the grouping "
+    "bitmask, not by key nullness — the only correct way to consume "
+    "rollup/cube output downstream.",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+""",
+)
+def agg_grouping_id(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("long").alias("g_flag"),
+            F.grouping("l_linestatus").cast("long").alias("g_status"),
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("l_returnflag", "l_linestatus", "g_flag", "g_status", "gid", "n")
+        .orderBy("gid", F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
+    )
+
+
+@register(
+    "events_session_window_batch",
+    "analytics",
+    doc="Built-in session_window in BATCH mode (the same operator the "
+    "streaming query uses, no gaps-and-islands windows needed): "
+    "per-user 30-minute-gap sessions as one groupBy over the dynamic "
+    "session key. Oracle = the manual islands construction with "
+    "end = last event + gap, pinning Spark's session-window semantics "
+    "against the portable rewrite.",
+    oracle="""
+WITH gaps AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT user_id, ts,
+           SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sidx
+    FROM gaps
+)
+SELECT user_id,
+       STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       STRFTIME(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM sess
+GROUP BY user_id, sidx
+ORDER BY user_id, session_start
+""",
+)
+def events_session_window_batch(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
