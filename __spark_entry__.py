@@ -45,6 +45,9 @@ _NEW_THIS_ROUND: list[str] = [
     "scan_csv_permissive_badrecords",
     "agg_grouping_id",
     "events_session_window_batch",
+    "profile_overlap_buckets",
+    "pipeline_interleave_sources",
+    "fn_xml_extract",
     "graph_pagerank",
     "graph_triangle_count",
     "join_interval_overlap",

@@ -341,3 +341,38 @@ def pipeline_weighted_sample(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@register(
+    "pipeline_interleave_sources",
+    "pipeline",
+    doc="Deterministic source interleaving — the training-ORDER side of "
+    "domain mixing (pipeline_domain_rebalance fixes proportions; this "
+    "fixes the schedule): each source's docs take a per-source ordinal "
+    "(row_number by doc_id within source), and the global order is "
+    "(ordinal, source) — round-robin across sources, reproducible on "
+    "any engine/partitioning, no RNG. Per-source windows shuffle on "
+    "the source key only; a materialized global position at 100 TB "
+    "would use the two-phase range-partition prefix sum "
+    "(ingest.assign_prefix_sum) rather than a single-task window.",
+    oracle="""
+SELECT source,
+       CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS ordinal,
+       doc_id
+FROM documents
+ORDER BY ordinal, source
+""",
+)
+def pipeline_interleave_sources(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return (
+        d.select(
+            "source",
+            F.row_number().over(w).cast("long").alias("ordinal"),
+            "doc_id",
+        )
+        .orderBy("ordinal", "source")
+    )

@@ -156,3 +156,68 @@ def _build_pairs(spark, sf_dir):
         .select("user_a", "sidx_a", "user_b", "sidx_b")
         .distinct()
     )
+
+
+@register(
+    "profile_overlap_buckets",
+    "profiling",
+    doc="Blocking-health audit for the interval-overlap join (the same "
+    "observability pattern as profile_simhash_buckets): per-hour-bucket "
+    "active-session counts summarized as a distribution — bucket count, "
+    "max/mean active sessions, and the implied candidate-pair total "
+    "(sum of n*(n-1)/2). This is the pre-flight that decides whether a "
+    "bucket cap or finer blocking granularity is needed before the "
+    "quadratic-within-bucket join runs at full scale.",
+    oracle=f"""
+WITH gaps AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts > LAG(ts) OVER w + INTERVAL {_GAP_MIN} MINUTE
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess0 AS (
+    SELECT user_id, ts,
+           SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sidx
+    FROM gaps
+),
+sess AS (
+    SELECT user_id, sidx, MIN(ts) AS start_ts, MAX(ts) AS end_ts
+    FROM sess0 GROUP BY user_id, sidx
+),
+expanded AS (
+    SELECT UNNEST(GENERATE_SERIES(DATE_TRUNC('hour', start_ts),
+                                  DATE_TRUNC('hour', end_ts),
+                                  INTERVAL 1 HOUR)) AS bucket
+    FROM sess
+),
+per_bucket AS (
+    SELECT bucket, COUNT(*) AS n_active FROM expanded GROUP BY bucket
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(MAX(n_active) AS BIGINT) AS max_active,
+       CAST(SUM(n_active) AS BIGINT) AS total_memberships,
+       CAST(SUM(n_active * (n_active - 1) / 2) AS BIGINT) AS candidate_pairs
+FROM per_bucket
+""",
+)
+def profile_overlap_buckets(spark, sf_dir):
+    sess = _sessions(spark, sf_dir)
+    expanded = sess.select(
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "start_ts"),
+                F.date_trunc("hour", "end_ts"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("bucket")
+    )
+    per_bucket = expanded.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_active"))
+    return per_bucket.agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.max("n_active").cast("long").alias("max_active"),
+        F.sum("n_active").cast("long").alias("total_memberships"),
+        F.sum(F.col("n_active") * (F.col("n_active") - 1) / 2).cast("long").alias("candidate_pairs"),
+    )

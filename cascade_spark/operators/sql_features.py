@@ -363,3 +363,38 @@ def events_session_window_batch(spark, sf_dir):
         )
         .orderBy("user_id", "session_start")
     )
+
+
+@register(
+    "fn_xml_extract",
+    "functions",
+    doc="XML functions: documents rendered as XML records, fields "
+    "pulled back out with xpath_string / xpath_long — legacy-feed "
+    "parsing as JVM built-ins. The oracle reconstructs the expected "
+    "values directly (ground truth, not a second XML parser).",
+    oracle="""
+SELECT doc_id,
+       lang AS xml_lang,
+       CAST(n_chars AS BIGINT) AS xml_chars,
+       source AS xml_source
+FROM documents
+ORDER BY doc_id
+""",
+)
+def fn_xml_extract(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    xml = F.concat(
+        F.lit("<doc><lang>"),
+        F.col("lang"),
+        F.lit("</lang><chars>"),
+        F.col("n_chars").cast("string"),
+        F.lit("</chars><src>"),
+        F.col("source"),
+        F.lit("</src></doc>"),
+    )
+    return d.select(
+        "doc_id",
+        F.xpath_string(xml, F.lit("/doc/lang")).alias("xml_lang"),
+        F.xpath_long(xml, F.lit("/doc/chars")).alias("xml_chars"),
+        F.xpath_string(xml, F.lit("/doc/src")).alias("xml_source"),
+    ).orderBy("doc_id")
