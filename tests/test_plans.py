@@ -306,3 +306,16 @@ def test_pagerank_edge_frame_is_persisted(spark, sf_dir):
     # 3 iterations must reuse the out-weighted edge frame from cache,
     # not recompute the events aggregation per round
     assert "InMemoryTableScan" in plan, plan
+
+
+def test_lateral_topn_rewrites_to_rank_window_not_nested_loop(spark, sf_dir):
+    from cascade_spark.plans.registry import load_all
+
+    df = load_all()["subquery_lateral_topn"].builder(spark, sf_dir)
+    plan = _plan(df)
+    # Catalyst must rewrite the correlated LATERAL ... LIMIT into the
+    # rank-window + join family; a nested-loop per-outer-row re-execution
+    # would be |nation| x |customer| at scale
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "row_number" in plan, plan
