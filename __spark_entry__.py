@@ -48,6 +48,8 @@ _NEW_THIS_ROUND: list[str] = [
     "profile_overlap_buckets",
     "pipeline_interleave_sources",
     "fn_xml_extract",
+    "analytics_frequent_itemsets",
+    "stream_chained_windows",
     "graph_pagerank",
     "graph_triangle_count",
     "join_interval_overlap",

@@ -363,3 +363,62 @@ def subquery_recursive_cte(spark, sf_dir):
         ORDER BY depth
         """
     )
+
+
+@register(
+    "analytics_frequent_itemsets",
+    "analytics",
+    doc="Association mining (MLlib FP-Growth) with exact verification: "
+    "baskets are each user's distinct event types; FP-Growth mines "
+    "frequent itemsets, restricted here to sizes 1-2 and post-filtered "
+    "by the exact integer support predicate freq*100 >= 45*n_users — "
+    "so the oracle can recompute supports relationally (singleton "
+    "counts + self-join pair counts) and the MLlib path is "
+    "hash-checked, not just rows-only. At scale FP-Growth "
+    "distributes via per-partition conditional trees (parallel "
+    "FP-Growth); the basket build is one distinct + one groupBy.",
+    oracle="""
+WITH b AS (SELECT DISTINCT user_id, event_type FROM events),
+u AS (SELECT COUNT(DISTINCT user_id) AS n FROM b),
+single AS (
+    SELECT event_type AS item1, CAST(NULL AS VARCHAR) AS item2, COUNT(*) AS freq
+    FROM b GROUP BY event_type
+),
+pairs AS (
+    SELECT a.event_type AS item1, c.event_type AS item2, COUNT(*) AS freq
+    FROM b a JOIN b c ON a.user_id = c.user_id AND a.event_type < c.event_type
+    GROUP BY 1, 2
+)
+SELECT item1, item2, CAST(freq AS BIGINT) AS freq
+FROM (SELECT * FROM single UNION ALL SELECT * FROM pairs) x, u
+WHERE freq * 100 >= 45 * u.n
+ORDER BY item1, item2 NULLS FIRST
+""",
+)
+def analytics_frequent_itemsets(spark, sf_dir):
+    from pyspark.ml.fpm import FPGrowth
+
+    ev = t(spark, sf_dir, "events")
+    baskets = (
+        ev.select("user_id", "event_type")
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_set("event_type")).alias("items"))
+    )
+    n_users = baskets.count()  # scalar for the exact integer predicate
+    model = FPGrowth(itemsCol="items", minSupport=0.3, minConfidence=0.5).fit(baskets)
+    sets = model.freqItemsets  # items array, freq long
+    return (
+        sets.filter(F.size("items") <= 2)
+        .filter(F.col("freq") * 100 >= 45 * n_users)
+        .select(
+            F.sort_array("items").alias("s"),
+            F.col("freq").cast("long").alias("freq"),
+        )
+        .select(
+            F.element_at("s", 1).alias("item1"),
+            F.when(F.size("s") == 2, F.element_at("s", 2)).alias("item2"),
+            "freq",
+        )
+        .orderBy("item1", F.col("item2").asc_nulls_first())
+    )

@@ -324,3 +324,55 @@ def stream_ingest_exactly_once(spark, sf_dir):
         )
         q.awaitTermination()
     return spark.read.parquet(outdir).agg(F.count(F.lit(1)).alias("n_ingested"))
+
+
+@register(
+    "stream_chained_windows",
+    "streaming",
+    doc="Chained time-window aggregations (two stateful operators in "
+    "ONE append-mode query, Spark 3.4+/4): hourly tumbling partials "
+    "re-windowed into daily totals by grouping on the window column "
+    "itself — the streaming form of the partial->final rollup, so the "
+    "daily state sees |hours| rows, never raw events. Far-future "
+    "sentinel rows (filtered from the output; absent from the batch "
+    "oracle's events table) push the watermark past the last real "
+    "day so finite replay emits every window. Oracle = direct daily "
+    "aggregation (hours nest exactly in days).",
+    oracle="""
+SELECT STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d') AS day,
+       event_type,
+       COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(12,4))), 2) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def stream_chained_windows(spark, sf_dir):
+    # daily windows need the watermark to clear up to 24h past the last
+    # real event: 13 sentinels push it hi + 26h (see stage_stream_input)
+    indir, schema, _, delay = stage_stream_input(spark, sf_dir, n_files=4, sentinels=13)
+    src = (
+        spark.readStream.schema(schema)
+        .parquet(indir)
+        .withWatermark("ts", delay)
+    )
+    hourly = src.groupBy(F.window("ts", "1 hour").alias("hw"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("value")).alias("s"),
+    )
+    daily = hourly.groupBy(F.window("hw", "1 day").alias("dw"), "event_type").agg(
+        F.sum("n").alias("n"),
+        F.sum("s").alias("s"),
+    )
+    with state_partitions(spark, 8):
+        out = run_to_memory(
+            daily.select(
+                F.date_format("dw.start", "yyyy-MM-dd").alias("day"),
+                "event_type",
+                F.col("n").cast("long").alias("n"),
+                d2(F.col("s")).alias("total_value"),
+            ),
+            "append",
+        )
+    return out.filter(F.col("event_type") != "sentinel").orderBy("day", "event_type")
