@@ -50,6 +50,7 @@ _NEW_THIS_ROUND: list[str] = [
     "fn_xml_extract",
     "analytics_frequent_itemsets",
     "stream_chained_windows",
+    "udf_arrow_row",
     "graph_pagerank",
     "graph_triangle_count",
     "join_interval_overlap",

@@ -184,3 +184,41 @@ def text_tfidf_mllib(spark, sf_dir):
             4,
         ).alias("tfidf_norm"),
     ).orderBy("doc_id")
+
+
+@register(
+    "udf_arrow_row",
+    "udf",
+    doc="Arrow-optimized Python UDF (Spark 3.5+/4 useArrow=True): the "
+    "same row signature as udf_python_row but with Arrow-batched "
+    "transfer instead of per-row pickling — the drop-in upgrade tier "
+    "between the legacy row UDF and a full pandas_udf rewrite. "
+    "Deterministic string math, so unlike the legacy row demo this one "
+    "is hash-checked.",
+    oracle="""
+SELECT event_id,
+       CASE WHEN value > 100.0 THEN 'high'
+            WHEN value > 50.0 THEN 'mid'
+            ELSE 'low' END AS tier,
+       CAST(CAST(FLOOR(value) AS BIGINT) % 10 AS BIGINT) AS last_digit
+FROM events
+ORDER BY event_id
+""",
+)
+def udf_arrow_row(spark, sf_dir):
+    import math
+
+    @F.udf(T.StringType(), useArrow=True)
+    def tier(v):
+        if v is None:
+            return None
+        return "high" if v > 100.0 else ("mid" if v > 50.0 else "low")
+
+    @F.udf(T.LongType(), useArrow=True)
+    def last_digit(v):
+        return None if v is None else int(math.floor(v)) % 10
+
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", tier("value").alias("tier"), last_digit("value").alias("last_digit")
+    ).orderBy("event_id")
