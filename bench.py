@@ -49,7 +49,13 @@ def main() -> None:
     # pre-stage streaming fixture inputs (fixture prep, not operator work)
     from cascade_spark.streaming.pipeline import stage_stream_input
 
-    for n_files, dup, sent in [(8, False, 0), (8, True, 0), (4, False, 2), (4, False, 0)]:
+    for n_files, dup, sent in [
+        (8, False, 0),
+        (8, True, 0),
+        (4, False, 2),
+        (4, False, 0),
+        (4, False, 13),  # stream_chained_windows' deep-watermark fixture
+    ]:
         stage_stream_input(spark, SF_DIR, n_files=n_files, duplicate=dup, sentinels=sent)
     # bucketed layout maintenance is amortized table prep, not join work
     from cascade_spark.operators.bucketing import bucketed_tables
