@@ -51,6 +51,7 @@ _NEW_THIS_ROUND: list[str] = [
     "analytics_frequent_itemsets",
     "stream_chained_windows",
     "udf_arrow_row",
+    "pipeline_pretraining_end_to_end",
     "graph_pagerank",
     "graph_triangle_count",
     "join_interval_overlap",

@@ -376,3 +376,104 @@ def pipeline_interleave_sources(spark, sf_dir):
         )
         .orderBy("ordinal", "source")
     )
+
+
+@register(
+    "pipeline_pretraining_end_to_end",
+    "pipeline",
+    doc="The full pre-training corpus pipeline as ONE declared query: "
+    "quality gate (alpha ratio, min words) -> exact-dedup keep-first "
+    "(md5 fingerprint) -> MinHash near-dup drop (any doc appearing as "
+    "the larger id in a >=0.5-estimated-Jaccard LSH pair is removed — "
+    "the keep-earliest policy, reusing the shared persisted LSH pair "
+    "frame) -> deterministic md5 train/val/test split -> dataset-card "
+    "summary per (split, source). One DAG, one oracle: the SQL chain "
+    "reuses the minhash CTEs verbatim, so every stage's semantics are "
+    "pinned end-to-end, not just per-operator. At 100 TB each stage "
+    "keeps its own scale shape (map-only gates, hash dedup, banded "
+    "LSH, pure-hash split) — composition adds no new shuffle class.",
+    oracle=None,  # assembled below — needs the dedup module's CTEs
+)
+def pipeline_pretraining_end_to_end(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from cascade_spark.operators._util import avg_round, dec, widen
+    from cascade_spark.operators.dedup import N_HASHES, _lsh_pairs
+
+    d = widen(t(spark, sf_dir, "documents"))
+    words = F.split(F.col("text"), " ")
+    fp = d.select(
+        "doc_id", "text", "source", F.md5(F.lower(F.trim("text"))).alias("fingerprint")
+    )
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    deduped = fp.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    quality = deduped.filter(
+        (F.length(F.regexp_replace("text", "[^a-z]", "")) * 10 >= F.length("text") * 7)
+        & (F.size(words) >= 10)
+    )
+    near_d2 = (
+        _lsh_pairs(spark, sf_dir)
+        .filter(F.col("matches") * 2 >= N_HASHES)
+        .select(F.col("d2").alias("doc_id"))
+        .distinct()
+    )
+    survivors = quality.join(near_d2, "doc_id", "left_anti")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split")
+    )
+    return (
+        survivors.select(split, "source", F.size(words).alias("n_tokens"))
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            avg_round(F.sum(dec("n_tokens")), F.count(F.lit(1)), 2).alias("avg_tokens"),
+        )
+        .orderBy("split", "source")
+    )
+
+
+def _e2e_oracle() -> str:
+    from cascade_spark.operators.dedup import N_HASHES, _SQL_PAIR_CTES
+
+    return f"""
+WITH {_SQL_PAIR_CTES},
+neardup AS (SELECT DISTINCT d2 AS doc_id FROM sim WHERE matches * 2 >= {N_HASHES}),
+fp AS (
+    SELECT doc_id, text, source, MD5(LOWER(TRIM(text))) AS fingerprint
+    FROM documents
+),
+deduped AS (
+    SELECT doc_id, text, source
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn FROM fp)
+    WHERE rn = 1
+),
+quality AS (SELECT * FROM deduped WHERE {_QUALITY_SQL}),
+survivors AS (
+    SELECT * FROM quality WHERE doc_id NOT IN (SELECT doc_id FROM neardup)
+),
+spl AS (
+    SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+           source, LEN(STRING_SPLIT(text, ' ')) AS n_tokens
+    FROM (SELECT *, ('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+          FROM survivors)
+)
+SELECT split, source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       {sql_avg_round("SUM(CAST(n_tokens AS DECIMAL(12,4)))", 2)} AS avg_tokens
+FROM spl
+GROUP BY split, source
+ORDER BY split, source
+"""
+
+
+# late-bind the oracle (the CTE constants live in dedup.py; importing it
+# at module top would be a cycle through operators/__init__)
+from cascade_spark.plans.registry import REGISTRY as _REG  # noqa: E402
+
+_REG["pipeline_pretraining_end_to_end"].oracle = _e2e_oracle()
