@@ -191,3 +191,44 @@ def test_interval_blocking_equals_brute_force(spark, ivs):
         )
     }
     assert got == want
+
+
+# --- media decoders: property tests against arbitrary payloads --------------
+@settings(max_examples=100, deadline=None)
+@given(
+    w=st.integers(1, 32),
+    h=st.integers(1, 32),
+    seed=st.integers(0, 2**31),
+)
+def test_ppm_decode_roundtrip_arbitrary_images(w, h, seed):
+    import random
+
+    from cascade_spark.operators.multimodal import decode_ppm
+
+    rng = random.Random(seed)
+    px = bytes(rng.randrange(256) for _ in range(3 * w * h))
+    blob = f"P6\n{w} {h}\n255\n".encode() + px
+    got_w, got_h, mv, nb, psum = decode_ppm(blob)
+    assert (got_w, got_h, mv, nb) == (w, h, 255, 3 * w * h)
+    assert psum == sum(px)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    rate=st.sampled_from([8000, 16000, 44100, 48000]),
+    samples=st.lists(st.integers(-32768, 32767), min_size=1, max_size=256),
+)
+def test_wav_decode_roundtrip_arbitrary_audio(rate, samples):
+    import struct
+
+    from cascade_spark.operators.multimodal import decode_wav
+
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    blob = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    n_ch, got_rate, n, sum_sq = decode_wav(blob)
+    assert (n_ch, got_rate, n) == (1, rate, len(samples))
+    assert sum_sq == sum(s * s for s in samples)
