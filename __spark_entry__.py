@@ -52,6 +52,7 @@ _NEW_THIS_ROUND: list[str] = [
     "stream_chained_windows",
     "udf_arrow_row",
     "pipeline_pretraining_end_to_end",
+    "stream_dedup_within_watermark",
     "graph_pagerank",
     "graph_triangle_count",
     "join_interval_overlap",

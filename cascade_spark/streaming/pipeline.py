@@ -376,3 +376,38 @@ def stream_chained_windows(spark, sf_dir):
             "append",
         )
     return out.filter(F.col("event_type") != "sentinel").orderBy("day", "event_type")
+
+
+@register(
+    "stream_dedup_within_watermark",
+    "streaming",
+    doc="dropDuplicatesWithinWatermark (Spark 3.5+): unlike classic "
+    "dropDuplicates — whose per-key state lives forever unless the "
+    "event-time column is part of the key — this variant evicts dedup "
+    "state once the watermark passes a key's first sighting, bounding "
+    "state for sources whose duplicates arrive close together (retry "
+    "storms, at-least-once replays). Input is the fixture appended "
+    "twice; every event must still emit exactly once.",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(event_id) AS BIGINT) AS sum_event_id
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def stream_dedup_within_watermark(spark, sf_dir):
+    indir, schema, _, _ = stage_stream_input(spark, sf_dir, duplicate=True)
+    src = spark.readStream.schema(schema).parquet(indir)
+    deduped = src.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(["event_id"])
+    with state_partitions(spark, 8):
+        out = run_to_memory(deduped, "append")
+    return (
+        out.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("event_id").cast("long").alias("sum_event_id"),
+        )
+        .orderBy("event_type")
+    )
