@@ -1,0 +1,53 @@
+"""Empty-input robustness — the degenerate slice every production run
+eventually hits (an empty date partition, a filtered-out tenant, a
+fresh topic). Every batch operator here must plan and execute cleanly
+over zero-row tables with the right schemas, returning an empty (or
+scalar-zero) result instead of crashing.
+
+Scoped to builders without staging side effects (bus topics and
+streaming fixtures materialize real inputs and are exercised by their
+own tests).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+
+from cascade_spark.plans.registry import load_all
+from cascade_spark.tables import load
+
+_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+QUERIES = [
+    "graph_pagerank", "graph_triangle_count", "join_interval_overlap",
+    "events_new_vs_returning", "maintenance_zorder_cluster",
+    "events_resample_ohlc", "text_lm_commonality", "join_salted_skew",
+    "events_anomaly_mad", "agg_trend_regression", "profile_overlap_buckets",
+    "pipeline_interleave_sources", "events_session_window_batch",
+    "agg_grouping_id", "pipeline_pretraining_end_to_end", "fn_url_parse",
+    "fn_xml_extract", "fn_variant_json", "agg_bool_flags",
+    "agg_collated_group", "subquery_lateral_topn", "window_ignore_nulls",
+    "multimodal_decode_ppm", "multimodal_decode_wav",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(spark, sf_dir):
+    d = tempfile.mkdtemp(prefix="cascade_empty_")
+    for t in _TABLES:
+        load(spark, sf_dir, t).limit(0).write.parquet(os.path.join(d, f"{t}.parquet"))
+    return d
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_query_survives_empty_tables(spark, empty_sf_dir, name):
+    rows = load_all()[name].builder(spark, empty_sf_dir).collect()
+    # scalar-aggregate audits legitimately return one (zeroed) row;
+    # everything else must be empty — never an exception either way
+    assert len(rows) <= 1 or name == "agg_grouping_id", (name, rows[:3])
