@@ -398,3 +398,35 @@ def fn_xml_extract(spark, sf_dir):
         F.xpath_long(xml, F.lit("/doc/chars")).alias("xml_chars"),
         F.xpath_string(xml, F.lit("/doc/src")).alias("xml_source"),
     ).orderBy("doc_id")
+
+
+@register(
+    "fn_aes_roundtrip",
+    "functions",
+    doc="Column-level encryption (aes_encrypt/aes_decrypt): document "
+    "text encrypted and decrypted in one projection — the "
+    "field-protection step PII pipelines apply before data leaves a "
+    "trust boundary (see pipeline_pii_scrub for the redaction "
+    "alternative). ECB mode is used here ONLY because its determinism "
+    "makes the roundtrip oracle-checkable; production uses GCM, whose "
+    "random IV cannot hash-match a replay by design. The oracle checks "
+    "the identity: decrypt(encrypt(x)) = x, plus ciphertext length "
+    "(block padding) as an exact integer.",
+    oracle="""
+SELECT doc_id,
+       text AS roundtrip,
+       CAST(((OCTET_LENGTH(ENCODE(text)) // 16) + 1) * 16 AS BIGINT) AS cipher_len
+FROM documents
+ORDER BY doc_id
+""",
+)
+def fn_aes_roundtrip(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    key = F.lit("0123456789abcdef")  # 16-byte demo key
+    cipher = F.aes_encrypt(F.col("text").cast("binary"), key, F.lit("ECB"))
+    plain = F.aes_decrypt(cipher, key, F.lit("ECB"))
+    return d.select(
+        "doc_id",
+        plain.cast("string").alias("roundtrip"),
+        F.length(cipher).cast("long").alias("cipher_len"),
+    ).orderBy("doc_id")
