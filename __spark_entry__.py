@@ -30,6 +30,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # the sampled window; the full registry stays oracle-gated in pytest
 # (tests/test_oracle.py) regardless of sampling.
 _NEW_THIS_ROUND: list[str] = [
+    "join_hint_strategies",
+    "sql_parameterized",
+    "setop_union_by_name",
+    "agg_bitwise",
+    "stats_crosstab",
+    "stats_correlation",
+    "maintenance_file_metadata_audit",
+    "events_activity_streaks",
+    "analytics_yoy_growth",
+    "pipeline_curriculum_order",
+    "pipeline_token_budget_mixture",
     "multimodal_decode_ppm",
     "multimodal_decode_wav",
     "bus_index_dump",

@@ -1,0 +1,217 @@
+"""Analytics & curation extras (round 4, late batch): gaps-and-islands
+activity streaks, year-over-year growth, curriculum ordering, and
+token-budget mixture planning.
+
+All exact-arithmetic (integer units / floor-of-double with IEEE parity)
+per the registry determinism contract; every aggregate is map-side
+combinable and every window is partitioned by a real key — no global
+single-partition windows in the Spark plans (the oracles may use them;
+DuckDB is single-node anyway).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from cascade_spark.operators._util import d2, dec, t
+from cascade_spark.plans.registry import register
+
+
+@register(
+    "events_activity_streaks",
+    "analytics",
+    doc="Gaps-and-islands: longest consecutive-day activity streak per "
+    "user. Classic rewrite — distinct active days, row_number per "
+    "user, group by (day - row_number) which is constant exactly "
+    "within a consecutive run. Two shuffles on user_id (distinct + "
+    "window share the partitioning; the streak group-by is a "
+    "sub-key of it), no self-join — the naive LEFT JOIN day-1 "
+    "formulation would be a second full shuffle of the same data.",
+    oracle="""
+WITH days AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), marked AS (
+    SELECT user_id, d,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS rn
+    FROM days
+), streaks AS (
+    SELECT user_id, d - CAST(rn AS INTEGER) AS g, CAST(COUNT(*) AS BIGINT) AS len
+    FROM marked GROUP BY user_id, d - CAST(rn AS INTEGER)
+)
+SELECT user_id,
+       CAST(SUM(len) AS BIGINT) AS active_days,
+       CAST(MAX(len) AS BIGINT) AS longest_streak,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks
+FROM streaks
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def events_activity_streaks(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    marked = days.withColumn("rn", F.row_number().over(w))
+    streaks = marked.groupBy(
+        "user_id", F.date_sub(F.col("d"), F.col("rn")).alias("g")
+    ).agg(F.count(F.lit(1)).cast("long").alias("len"))
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.sum("len").cast("long").alias("active_days"),
+            F.max("len").cast("long").alias("longest_streak"),
+            F.count(F.lit(1)).cast("long").alias("n_streaks"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "analytics_yoy_growth",
+    "analytics",
+    doc="Year-over-year growth per order priority: revenue per "
+    "(priority, year) in exact cents, LAG over the year axis, growth "
+    "in basis points as FLOOR of an exact-integer double quotient "
+    "(both operands < 2^53, so the division inputs are bit-identical "
+    "across engines). The window partitions on priority — |years| "
+    "rows per partition, never a scale concern; the heavy work is the "
+    "one map-side-combinable aggregate underneath.",
+    oracle="""
+WITH rev AS (
+    SELECT o_orderpriority, CAST(YEAR(o_orderdate) AS BIGINT) AS yr,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) * 100 AS BIGINT) AS cents
+    FROM orders
+    GROUP BY o_orderpriority, YEAR(o_orderdate)
+), lagged AS (
+    SELECT o_orderpriority, yr, cents,
+           LAG(cents) OVER (PARTITION BY o_orderpriority ORDER BY yr) AS prev
+    FROM rev
+)
+SELECT o_orderpriority, yr,
+       CAST(ROUND(cents / 100.0, 2) AS DOUBLE) AS revenue,
+       CAST(FLOOR(CAST((cents - prev) * 10000 AS DOUBLE) / prev) AS BIGINT) AS growth_bp
+FROM lagged
+ORDER BY o_orderpriority, yr
+""",
+)
+def analytics_yoy_growth(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    rev = orders.groupBy(
+        "o_orderpriority", F.year("o_orderdate").cast("long").alias("yr")
+    ).agg((F.sum(dec("o_totalprice")) * 100).cast("long").alias("cents"))
+    w = Window.partitionBy("o_orderpriority").orderBy("yr")
+    lagged = rev.withColumn("prev", F.lag("cents").over(w))
+    cents, prev = F.col("cents"), F.col("prev")
+    return lagged.select(
+        "o_orderpriority",
+        "yr",
+        F.round(cents / F.lit(100.0), 2).alias("revenue"),
+        F.floor(((cents - prev) * 10000).cast("double") / prev).cast("long").alias("growth_bp"),
+    ).orderBy("o_orderpriority", "yr")
+
+
+@register(
+    "pipeline_curriculum_order",
+    "analytics",
+    doc="Curriculum schedule: documents ordered easy→hard by length "
+    "band, deterministically shuffled (md5 of doc_id) WITHIN each band "
+    "— the standard curriculum-learning data order. The global ordinal "
+    "is two-phase: band-local row_number (partitioned window) plus a "
+    "cumulative band-offset computed over the |bands|-row size frame "
+    "and broadcast back — the same no-single-task-window pattern as "
+    "ingest.assign_offsets, so the ordinal assignment scales to any "
+    "corpus. The oracle uses one global window (DuckDB is single-node; "
+    "the rewrite equivalence is the point).",
+    oracle="""
+WITH banded AS (
+    SELECT doc_id,
+           CASE WHEN n_chars < 200 THEN 0
+                WHEN n_chars < 380 THEN 1 ELSE 2 END AS band,
+           MD5(CAST(doc_id AS VARCHAR)) AS u
+    FROM documents
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY band, u, doc_id) AS BIGINT) AS ordinal,
+       doc_id, CAST(band AS BIGINT) AS band
+FROM banded
+ORDER BY ordinal
+""",
+)
+def pipeline_curriculum_order(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("n_chars") < 200, 0)
+        .when(F.col("n_chars") < 380, 1)
+        .otherwise(2)
+        .cast("long")
+        .alias("band"),
+        F.md5(F.col("doc_id").cast("string")).alias("u"),
+    )
+    wb = Window.partitionBy("band").orderBy("u", "doc_id")
+    local = d.withColumn("rn", F.row_number().over(wb).cast("long"))
+    sizes = d.groupBy("band").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    # cumulative offsets over the |bands|-row frame (3 rows — tiny by
+    # construction, same pattern as ingest.assign_offsets)
+    wo = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.select("band", F.coalesce(F.sum("cnt").over(wo), F.lit(0)).alias("off"))
+    return (
+        local.join(F.broadcast(offsets), "band")
+        .select((F.col("off") + F.col("rn")).alias("ordinal"), "doc_id", "band")
+        .orderBy("ordinal")
+    )
+
+
+@register(
+    "pipeline_token_budget_mixture",
+    "analytics",
+    doc="Token-budget mixture planning: given integer mixture weights "
+    "per source and a 10M-token budget, compute each source's "
+    "available whitespace tokens, its allocated share, and the implied "
+    "oversampling factor (epochs, in basis points — >10000 means the "
+    "source repeats). The per-source aggregate is the only heavy pass; "
+    "the weight normalization runs over the |sources|-row frame. All "
+    "integer/FLOOR arithmetic — deterministic replay for dataset "
+    "cards.",
+    oracle="""
+WITH tok AS (
+    SELECT source,
+           CAST(SUM(LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+'))) AS BIGINT) AS tokens,
+           CAST(CASE WHEN source IN ('src0','src1','src2','src3') THEN 3
+                     ELSE 1 END AS BIGINT) AS weight
+    FROM documents
+    GROUP BY source
+), norm AS (
+    SELECT source, tokens, weight,
+           CAST(SUM(weight) OVER () AS BIGINT) AS total_w
+    FROM tok
+)
+SELECT source, tokens AS tokens_available, weight,
+       CAST(FLOOR(CAST(10000000 * weight AS DOUBLE) / total_w) AS BIGINT) AS alloc_tokens,
+       CAST(FLOOR(CAST(FLOOR(CAST(10000000 * weight AS DOUBLE) / total_w) * 10000
+                       AS DOUBLE) / tokens) AS BIGINT) AS epochs_bp
+FROM norm
+ORDER BY source
+""",
+)
+def pipeline_token_budget_mixture(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    ws = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    tok = docs.groupBy("source").agg(F.sum(ws).alias("tokens")).select(
+        "source",
+        "tokens",
+        F.when(F.col("source").isin("src0", "src1", "src2", "src3"), 3)
+        .otherwise(1)
+        .cast("long")
+        .alias("weight"),
+    )
+    total = tok.agg(F.sum("weight").cast("long").alias("total_w"))
+    alloc = F.floor((F.lit(10000000) * F.col("weight")).cast("double") / F.col("total_w")).cast(
+        "long"
+    )
+    joined = tok.crossJoin(F.broadcast(total))
+    return joined.select(
+        "source",
+        F.col("tokens").alias("tokens_available"),
+        "weight",
+        alloc.alias("alloc_tokens"),
+        F.floor((alloc * 10000).cast("double") / F.col("tokens")).cast("long").alias("epochs_bp"),
+    ).orderBy("source")

@@ -1,0 +1,326 @@
+"""Relational-surface extras (round 4, late batch): explicit join
+strategy hints, parameterized SQL, union-by-name schema alignment,
+bitwise aggregates, contingency tables, exact-sum correlation, and the
+hidden ``_metadata`` file-audit columns.
+
+Each is the built-in JVM/codegen form; determinism follows the registry
+contract (decimal accumulation, exact integer arithmetic, IEEE-identical
+final double expressions on both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from cascade_spark.operators._util import d2, dec, t
+from cascade_spark.plans.registry import register
+
+
+@register(
+    "join_hint_strategies",
+    "joins",
+    doc="Explicit physical join-strategy hints: orders⋈customer forced "
+    "to a ShuffledHashJoin (hint('shuffle_hash') — skips the sort when "
+    "the build side fits per-partition memory) and the result⋈nation "
+    "forced to a SortMergeJoin (hint('merge') — the both-sides-large "
+    "strategy AQE would normally pick only past the broadcast "
+    "threshold). Result is identical to the unhinted plan — the hints "
+    "change only the physical strategy, which the plan test pins "
+    "(tests/test_plans.py). At 100 TB these hints are how a pipeline "
+    "author overrides a misestimated build side without rewriting the "
+    "query.",
+    oracle="""
+SELECT n.n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(12,4))), 2) AS DOUBLE) AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+ORDER BY n.n_name
+""",
+)
+def join_hint_strategies(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    per_nation = (
+        orders.join(cust.hint("shuffle_hash"), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(dec("o_totalprice")).alias("rev_dec"),
+        )
+    )
+    return (
+        per_nation.join(nation.hint("merge"), per_nation.c_nationkey == nation.n_nationkey)
+        .select("n_name", "n_orders", d2(F.col("rev_dec")).alias("revenue"))
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "sql_parameterized",
+    "subqueries",
+    doc="Parameterized SQL (Spark 3.4+): named ':param' placeholders "
+    "bound via spark.sql(query, args=...) plus DataFrame template "
+    "substitution ('{orders}' → a Python DataFrame object). The "
+    "injection-safe form of dynamic SQL — parameters are bound as "
+    "typed literals by the parser, never string-spliced, so Catalyst "
+    "still constant-folds and pushes the predicates down to the scan.",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,4))), 2) AS DOUBLE) AS revenue
+FROM orders
+WHERE o_totalprice > 150000.0
+  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def sql_parameterized(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,4))), 2) AS DOUBLE)
+                 AS revenue
+        FROM {orders}
+        WHERE o_totalprice > :minp
+          AND o_orderdate < CAST(:cutoff AS TIMESTAMP)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """,
+        args={"minp": 150000.0, "cutoff": "1999-01-01 00:00:00"},
+        orders=orders,
+    )
+
+
+@register(
+    "setop_union_by_name",
+    "setops",
+    doc="Schema-aligned union: customers and suppliers project different "
+    "column orders and the supplier side lacks the segment column; "
+    "unionByName(allowMissingColumns=True) aligns by NAME (position-"
+    "based unionAll would mis-zip) and null-fills the missing column — "
+    "DuckDB's UNION ALL BY NAME is the exact SQL analog. The follow-up "
+    "aggregate proves the null-fill: segment is counted only on the "
+    "customer side.",
+    oracle="""
+WITH unioned AS (
+    SELECT c_name AS name, c_acctbal AS balance,
+           CAST(c_nationkey AS BIGINT) AS nationkey, c_mktsegment AS segment
+    FROM customer
+    UNION ALL BY NAME
+    SELECT CAST(s_nationkey AS BIGINT) AS nationkey, s_name AS name,
+           s_acctbal AS balance
+    FROM supplier
+)
+SELECT nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_parties,
+       CAST(COUNT(segment) AS BIGINT) AS n_with_segment,
+       CAST(ROUND(SUM(CAST(balance AS DECIMAL(12,4))), 2) AS DOUBLE) AS total_balance
+FROM unioned
+GROUP BY nationkey
+ORDER BY nationkey
+""",
+)
+def setop_union_by_name(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("balance"),
+        F.col("c_nationkey").cast("long").alias("nationkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    supp = t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("long").alias("nationkey"),
+        F.col("s_name").alias("name"),
+        F.col("s_acctbal").alias("balance"),
+    )
+    return (
+        cust.unionByName(supp, allowMissingColumns=True)
+        .groupBy("nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parties"),
+            F.count("segment").cast("long").alias("n_with_segment"),
+            d2(F.sum(dec("balance"))).alias("total_balance"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+@register(
+    "agg_bitwise",
+    "aggregations",
+    doc="Bitwise aggregates (bit_and / bit_or / bit_xor over user_id "
+    "bits per event type) + bit_count popcount of the OR — the "
+    "bitmap-rollup shape behind feature-flag audits and bitmap-index "
+    "maintenance. All integer, map-side combinable, one shuffle.",
+    oracle="""
+SELECT event_type,
+       CAST(BIT_AND(user_id) AS BIGINT) AS all_bits,
+       CAST(BIT_OR(user_id) AS BIGINT) AS any_bits,
+       CAST(BIT_XOR(user_id) AS BIGINT) AS parity_bits,
+       CAST(BIT_COUNT(BIT_OR(user_id)) AS BIGINT) AS any_popcount
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def agg_bitwise(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.bit_and("user_id").cast("long").alias("all_bits"),
+            F.bit_or("user_id").cast("long").alias("any_bits"),
+            F.bit_xor("user_id").cast("long").alias("parity_bits"),
+            F.bit_count(F.bit_or("user_id")).cast("long").alias("any_popcount"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "stats_crosstab",
+    "aggregations",
+    doc="Contingency table: df.stat.crosstab(status, priority) — the "
+    "pairwise frequency matrix (one shuffle on the row key, priorities "
+    "pivoted to columns). Oracle = conditional FILTER counts per "
+    "status, proving crosstab ≡ pivoted COUNT(*).",
+    oracle="""
+SELECT CAST(o_orderstatus AS VARCHAR) AS o_orderstatus_o_orderpriority,
+       CAST(COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT) AS "1-URGENT",
+       CAST(COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS BIGINT) AS "2-HIGH",
+       CAST(COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS BIGINT) AS "3-MEDIUM",
+       CAST(COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS BIGINT)
+         AS "4-NOT SPECIFIED",
+       CAST(COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS BIGINT) AS "5-LOW"
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY 1
+""",
+)
+def stats_crosstab(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    ct = orders.stat.crosstab("o_orderstatus", "o_orderpriority")
+    return ct.orderBy("o_orderstatus_o_orderpriority")
+
+
+@register(
+    "stats_correlation",
+    "aggregations",
+    doc="Pearson correlation + sample covariance of (quantity, price) "
+    "per return flag, computed from EXACT integer moment sums (values "
+    "quantized to scale-4 units; sums in decimal(38,0)/HUGEINT) so the "
+    "result is bit-identical across engines — the repo's decimal "
+    "discipline applied to second moments. Native corr()/covar_samp() "
+    "float-accumulate in partition order and can't hash-match across "
+    "engines; the exact-sums form is also ONE map-side-combinable "
+    "aggregate pass, so it scales identically.",
+    oracle="""
+WITH u AS (
+    SELECT l_returnflag,
+           CAST(CAST(l_quantity AS DECIMAL(12,4)) * 10000 AS BIGINT) AS q,
+           CAST(CAST(l_extendedprice AS DECIMAL(12,4)) * 10000 AS BIGINT) AS e
+    FROM lineitem
+), s AS (
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(CAST(q AS HUGEINT)) AS sq,
+           SUM(CAST(e AS HUGEINT)) AS se,
+           SUM(CAST(q AS HUGEINT) * q) AS sqq,
+           SUM(CAST(e AS HUGEINT) * e) AS see,
+           SUM(CAST(q AS HUGEINT) * e) AS sqe
+    FROM u GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       ROUND(CAST(n * sqe - sq * se AS DOUBLE)
+             / SQRT(CAST(n * sqq - sq * sq AS DOUBLE)
+                    * CAST(n * see - se * se AS DOUBLE)), 6) AS corr_qty_price,
+       ROUND(CAST(n * sqe - sq * se AS DOUBLE)
+             / CAST(n * (n - 1) AS DOUBLE) / 100000000.0, 6) AS covar_samp
+FROM s
+ORDER BY l_returnflag
+""",
+)
+def stats_correlation(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_returnflag",
+        (dec("l_quantity") * 10000).cast("long").alias("q"),
+        (dec("l_extendedprice") * 10000).cast("long").alias("e"),
+    )
+    big = "decimal(38,0)"
+    s = base.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("q").cast(big)).alias("sq"),
+        F.sum(F.col("e").cast(big)).alias("se"),
+        F.sum((F.col("q") * F.col("q")).cast(big)).alias("sqq"),
+        F.sum((F.col("e") * F.col("e")).cast(big)).alias("see"),
+        F.sum((F.col("q") * F.col("e")).cast(big)).alias("sqe"),
+    )
+    n, sq, se = F.col("n"), F.col("sq"), F.col("se")
+    cov_num = (n * F.col("sqe") - sq * se).cast("double")
+    varq = (n * F.col("sqq") - sq * sq).cast("double")
+    vare = (n * F.col("see") - se * se).cast("double")
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(cov_num / F.sqrt(varq * vare), 6).alias("corr_qty_price"),
+        F.round(cov_num / (n * (n - 1)).cast("double") / F.lit(1e8), 6).alias("covar_samp"),
+    ).orderBy("l_returnflag")
+
+
+@register(
+    "maintenance_file_metadata_audit",
+    "maintenance",
+    doc="Hidden _metadata columns on file sources: per input file, its "
+    "name, row count and max _metadata.row_index (must equal rows-1 — "
+    "pinning the within-file ordinal semantics); _metadata.file_size "
+    "is read too and asserted positive (it can't be oracle-compared: "
+    "DuckDB's read_blob needs a literal path, and the oracle string is "
+    "fixed across sf dirs — tests/test_extensions.py checks the size "
+    "against os.path.getsize instead). This is the no-extra-scan form "
+    "of the file-level audits a lakehouse maintenance job runs before "
+    "compaction. Fixture tables are single files; at scale the same "
+    "query groups by thousands of file names unchanged.",
+    oracle="""
+SELECT * FROM (
+    SELECT 'customer.parquet' AS file_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - 1 AS BIGINT) AS max_row_index
+    FROM customer
+    UNION ALL
+    SELECT 'lineitem.parquet', CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) - 1 AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders.parquet', CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) - 1 AS BIGINT)
+    FROM orders
+) ORDER BY file_name
+""",
+)
+def maintenance_file_metadata_audit(spark, sf_dir):
+    frames = []
+    for name in ("customer", "lineitem", "orders"):
+        # raw read: _metadata must be selected on the file-source frame
+        raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        frames.append(
+            raw.select(
+                F.col("_metadata.file_name").alias("file_name"),
+                F.col("_metadata.file_size").alias("file_size"),
+                F.col("_metadata.row_index").alias("row_index"),
+            )
+            .filter(F.col("file_size") > 0)
+            .groupBy("file_name")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.max("row_index").cast("long").alias("max_row_index"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.orderBy("file_name")
