@@ -30,6 +30,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # the sampled window; the full registry stays oracle-gated in pytest
 # (tests/test_oracle.py) regardless of sampling.
 _NEW_THIS_ROUND: list[str] = [
+    "udf_cogrouped_pandas",
+    "udf_map_in_arrow",
+    "sink_dynamic_partition_overwrite",
+    "stats_skew_kurtosis",
+    "stream_stream_left_outer",
     "join_hint_strategies",
     "sql_parameterized",
     "setop_union_by_name",

@@ -222,3 +222,115 @@ def udf_arrow_row(spark, sf_dir):
     return ev.select(
         "event_id", tier("value").alias("tier"), last_digit("value").alias("last_digit")
     ).orderBy("event_id")
+
+
+@register(
+    "udf_cogrouped_pandas",
+    "udfs",
+    doc="Cogrouped applyInPandas (the two-sided grouped-pandas API): "
+    "clicks and purchases cogrouped per user, merged in one pandas "
+    "function computing counts and the first-click→first-purchase gap "
+    "in exact epoch microseconds (nanosecond pandas values floor-divide "
+    "to µs losslessly — fixture timestamps are µs-grained). Keys "
+    "present on either side appear (full-outer cogroup semantics), so "
+    "the oracle is a FULL OUTER join of the two per-user aggregates. "
+    "Scale: one shuffle per side on user_id, then per-key pandas — the "
+    "same distribution as a sort-merge join with custom merge logic.",
+    oracle="""
+WITH c AS (
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_clicks,
+           MIN(ts) AS first_click
+    FROM events WHERE event_type = 'click' GROUP BY user_id
+), p AS (
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           MIN(ts) AS first_purchase
+    FROM events WHERE event_type = 'purchase' GROUP BY user_id
+)
+SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+       COALESCE(c.n_clicks, 0) AS n_clicks,
+       COALESCE(p.n_purchases, 0) AS n_purchases,
+       CAST(EPOCH_US(p.first_purchase) - EPOCH_US(c.first_click) AS BIGINT)
+         AS first_gap_us
+FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+ORDER BY user_id
+""",
+)
+def udf_cogrouped_pandas(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+
+    def merge(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        gap = None
+        if len(left) and len(right):
+            # .value is ns since epoch; // 1000 is exact for µs-grained data
+            gap = right["ts"].min().value // 1000 - left["ts"].min().value // 1000
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_clicks": [len(left)],
+                "n_purchases": [len(right)],
+                "first_gap_us": [gap],
+            }
+        )
+
+    out = (
+        clicks.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            schema="user_id long, n_clicks long, n_purchases long, first_gap_us long",
+        )
+    )
+    return out.orderBy("user_id")
+
+
+@register(
+    "udf_map_in_arrow",
+    "udfs",
+    doc="mapInArrow — the Arrow-native per-partition map: each "
+    "RecordBatch is pre-aggregated with pyarrow's group_by (exact "
+    "int64 cents, quantized JVM-side by the decimal cast BEFORE Python "
+    "so no float crosses the boundary), then a normal groupBy "
+    "final-merges the partials. This is map-side combine written "
+    "explicitly in Arrow — the pattern for Python pre-aggregation that "
+    "ships partials, not rows, into the shuffle at 100 TB.",
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,4)) * 100 AS BIGINT))
+            AS BIGINT) AS total_cents
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def udf_map_in_arrow(spark, sf_dir):
+    import pyarrow as pa
+
+    from cascade_spark.operators._util import dec
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", (dec("l_extendedprice") * 100).cast("long").alias("cents")
+    )
+
+    def partial(batches):
+        for b in batches:
+            yield from (
+                pa.Table.from_batches([b])
+                .group_by(["l_returnflag"])
+                .aggregate([("cents", "sum"), ("cents", "count")])
+                .to_batches()
+            )
+
+    partials = li.mapInArrow(
+        partial, schema="l_returnflag string, cents_sum long, cents_count long"
+    )
+    return (
+        partials.groupBy("l_returnflag")
+        .agg(
+            F.sum("cents_count").cast("long").alias("n_rows"),
+            F.sum("cents_sum").cast("long").alias("total_cents"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -203,3 +203,44 @@ def scan_schema_evolution(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "sink_dynamic_partition_overwrite",
+    "sources",
+    doc="Dynamic partition overwrite (partitionOverwriteMode=dynamic): "
+    "rewrite ONLY the 'error' partition of a partitionBy(event_type) "
+    "table — the replacement frame touches one partition, so only that "
+    "directory is replaced; static mode would have wiped the others. "
+    "This is the idempotent daily-reprocess primitive for partitioned "
+    "lakes without a table format. The oracle proves both halves: "
+    "error counts reflect the replacement predicate, every other "
+    "partition keeps its original rows.",
+    oracle="""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+WHERE event_type <> 'error'
+   OR (event_type = 'error' AND CAST(ts AS DATE) < DATE '2024-01-16')
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def sink_dynamic_partition_overwrite(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    out = tempfile.mkdtemp(prefix="cascade_dynovw_") + "/by_type"
+    ev.write.partitionBy("event_type").parquet(out)
+    replacement = ev.filter(
+        (F.col("event_type") == "error") & (F.to_date("ts") < F.lit("2024-01-16"))
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        replacement.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("event_type")
+    )

@@ -68,3 +68,77 @@ def stream_stream_join(spark, sf_dir):
     with state_partitions(spark, 8):
         out = run_to_memory(joined, "append")
     return out.orderBy("purchase_id", "click_id")
+
+
+@register(
+    "stream_stream_left_outer",
+    "streaming",
+    doc="Stream-stream LEFT OUTER join: purchases keep flowing even "
+    "with no attributable click — the null side is emitted only once "
+    "the click-side watermark passes the purchase's attribution "
+    "window, which is the state-eviction point. Sentinel flush files "
+    "(event_type='sentinel', filtered INTO both sides so they can "
+    "advance the watermark, excluded from the batch result after the "
+    "sink) push the final watermark past all real data so finite "
+    "AvailableNow replay emits every unmatched purchase. Oracle: the "
+    "batch LEFT JOIN with the same time-bound predicate. The staged "
+    "watermark delay spans the whole fixture (replay-order safety); "
+    "production uses the attribution window + allowed lateness, "
+    "keeping join state O(window), not O(stream).",
+    oracle="""
+SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+FROM events p LEFT JOIN events c
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click'
+ AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+WHERE p.event_type = 'purchase'
+ORDER BY purchase_id, click_id
+""",
+)
+def stream_stream_left_outer(spark, sf_dir):
+    from cascade_spark.streaming.pipeline import stage_stream_input as _stage
+
+    indir, schema, _, wm_delay = _stage(spark, sf_dir, n_files=4, sentinels=2)
+    # sentinels must reach BOTH watermark trackers (a pure 'click'/
+    # 'purchase' filter would be pushed into the scan and starve the
+    # watermark — same pitfall as stream_session_window's flush)
+    clicks = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(indir)
+        .filter(F.col("event_type").isin("click", "sentinel"))
+        .withWatermark("ts", wm_delay)
+        .alias("c")
+    )
+    purchases = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(indir)
+        .filter(F.col("event_type").isin("purchase", "sentinel"))
+        .withWatermark("ts", wm_delay)
+        .alias("p")
+    )
+    # NB: no `c.event_type = 'click'` inside ON — a single-sided ON
+    # predicate is pushed below the c-side watermark node and would
+    # strip the sentinels before they can advance it (observed: outer
+    # rows never flush). The source filter already restricts the side;
+    # sentinels can't join anyway (user_id -1, far-future ts).
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "c.user_id = p.user_id AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts"
+        ),
+        "leftOuter",
+    ).select(
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("c.event_id").alias("click_id"),
+        F.col("p.user_id").alias("user_id"),
+        F.col("p.event_type").alias("p_type"),
+    )
+    with state_partitions(spark, 8):
+        out = run_to_memory(joined, "append")
+    return (
+        out.filter(F.col("p_type") == "purchase")
+        .drop("p_type")
+        .orderBy("purchase_id", "click_id")
+    )

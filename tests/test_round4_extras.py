@@ -118,3 +118,61 @@ def test_correlation_in_valid_range_and_matches_native(spark, sf_dir):
     for k, v in got.items():
         assert -1.0 <= v <= 1.0
         assert abs(v - native[k]) < 1e-4, (k, v, native[k])
+
+
+def test_skew_kurtosis_matches_native(spark, sf_dir):
+    """Exact-moment skew/kurtosis must agree with Spark's native
+    implementations to float tolerance (same math, exact-sum form)."""
+    from pyspark.sql import functions as F
+
+    from cascade_spark.tables import load
+
+    got = {
+        r["l_returnflag"]: (r["skewness"], r["kurtosis_excess"])
+        for r in REG["stats_skew_kurtosis"].builder(spark, sf_dir).collect()
+    }
+    native = {
+        r["l_returnflag"]: (r["s"], r["k"])
+        for r in load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.skewness("l_quantity").alias("s"), F.kurtosis("l_quantity").alias("k"))
+        .collect()
+    }
+    for flag, (s, k) in got.items():
+        assert abs(s - native[flag][0]) < 1e-5, (flag, s, native[flag])
+        assert abs(k - native[flag][1]) < 1e-5, (flag, k, native[flag])
+
+
+def test_stream_left_outer_emits_null_side(spark, sf_dir):
+    """The outer join must emit unmatched purchases with a null click —
+    if the watermark never passes the attribution window these rows are
+    silently withheld (the single-sided-ON-predicate pushdown trap this
+    query's comment documents)."""
+    from pyspark.sql import functions as F
+
+    out = REG["stream_stream_left_outer"].builder(spark, sf_dir)
+    null_clicks = out.filter(F.col("click_id").isNull()).count()
+    assert null_clicks > 0
+
+
+def test_cogroup_handles_one_sided_keys(spark):
+    """Cogroup must surface keys present on only one side (full-outer
+    key semantics) with zero counts and a null gap."""
+    import pandas as pd
+
+    left = spark.createDataFrame([(1, 10), (2, 20)], "user_id long, v long")
+    right = spark.createDataFrame([(2, 5), (3, 7)], "user_id long, v long")
+
+    def merge(key, l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"user_id": [key[0]], "n_l": [len(l)], "n_r": [len(r)]}
+        )
+
+    rows = {
+        r["user_id"]: (r["n_l"], r["n_r"])
+        for r in left.groupBy("user_id")
+        .cogroup(right.groupBy("user_id"))
+        .applyInPandas(merge, schema="user_id long, n_l long, n_r long")
+        .collect()
+    }
+    assert rows == {1: (1, 0), 2: (1, 1), 3: (0, 1)}
