@@ -30,6 +30,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # the sampled window; the full registry stays oracle-gated in pytest
 # (tests/test_oracle.py) regardless of sampling.
 _NEW_THIS_ROUND: list[str] = [
+    "agg_bitmap_distinct",
+    "catalog_managed_table_dml",
+    "scan_text_lines",
     "udf_cogrouped_pandas",
     "udf_map_in_arrow",
     "sink_dynamic_partition_overwrite",

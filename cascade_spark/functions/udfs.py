@@ -256,9 +256,25 @@ ORDER BY user_id
 """,
 )
 def udf_cogrouped_pandas(spark, sf_dir):
-    ev = t(spark, sf_dir, "events")
-    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
-    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    # Each side MUST come from its own scan: when both derive from one
+    # DataFrame (self-cogroup), Spark 4.1's attribute dedup resolves the
+    # right side's (user_id, ts) to the LEFT side's expression ids —
+    # under an aggregate consumer the right child is then column-pruned
+    # to the grouping key alone and the pandas function receives a
+    # ts-less right frame (observed: FlatMapCoGroupsInPandas
+    # merge(user_id#2, ts#1, user_id#2, ts#1) with the right Project
+    # keeping only user_id). Distinct scans give distinct ids; pinned by
+    # tests/test_round4_extras.py::test_cogroup_checksum_consumer.
+    clicks = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select("user_id", "ts")
+    )
+    purchases = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts")
+    )
 
     def merge(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         gap = None

@@ -413,3 +413,85 @@ def stats_skew_kurtosis(spark, sf_dir):
         F.round(m3 / (m2 * F.sqrt(m2)), 6).alias("skewness"),
         F.round(m4 / (m2 * m2) - F.lit(3), 6).alias("kurtosis_excess"),
     ).orderBy("l_returnflag")
+
+
+@register(
+    "agg_bitmap_distinct",
+    "aggregations",
+    doc="Exact distinct counting via the bitmap family (Spark 3.5+): "
+    "user ids bucketed with bitmap_bucket_number, positions packed by "
+    "bitmap_construct_agg, counted with bitmap_count, then the bucket "
+    "partials summed per group — COUNT(DISTINCT) as a two-level "
+    "mergeable aggregate. At 100 TB this is the pattern that replaces "
+    "a full re-shuffle of raw ids with compact bitmap partials (and "
+    "the stored-bitmap form supports incremental refresh, unlike a "
+    "plain distinct).",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct_users
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def agg_bitmap_distinct(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    per_bucket = ev.groupBy(
+        "event_type", F.bitmap_bucket_number("user_id").alias("b")
+    ).agg(
+        F.bitmap_count(
+            F.bitmap_construct_agg(F.bitmap_bit_position("user_id"))
+        ).alias("cnt")
+    )
+    return (
+        per_bucket.groupBy("event_type")
+        .agg(F.sum("cnt").cast("long").alias("n_distinct_users"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "catalog_managed_table_dml",
+    "sources",
+    doc="Catalog-table DML: CREATE (saveAsTable) + INSERT INTO ... "
+    "SELECT + query-by-name through the session catalog — the DDL/DML "
+    "surface a SQL-first user drives instead of DataFrame writes. The "
+    "insert appends the signup rows a second time; the oracle doubles "
+    "them relationally. External per-process location (the in-memory "
+    "catalog is session-scoped; a stable warehouse path would collide "
+    "across processes — same rationale as bucketing.bucketed_tables).",
+    oracle="""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM (
+    SELECT event_type FROM events
+    UNION ALL
+    SELECT event_type FROM events WHERE event_type = 'signup'
+)
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def catalog_managed_table_dml(spark, sf_dir):
+    import re
+    import tempfile
+
+    tag = re.sub(r"[^0-9a-zA-Z]", "_", sf_dir.strip("/"))[-30:].strip("_")
+    name = f"events_dml_{tag}"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    base = tempfile.mkdtemp(prefix="cascade_dml_")
+    (
+        t(spark, sf_dir, "events")
+        .select("event_id", "event_type", "user_id")
+        .write.option("path", f"{base}/{name}")
+        .mode("overwrite")
+        .saveAsTable(name)
+    )
+    spark.sql(
+        f"INSERT INTO {name} "
+        f"SELECT event_id, event_type, user_id FROM {name} "
+        f"WHERE event_type = 'signup'"
+    )
+    return spark.sql(
+        f"SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n "
+        f"FROM {name} GROUP BY event_type ORDER BY event_type"
+    )

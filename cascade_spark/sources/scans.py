@@ -244,3 +244,48 @@ def sink_dynamic_partition_overwrite(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "scan_text_lines",
+    "sources",
+    doc="Raw text-line ingestion (spark.read.text) — the entry format "
+    "of most LLM corpus pipelines: documents serialized one-per-line "
+    "with a unit-separator-delimited header, read back as a `value` "
+    "string column, parsed and re-aggregated. Line sources split by "
+    "newline only, so the scan parallelizes by byte ranges at any "
+    "file size; parsing is a codegen'd split projection, no Python.",
+    oracle="""
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY source
+ORDER BY source
+""",
+)
+def scan_text_lines(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="cascade_text_") + "/docs_txt"
+    (
+        docs.select(
+            F.concat_ws(
+                "\x1f", F.col("doc_id").cast("string"), F.col("source"), F.col("text")
+            ).alias("value")
+        )
+        .write.mode("overwrite")
+        .text(out)
+    )
+    lines = spark.read.text(out)
+    parts = F.split(F.col("value"), "\x1f", 3)
+    return (
+        lines.select(
+            parts.getItem(1).alias("source"),
+            F.length(parts.getItem(2)).cast("long").alias("n_chars"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("source")
+    )

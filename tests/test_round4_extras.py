@@ -176,3 +176,19 @@ def test_cogroup_handles_one_sided_keys(spark):
         .collect()
     }
     assert rows == {1: (1, 0), 2: (1, 1), 3: (0, 1)}
+
+
+def test_cogroup_checksum_consumer(spark, sf_dir):
+    """Regression for the self-cogroup attribute-dedup bug: under an
+    aggregate consumer Spark resolved both cogroup sides to the left
+    side's expression ids and pruned ts from the right child, so the
+    pandas merge crashed (KeyError 'ts') — but only in plans shaped
+    like bench's checksum materialization, never under collect(). The
+    builder now scans each side independently; this pins the exact
+    failing consumer shape."""
+    from pyspark.sql import functions as F
+
+    df = REG["udf_cogrouped_pandas"].builder(spark, sf_dir)
+    h = F.xxhash64(*[F.col(c) for c in df.columns])
+    rows = df.select(h.alias("_h")).agg(F.count("_h").alias("n")).collect()
+    assert rows[0]["n"] > 0
