@@ -238,8 +238,10 @@ def sink_dynamic_partition_overwrite(spark, sf_dir):
         replacement.write.mode("overwrite").partitionBy("event_type").parquet(out)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # pinned read schema: production readers never infer, and an empty
+    # write leaves no files to infer from (tests/test_empty_inputs.py)
     return (
-        spark.read.parquet(out)
+        spark.read.schema(ev.schema).parquet(out)
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .orderBy("event_type")

@@ -34,6 +34,16 @@ QUERIES = [
     "fn_xml_extract", "fn_variant_json", "agg_bool_flags",
     "agg_collated_group", "subquery_lateral_topn", "window_ignore_nulls",
     "multimodal_decode_ppm", "multimodal_decode_wav",
+    # late-round-4 batch (stream_stream_left_outer excluded: staging
+    # sentinels needs a non-empty time span, like the other stream_*)
+    "join_hint_strategies", "sql_parameterized", "setop_union_by_name",
+    "agg_bitwise", "stats_crosstab", "stats_correlation",
+    "maintenance_file_metadata_audit", "events_activity_streaks",
+    "analytics_yoy_growth", "pipeline_curriculum_order",
+    "pipeline_token_budget_mixture", "udf_cogrouped_pandas",
+    "udf_map_in_arrow", "sink_dynamic_partition_overwrite",
+    "stats_skew_kurtosis", "agg_bitmap_distinct",
+    "catalog_managed_table_dml", "scan_text_lines",
 ]
 
 
