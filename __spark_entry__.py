@@ -30,6 +30,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # the sampled window; the full registry stays oracle-gated in pytest
 # (tests/test_oracle.py) regardless of sampling.
 _NEW_THIS_ROUND: list[str] = [
+    "events_funnel_strict_sequence",
+    "window_range_numeric_frame",
+    "join_broadcast_left_outer",
     "agg_bitmap_distinct",
     "catalog_managed_table_dml",
     "scan_text_lines",

@@ -215,3 +215,61 @@ def pipeline_token_budget_mixture(spark, sf_dir):
         alloc.alias("alloc_tokens"),
         F.floor((alloc * 10000).cast("double") / F.col("tokens")).cast("long").alias("epochs_bp"),
     ).orderBy("source")
+
+
+@register(
+    "events_funnel_strict_sequence",
+    "analytics",
+    doc="Strict sequential funnel: each stage must occur AFTER the "
+    "user's previous stage (t_view = first view after first signup, "
+    "t_purchase = first purchase after that view) — the semantics the "
+    "min-per-stage funnel (events_funnel) approximates. Two keyed "
+    "joins back to events, both hash-partitioned on user_id, so the "
+    "three passes share one partitioning at scale; counts are "
+    "monotonically non-increasing by construction.",
+    oracle="""
+WITH s1 AS (
+    SELECT user_id, MIN(ts) AS t_signup
+    FROM events WHERE event_type = 'signup' GROUP BY user_id
+), s2 AS (
+    SELECT e.user_id, MIN(e.ts) AS t_view
+    FROM events e JOIN s1 ON e.user_id = s1.user_id
+    WHERE e.event_type = 'view' AND e.ts > s1.t_signup
+    GROUP BY e.user_id
+), s3 AS (
+    SELECT e.user_id, MIN(e.ts) AS t_purchase
+    FROM events e JOIN s2 ON e.user_id = s2.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > s2.t_view
+    GROUP BY e.user_id
+)
+SELECT CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_signup,
+       CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS n_signup_then_view,
+       CAST((SELECT COUNT(*) FROM s3) AS BIGINT) AS n_full_funnel
+""",
+)
+def events_funnel_strict_sequence(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "view")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        s1.agg(F.count(F.lit(1)).cast("long").alias("n_signup"))
+        .crossJoin(s2.agg(F.count(F.lit(1)).cast("long").alias("n_signup_then_view")))
+        .crossJoin(s3.agg(F.count(F.lit(1)).cast("long").alias("n_full_funnel")))
+    )

@@ -495,3 +495,96 @@ def catalog_managed_table_dml(spark, sf_dir):
         f"SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n "
         f"FROM {name} GROUP BY event_type ORDER BY event_type"
     )
+
+
+@register(
+    "window_range_numeric_frame",
+    "windows",
+    doc="Value-based RANGE frame over a numeric axis: for every "
+    "customer, how many same-nation peers sit within ±$100 of their "
+    "balance (inclusive bounds, exact integer cents so the frame edges "
+    "are unambiguous) — the peer-band shape behind percentile bands "
+    "and local-density scoring. One shuffle on nationkey; the frame "
+    "scan is linear per partition (two moving pointers), not "
+    "quadratic.",
+    oracle="""
+WITH c AS (
+    SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nationkey,
+           CAST(CAST(c_acctbal AS DECIMAL(12,4)) * 100 AS BIGINT) AS cents
+    FROM customer
+)
+SELECT c_custkey, nationkey, cents,
+       CAST(COUNT(*) OVER (
+           PARTITION BY nationkey ORDER BY cents
+           RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING) AS BIGINT)
+         AS n_peers_within_100
+FROM c
+ORDER BY c_custkey
+""",
+)
+def window_range_numeric_frame(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_nationkey").cast("long").alias("nationkey"),
+        (dec("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("nationkey")
+        .orderBy("cents")
+        .rangeBetween(-10000, 10000)
+    )
+    return c.select(
+        "c_custkey",
+        "nationkey",
+        "cents",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_peers_within_100"),
+    ).orderBy("c_custkey")
+
+
+@register(
+    "join_broadcast_left_outer",
+    "joins",
+    doc="Broadcast LEFT OUTER join: the dimension (nations of one "
+    "region) broadcasts as the build side — for outer joins Spark can "
+    "only broadcast the NON-preserved side, and the plan test pins "
+    "BroadcastHashJoin LeftOuter. Customers outside the region keep "
+    "their row with nulls, coalesced into an 'other' bucket — the "
+    "enrich-without-dropping pattern for reference-data joins at "
+    "scale (fact never shuffles).",
+    oracle="""
+SELECT COALESCE(n.n_name, 'OTHER') AS nation_or_other,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(12,4))), 2) AS DOUBLE)
+         AS total_balance
+FROM customer c
+LEFT JOIN (
+    SELECT n_nationkey, n_name
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+) n ON c.c_nationkey = n.n_nationkey
+GROUP BY COALESCE(n.n_name, 'OTHER')
+ORDER BY nation_or_other
+""",
+)
+def join_broadcast_left_outer(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    euro = (
+        nation.join(region, nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "EUROPE")
+        .select("n_nationkey", "n_name")
+    )
+    joined = cust.join(
+        F.broadcast(euro), cust.c_nationkey == euro.n_nationkey, "left_outer"
+    )
+    return (
+        joined.groupBy(
+            F.coalesce(F.col("n_name"), F.lit("OTHER")).alias("nation_or_other")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            d2(F.sum(dec("c_acctbal"))).alias("total_balance"),
+        )
+        .orderBy("nation_or_other")
+    )

@@ -44,6 +44,8 @@ QUERIES = [
     "udf_map_in_arrow", "sink_dynamic_partition_overwrite",
     "stats_skew_kurtosis", "agg_bitmap_distinct",
     "catalog_managed_table_dml", "scan_text_lines",
+    "events_funnel_strict_sequence", "window_range_numeric_frame",
+    "join_broadcast_left_outer",
 ]
 
 

@@ -192,3 +192,23 @@ def test_cogroup_checksum_consumer(spark, sf_dir):
     h = F.xxhash64(*[F.col(c) for c in df.columns])
     rows = df.select(h.alias("_h")).agg(F.count("_h").alias("n")).collect()
     assert rows[0]["n"] > 0
+
+
+def test_broadcast_left_outer_plan(spark, sf_dir):
+    """The dim side must broadcast (BroadcastHashJoin ... LeftOuter):
+    for outer joins only the non-preserved side is broadcastable, and
+    the fact side must never shuffle for this enrich join."""
+    plan = _plan(REG["join_broadcast_left_outer"].builder(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_strict_funnel_monotone_and_tighter_than_loose(spark, sf_dir):
+    strict = REG["events_funnel_strict_sequence"].builder(spark, sf_dir).collect()[0]
+    assert strict["n_signup"] >= strict["n_signup_then_view"] >= strict["n_full_funnel"]
+
+
+def test_numeric_range_frame_counts_self(spark, sf_dir):
+    """Every row is inside its own ±band frame, so n_peers >= 1."""
+    rows = REG["window_range_numeric_frame"].builder(spark, sf_dir).collect()
+    assert rows and all(r["n_peers_within_100"] >= 1 for r in rows)
