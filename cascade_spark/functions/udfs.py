@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from cascade_spark.plans.registry import register
-from cascade_spark.operators._util import t
+from cascade_spark.operators._util import dec, t
 
 
 @F.pandas_udf(T.DoubleType())
@@ -349,4 +349,55 @@ def udf_map_in_arrow(spark, sf_dir):
             F.sum("cents_sum").cast("long").alias("total_cents"),
         )
         .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "fn_inline_array_structs",
+    "functions",
+    doc="Array-of-structs roundtrip: lineitems per order collected into "
+    "a linenumber-sorted array of (linenumber, cents) structs, then "
+    "inline-exploded back with posexplode — position must equal "
+    "linenumber rank, values must survive unchanged. This is the "
+    "nest/unnest pair behind denormalized event payloads; the oracle "
+    "reconstructs positions with a row_number window. One shuffle to "
+    "nest; the explode is flatMap-shaped.",
+    oracle="""
+SELECT l_orderkey,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY l_orderkey
+           ORDER BY l_linenumber,
+                    CAST(CAST(l_quantity AS DECIMAL(12,4)) * 100 AS BIGINT)
+       ) - 1 AS BIGINT) AS pos,
+       CAST(l_linenumber AS BIGINT) AS linenumber,
+       CAST(CAST(l_quantity AS DECIMAL(12,4)) * 100 AS BIGINT) AS qty_cents
+FROM lineitem
+WHERE l_orderkey <= 1000
+ORDER BY l_orderkey, pos
+""",
+)
+def fn_inline_array_structs(spark, sf_dir):
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 1000)
+        .select(
+            "l_orderkey",
+            F.struct(
+                F.col("l_linenumber").cast("long").alias("linenumber"),
+                (dec("l_quantity") * 100).cast("long").alias("qty_cents"),
+            ).alias("s"),
+        )
+    )
+    nested = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list("s")).alias("lines")
+    )
+    return (
+        nested.select("l_orderkey", F.posexplode("lines").alias("pos", "s"))
+        .select(
+            "l_orderkey",
+            F.col("pos").cast("long").alias("pos"),
+            F.col("s.linenumber").alias("linenumber"),
+            F.col("s.qty_cents").alias("qty_cents"),
+        )
+        .orderBy("l_orderkey", "pos")
     )

@@ -273,3 +273,73 @@ def events_funnel_strict_sequence(spark, sf_dir):
         .crossJoin(s2.agg(F.count(F.lit(1)).cast("long").alias("n_signup_then_view")))
         .crossJoin(s3.agg(F.count(F.lit(1)).cast("long").alias("n_full_funnel")))
     )
+
+
+@register(
+    "pipeline_url_canonical_dedup",
+    "analytics",
+    doc="Canonical-URL dedup — the web-corpus curation step before "
+    "fetch/content dedup: each doc yields two deterministic noisy "
+    "variants of its URL (upper-cased host + utm_ tracking param; "
+    "trailing slash + fragment), canonicalization lower-cases the "
+    "host, strips utm params, fragments and trailing slashes, and the "
+    "distinct count proves 2:1 collapse. Map-only canonicalize + one "
+    "dedup shuffle on the canonical key; the variant explode is "
+    "flatMap-shaped, never a join.",
+    oracle="""
+WITH variants AS (
+    SELECT source, doc_id,
+           'https://' || UPPER(source) || '.EXAMPLE.COM/docs/'
+             || CAST(doc_id AS VARCHAR) || '?utm_source=feed&lang=' || lang AS url
+    FROM documents
+    UNION ALL
+    SELECT source, doc_id,
+           'https://' || source || '.example.com/docs/'
+             || CAST(doc_id AS VARCHAR) || '/?lang=' || lang || '#sec2' AS url
+    FROM documents
+), canon AS (
+    SELECT source, doc_id,
+           REGEXP_REPLACE(
+             REGEXP_REPLACE(
+               REGEXP_REPLACE(LOWER(url), '#.*$', ''),
+               'utm_[a-z]+=[^&#]*&?', ''),
+             '/\\?', '?') AS curl
+    FROM variants
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_raw,
+       CAST(COUNT(DISTINCT curl) AS BIGINT) AS n_canonical
+FROM canon
+GROUP BY source
+ORDER BY source
+""",
+)
+def pipeline_url_canonical_dedup(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    u1 = F.concat(
+        F.lit("https://"), F.upper("source"), F.lit(".EXAMPLE.COM/docs/"),
+        F.col("doc_id").cast("string"), F.lit("?utm_source=feed&lang="), F.col("lang"),
+    )
+    u2 = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"), F.lit("/?lang="), F.col("lang"), F.lit("#sec2"),
+    )
+    variants = d.select(
+        "source", "doc_id", F.explode(F.array(u1, u2)).alias("url")
+    )
+    curl = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("url")), r"#.*$", ""),
+            r"utm_[a-z]+=[^&#]*&?", "",
+        ),
+        r"/\?", "?",
+    )
+    return (
+        variants.select("source", curl.alias("curl"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_raw"),
+            F.count_distinct(F.col("curl")).cast("long").alias("n_canonical"),
+        )
+        .orderBy("source")
+    )

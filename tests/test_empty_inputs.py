@@ -45,7 +45,8 @@ QUERIES = [
     "stats_skew_kurtosis", "agg_bitmap_distinct",
     "catalog_managed_table_dml", "scan_text_lines",
     "events_funnel_strict_sequence", "window_range_numeric_frame",
-    "join_broadcast_left_outer",
+    "join_broadcast_left_outer", "pipeline_url_canonical_dedup",
+    "fn_inline_array_structs",
 ]
 
 
