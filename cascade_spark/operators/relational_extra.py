@@ -588,3 +588,74 @@ def join_broadcast_left_outer(spark, sf_dir):
         )
         .orderBy("nation_or_other")
     )
+
+
+@register(
+    "agg_group_by_all",
+    "aggregations",
+    doc="GROUP BY ALL / ORDER BY ALL (Spark 3.4+/DuckDB shared SQL "
+    "sugar): every non-aggregate select item becomes a grouping key — "
+    "the drift-proof form for wide rollups where listing keys twice "
+    "invites bugs. Identical physical plan to the explicit GROUP BY.",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))), 2) AS DOUBLE)
+         AS revenue
+FROM lineitem
+GROUP BY ALL
+ORDER BY ALL
+""",
+)
+def agg_group_by_all(spark, sf_dir):
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gba")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))), 2) AS DOUBLE)
+                 AS revenue
+        FROM lineitem_gba
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
+
+
+@register(
+    "fn_date_calendar",
+    "functions",
+    doc="Calendar functions over order dates: quarter, ISO week, "
+    "Monday-based weekday, month-end (last_day) and next-Monday "
+    "(next_day — DuckDB lacks it, so the oracle derives it from isodow "
+    "arithmetic, pinning the exact strictly-after semantics). Dates "
+    "projected as strings per the registry timestamp rule.",
+    oracle="""
+SELECT DISTINCT STRFTIME(o_orderdate, '%Y-%m-%d') AS d,
+       CAST(QUARTER(o_orderdate) AS BIGINT) AS q,
+       CAST(WEEKOFYEAR(o_orderdate) AS BIGINT) AS iso_week,
+       CAST(ISODOW(o_orderdate) - 1 AS BIGINT) AS weekday_mon0,
+       STRFTIME(LAST_DAY(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+       STRFTIME(CAST(o_orderdate AS DATE)
+                + CAST(CASE WHEN (1 - ISODOW(o_orderdate) + 7) % 7 = 0 THEN 7
+                            ELSE (1 - ISODOW(o_orderdate) + 7) % 7 END AS INTEGER),
+                '%Y-%m-%d') AS next_monday
+FROM orders
+ORDER BY d
+""",
+)
+def fn_date_calendar(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return (
+        o.select(
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"),
+            F.quarter("o_orderdate").cast("long").alias("q"),
+            F.weekofyear("o_orderdate").cast("long").alias("iso_week"),
+            F.weekday("o_orderdate").cast("long").alias("weekday_mon0"),
+            F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+            F.date_format(F.next_day(d, "Monday"), "yyyy-MM-dd").alias("next_monday"),
+        )
+        .distinct()
+        .orderBy("d")
+    )

@@ -46,7 +46,7 @@ QUERIES = [
     "catalog_managed_table_dml", "scan_text_lines",
     "events_funnel_strict_sequence", "window_range_numeric_frame",
     "join_broadcast_left_outer", "pipeline_url_canonical_dedup",
-    "fn_inline_array_structs",
+    "fn_inline_array_structs", "agg_group_by_all", "fn_date_calendar",
 ]
 
 
