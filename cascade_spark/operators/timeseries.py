@@ -144,3 +144,75 @@ def events_new_vs_returning(spark, sf_dir):
         (F.col("active_users") - F.col("new_users")).alias("returning_users"),
         F.sum("new_users").over(win).cast("long").alias("cum_unique_users"),
     ).orderBy("day")
+
+
+@register(
+    "events_ewma_dyadic",
+    "timeseries",
+    doc="Bit-exact EWMA smoothing (alpha = 1/2): daily average purchase "
+    "value per event type smoothed by y_t = (x_t + y_(t-1))/2, "
+    "computed non-recursively as a cumulative window sum of "
+    "x_j * 2^max(j-1,0) divided by 2^t. With dyadic weights every "
+    "term is an integer-valued double < 2^53, so the sum is exact in "
+    "ANY accumulation order and the divisions by powers of two are "
+    "exact — recursive smoothing joins the repo's bit-identical "
+    "cross-engine family (no float tolerance). One shuffle on "
+    "event_type; the window sees |days| rows per series.",
+    oracle="""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS d,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(12,4)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type, CAST(ts AS DATE)
+), seq AS (
+    SELECT event_type, d,
+           (sum_cents - (sum_cents % n)) / n AS avg_cents,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) - 1 AS t
+    FROM daily
+), weighted AS (
+    SELECT event_type, d, t,
+           avg_cents * POWER(2.0, CASE WHEN t = 0 THEN 0 ELSE t - 1 END) AS w
+    FROM seq
+)
+SELECT event_type, STRFTIME(d, '%Y-%m-%d') AS day,
+       SUM(w) OVER (PARTITION BY event_type ORDER BY t
+                    ROWS UNBOUNDED PRECEDING) / POWER(2.0, t) AS ewma_cents
+FROM weighted
+ORDER BY event_type, day
+""",
+)
+def events_ewma_dyadic(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from cascade_spark.operators._util import _intdiv, dec
+
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.sum((dec("value") * 100).cast("long")).cast("long").alias("sum_cents"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    seq = daily.select(
+        "event_type",
+        "d",
+        _intdiv(F.col("sum_cents"), F.col("n")).cast("double").alias("avg_cents"),
+        (
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy("d")
+            )
+            - 1
+        ).alias("t"),
+    )
+    w = F.col("avg_cents") * F.pow(
+        F.lit(2.0), F.when(F.col("t") == 0, 0).otherwise(F.col("t") - 1)
+    )
+    weighted = seq.select("event_type", "d", "t", w.alias("w"))
+    cum = Window.partitionBy("event_type").orderBy("t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return weighted.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        (F.sum("w").over(cum) / F.pow(F.lit(2.0), F.col("t"))).alias("ewma_cents"),
+    ).orderBy("event_type", "day")

@@ -47,6 +47,7 @@ QUERIES = [
     "events_funnel_strict_sequence", "window_range_numeric_frame",
     "join_broadcast_left_outer", "pipeline_url_canonical_dedup",
     "fn_inline_array_structs", "agg_group_by_all", "fn_date_calendar",
+    "join_fuzzy_editdistance", "events_ewma_dyadic",
 ]
 
 

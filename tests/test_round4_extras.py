@@ -212,3 +212,67 @@ def test_numeric_range_frame_counts_self(spark, sf_dir):
     """Every row is inside its own ±band frame, so n_peers >= 1."""
     rows = REG["window_range_numeric_frame"].builder(spark, sf_dir).collect()
     assert rows and all(r["n_peers_within_100"] >= 1 for r in rows)
+
+
+def test_fuzzy_join_blocking_has_exact_recall(spark, sf_dir):
+    """The prefix/suffix pigeonhole must lose nothing: the blocked
+    result equals the naive all-pairs distance-<=1 join computed in
+    Spark directly."""
+    from pyspark.sql import functions as F
+
+    from cascade_spark.tables import load
+
+    blocked = {
+        (r["probe_id"], r["entity_id"])
+        for r in REG["join_fuzzy_editdistance"].builder(spark, sf_dir).collect()
+    }
+    cust = load(spark, sf_dir, "customer")
+    key = F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 9)
+    catalog = cust.select(F.col("c_custkey").alias("entity_id"), key.alias("key"))
+    q = F.concat(
+        F.expr("substr(substr(md5(cast(c_custkey as string)),1,9), 1, cast(c_custkey % 9 as int))"),
+        F.expr("substr(substr(md5(cast(c_custkey as string)),1,9), cast(c_custkey % 9 as int) + 2)"),
+    )
+    dirty = cust.select(F.col("c_custkey").alias("probe_id"), q.alias("q"))
+    naive = {
+        (r["probe_id"], r["entity_id"])
+        for r in dirty.crossJoin(catalog)
+        .filter(F.levenshtein("q", "key") <= 1)
+        .collect()
+    }
+    assert blocked == naive and len(blocked) > 0
+
+
+def test_ewma_satisfies_recurrence_exactly(spark, sf_dir):
+    """Dyadic weights make the closed form bit-equal to the recurrence
+    y_t = (x_t + y_{t-1})/2 — zero float tolerance."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from cascade_spark.plans.registry import load_all
+    from cascade_spark.tables import load
+    from cascade_spark.operators._util import dec, _intdiv
+
+    out = defaultdict(list)
+    for r in REG["events_ewma_dyadic"].builder(spark, sf_dir).collect():
+        out[r["event_type"]].append((r["day"], r["ewma_cents"]))
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(
+            F.sum((dec("value") * 100).cast("long")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("event_type", "d", _intdiv(F.col("s"), F.col("n")).alias("x"))
+        .collect()
+    )
+    xs = defaultdict(dict)
+    for r in daily:
+        xs[r["event_type"]][r["d"].strftime("%Y-%m-%d")] = float(r["x"])
+    for etype, series in out.items():
+        y = None
+        for day, got in sorted(series):
+            x = xs[etype][day]
+            y = x if y is None else (x + y) / 2.0
+            assert y == got, (etype, day, y, got)
