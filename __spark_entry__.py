@@ -30,6 +30,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # the sampled window; the full registry stays oracle-gated in pytest
 # (tests/test_oracle.py) regardless of sampling.
 _NEW_THIS_ROUND: list[str] = [
+    "stream_stateful_session_timeout",
     "join_fuzzy_editdistance",
     "events_ewma_dyadic",
     "agg_group_by_all",

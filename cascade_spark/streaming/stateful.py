@@ -158,3 +158,138 @@ ORDER BY user_id
             .agg(F.max("n_events").alias("n_events"))
             .orderBy("user_id")
         )
+
+
+# --- event-time timeout: custom sessionization with state TTL ---------------
+
+_SESS_OUT = "user_id long, session_start timestamp, session_end timestamp, n long"
+# island buffer: the open sessions the watermark has not yet sealed
+_SESS_STATE = "starts array<long>, lasts array<long>, ns array<long>"
+_GAP_US = 600_000_000  # 10 minutes
+_GAP_MS = _GAP_US // 1000
+
+
+def _merge_islands(islands, gap_us):
+    """Merge (start,last,n) triples sorted by start under the gap rule."""
+    out = []
+    for s, l, n in islands:
+        if out and s - out[-1][1] <= gap_us:
+            out[-1][1] = max(out[-1][1], l)
+            out[-1][2] += n
+        else:
+            out.append([s, l, n])
+    return out
+
+
+def _sessionize(key, pdfs, state: GroupState):
+    """Out-of-order-tolerant sessionization. Files (and therefore
+    micro-batches) are NOT guaranteed time-ordered, so an in-order
+    last-event state is wrong (observed: one merged session per user at
+    a batch boundary). Correct shape: buffer OPEN islands per user;
+    the watermark bound makes sealing safe — an island whose close
+    edge (last + gap) is below the watermark can never be extended OR
+    bridged to a later island, because the bridging event would have
+    ts <= last + gap < watermark, i.e. inadmissibly late. Emission
+    happens only at sealing, driven by getCurrentWatermarkMs and the
+    event-time timeout; state shrinks to the islands still in flight —
+    the TTL eviction that bounds state on an unbounded stream."""
+    import pandas as pd
+
+    starts, lasts, ns = state.get if state.exists else ([], [], [])
+    islands = [[s, l, n] for s, l, n in zip(starts, lasts, ns)]
+    if not state.hasTimedOut:
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if len(rows):
+            ts_us = sorted(rows["ts"].astype("int64") // 1000)
+            islands.extend([t, t, 1] for t in ts_us)
+            islands.sort(key=lambda i: i[0])
+            islands = _merge_islands(islands, _GAP_US)
+    wm_ms = state.getCurrentWatermarkMs()
+    sealed = [i for i in islands if i[1] // 1000 + _GAP_MS <= wm_ms]
+    open_ = [i for i in islands if i[1] // 1000 + _GAP_MS > wm_ms]
+    if open_:
+        state.update(([i[0] for i in open_], [i[1] for i in open_], [i[2] for i in open_]))
+        # strictly above the watermark by the seal rule -> valid timeout
+        state.setTimeoutTimestamp(min(i[1] for i in open_) // 1000 + _GAP_MS)
+    else:
+        state.remove()
+    if sealed:
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(sealed),
+                "session_start": [pd.to_datetime(i[0], unit="us") for i in sealed],
+                "session_end": [pd.to_datetime(i[1] + _GAP_US, unit="us") for i in sealed],
+                "n": [i[2] for i in sealed],
+            }
+        )
+
+
+@register(
+    "stream_stateful_session_timeout",
+    "streaming",
+    doc="Custom sessionization with EVENT-TIME TIMEOUT (state TTL), "
+    "out-of-order tolerant: applyInPandasWithState buffers each "
+    "user's OPEN islands; an island is sealed (emitted, state "
+    "dropped) only once the watermark passes its close edge — below "
+    "that edge a late event could still extend or BRIDGE islands, so "
+    "an in-order last-event state is wrong (observed: micro-batch "
+    "file order is not time order, which silently merged one session "
+    "per user). getCurrentWatermarkMs drives sealing inside the "
+    "function; setTimeoutTimestamp(min open close-edge) guarantees "
+    "sealing fires even for keys with no further input. State shrinks "
+    "to in-flight islands — the TTL eviction that bounds state to "
+    "O(active sessions) on an unbounded stream, explicit here where "
+    "the built-in session_window does it internally. Sentinel flush "
+    "files advance the final watermark so finite replay seals "
+    "everything; oracle = the batch gaps-and-islands construction "
+    "(same as stream_session_window, proving the custom operator "
+    "matches the built-in's semantics).",
+    oracle="""
+WITH marked AS (
+    SELECT user_id, ts,
+           CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS new_session
+    FROM events
+), numbered AS (
+    SELECT user_id, ts,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+    FROM marked
+)
+SELECT user_id,
+       STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       STRFTIME(MAX(ts) + INTERVAL 10 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM numbered
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+""",
+)
+def stream_stateful_session_timeout(spark, sf_dir):
+    indir, schema, _, wm_delay = stage_stream_input(spark, sf_dir, n_files=4, sentinels=2)
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(indir)
+        .withWatermark("ts", wm_delay)
+    )
+    sessions = src.groupBy("user_id").applyInPandasWithState(
+        _sessionize,
+        outputStructType=_SESS_OUT,
+        stateStructType=_SESS_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    out = run_to_memory(sessions, "append")
+    # sentinel exclusion on the batch result (pushdown would starve the
+    # watermark — see stream_session_window)
+    return (
+        out.filter(F.col("user_id") >= 0)
+        .select(
+            "user_id",
+            F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n",
+        )
+        .orderBy("user_id", "session_start")
+    )

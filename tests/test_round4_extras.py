@@ -276,3 +276,17 @@ def test_ewma_satisfies_recurrence_exactly(spark, sf_dir):
             x = xs[etype][day]
             y = x if y is None else (x + y) / 2.0
             assert y == got, (etype, day, y, got)
+
+
+def test_island_merge_bridges_and_orders():
+    """Pure-function check of the sessionizer's island merging: a late
+    bridging event must fuse two islands; disjoint ones stay apart."""
+    from cascade_spark.streaming.stateful import _GAP_US, _merge_islands
+
+    g = _GAP_US
+    # two islands one gap+2 apart, then a bridge right between them
+    a = [[0, 0, 1], [g + 2, g + 2, 1]]
+    assert len(_merge_islands(a, g)) == 2
+    bridged = sorted(a + [[g // 2, g // 2, 1]])
+    m = _merge_islands(bridged, g)
+    assert len(m) == 1 and m[0][2] == 3 and m[0][1] == g + 2
