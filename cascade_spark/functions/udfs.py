@@ -401,3 +401,52 @@ def fn_inline_array_structs(spark, sf_dir):
         )
         .orderBy("l_orderkey", "pos")
     )
+
+
+@register(
+    "udf_grouped_apply_in_arrow",
+    "udfs",
+    doc="Grouped applyInArrow (Spark 4) — the Arrow-native sibling of "
+    "applyInPandas: each group arrives as a pyarrow.Table, aggregated "
+    "with pyarrow.compute on exact int64 cents (quantized JVM-side), "
+    "no pandas materialization. Completes the Python-boundary matrix "
+    "(pandas_udf / applyInPandas / cogroup / mapInPandas / mapInArrow "
+    "/ applyInArrow); same one-shuffle distribution as a grouped agg.",
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,4)) * 100 AS BIGINT))
+            AS BIGINT) AS total_cents,
+       CAST(MAX(CAST(CAST(l_extendedprice AS DECIMAL(12,4)) * 100 AS BIGINT))
+            AS BIGINT) AS max_cents
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def udf_grouped_apply_in_arrow(spark, sf_dir):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", (dec("l_extendedprice") * 100).cast("long").alias("cents")
+    )
+
+    def agg(table: pa.Table) -> pa.Table:
+        cents = table.column("cents")
+        return pa.table(
+            {
+                "l_returnflag": [table.column("l_returnflag")[0].as_py()],
+                "n_rows": pa.array([table.num_rows], pa.int64()),
+                "total_cents": pa.array([pc.sum(cents).as_py()], pa.int64()),
+                "max_cents": pa.array([pc.max(cents).as_py()], pa.int64()),
+            }
+        )
+
+    return (
+        li.groupBy("l_returnflag")
+        .applyInArrow(
+            agg, schema="l_returnflag string, n_rows long, total_cents long, max_cents long"
+        )
+        .orderBy("l_returnflag")
+    )

@@ -55,3 +55,68 @@ def stream_foreachbatch_sink(spark, sf_dir):
         F.count(F.lit(1)).alias("n_drained"),
         F.countDistinct("event_id").alias("n_distinct"),
     )
+
+
+@register(
+    "stream_foreachbatch_upsert",
+    "streaming",
+    doc="foreachBatch keyed UPSERT (the CDC merge-to-lake pattern "
+    "without a table format): each micro-batch is merged into a "
+    "keyed snapshot — read previous generation, union the batch, keep "
+    "the latest record per user by the (ts, event_id) total order, "
+    "write the next generation. Generational directories make the "
+    "read-modify-write safe (never overwrite the files being read); "
+    "argmax by struct max is associative, so any batch split yields "
+    "the same final snapshot — which is what the oracle pins. The "
+    "input is the fixture duplicated, so every key really is upserted "
+    "repeatedly. At scale the same handler partitions the snapshot by "
+    "key bucket and rewrites only buckets the batch touches.",
+    oracle="""
+WITH ranked AS (
+    SELECT user_id, ts, event_id, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+)
+SELECT user_id,
+       STRFTIME(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+       event_id AS last_event_id,
+       value AS last_value
+FROM ranked WHERE rn = 1
+ORDER BY user_id
+""",
+)
+def stream_foreachbatch_upsert(spark, sf_dir):
+    import tempfile
+
+    indir, schema, _, _ = stage_stream_input(spark, sf_dir, n_files=4, duplicate=True)
+    base = tempfile.mkdtemp(prefix="cascade_upsert_")
+    gen = {"n": 0}
+    pick = F.max(F.struct("ts", "event_id", "value")).alias("m")
+
+    def upsert(batch_df, batch_id):
+        s = batch_df.sparkSession
+        cur = batch_df.groupBy("user_id").agg(pick).select(
+            "user_id", "m.ts", "m.event_id", "m.value"
+        )
+        if gen["n"] > 0:
+            prev = s.read.schema(cur.schema).parquet(f"{base}/gen{gen['n']}")
+            cur = (
+                prev.unionByName(cur)
+                .groupBy("user_id")
+                .agg(pick)
+                .select("user_id", "m.ts", "m.event_id", "m.value")
+            )
+        gen["n"] += 1
+        cur.write.parquet(f"{base}/gen{gen['n']}")
+
+    src = spark.readStream.schema(schema).option("maxFilesPerTrigger", 3).parquet(indir)
+    q = src.writeStream.foreachBatch(upsert).trigger(availableNow=True).start()
+    q.awaitTermination()
+    snap = spark.read.parquet(f"{base}/gen{gen['n']}")
+    return snap.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        F.col("event_id").alias("last_event_id"),
+        F.col("value").alias("last_value"),
+    ).orderBy("user_id")
