@@ -430,3 +430,94 @@ def fn_aes_roundtrip(spark, sf_dir):
         plain.cast("string").alias("roundtrip"),
         F.length(cipher).cast("long").alias("cipher_len"),
     ).orderBy("doc_id")
+
+
+@register(
+    "events_session_window_dynamic_gap",
+    "analytics",
+    doc="session_window with a DYNAMIC per-row gap (Spark 3.2+): "
+    "purchase/signup events hold sessions open for 60 minutes, "
+    "everything else 15 — the per-event-importance sessionization "
+    "real funnels use. Semantics: each event spans [ts, ts+gap); "
+    "overlapping spans merge, so a new session starts exactly when "
+    "ts >= the running max of previous ends — which is what the "
+    "oracle's running-max islands rewrite computes. Same one-shuffle "
+    "shape as the fixed-gap operator.",
+    oracle="""
+WITH spans AS (
+    SELECT user_id, event_id, ts,
+           ts + CASE WHEN event_type IN ('purchase','signup')
+                     THEN INTERVAL 60 MINUTE ELSE INTERVAL 15 MINUTE END AS e
+    FROM events
+), marked AS (
+    SELECT user_id, ts, e,
+           CASE WHEN MAX(e) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     IS NULL
+                  OR ts >= MAX(e) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                THEN 1 ELSE 0 END AS new_sess
+    FROM spans
+), sess AS (
+    SELECT user_id, ts, e,
+           SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, e
+                               ROWS UNBOUNDED PRECEDING) AS sidx
+    FROM marked
+)
+SELECT user_id,
+       STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       STRFTIME(MAX(e), '%Y-%m-%d %H:%M:%S') AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM sess
+GROUP BY user_id, sidx
+ORDER BY user_id, session_start
+""",
+)
+def events_session_window_dynamic_gap(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    gap = F.when(
+        F.col("event_type").isin("purchase", "signup"), F.lit("60 minutes")
+    ).otherwise(F.lit("15 minutes"))
+    return (
+        ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@register(
+    "catalog_global_temp_view",
+    "sources",
+    doc="Global temp views: registered in the global_temp database and "
+    "visible from a DIFFERENT session (spark.newSession shares the "
+    "catalog of globals, unlike createOrReplaceTempView's "
+    "session-local registry) — the cross-session handoff surface of "
+    "the coordinator's volatile topic map. The aggregate runs in the "
+    "new session against the view.",
+    oracle="""
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,4))), 2) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def catalog_global_temp_view(spark, sf_dir):
+    t(spark, sf_dir, "orders").createOrReplaceGlobalTempView("orders_global")
+    other = spark.newSession()
+    return other.sql(
+        """
+        SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,4))), 2) AS DOUBLE)
+                 AS revenue
+        FROM global_temp.orders_global
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+        """
+    )
