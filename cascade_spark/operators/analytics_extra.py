@@ -343,3 +343,48 @@ def pipeline_url_canonical_dedup(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@register(
+    "events_trigram_paths",
+    "analytics",
+    doc="Behavioral path mining: the most common consecutive 3-step "
+    "event-type sequences per user journey (LEAD twice over the "
+    "(ts, event_id) total order), counted corpus-wide — the n-gram LM "
+    "idea applied to event streams. One shuffle on user_id for the "
+    "windows, one tiny count aggregate; top paths via deterministic "
+    "(count DESC, path) ordering.",
+    oracle="""
+WITH seq AS (
+    SELECT user_id, event_type,
+           LEAD(event_type, 1) OVER w AS e2,
+           LEAD(event_type, 2) OVER w AS e3
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_type || '>' || e2 || '>' || e3 AS path,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM seq
+WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+GROUP BY path
+ORDER BY n DESC, path
+LIMIT 25
+""",
+)
+def events_trigram_paths(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    return (
+        seq.select(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(25)
+    )

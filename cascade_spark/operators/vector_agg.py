@@ -127,3 +127,69 @@ def embedding_norm_audit(spark, sf_dir):
         )
         .orderBy("label")
     )
+
+
+@register(
+    "similarity_centroid_cosine_matrix",
+    "similarity",
+    doc="Pairwise cosine similarity between label centroids, bit-exact: "
+    "cosine is scale-invariant, so the un-normalized centroid (the "
+    "quantized SUM vector, exact decimal(38,0) integers) substitutes "
+    "for the mean and the whole computation stays in exact arithmetic "
+    "until one final IEEE expression per pair. Shape: one (label, dim) "
+    "aggregate (|labels|*|dims| rows regardless of corpus size), a "
+    "self-join on dim over that tiny frame, and a |labels|^2/2-row "
+    "result — the inter-cluster geometry audit an IVF/clustering "
+    "build runs at 100 TB for the cost of one scan.",
+    oracle=f"""
+WITH q AS (
+    SELECT e.label, t.i AS i,
+           CAST(FLOOR(CAST(e.embedding[t.i] AS DOUBLE) * {Q}) AS BIGINT) AS qv
+    FROM embeddings e, UNNEST(GENERATE_SERIES(1, LEN(e.embedding))) AS t(i)
+), cent AS (
+    SELECT label, i, SUM(CAST(qv AS HUGEINT)) AS s
+    FROM q GROUP BY label, i
+), pairs AS (
+    SELECT a.label AS label_a, b.label AS label_b,
+           SUM(a.s * b.s) AS dot,
+           SUM(a.s * a.s) AS na,
+           SUM(b.s * b.s) AS nb
+    FROM cent a JOIN cent b ON a.i = b.i AND a.label < b.label
+    GROUP BY a.label, b.label
+)
+SELECT CAST(label_a AS BIGINT) AS label_a, CAST(label_b AS BIGINT) AS label_b,
+       ROUND(CAST(dot AS DOUBLE) / (SQRT(CAST(na AS DOUBLE)) * SQRT(CAST(nb AS DOUBLE))), 6)
+         AS centroid_cosine
+FROM pairs
+ORDER BY label_a, label_b
+""",
+)
+def similarity_centroid_cosine_matrix(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    q = e.select(
+        "label", F.posexplode(F.col("embedding")).alias("i0", "v")
+    ).select(
+        "label",
+        (F.col("i0") + 1).alias("i"),
+        F.floor(F.col("v").cast("double") * Q).cast("long").alias("qv"),
+    )
+    big = "decimal(38,0)"
+    cent = q.groupBy("label", "i").agg(F.sum(F.col("qv").cast(big)).alias("s"))
+    a, b = cent.alias("a"), cent.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.i") == F.col("b.i")) & (F.col("a.label") < F.col("b.label")))
+        .groupBy(F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b"))
+        .agg(
+            F.sum(F.col("a.s") * F.col("b.s")).alias("dot"),
+            F.sum(F.col("a.s") * F.col("a.s")).alias("na"),
+            F.sum(F.col("b.s") * F.col("b.s")).alias("nb"),
+        )
+    )
+    cos = F.col("dot").cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    return pairs.select(
+        F.col("label_a").cast("long").alias("label_a"),
+        F.col("label_b").cast("long").alias("label_b"),
+        F.round(cos, 6).alias("centroid_cosine"),
+    ).orderBy("label_a", "label_b")
