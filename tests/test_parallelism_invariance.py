@@ -24,6 +24,11 @@ QUERIES = [
     "text_lm_commonality",       # corpus join + avg_round
     "dedup_minhash_lsh",         # md5-derived hash family
     "events_resample_ohlc",      # order-sensitive first/last
+    # late-round-4 exact-arithmetic representatives
+    "events_ewma_dyadic",        # dyadic float sums, order-free exactness
+    "stats_correlation",         # decimal(38,0) second moments
+    "join_fuzzy_editdistance",   # blocked candidates, set-equal results
+    "pipeline_curriculum_order", # two-phase ordinal assignment
 ]
 
 

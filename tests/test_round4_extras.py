@@ -290,3 +290,37 @@ def test_island_merge_bridges_and_orders():
     bridged = sorted(a + [[g // 2, g // 2, 1]])
     m = _merge_islands(bridged, g)
     assert len(m) == 1 and m[0][2] == 3 and m[0][1] == g + 2
+
+
+def test_island_merge_equals_bruteforce_sessionization():
+    """Property: merging arbitrary event sets incrementally (any split,
+    any order) equals one-shot gaps-and-islands sessionization."""
+    from hypothesis import given, settings, strategies as st
+
+    from cascade_spark.streaming.stateful import _merge_islands
+
+    gap = 100
+
+    def brute(ts):
+        islands = []
+        for x in sorted(ts):
+            if islands and x - islands[-1][1] <= gap:
+                islands[-1][1] = x
+                islands[-1][2] += 1
+            else:
+                islands.append([x, x, 1])
+        return islands
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=0, max_value=3000), min_size=1, max_size=40),
+        st.data(),
+    )
+    def check(ts, data):
+        cut = data.draw(st.integers(min_value=0, max_value=len(ts)))
+        first, second = sorted(ts[:cut]), sorted(ts[cut:])
+        islands = _merge_islands([[x, x, 1] for x in first], gap)
+        merged = sorted(islands + [[x, x, 1] for x in second])
+        assert _merge_islands(merged, gap) == brute(ts)
+
+    check()
