@@ -30,6 +30,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # the sampled window; the full registry stays oracle-gated in pytest
 # (tests/test_oracle.py) regardless of sampling.
 _NEW_THIS_ROUND: list[str] = [
+    "bus_topic_compaction",
+    "pipeline_snapshot_cdc_diff",
     "similarity_centroid_cosine_matrix",
     "events_trigram_paths",
     "events_session_window_dynamic_gap",

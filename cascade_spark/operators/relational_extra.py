@@ -217,9 +217,10 @@ def stats_crosstab(spark, sf_dir):
     "quantized to scale-4 units; sums in decimal(38,0)/HUGEINT) so the "
     "result is bit-identical across engines — the repo's decimal "
     "discipline applied to second moments. Native corr()/covar_samp() "
-    "float-accumulate in partition order and can't hash-match across "
-    "engines; the exact-sums form is also ONE map-side-combinable "
-    "aggregate pass, so it scales identically.",
+    "float-accumulate in partition order (agg_correlation survives "
+    "only behind ROUND(...,4); its match is magnitude-luck, not a "
+    "guarantee); the exact-sums form is guaranteed AND still ONE "
+    "map-side-combinable aggregate pass, so it scales identically.",
     oracle="""
 WITH u AS (
     SELECT l_returnflag,

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from cascade_spark.plans.registry import register
-from cascade_spark.operators._util import t
+from cascade_spark.operators._util import dec, t
 
 
 @register(
@@ -111,4 +111,78 @@ def agg_correlation(spark, sf_dir):
             F.round(F.covar_samp("l_quantity", "l_discount"), 4).alias("covar_qty_disc"),
         )
         .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "pipeline_snapshot_cdc_diff",
+    "analytics",
+    doc="Snapshot CDC extraction: given yesterday's and today's keyed "
+    "snapshots, derive the row-level changelog (insert / update / "
+    "delete) with a single full-outer join on the key — the diff "
+    "every downstream incremental consumer wants when the source "
+    "can't emit its own change feed. Mutations here are "
+    "deterministic (update %7 keys' balance, delete %13 keys, insert "
+    "shifted %11 keys). One shuffle on the key; unchanged rows are "
+    "filtered before the sink so the changelog is |changes|-sized.",
+    oracle="""
+WITH s1 AS (
+    SELECT c_custkey AS k, CAST(CAST(c_acctbal AS DECIMAL(12,4)) * 100 AS BIGINT) AS bal
+    FROM customer
+), s2 AS (
+    SELECT c_custkey AS k,
+           CAST(CAST(c_acctbal AS DECIMAL(12,4)) * 100 AS BIGINT)
+             + CASE WHEN c_custkey % 7 = 0 THEN 10000 ELSE 0 END AS bal
+    FROM customer WHERE c_custkey % 13 <> 0
+    UNION ALL
+    SELECT c_custkey + 100000 AS k,
+           CAST(CAST(c_acctbal AS DECIMAL(12,4)) * 100 AS BIGINT) AS bal
+    FROM customer WHERE c_custkey % 11 = 0
+)
+SELECT COALESCE(s1.k, s2.k) AS k,
+       CASE WHEN s1.k IS NULL THEN 'insert'
+            WHEN s2.k IS NULL THEN 'delete'
+            ELSE 'update' END AS change_type,
+       s1.bal AS old_bal, s2.bal AS new_bal
+FROM s1 FULL OUTER JOIN s2 ON s1.k = s2.k
+WHERE s1.k IS NULL OR s2.k IS NULL OR s1.bal <> s2.bal
+ORDER BY k
+""",
+)
+def pipeline_snapshot_cdc_diff(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer")
+    bal = (dec("c_acctbal") * 100).cast("long")
+    s1 = cust.select(F.col("c_custkey").alias("k"), bal.alias("bal"))
+    s2 = (
+        cust.filter(F.col("c_custkey") % 13 != 0)
+        .select(
+            F.col("c_custkey").alias("k"),
+            (bal + F.when(F.col("c_custkey") % 7 == 0, 10000).otherwise(0)).alias("bal"),
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 11 == 0).select(
+                (F.col("c_custkey") + 100000).alias("k"), bal.alias("bal")
+            )
+        )
+    )
+    a, b = s1.alias("a"), s2.alias("b")
+    joined = a.join(b, F.col("a.k") == F.col("b.k"), "full_outer")
+    change = (
+        F.when(F.col("a.k").isNull(), "insert")
+        .when(F.col("b.k").isNull(), "delete")
+        .otherwise("update")
+    )
+    return (
+        joined.filter(
+            F.col("a.k").isNull()
+            | F.col("b.k").isNull()
+            | (F.col("a.bal") != F.col("b.bal"))
+        )
+        .select(
+            F.coalesce(F.col("a.k"), F.col("b.k")).alias("k"),
+            change.alias("change_type"),
+            F.col("a.bal").alias("old_bal"),
+            F.col("b.bal").alias("new_bal"),
+        )
+        .orderBy("k")
     )

@@ -916,3 +916,62 @@ def bus_index_dump(spark, sf_dir):
         "partition int, segment_seq long, fmt string, n_rows long, "
         "start_offset long, next_offset long",
     ).orderBy("partition", "segment_seq")
+
+
+@register(
+    "bus_topic_compaction",
+    "sources",
+    doc="Kafka-style LOG COMPACTION over the bus topic (the maintenance "
+    "op the reference's append-only broker log would need at "
+    "retention time): read the topic through the connector, keep only "
+    "the latest record per key — latest = max (offset, partition) "
+    "position, which under the deterministic round-robin assignment "
+    "is exactly max event_id — and report per key what compaction "
+    "kept and how many records it retired. One shuffle on the "
+    "compaction key; at scale this runs per topic-partition directory "
+    "and rewrites segments in place.",
+    oracle="""
+WITH seq AS (
+    SELECT event_id, user_id,
+           ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS i
+    FROM events
+), pos AS (
+    SELECT user_id, event_id, i // 4 AS off, CAST(i % 4 AS INT) AS part
+    FROM seq
+), ranked AS (
+    SELECT user_id, event_id,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY off DESC, part DESC) AS rn,
+           COUNT(*) OVER (PARTITION BY user_id) AS n_records
+    FROM pos
+)
+SELECT user_id, event_id AS kept_event_id,
+       CAST(n_records - 1 AS BIGINT) AS n_compacted_away
+FROM ranked WHERE rn = 1
+ORDER BY user_id
+""",
+)
+def bus_topic_compaction(spark, sf_dir):
+    from pyspark.sql import Window
+
+    topic = stage_bus_topic(spark, sf_dir)
+    register_bus(spark)
+    log = spark.read.format("cascade_bus").option("path", topic).load()
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("offset").desc(), F.col("partition").desc()
+    )
+    ranked = log.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("n_records"),
+    )
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("kept_event_id"),
+            (F.col("n_records") - 1).cast("long").alias("n_compacted_away"),
+        )
+        .orderBy("user_id")
+    )
