@@ -30,6 +30,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # the sampled window; the full registry stays oracle-gated in pytest
 # (tests/test_oracle.py) regardless of sampling.
 _NEW_THIS_ROUND: list[str] = [
+    "scan_ignore_corrupt_files",
+    "bus_consumer_lag",
+    "profile_expectations_report",
     "bus_topic_compaction",
     "pipeline_snapshot_cdc_diff",
     "similarity_centroid_cosine_matrix",

@@ -212,3 +212,78 @@ def profile_observed_metrics(spark, sf_dir):
         [(m["n_rows"], m["null_props"], m["total_value"], job_output_rows)],
         "n_rows long, null_props long, total_value double, job_output_rows long",
     )
+
+
+@register(
+    "profile_expectations_report",
+    "analytics",
+    doc="Declarative data-quality expectations in ONE pass (the "
+    "Deequ/Great-Expectations shape): each rule is a FILTER-counted "
+    "aggregate — completeness (value not null), range (value within "
+    "[0, 1e6)), set membership (event_type in the known enum), "
+    "uniqueness (event_id distinct = rows), freshness (max ts inside "
+    "the fixture month) — evaluated together in a single combinable "
+    "scan, emitted as one (rule, passed, failed, pass_rate_bp) row "
+    "each. A validation suite must not cost one scan per rule at "
+    "100 TB; this costs one total.",
+    oracle="""
+WITH base AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(value) AS BIGINT) AS n_value,
+           CAST(COUNT(*) FILTER (WHERE value >= 0 AND value < 1000000) AS BIGINT) AS n_range,
+           CAST(COUNT(*) FILTER (WHERE event_type IN
+                ('click','error','purchase','signup','view')) AS BIGINT) AS n_enum,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_ids,
+           CAST(COUNT(*) FILTER (WHERE ts < TIMESTAMP '2024-02-01') AS BIGINT) AS n_fresh
+    FROM events
+)
+SELECT rule, passed, failed,
+       CAST((passed * 10000) // (passed + failed) AS BIGINT) AS pass_rate_bp
+FROM (
+    SELECT 'completeness_value' AS rule, n_value AS passed, n_rows - n_value AS failed FROM base
+    UNION ALL SELECT 'range_value', n_range, n_rows - n_range FROM base
+    UNION ALL SELECT 'enum_event_type', n_enum, n_rows - n_enum FROM base
+    UNION ALL SELECT 'unique_event_id', n_ids, n_rows - n_ids FROM base
+    UNION ALL SELECT 'freshness_ts', n_fresh, n_rows - n_fresh FROM base
+)
+ORDER BY rule
+""",
+)
+def profile_expectations_report(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    base = ev.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count("value").cast("long").alias("n_value"),
+        F.count_if((F.col("value") >= 0) & (F.col("value") < 1000000))
+        .cast("long")
+        .alias("n_range"),
+        F.count_if(
+            F.col("event_type").isin("click", "error", "purchase", "signup", "view")
+        )
+        .cast("long")
+        .alias("n_enum"),
+        F.count_distinct("event_id").cast("long").alias("n_ids"),
+        F.count_if(F.col("ts") < F.lit("2024-02-01").cast("timestamp"))
+        .cast("long")
+        .alias("n_fresh"),
+    )
+    rules = [
+        ("completeness_value", "n_value"),
+        ("range_value", "n_range"),
+        ("enum_event_type", "n_enum"),
+        ("unique_event_id", "n_ids"),
+        ("freshness_ts", "n_fresh"),
+    ]
+    frames = [
+        base.select(
+            F.lit(name).alias("rule"),
+            F.col(col).alias("passed"),
+            (F.col("n_rows") - F.col(col)).alias("failed"),
+        )
+        for name, col in rules
+    ]
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    rate = F.floor((F.col("passed") * 10000).cast("double") / (F.col("passed") + F.col("failed"))).cast("long")
+    return out.select("rule", "passed", "failed", rate.alias("pass_rate_bp")).orderBy("rule")

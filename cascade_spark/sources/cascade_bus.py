@@ -975,3 +975,44 @@ def bus_topic_compaction(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "bus_consumer_lag",
+    "sources",
+    doc="Consumer-lag monitoring (the first Kafka dashboard anyone "
+    "builds): end offsets per bus partition vs a consumer group's "
+    "committed position (deterministically: committed through half "
+    "the log), giving per-partition lag and the total backlog. End "
+    "offsets come from a metadata-sized aggregate over the topic — "
+    "at scale this reads segment indexes, not payloads.",
+    oracle="""
+WITH seq AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS i FROM events
+), pos AS (
+    SELECT CAST(i % 4 AS INT) AS partition, i // 4 AS off FROM seq
+), ends AS (
+    SELECT partition, MAX(off) + 1 AS end_offset FROM pos GROUP BY partition
+)
+SELECT partition,
+       CAST(end_offset AS BIGINT) AS end_offset,
+       CAST(end_offset // 2 AS BIGINT) AS committed_offset,
+       CAST(end_offset - end_offset // 2 AS BIGINT) AS lag
+FROM ends
+ORDER BY partition
+""",
+)
+def bus_consumer_lag(spark, sf_dir):
+    topic = stage_bus_topic(spark, sf_dir)
+    register_bus(spark)
+    log = spark.read.format("cascade_bus").option("path", topic).load()
+    ends = log.groupBy("partition").agg(
+        (F.max("offset") + 1).cast("long").alias("end_offset")
+    )
+    committed = F.floor(F.col("end_offset") / 2).cast("long")
+    return ends.select(
+        "partition",
+        "end_offset",
+        committed.alias("committed_offset"),
+        (F.col("end_offset") - committed).cast("long").alias("lag"),
+    ).orderBy("partition")

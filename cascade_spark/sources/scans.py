@@ -291,3 +291,39 @@ def scan_text_lines(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@register(
+    "scan_ignore_corrupt_files",
+    "sources",
+    doc="Corrupt-file tolerance (ignoreCorruptFiles): a staging dir "
+    "holds the real events parquet plus a garbage file with a .parquet "
+    "name; the default reader fails the job, this one skips the bad "
+    "file and serves the valid rows — the posture a 100 TB lake needs "
+    "when one segment of a million is truncated by a failed writer. "
+    "Read schema pinned (no inference over garbage).",
+    oracle="""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def scan_ignore_corrupt_files(spark, sf_dir):
+    import os
+
+    ev = t(spark, sf_dir, "events")
+    out = tempfile.mkdtemp(prefix="cascade_corrupt_") + "/mixed"
+    ev.write.parquet(out)
+    with open(os.path.join(out, "part-junk.parquet"), "wb") as fh:
+        fh.write(b"this is not a parquet file, just truncated garbage bytes")
+    back = (
+        spark.read.schema(ev.schema)
+        .option("ignoreCorruptFiles", "true")
+        .parquet(out)
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("event_type")
+    )
