@@ -388,3 +388,168 @@ def events_trigram_paths(spark, sf_dir):
         .orderBy(F.col("n").desc(), "path")
         .limit(25)
     )
+
+
+@register(
+    "agg_deciles_disc",
+    "aggregations",
+    doc="Discrete decile table per event type: percentile_disc picks "
+    "ACTUAL data values (no interpolation, so the doubles pass through "
+    "both engines verbatim — exactness for free, unlike _cont). One "
+    "aggregate pass computing all nine cut points together.",
+    oracle="""
+SELECT event_type, CAST(d.dec AS BIGINT) AS decile,
+       CASE d.dec
+         WHEN 1 THEN QUANTILE_DISC(value, 0.1) WHEN 2 THEN QUANTILE_DISC(value, 0.2)
+         WHEN 3 THEN QUANTILE_DISC(value, 0.3) WHEN 4 THEN QUANTILE_DISC(value, 0.4)
+         WHEN 5 THEN QUANTILE_DISC(value, 0.5) WHEN 6 THEN QUANTILE_DISC(value, 0.6)
+         WHEN 7 THEN QUANTILE_DISC(value, 0.7) WHEN 8 THEN QUANTILE_DISC(value, 0.8)
+         ELSE QUANTILE_DISC(value, 0.9) END AS cut_value
+FROM events, (SELECT UNNEST(GENERATE_SERIES(1, 9)) AS dec) d
+GROUP BY event_type, d.dec
+ORDER BY event_type, decile
+""",
+)
+def agg_deciles_disc(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    cuts = ev.groupBy("event_type").agg(
+        *[
+            F.expr(f"percentile_disc({k / 10}) WITHIN GROUP (ORDER BY value)").alias(
+                f"p{k}"
+            )
+            for k in range(1, 10)
+        ]
+    )
+    pairs = F.array(
+        *[
+            F.struct(F.lit(k).cast("long").alias("decile"), F.col(f"p{k}").alias("cut_value"))
+            for k in range(1, 10)
+        ]
+    )
+    return (
+        cuts.select("event_type", F.explode(pairs).alias("x"))
+        .select("event_type", "x.decile", "x.cut_value")
+        .orderBy("event_type", "decile")
+    )
+
+
+@register(
+    "analytics_rfm_segmentation",
+    "analytics",
+    doc="RFM customer segmentation: recency (days since last order), "
+    "frequency (order count), monetary (revenue cents) per customer, "
+    "each scored into quintiles by ntile over a deterministic total "
+    "order (metric, then custkey tiebreak), concatenated into the "
+    "classic 555-style segment code and counted. Three windows share "
+    "nothing but the same tiny per-customer aggregate — the heavy "
+    "pass is the one orders scan.",
+    oracle="""
+WITH per_cust AS (
+    SELECT o_custkey AS k,
+           DATE_DIFF('day', CAST(MAX(o_orderdate) AS DATE), DATE '2002-01-01') AS rec,
+           CAST(COUNT(*) AS BIGINT) AS freq,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) * 100 AS BIGINT) AS mon
+    FROM orders GROUP BY o_custkey
+), scored AS (
+    SELECT k,
+           NTILE(5) OVER (ORDER BY rec DESC, k) AS r_score,
+           NTILE(5) OVER (ORDER BY freq, k) AS f_score,
+           NTILE(5) OVER (ORDER BY mon, k) AS m_score
+    FROM per_cust
+)
+SELECT CAST(r_score AS BIGINT) * 100 + f_score * 10 + m_score AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM scored
+GROUP BY segment
+ORDER BY segment
+""",
+)
+def analytics_rfm_segmentation(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.datediff(
+            F.lit("2002-01-01").cast("date"), F.to_date(F.max("o_orderdate"))
+        ).alias("rec"),
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        (F.sum(dec("o_totalprice")) * 100).cast("long").alias("mon"),
+    )
+    wr = Window.orderBy(F.col("rec").desc(), "k")
+    wf = Window.orderBy("freq", "k")
+    wm = Window.orderBy("mon", "k")
+    scored = per_cust.select(
+        F.ntile(5).over(wr).cast("long").alias("r_score"),
+        F.ntile(5).over(wf).cast("long").alias("f_score"),
+        F.ntile(5).over(wm).cast("long").alias("m_score"),
+    )
+    return (
+        scored.select(
+            (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")).alias(
+                "segment"
+            )
+        )
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+        .orderBy("segment")
+    )
+
+
+@register(
+    "analytics_abc_pareto",
+    "analytics",
+    doc="ABC / Pareto analysis: parts ranked by revenue, classified by "
+    "cumulative revenue share (A ≤ 80%, B ≤ 95%, C rest) in exact "
+    "integer arithmetic — cum_cents * 100 vs threshold * total_cents, "
+    "no float shares. The per-part aggregate is the heavy pass; the "
+    "classification window runs over |parts| rows. (The rank window "
+    "is keyed on nothing — at 100 TB the classification tier would "
+    "bucket by revenue range first; the per-part frame here is "
+    "catalog-sized, the standard assumption for ABC.)",
+    oracle="""
+WITH per_part AS (
+    SELECT l_partkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) * 100 AS BIGINT) AS cents
+    FROM lineitem GROUP BY l_partkey
+), ranked AS (
+    SELECT l_partkey, cents,
+           SUM(cents) OVER (ORDER BY cents DESC, l_partkey
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+           SUM(cents) OVER () AS total
+    FROM per_part
+)
+SELECT CASE WHEN cum * 100 <= total * 80 THEN 'A'
+            WHEN cum * 100 <= total * 95 THEN 'B' ELSE 'C' END AS klass,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(cents) AS BIGINT) AS class_cents
+FROM ranked
+GROUP BY klass
+ORDER BY klass
+""",
+)
+def analytics_abc_pareto(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        (F.sum(dec("l_extendedprice")) * 100).cast("long").alias("cents")
+    )
+    w = Window.orderBy(F.col("cents").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.partitionBy()
+    ranked = per_part.select(
+        "cents",
+        F.sum("cents").over(w).alias("cum"),
+        F.sum("cents").over(wt).alias("total"),
+    )
+    klass = (
+        F.when(F.col("cum") * 100 <= F.col("total") * 80, "A")
+        .when(F.col("cum") * 100 <= F.col("total") * 95, "B")
+        .otherwise("C")
+    )
+    return (
+        ranked.select(klass.alias("klass"), "cents")
+        .groupBy("klass")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum("cents").cast("long").alias("class_cents"),
+        )
+        .orderBy("klass")
+    )
