@@ -440,9 +440,13 @@ def agg_deciles_disc(spark, sf_dir):
     "frequency (order count), monetary (revenue cents) per customer, "
     "each scored into quintiles by ntile over a deterministic total "
     "order (metric, then custkey tiebreak), concatenated into the "
-    "classic 555-style segment code and counted. Three windows share "
-    "nothing but the same tiny per-customer aggregate — the heavy "
-    "pass is the one orders scan.",
+    "classic 555-style segment code and counted. The heavy pass is "
+    "the one orders scan; the ntile windows run over the per-customer "
+    "frame, which is fixture-tiny here but customer-cardinality in "
+    "production — at 100 TB replace exact ntile with percentile cut "
+    "points (approx or percentile_disc on a sample) broadcast onto a "
+    "map-only scoring pass, the same trade the z-score and OOV "
+    "queries make.",
     oracle="""
 WITH per_cust AS (
     SELECT o_custkey AS k,
