@@ -30,6 +30,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # the sampled window; the full registry stays oracle-gated in pytest
 # (tests/test_oracle.py) regardless of sampling.
 _NEW_THIS_ROUND: list[str] = [
+    "events_inter_arrival_stats",
+    "events_survival_curve",
+    "agg_rollup_share_of_parent",
     "agg_deciles_disc",
     "analytics_rfm_segmentation",
     "analytics_abc_pareto",

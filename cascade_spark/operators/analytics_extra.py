@@ -557,3 +557,157 @@ def analytics_abc_pareto(spark, sf_dir):
         )
         .orderBy("klass")
     )
+
+
+@register(
+    "events_inter_arrival_stats",
+    "analytics",
+    doc="Inter-arrival time statistics per event type — the queueing "
+    "signal behind throughput dashboards and rate-source calibration: "
+    "LAG over the (ts, event_id) total order, gaps in exact "
+    "microseconds, then count / exact-floor mean / discrete median "
+    "(actual gap values, interpolation-free) / max. One shuffle on "
+    "event_type serves the window and the aggregate.",
+    oracle="""
+WITH gaps AS (
+    SELECT event_type,
+           EPOCH_US(ts) - LAG(EPOCH_US(ts)) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id) AS gap_us
+    FROM events
+)
+SELECT event_type,
+       CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+       CAST((SUM(gap_us) - (SUM(gap_us) % COUNT(gap_us))) / COUNT(gap_us)
+            AS BIGINT) AS mean_gap_us,
+       CAST(QUANTILE_DISC(gap_us, 0.5) AS BIGINT) AS median_gap_us,
+       CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+FROM gaps
+WHERE gap_us IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def events_inter_arrival_stats(spark, sf_dir):
+    from cascade_spark.operators._util import _intdiv
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    gaps = ev.select(
+        "event_type", (us - F.lag(us).over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count("gap_us").cast("long").alias("n_gaps"),
+            _intdiv(F.sum("gap_us"), F.count("gap_us")).cast("long").alias("mean_gap_us"),
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_us)")
+            .cast("long")
+            .alias("median_gap_us"),
+            F.max("gap_us").cast("long").alias("max_gap_us"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "events_survival_curve",
+    "analytics",
+    doc="Retention survival curve: for each day-offset k, the share of "
+    "users still active k or more days after their first activity "
+    "(survival = lifespan >= k). Per-user lifespan is one aggregate; "
+    "the curve explodes each user into lifespan+1 offset rows (a "
+    "|users| x 31 flatMap at most) and counts per offset — no "
+    "per-day rescan of events. Share in exact floor basis points.",
+    oracle="""
+WITH spans AS (
+    SELECT user_id,
+           DATE_DIFF('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE))) AS lifespan
+    FROM events GROUP BY user_id
+), curve AS (
+    SELECT k.k, COUNT(*) AS n_surviving
+    FROM spans, (SELECT UNNEST(GENERATE_SERIES(0, 30)) AS k) k
+    WHERE spans.lifespan >= k.k
+    GROUP BY k.k
+)
+SELECT CAST(k AS BIGINT) AS day_offset,
+       CAST(n_surviving AS BIGINT) AS n_surviving,
+       CAST((n_surviving * 10000) // (SELECT COUNT(*) FROM spans) AS BIGINT)
+         AS survival_bp
+FROM curve
+ORDER BY day_offset
+""",
+)
+def events_survival_curve(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    spans = ev.groupBy("user_id").agg(
+        F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts"))).alias("lifespan")
+    )
+    total = spans.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    curve = (
+        spans.select(F.explode(F.sequence(F.lit(0), F.col("lifespan"))).alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_surviving"))
+    )
+    return (
+        curve.crossJoin(F.broadcast(total))
+        .select(
+            F.col("k").cast("long").alias("day_offset"),
+            "n_surviving",
+            F.floor((F.col("n_surviving") * 10000).cast("double") / F.col("n_total"))
+            .cast("long")
+            .alias("survival_bp"),
+        )
+        .orderBy("day_offset")
+    )
+
+
+@register(
+    "agg_rollup_share_of_parent",
+    "aggregations",
+    doc="Share-of-parent over a hierarchy: one rollup pass produces "
+    "(year, priority) leaves and year subtotals; a self-join keyed on "
+    "the parent level turns them into percent-of-parent in exact "
+    "floor basis points — the standard BI drill-down decoration. The "
+    "rollup is one pass; the parent join touches only the "
+    "|years|x|priorities| aggregate frame.",
+    oracle="""
+WITH r AS (
+    SELECT YEAR(o_orderdate) AS yr, o_orderpriority AS prio,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) * 100 AS BIGINT) AS cents
+    FROM orders
+    GROUP BY ROLLUP(YEAR(o_orderdate), o_orderpriority)
+), leaves AS (
+    SELECT yr, prio, cents FROM r WHERE yr IS NOT NULL AND prio IS NOT NULL
+), parents AS (
+    SELECT yr, cents AS parent_cents FROM r WHERE yr IS NOT NULL AND prio IS NULL
+)
+SELECT CAST(l.yr AS BIGINT) AS yr, l.prio,
+       l.cents,
+       CAST((l.cents * 10000) // p.parent_cents AS BIGINT) AS share_of_year_bp
+FROM leaves l JOIN parents p ON l.yr = p.yr
+ORDER BY yr, prio
+""",
+)
+def agg_rollup_share_of_parent(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    r = (
+        orders.rollup(F.year("o_orderdate").alias("yr"), F.col("o_orderpriority").alias("prio"))
+        .agg((F.sum(dec("o_totalprice")) * 100).cast("long").alias("cents"))
+    )
+    leaves = r.filter(F.col("yr").isNotNull() & F.col("prio").isNotNull())
+    parents = r.filter(F.col("yr").isNotNull() & F.col("prio").isNull()).select(
+        F.col("yr").alias("p_yr"), F.col("cents").alias("parent_cents")
+    )
+    return (
+        leaves.join(F.broadcast(parents), leaves.yr == parents.p_yr)
+        .select(
+            F.col("yr").cast("long").alias("yr"),
+            "prio",
+            "cents",
+            F.floor((F.col("cents") * 10000).cast("double") / F.col("parent_cents"))
+            .cast("long")
+            .alias("share_of_year_bp"),
+        )
+        .orderBy("yr", "prio")
+    )
