@@ -711,3 +711,137 @@ def agg_rollup_share_of_parent(spark, sf_dir):
         )
         .orderBy("yr", "prio")
     )
+
+
+@register(
+    "analytics_association_lift",
+    "analytics",
+    doc="Association metrics layer: for ordered event-type pairs "
+    "co-occurring in user baskets, support / confidence / lift as "
+    "EXACT floor basis points (lift_bp = n*cooc*10000 // (na*nb)) — "
+    "the relational metric pass downstream of FP-Growth "
+    "(analytics_frequent_itemsets mines the sets; this scores them "
+    "without MLlib so every number is oracle-checkable). Baskets are "
+    "distinct (user, type) pairs; the pair join is |types|^2-bounded "
+    "per user, then one count aggregate.",
+    oracle="""
+WITH baskets AS (
+    SELECT DISTINCT user_id, event_type FROM events
+), n_users AS (
+    SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n FROM events
+), singles AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt FROM baskets GROUP BY event_type
+), pairs AS (
+    SELECT a.event_type AS ante, b.event_type AS cons,
+           CAST(COUNT(*) AS BIGINT) AS cooc
+    FROM baskets a JOIN baskets b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY a.event_type, b.event_type
+)
+SELECT p.ante, p.cons, p.cooc,
+       CAST((p.cooc * 10000) // n.n AS BIGINT) AS support_bp,
+       CAST((p.cooc * 10000) // sa.cnt AS BIGINT) AS confidence_bp,
+       CAST((n.n * p.cooc * 10000) // (sa.cnt * sb.cnt) AS BIGINT) AS lift_bp
+FROM pairs p
+JOIN singles sa ON sa.event_type = p.ante
+JOIN singles sb ON sb.event_type = p.cons
+CROSS JOIN n_users n
+ORDER BY ante, cons
+""",
+)
+def analytics_association_lift(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    baskets = ev.select("user_id", "event_type").distinct()
+    n_users = ev.agg(F.count_distinct("user_id").cast("long").alias("n"))
+    singles = baskets.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(F.col("a.event_type").alias("ante"), F.col("b.event_type").alias("cons"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cooc"))
+    )
+    sa = singles.select(F.col("event_type").alias("ante"), F.col("cnt").alias("cnt_a"))
+    sb = singles.select(F.col("event_type").alias("cons"), F.col("cnt").alias("cnt_b"))
+    out = (
+        pairs.join(F.broadcast(sa), "ante")
+        .join(F.broadcast(sb), "cons")
+        .crossJoin(F.broadcast(n_users))
+    )
+
+    def bp(num, den):
+        return F.floor(num.cast("double") / den).cast("long")
+
+    return out.select(
+        "ante",
+        "cons",
+        "cooc",
+        bp(F.col("cooc") * 10000, F.col("n")).alias("support_bp"),
+        bp(F.col("cooc") * 10000, F.col("cnt_a")).alias("confidence_bp"),
+        bp(F.col("n") * F.col("cooc") * 10000, F.col("cnt_a") * F.col("cnt_b")).alias(
+            "lift_bp"
+        ),
+    ).orderBy("ante", "cons")
+
+
+@register(
+    "stats_winsorized_mean",
+    "aggregations",
+    doc="Winsorized mean per event type: clamp values at the exact "
+    "discrete p05/p95 cut points (percentile_disc — actual data "
+    "values, no interpolation), then an exact floor-mean over the "
+    "clamped integer cents — the outlier-robust complement to the MAD "
+    "detector. Two passes over one shuffle key: cuts, then a "
+    "broadcast-join clamp + combinable mean.",
+    oracle="""
+WITH v AS (
+    SELECT event_type,
+           CAST(CAST(value AS DECIMAL(12,4)) * 100 AS BIGINT) AS cents
+    FROM events WHERE value IS NOT NULL
+), cuts AS (
+    SELECT event_type,
+           QUANTILE_DISC(cents, 0.05) AS lo,
+           QUANTILE_DISC(cents, 0.95) AS hi
+    FROM v GROUP BY event_type
+), clamped AS (
+    SELECT v.event_type,
+           LEAST(GREATEST(v.cents, c.lo), c.hi) AS w
+    FROM v JOIN cuts c ON v.event_type = c.event_type
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST((SUM(w) - (SUM(w) % COUNT(*))) / COUNT(*) AS BIGINT)
+         AS winsorized_mean_cents
+FROM clamped
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def stats_winsorized_mean(spark, sf_dir):
+    from cascade_spark.operators._util import _intdiv
+
+    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    v = ev.select("event_type", (dec("value") * 100).cast("long").alias("cents"))
+    cuts = v.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY cents)").alias("lo"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY cents)").alias("hi"),
+    )
+    clamped = v.join(F.broadcast(cuts), "event_type").select(
+        "event_type",
+        F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi")).alias("w"),
+    )
+    return (
+        clamped.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            _intdiv(F.sum("w"), F.count(F.lit(1))).cast("long").alias(
+                "winsorized_mean_cents"
+            ),
+        )
+        .orderBy("event_type")
+    )
