@@ -30,6 +30,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # the sampled window; the full registry stays oracle-gated in pytest
 # (tests/test_oracle.py) regardless of sampling.
 _NEW_THIS_ROUND: list[str] = [
+    "scan_nested_struct_roundtrip",
+    "pipeline_length_grouped_batching",
     "analytics_association_lift",
     "stats_winsorized_mean",
     "events_inter_arrival_stats",

@@ -477,3 +477,76 @@ ORDER BY split, source
 from cascade_spark.plans.registry import REGISTRY as _REG  # noqa: E402
 
 _REG["pipeline_pretraining_end_to_end"].oracle = _e2e_oracle()
+
+
+@register(
+    "pipeline_length_grouped_batching",
+    "analytics",
+    doc="Length-grouped batching audit — the padding-efficiency trick "
+    "behind every LLM training/serving batcher: documents bucketed by "
+    "token-length band, padding waste per bucket = max_len*count - "
+    "sum_len (every sequence pads to its bucket max), compared with "
+    "the global max-padding a single bucket would cost. All exact "
+    "integer tokens; one aggregate per bucket plus a tiny global "
+    "aggregate — the audit that justifies the bucket boundaries "
+    "before a 100 TB tokenization run.",
+    oracle="""
+WITH lens AS (
+    SELECT CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS BIGINT) AS n_tok
+    FROM documents
+), banded AS (
+    SELECT n_tok,
+           CAST(CASE WHEN n_tok < 30 THEN 0 WHEN n_tok < 60 THEN 1
+                     WHEN n_tok < 90 THEN 2 ELSE 3 END AS BIGINT) AS bucket
+    FROM lens
+), per_bucket AS (
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MAX(n_tok) AS BIGINT) AS max_len,
+           CAST(SUM(n_tok) AS BIGINT) AS sum_len
+    FROM banded GROUP BY bucket
+), gm AS (
+    SELECT MAX(n_tok) AS gmax FROM lens
+)
+SELECT bucket, n_docs, max_len,
+       CAST(max_len * n_docs - sum_len AS BIGINT) AS pad_waste_tokens,
+       CAST(gmax * n_docs - sum_len AS BIGINT) AS unbucketed_waste_tokens
+FROM per_bucket, gm
+ORDER BY bucket
+""",
+)
+def pipeline_length_grouped_batching(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    lens = docs.select(n_tok.alias("n_tok"))
+    bucket = (
+        F.when(F.col("n_tok") < 30, 0)
+        .when(F.col("n_tok") < 60, 1)
+        .when(F.col("n_tok") < 90, 2)
+        .otherwise(3)
+        .cast("long")
+    )
+    per_bucket = (
+        lens.select("n_tok", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.max("n_tok").cast("long").alias("max_len"),
+            F.sum("n_tok").cast("long").alias("sum_len"),
+        )
+    )
+    glob = lens.agg(F.max("n_tok").cast("long").alias("gmax"))
+    return (
+        per_bucket.crossJoin(F.broadcast(glob))
+        .select(
+            "bucket",
+            "n_docs",
+            "max_len",
+            (F.col("max_len") * F.col("n_docs") - F.col("sum_len"))
+            .cast("long")
+            .alias("pad_waste_tokens"),
+            (F.col("gmax") * F.col("n_docs") - F.col("sum_len"))
+            .cast("long")
+            .alias("unbucketed_waste_tokens"),
+        )
+        .orderBy("bucket")
+    )

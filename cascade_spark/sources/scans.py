@@ -327,3 +327,49 @@ def scan_ignore_corrupt_files(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "scan_nested_struct_roundtrip",
+    "sources",
+    doc="Nested parquet IO: orders nested as a struct (header fields + "
+    "an amount) written to parquet, read back with a predicate on a "
+    "NESTED field — Spark pushes struct-field predicates into the "
+    "scan (nestedPredicatePushdown; the plan test pins PushedFilters "
+    "on o.amount_cents) and prunes to the referenced leaf columns. "
+    "The denormalized-payload layout every event-envelope pipeline "
+    "uses; at 100 TB leaf-level pruning is the difference between "
+    "reading one column chapter and the whole envelope.",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,4)) * 100 AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders
+WHERE CAST(CAST(o_totalprice AS DECIMAL(12,4)) * 100 AS BIGINT) > 15000000
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def scan_nested_struct_roundtrip(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    nested = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.struct(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderstatus").alias("status"),
+            (dec("o_totalprice") * 100).cast("long").alias("amount_cents"),
+        ).alias("o"),
+    )
+    out = tempfile.mkdtemp(prefix="cascade_nested_") + "/orders_nested"
+    nested.write.parquet(out)
+    back = spark.read.schema(nested.schema).parquet(out)
+    return (
+        back.filter(F.col("o.amount_cents") > 15000000)
+        .groupBy(F.col("o.priority").alias("o_orderpriority"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("o.amount_cents").cast("long").alias("total_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -319,3 +319,13 @@ def test_lateral_topn_rewrites_to_rank_window_not_nested_loop(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "row_number" in plan, plan
+
+
+def test_nested_struct_predicate_pushdown(spark, sf_dir):
+    """The struct-field predicate must reach the parquet scan as a
+    nested PushedFilter (o.amount_cents) — reading the whole envelope
+    to filter driver-side would defeat the nested layout."""
+    from cascade_spark.plans.registry import load_all
+
+    plan = _plan(load_all()["scan_nested_struct_roundtrip"].builder(spark, sf_dir))
+    assert "GreaterThan(o.amount_cents" in plan, plan
