@@ -48,6 +48,15 @@ QUERIES = [
     "join_broadcast_left_outer", "pipeline_url_canonical_dedup",
     "fn_inline_array_structs", "agg_group_by_all", "fn_date_calendar",
     "join_fuzzy_editdistance", "events_ewma_dyadic",
+    "similarity_centroid_cosine_matrix", "events_trigram_paths",
+    "events_session_window_dynamic_gap", "catalog_global_temp_view",
+    "pipeline_snapshot_cdc_diff", "scan_ignore_corrupt_files",
+    "profile_expectations_report", "agg_deciles_disc",
+    "analytics_rfm_segmentation", "analytics_abc_pareto",
+    "events_inter_arrival_stats", "events_survival_curve",
+    "agg_rollup_share_of_parent", "analytics_association_lift",
+    "stats_winsorized_mean", "scan_nested_struct_roundtrip",
+    "pipeline_length_grouped_batching", "events_funnel_strict_sequence",
 ]
 
 
@@ -62,6 +71,8 @@ def empty_sf_dir(spark, sf_dir):
 @pytest.mark.parametrize("name", QUERIES)
 def test_query_survives_empty_tables(spark, empty_sf_dir, name):
     rows = load_all()[name].builder(spark, empty_sf_dir).collect()
-    # scalar-aggregate audits legitimately return one (zeroed) row;
-    # everything else must be empty — never an exception either way
-    assert len(rows) <= 1 or name == "agg_grouping_id", (name, rows[:3])
+    # scalar-aggregate audits legitimately return one (zeroed) row, and
+    # fixed-rule report queries one row per declared rule; everything
+    # else must be empty — never an exception either way
+    fixed_shape = {"agg_grouping_id": 4, "profile_expectations_report": 5}
+    assert len(rows) <= fixed_shape.get(name, 1), (name, rows[:3])
