@@ -30,6 +30,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # the sampled window; the full registry stays oracle-gated in pytest
 # (tests/test_oracle.py) regardless of sampling.
 _NEW_THIS_ROUND: list[str] = [
+    "pipeline_decontaminate_bloom",
+    "profile_cms_heavy_hitters",
+    "events_autocorrelation",
+    "fn_map_higher_order",
+    "udf_pandas_grouped_agg",
+    "stream_union_sources",
     "scan_nested_struct_roundtrip",
     "pipeline_length_grouped_batching",
     "analytics_association_lift",

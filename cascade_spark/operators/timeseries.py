@@ -216,3 +216,100 @@ def events_ewma_dyadic(spark, sf_dir):
         F.date_format("d", "yyyy-MM-dd").alias("day"),
         (F.sum("w").over(cum) / F.pow(F.lit(2.0), F.col("t"))).alias("ewma_cents"),
     ).orderBy("event_type", "day")
+
+
+ACF_MAX_LAG = 7
+
+
+@register(
+    "events_autocorrelation",
+    "analytics",
+    doc="Daily-volume autocorrelation profile (lags 1..7): counts on a "
+    "gap-free day spine (sequence-explode, zero-filled) so lags are true "
+    "calendar shifts, then one aggregate computes the lag-0 energy and "
+    "every lagged dot product in exact integers; acf_bp = floor-basis-"
+    "points vs lag-0 — the weekly-seasonality pre-flight for capacity "
+    "planning. The window runs over the |days| aggregate, never raw "
+    "events; at 100 TB the day table is a few thousand rows.",
+    oracle=f"""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+    FROM events GROUP BY 1
+),
+spine AS (
+    SELECT UNNEST(GENERATE_SERIES((SELECT MIN(day) FROM daily),
+                                  (SELECT MAX(day) FROM daily),
+                                  INTERVAL 1 DAY))::DATE AS day
+),
+series AS (
+    SELECT s.day, COALESCE(d.c, 0) AS c
+    FROM spine s LEFT JOIN daily d ON d.day = s.day
+),
+lagged AS (
+    SELECT c,
+           {", ".join(f"LAG(c, {L}) OVER (ORDER BY day) AS l{L}" for L in range(1, ACF_MAX_LAG + 1))}
+    FROM series
+),
+sums AS (
+    SELECT CAST(SUM(c * c) AS BIGINT) AS e0,
+           {", ".join(f"CAST(SUM(c * l{L}) AS BIGINT) AS s{L}, CAST(COUNT(l{L}) AS BIGINT) AS n{L}" for L in range(1, ACF_MAX_LAG + 1))}
+    FROM lagged
+)
+SELECT lag, n_pairs, dot, (10000 * dot) // sums.e0 AS acf_bp
+FROM sums, LATERAL (
+    {" UNION ALL ".join(f"SELECT {L} AS lag, n{L} AS n_pairs, s{L} AS dot" for L in range(1, ACF_MAX_LAG + 1))}
+)
+WHERE sums.e0 IS NOT NULL
+ORDER BY lag
+""",
+)
+def events_autocorrelation(spark, sf_dir):
+    from cascade_spark.operators._util import _intdiv, bigint
+
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        bigint(F.count(F.lit(1))).alias("c")
+    )
+    spine = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi")).select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    series = spine.join(daily, "day", "left").select(
+        "day", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    # |days| rows — a deliberate tiny-frame global window (same rationale
+    # as the EWMA query above): the raw stream never enters the window.
+    w = Window.orderBy("day")
+    lagged = series.select(
+        "c", *[F.lag("c", L).over(w).alias(f"l{L}") for L in range(1, ACF_MAX_LAG + 1)]
+    )
+    sums = lagged.agg(
+        bigint(F.sum(F.col("c") * F.col("c"))).alias("e0"),
+        *[
+            a
+            for L in range(1, ACF_MAX_LAG + 1)
+            for a in (
+                bigint(F.sum(F.col("c") * F.col(f"l{L}"))).alias(f"s{L}"),
+                bigint(F.count(f"l{L}")).alias(f"n{L}"),
+            )
+        ],
+    )
+    # empty-events guard: the global agg still emits one all-NULL row,
+    # which stack() would fan out to 7 NULL lags
+    sums = sums.filter(F.col("e0").isNotNull())
+    stacked = sums.select(
+        F.expr(
+            "stack({n}, {args}) AS (lag, n_pairs, dot)".format(
+                n=ACF_MAX_LAG,
+                args=", ".join(
+                    f"{L}, n{L}, s{L}" for L in range(1, ACF_MAX_LAG + 1)
+                ),
+            )
+        ),
+        "e0",
+    )
+    return stacked.select(
+        bigint(F.col("lag")).alias("lag"),
+        "n_pairs",
+        "dot",
+        _intdiv(F.lit(10000) * F.col("dot"), F.col("e0")).alias("acf_bp"),
+    ).orderBy("lag")

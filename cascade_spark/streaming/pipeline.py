@@ -411,3 +411,59 @@ def stream_dedup_within_watermark(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+def _stage_split_input(spark: SparkSession, sf_dir: str):
+    """Stage events as TWO streaming source directories (even/odd
+    event_id) — the multi-source topology fixture. Cached per sf_dir."""
+    key = (sf_dir, "split2")
+    if key in _STAGE_CACHE:
+        return _STAGE_CACHE[key]
+    ev = load(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="cascade_stream_split_")
+    dirs = []
+    for name, pred in (("a", F.col("event_id") % 2 == 0), ("b", F.col("event_id") % 2 == 1)):
+        d = os.path.join(tmp, name)
+        ev.filter(pred).repartitionByRange(4, "ts").write.mode("append").parquet(d)
+        dirs.append(d)
+    result = (dirs[0], dirs[1], ev.schema, tmp)
+    _STAGE_CACHE[key] = result
+    return result
+
+
+@register(
+    "stream_union_sources",
+    "streaming",
+    doc="Streaming UNION of two independent file sources (even/odd "
+    "event_id partitions of the fixture, each tagged with its source) "
+    "into one windowed aggregate — the fan-in topology every multi-"
+    "region ingest runs (N brokers -> one job). Each source keeps its "
+    "own file-tracking offsets inside the one checkpoint; the union is "
+    "row-level (no extra shuffle before the windowed groupBy). Oracle "
+    "replays the same tagging relationally.",
+    oracle="""
+SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       CASE WHEN event_id % 2 = 0 THEN 'a' ELSE 'b' END AS src,
+       COUNT(*) AS n
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def stream_union_sources(spark, sf_dir):
+    dir_a, dir_b, schema, _ = _stage_split_input(spark, sf_dir)
+    sa = spark.readStream.schema(schema).parquet(dir_a).withColumn("src", F.lit("a"))
+    sb = spark.readStream.schema(schema).parquet(dir_b).withColumn("src", F.lit("b"))
+    agg = (
+        sa.unionByName(sb)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "src")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    with state_partitions(spark, 8):
+        out = run_to_memory(
+            agg.select(
+                F.date_format("w.start", _TS).alias("window_start"), "src", "n"
+            ),
+            "complete",
+        )
+    return out.orderBy("window_start", "src")

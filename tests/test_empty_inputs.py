@@ -57,6 +57,9 @@ QUERIES = [
     "agg_rollup_share_of_parent", "analytics_association_lift",
     "stats_winsorized_mean", "scan_nested_struct_roundtrip",
     "pipeline_length_grouped_batching", "events_funnel_strict_sequence",
+    "pipeline_decontaminate_bloom", "profile_cms_heavy_hitters",
+    "events_autocorrelation", "fn_map_higher_order",
+    "udf_pandas_grouped_agg",
 ]
 
 
