@@ -30,6 +30,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # the sampled window; the full registry stays oracle-gated in pytest
 # (tests/test_oracle.py) regardless of sampling.
 _NEW_THIS_ROUND: list[str] = [
+    "events_changepoint_cusum",
+    "stats_weighted_median",
+    "events_attribution_touch",
+    "udtf_table_arg_per_user",
     "pipeline_decontaminate_bloom",
     "profile_cms_heavy_hitters",
     "events_autocorrelation",

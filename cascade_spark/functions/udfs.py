@@ -530,3 +530,68 @@ def udf_pandas_grouped_agg(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "udtf_table_arg_per_user",
+    "udf",
+    doc="Polymorphic Python UDTF over a TABLE argument (Spark 4): "
+    "per_user_summary(TABLE(events) PARTITION BY user_id ORDER BY "
+    "(ts, event_id)) — the engine shuffles rows to the UDTF by the "
+    "declared key and feeds each partition's rows in the declared "
+    "order, so the class's eval/terminate see exactly one user in "
+    "(ts, event_id) sequence: streaming per-key state without "
+    "applyInPandas. Exact fields only (counts, distinct-type count, "
+    "ordered first/last), so the UDTF path is hash-checked. At scale "
+    "this is one user_id shuffle; state per task is one user's "
+    "accumulator at a time.",
+    oracle="""
+WITH seq AS (
+    SELECT user_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn_a,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn_d
+    FROM events
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+       MAX(CASE WHEN rn_a = 1 THEN event_type END) AS first_type,
+       MAX(CASE WHEN rn_d = 1 THEN event_type END) AS last_type
+FROM seq
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def udtf_table_arg_per_user(spark, sf_dir):
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="user_id bigint, n bigint, n_types bigint, "
+        "first_type string, last_type string"
+    )
+    class PerUserSummary:
+        def __init__(self):
+            self.uid = None
+            self.n = 0
+            self.types = set()
+            self.first = None
+            self.last = None
+
+        def eval(self, row):
+            self.uid = row["user_id"]
+            self.n += 1
+            self.types.add(row["event_type"])
+            if self.first is None:
+                self.first = row["event_type"]
+            self.last = row["event_type"]
+
+        def terminate(self):
+            if self.n:
+                yield (self.uid, self.n, len(self.types), self.first, self.last)
+
+    spark.udtf.register("per_user_summary", PerUserSummary)
+    t(spark, sf_dir, "events").createOrReplaceTempView("udtf_events_in")
+    return spark.sql(
+        "SELECT * FROM per_user_summary(TABLE(udtf_events_in) "
+        "PARTITION BY user_id ORDER BY (ts, event_id)) ORDER BY user_id"
+    )

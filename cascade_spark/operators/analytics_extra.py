@@ -845,3 +845,78 @@ def stats_winsorized_mean(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_attribution_touch",
+    "analytics",
+    doc="Marketing attribution: every purchase is matched to the clicks "
+    "of the same user in a strict 72h lookback window; first-touch and "
+    "last-touch click timestamps, click count, and attribution flag per "
+    "purchase. One user_id-keyed join (both sides co-partitioned on the "
+    "user key — the candidate space is bounded per user, never a "
+    "cross-stream explosion) feeding one combinable per-purchase "
+    "aggregate. Timestamps compared in exact epoch micros.",
+    oracle="""
+WITH p AS (
+    SELECT event_id, user_id, ts, EPOCH_US(ts) AS pus
+    FROM events WHERE event_type = 'purchase'
+),
+c AS (
+    SELECT user_id, EPOCH_US(ts) AS cus
+    FROM events WHERE event_type = 'click'
+),
+m AS (
+    SELECT p.event_id, p.user_id, p.ts,
+           CAST(COUNT(c.cus) AS BIGINT) AS n_clicks_window,
+           MIN(c.cus) AS first_us, MAX(c.cus) AS last_us
+    FROM p LEFT JOIN c
+      ON c.user_id = p.user_id
+     AND c.cus < p.pus
+     AND p.pus - c.cus <= 72 * 3600 * 1000000::BIGINT
+    GROUP BY p.event_id, p.user_id, p.ts
+)
+SELECT event_id, user_id,
+       STRFTIME(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       n_clicks_window,
+       first_us AS first_touch_us,
+       last_us AS last_touch_us,
+       (n_clicks_window > 0) AS attributed
+FROM m
+ORDER BY event_id
+""",
+)
+def events_attribution_touch(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", us.alias("pus")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), us.alias("cus")
+    )
+    window_us = 72 * 3600 * 1_000_000
+    m = p.join(
+        c,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("cus") < F.col("pus"))
+        & (F.col("pus") - F.col("cus") <= window_us),
+        "left",
+    ).groupBy("event_id", "user_id", "ts")
+    return (
+        m.agg(
+            F.count("cus").cast("long").alias("n_clicks_window"),
+            F.min("cus").alias("first_touch_us"),
+            F.max("cus").alias("last_touch_us"),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+            "n_clicks_window",
+            "first_touch_us",
+            "last_touch_us",
+            (F.col("n_clicks_window") > 0).alias("attributed"),
+        )
+        .orderBy("event_id")
+    )

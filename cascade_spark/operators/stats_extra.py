@@ -479,3 +479,63 @@ def events_anomaly_mad(spark, sf_dir):
         .select("event_type", "med", "mad", "n_outliers", "n")
         .orderBy("event_type")
     )
+
+
+@register(
+    "stats_weighted_median",
+    "aggregations",
+    doc="Weighted median (discrete): per return flag, the smallest "
+    "price whose cumulative quantity weight reaches half the total — "
+    "an actual data value, interpolation-free, so exact in both "
+    "engines. One shuffle: the cumulative-weight window and the final "
+    "per-group reduction share the group key partitioning. The "
+    "2*cum >= total test uses integer cents/quantity units only.",
+    oracle="""
+WITH w AS (
+    SELECT l_returnflag,
+           (CAST(l_extendedprice AS DECIMAL(12,4)) * 100)::BIGINT AS price_cents,
+           (l_quantity * 100)::BIGINT AS qty_units
+    FROM lineitem
+),
+cum AS (
+    SELECT l_returnflag, price_cents,
+           SUM(qty_units) OVER (PARTITION BY l_returnflag
+                                ORDER BY price_cents
+                                ROWS UNBOUNDED PRECEDING) AS cw,
+           SUM(qty_units) OVER (PARTITION BY l_returnflag) AS tw
+    FROM w
+)
+SELECT l_returnflag,
+       CAST(MIN(price_cents) AS BIGINT) AS weighted_median_cents,
+       CAST(MAX(tw) AS BIGINT) AS total_weight
+FROM cum
+WHERE 2 * cw >= tw
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def stats_weighted_median(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    w = li.select(
+        "l_returnflag",
+        (dec("l_extendedprice") * 100).cast("long").alias("price_cents"),
+        (dec("l_quantity") * 100).cast("long").alias("qty_units"),
+    )
+    win = Window.partitionBy("l_returnflag").orderBy("price_cents")
+    cum = w.select(
+        "l_returnflag",
+        "price_cents",
+        F.sum("qty_units").over(win.rowsBetween(Window.unboundedPreceding, 0)).alias("cw"),
+        F.sum("qty_units")
+        .over(Window.partitionBy("l_returnflag"))
+        .alias("tw"),
+    )
+    return (
+        cum.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            bigint(F.min("price_cents")).alias("weighted_median_cents"),
+            bigint(F.max("tw")).alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -313,3 +313,85 @@ def events_autocorrelation(spark, sf_dir):
         "dot",
         _intdiv(F.lit(10000) * F.col("dot"), F.col("e0")).alias("acf_bp"),
     ).orderBy("lag")
+
+
+@register(
+    "events_changepoint_cusum",
+    "analytics",
+    doc="CUSUM change-point detection on daily volumes: cumulative "
+    "deviation from the global mean, kept exact by scaling through the "
+    "day count (n*S_t = n*cumsum_t - t*total — integers only, no "
+    "rational mean), peak |CUSUM| day flagged as the level-shift "
+    "candidate. Day spine is gap-free (sequence-explode). The window "
+    "runs over the |days| aggregate only; the raw stream contributes "
+    "one combinable count pass.",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+    FROM events GROUP BY 1
+),
+spine AS (
+    SELECT UNNEST(GENERATE_SERIES((SELECT MIN(day) FROM daily),
+                                  (SELECT MAX(day) FROM daily),
+                                  INTERVAL 1 DAY))::DATE AS day
+),
+series AS (
+    SELECT s.day, COALESCE(d.c, 0) AS c,
+           ROW_NUMBER() OVER (ORDER BY s.day) AS t
+    FROM spine s LEFT JOIN daily d ON d.day = s.day
+),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS n FROM series),
+cu AS (
+    SELECT day, c, t,
+           CAST(tot.n * SUM(c) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                - t * tot.total AS BIGINT) AS cusum_scaled
+    FROM series, tot
+)
+SELECT STRFTIME(day, '%Y-%m-%d') AS day, c, cusum_scaled,
+       CAST(ABS(cusum_scaled) = (SELECT MAX(ABS(cusum_scaled)) FROM cu) AS BOOLEAN)
+           AS is_peak
+FROM cu
+ORDER BY day
+""",
+)
+def events_changepoint_cusum(spark, sf_dir):
+    from cascade_spark.operators._util import bigint
+
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        bigint(F.count(F.lit(1))).alias("c")
+    )
+    spine = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi")).select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    series = spine.join(daily, "day", "left").select(
+        "day", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    w = Window.orderBy("day")
+    cu = series.select(
+        "day",
+        "c",
+        F.row_number().over(w).alias("t"),
+        F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    )
+    tot = series.agg(
+        bigint(F.sum("c")).alias("total"), bigint(F.count(F.lit(1))).alias("n")
+    )
+    cu = cu.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "c",
+        bigint(F.col("n") * F.col("cum") - F.col("t") * F.col("total")).alias(
+            "cusum_scaled"
+        ),
+    )
+    peak = cu.agg(F.max(F.abs("cusum_scaled")).alias("mx"))
+    return (
+        cu.crossJoin(F.broadcast(peak))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "c",
+            "cusum_scaled",
+            (F.abs("cusum_scaled") == F.col("mx")).alias("is_peak"),
+        )
+        .orderBy("day")
+    )

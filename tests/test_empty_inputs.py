@@ -59,7 +59,9 @@ QUERIES = [
     "pipeline_length_grouped_batching", "events_funnel_strict_sequence",
     "pipeline_decontaminate_bloom", "profile_cms_heavy_hitters",
     "events_autocorrelation", "fn_map_higher_order",
-    "udf_pandas_grouped_agg",
+    "udf_pandas_grouped_agg", "events_changepoint_cusum",
+    "stats_weighted_median", "events_attribution_touch",
+    "udtf_table_arg_per_user",
 ]
 
 
