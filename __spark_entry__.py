@@ -30,6 +30,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # the sampled window; the full registry stays oracle-gated in pytest
 # (tests/test_oracle.py) regardless of sampling.
 _NEW_THIS_ROUND: list[str] = [
+    "dedup_minhash_error_audit",
+    "multimodal_audio_frame_energy",
     "events_changepoint_cusum",
     "stats_weighted_median",
     "events_attribution_touch",

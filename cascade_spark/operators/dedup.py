@@ -695,3 +695,89 @@ def profile_simhash_buckets(spark, sf_dir):
         )
         .orderBy("k")
     )
+
+
+@register(
+    "dedup_minhash_error_audit",
+    "dedup",
+    doc="Sketch-error audit for the MinHash family: every LSH-surfaced "
+    "near-dup pair gets its TRUE shingle Jaccard (intersection over "
+    "union, exact integers) next to the 16-hash estimate, with the "
+    "signed error in floor basis points — the calibration check run "
+    "before trusting est_jaccard thresholds at corpus scale. The exact "
+    "recount is bounded by the candidate-pair set (never all-pairs): "
+    "pair list joins the shingle index twice on the doc key, "
+    "intersection counted on the (s, d2) co-join. Shares the persisted "
+    "signature/pair frames with the rest of the dedup family.",
+    oracle=f"""
+WITH {_SQL_PAIR_CTES},
+sh AS ({_SQL_SHINGLES}),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT c.d1, c.d2, CAST(COUNT(*) AS BIGINT) AS n_inter
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.d1
+    JOIN sh b ON b.doc_id = c.d2 AND b.s = a.s
+    GROUP BY c.d1, c.d2
+),
+pairs AS (
+    SELECT s.d1, s.d2, CAST(s.matches AS BIGINT) AS matches,
+           COALESCE(i.n_inter, 0) AS n_inter,
+           z1.n + z2.n - COALESCE(i.n_inter, 0) AS n_union
+    FROM sim s
+    LEFT JOIN inter i ON i.d1 = s.d1 AND i.d2 = s.d2
+    JOIN sizes z1 ON z1.doc_id = s.d1
+    JOIN sizes z2 ON z2.doc_id = s.d2
+    WHERE s.matches * 2 >= {N_HASHES}
+)
+SELECT d1, d2, matches, n_inter, n_union,
+       (10000 * matches) // {N_HASHES} AS est_bp,
+       (10000 * n_inter) // n_union AS exact_bp,
+       (10000 * matches) // {N_HASHES} - (10000 * n_inter) // n_union AS err_bp
+FROM pairs
+ORDER BY d1, d2
+""",
+)
+def dedup_minhash_error_audit(spark, sf_dir):
+    from cascade_spark.operators._util import _intdiv, bigint, t
+
+    pairs = _lsh_pairs(spark, sf_dir)
+    d = t(spark, sf_dir, "documents")
+    sh = _shingles(d)
+    sizes = sh.groupBy("doc_id").agg(bigint(F.count(F.lit(1))).alias("n"))
+    a = sh.select(F.col("doc_id").alias("d1"), "s")
+    b = sh.select(F.col("doc_id").alias("bd2"), F.col("s").alias("s2"))
+    inter = (
+        pairs.join(a, "d1")
+        .join(b, (F.col("d2") == F.col("bd2")) & (F.col("s") == F.col("s2")))
+        .groupBy("d1", "d2")
+        .agg(bigint(F.count(F.lit(1))).alias("n_inter"))
+    )
+    z1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    z2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    out = (
+        pairs.join(inter, ["d1", "d2"], "left")
+        .join(z1, "d1")
+        .join(z2, "d2")
+        .select(
+            "d1",
+            "d2",
+            bigint(F.col("matches")).alias("matches"),
+            F.coalesce("n_inter", F.lit(0)).alias("n_inter"),
+            (F.col("n1") + F.col("n2") - F.coalesce("n_inter", F.lit(0))).alias(
+                "n_union"
+            ),
+        )
+    )
+    est = _intdiv(F.lit(10000) * F.col("matches"), F.lit(N_HASHES))
+    exact = _intdiv(F.lit(10000) * F.col("n_inter"), F.col("n_union"))
+    return out.select(
+        "d1",
+        "d2",
+        "matches",
+        "n_inter",
+        "n_union",
+        est.alias("est_bp"),
+        exact.alias("exact_bp"),
+        (est - exact).alias("err_bp"),
+    ).orderBy("d1", "d2")

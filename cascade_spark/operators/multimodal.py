@@ -314,11 +314,10 @@ def synth_wav(doc_id: int) -> bytes:
     return hdr + data
 
 
-def decode_wav(blob: bytes) -> tuple[int, int, int, int]:
-    """Real RIFF/PCM16 parser: (n_channels, sample_rate, n_samples,
-    sum_sq) — sum of squared samples as an exact integer (the energy
-    statistic; no float RMS so the oracle matches bit-for-bit). Walks
-    the chunk list properly; raises ValueError on non-PCM16 payloads."""
+def parse_wav(blob: bytes):
+    """Real RIFF/PCM16 parser core: (n_channels, sample_rate, samples
+    ndarray). Walks the chunk list properly (word-aligned); raises
+    ValueError on non-PCM16 payloads."""
     import struct
 
     import numpy as np
@@ -339,7 +338,14 @@ def decode_wav(blob: bytes) -> tuple[int, int, int, int]:
     audio_fmt, n_ch, rate, _, _, bits = fmt
     if audio_fmt != 1 or bits != 16:
         raise ValueError(f"not PCM16: fmt={audio_fmt} bits={bits}")
-    samples = np.frombuffer(data, dtype="<i2")
+    return n_ch, rate, np.frombuffer(data, dtype="<i2")
+
+
+def decode_wav(blob: bytes) -> tuple[int, int, int, int]:
+    """(n_channels, sample_rate, n_samples, sum_sq) — sum of squared
+    samples as an exact integer (the energy statistic; no float RMS so
+    the oracle matches bit-for-bit)."""
+    n_ch, rate, samples = parse_wav(blob)
     sum_sq = int((samples.astype("int64") ** 2).sum())
     return n_ch, rate, int(samples.size) // n_ch, sum_sq
 
@@ -457,3 +463,72 @@ def scan_binaryfile_blobs(spark, sf_dir):
 
     schema = "img_id long, width long, height long, n_bytes long, pixel_sum long"
     return files.mapInPandas(decode_batches, schema=schema).orderBy("img_id")
+
+
+AUDIO_FRAME = 32  # samples per analysis frame
+
+
+@register(
+    "multimodal_audio_frame_energy",
+    "multimodal",
+    doc="Frame-level audio feature extraction through the REAL WAV "
+    f"decoder: each blob's samples are windowed into {AUDIO_FRAME}-"
+    "sample frames inside the same map-only mapInPandas stage "
+    "(decode -> numpy reshape -> per-frame exact int64 energy + peak), "
+    "one output row per frame — the audio analog of image frame "
+    "sampling. No shuffle until the final presentation sort; at 100 TB "
+    "the fan-out is bounded by maxPartitionBytes exactly like the "
+    "decode path. Oracle recomputes every frame from the synthesis "
+    "recurrence.",
+    oracle=f"""
+WITH frames AS (
+    SELECT d.doc_id, i // {AUDIO_FRAME} AS frame_idx,
+           ((d.doc_id * 7 + i) % 65536 - 32768) AS s
+    FROM documents d,
+         LATERAL (SELECT UNNEST(GENERATE_SERIES(0, 64 + d.doc_id % 129 - 1)) AS i)
+)
+SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(SUM(s * s) AS BIGINT) AS energy,
+       CAST(MAX(ABS(s)) AS BIGINT) AS peak_abs
+FROM frames
+GROUP BY doc_id, frame_idx
+ORDER BY doc_id, frame_idx
+""",
+)
+def multimodal_audio_frame_energy(spark, sf_dir):
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents")
+    ids = d.repartition(8).select("doc_id")
+
+    def frames(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                _, _, samples = parse_wav(synth_wav(doc_id))
+                s = samples.astype("int64")
+                for f in range(0, (len(s) + AUDIO_FRAME - 1) // AUDIO_FRAME):
+                    chunk = s[f * AUDIO_FRAME : (f + 1) * AUDIO_FRAME]
+                    rows.append(
+                        (
+                            doc_id,
+                            f,
+                            len(chunk),
+                            int((chunk * chunk).sum()),
+                            int(np.abs(chunk).max()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "n_samples", "energy", "peak_abs"],
+            )
+
+    out = ids.mapInPandas(
+        frames,
+        schema="doc_id long, frame_idx long, n_samples long, energy long, peak_abs long",
+    )
+    return out.orderBy("doc_id", "frame_idx")

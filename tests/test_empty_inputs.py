@@ -61,7 +61,8 @@ QUERIES = [
     "events_autocorrelation", "fn_map_higher_order",
     "udf_pandas_grouped_agg", "events_changepoint_cusum",
     "stats_weighted_median", "events_attribution_touch",
-    "udtf_table_arg_per_user",
+    "udtf_table_arg_per_user", "dedup_minhash_error_audit",
+    "multimodal_audio_frame_energy",
 ]
 
 

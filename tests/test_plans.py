@@ -329,3 +329,35 @@ def test_nested_struct_predicate_pushdown(spark, sf_dir):
 
     plan = _plan(load_all()["scan_nested_struct_roundtrip"].builder(spark, sf_dir))
     assert "GreaterThan(o.amount_cents" in plan, plan
+
+
+def test_bloom_decontam_joins_all_broadcast(spark, sf_dir):
+    """The bloom pass's scale contract: K position joins + the exact
+    join are ALL broadcast — the corpus never shuffles for a join."""
+    from cascade_spark.plans.registry import load_all
+
+    plan = _plan(load_all()["pipeline_decontaminate_bloom"].builder(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 5, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+
+
+def test_cms_estimation_joins_broadcast(spark, sf_dir):
+    """CMS estimates come from the broadcast D×W sketch, never a
+    token-volume shuffle join."""
+    from cascade_spark.plans.registry import load_all
+
+    plan = _plan(load_all()["profile_cms_heavy_hitters"].builder(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_attribution_join_extracts_equality_key(spark, sf_dir):
+    """The 72h-lookback join must hash/merge on the user_id equality
+    (range conditions as residual), never degenerate to a nested-loop
+    cross product."""
+    from cascade_spark.plans.registry import load_all
+
+    plan = _plan(load_all()["events_attribution_touch"].builder(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
