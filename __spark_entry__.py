@@ -30,6 +30,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # the sampled window; the full registry stays oracle-gated in pytest
 # (tests/test_oracle.py) regardless of sampling.
 _NEW_THIS_ROUND: list[str] = [
+    "text_bpe_train",
+    "pipeline_quality_classifier",
+    "similarity_hard_negative_mining",
+    "dedup_containment_ngram",
+    "events_forecast_seasonal_naive",
+    "graph_link_prediction",
+    "pipeline_mixture_temperature",
     "dedup_minhash_error_audit",
     "multimodal_audio_frame_energy",
     "events_changepoint_cusum",

@@ -920,3 +920,81 @@ def events_attribution_touch(spark, sf_dir):
         )
         .orderBy("event_id")
     )
+
+
+# --- temperature-scaled mixture sampling -------------------------------------
+# alpha = 0.5 temperature flattening (multilingual-LM data mixing, the
+# XLM-R / mT5 recipe): sampling weight w_s = sqrt(n_s) boosts the tail
+# sources relative to proportional sampling. sqrt is made EXACT via an
+# integer isqrt (float sqrt then a +/-1 correction — off-by-one-proof
+# for n < 2^52), so both engines agree bit-for-bit.
+TEMP_BUDGET = 10_000_000
+
+
+def _sql_isqrt(n: str) -> str:
+    s0 = f"CAST(FLOOR(SQRT(CAST({n} AS DOUBLE))) AS BIGINT)"
+    return (
+        f"(CASE WHEN ({s0} + 1) * ({s0} + 1) <= {n} THEN {s0} + 1 "
+        f"WHEN {s0} * {s0} > {n} THEN {s0} - 1 ELSE {s0} END)"
+    )
+
+
+def _isqrt(n: F.Column) -> F.Column:
+    s0 = F.floor(F.sqrt(n.cast("double"))).cast("long")
+    return (
+        F.when((s0 + 1) * (s0 + 1) <= n, s0 + 1)
+        .when(s0 * s0 > n, s0 - 1)
+        .otherwise(s0)
+    )
+
+
+@register(
+    "pipeline_mixture_temperature",
+    "pipeline",
+    doc="Temperature-scaled (alpha=0.5) source mixture: per-source doc "
+    "counts -> sampling weight isqrt(n) -> share in floor bp and a "
+    f"{TEMP_BUDGET}-doc epoch allocation, plus the boost vs "
+    "proportional sampling (floor bp of ratio). isqrt is exact integer "
+    "arithmetic in both engines (float sqrt + correction), so the whole "
+    "table hash-checks. The aggregate is one map-side-combinable "
+    "groupBy; the |sources|-row weight table is driver-free.",
+    oracle=f"""
+WITH n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY source),
+w AS (SELECT source, n_docs, {_sql_isqrt('n_docs')} AS weight FROM n),
+tot AS (SELECT CAST(SUM(weight) AS BIGINT) AS tw,
+               CAST(SUM(n_docs) AS BIGINT) AS tn FROM w)
+SELECT w.source, w.n_docs, w.weight,
+       (10000 * w.weight) // t.tw AS share_bp,
+       ({TEMP_BUDGET} * w.weight) // t.tw AS alloc_docs,
+       (10000 * w.n_docs) // t.tn AS prop_share_bp,
+       CASE WHEN (10000 * w.n_docs) // t.tn = 0 THEN NULL
+            ELSE (10000 * ((10000 * w.weight) // t.tw))
+                 // ((10000 * w.n_docs) // t.tn) END AS boost_bp
+FROM w, tot t
+ORDER BY source
+""",
+)
+def pipeline_mixture_temperature(spark, sf_dir):
+    from cascade_spark.operators._util import _intdiv, bigint
+
+    d = t(spark, sf_dir, "documents")
+    n = d.groupBy("source").agg(bigint(F.count(F.lit(1))).alias("n_docs"))
+    w = n.select("source", "n_docs", _isqrt(F.col("n_docs")).alias("weight"))
+    tot = w.agg(
+        bigint(F.sum("weight")).alias("tw"), bigint(F.sum("n_docs")).alias("tn")
+    )
+    j = w.crossJoin(F.broadcast(tot))
+    share = _intdiv(F.lit(10000) * F.col("weight"), F.col("tw"))
+    prop = _intdiv(F.lit(10000) * F.col("n_docs"), F.col("tn"))
+    return j.select(
+        "source",
+        "n_docs",
+        "weight",
+        share.alias("share_bp"),
+        _intdiv(F.lit(TEMP_BUDGET) * F.col("weight"), F.col("tw")).alias("alloc_docs"),
+        prop.alias("prop_share_bp"),
+        F.when(prop == 0, F.lit(None).cast("long"))
+        .otherwise(_intdiv(F.lit(10000) * share, prop))
+        .alias("boost_bp"),
+    ).orderBy("source")

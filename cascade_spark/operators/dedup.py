@@ -781,3 +781,95 @@ def dedup_minhash_error_audit(spark, sf_dir):
         exact.alias("exact_bp"),
         (est - exact).alias("err_bp"),
     ).orderBy("d1", "d2")
+
+
+CONTAIN_BP = 6000  # containment threshold: |∩| ≥ 0.6·min(|A|,|B|)
+
+
+@register(
+    "dedup_containment_ngram",
+    "dedup",
+    doc="Containment near-dup pairs (RefinedWeb-style subset detection): "
+    "containment |∩| / min(|A|,|B|) finds a small doc embedded in a big "
+    "one — exactly the pairs symmetric Jaccard under-scores (a 10:1 "
+    "size ratio caps Jaccard at ~0.1 however perfect the overlap). "
+    "Same DF-capped shingle inverted index and candidate join as "
+    "dedup_ngram_jaccard (candidates stay bounded at 100 TB); both "
+    "metrics in exact floor basis points; subset_only flags the pairs "
+    "a Jaccard threshold would have missed.",
+    oracle=f"""
+WITH sh AS ({_SQL_SHINGLES}),
+common AS (SELECT s FROM sh GROUP BY s
+           HAVING COUNT(*) > (SELECT COUNT(*) FROM documents) * {SHINGLE_DF_FRAC}),
+sh2 AS (SELECT * FROM sh WHERE s NOT IN (SELECT s FROM common)),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh2 GROUP BY doc_id),
+pairs AS (
+    SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS inter
+    FROM sh2 a JOIN sh2 b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+m AS (
+    SELECT p.d1, p.d2, p.inter,
+           LEAST(sa.n, sb.n) AS n_small,
+           (10000 * p.inter) // LEAST(sa.n, sb.n) AS containment_bp,
+           (10000 * p.inter) // (sa.n + sb.n - p.inter) AS jaccard_bp
+    FROM pairs p
+    JOIN sizes sa ON sa.doc_id = p.d1
+    JOIN sizes sb ON sb.doc_id = p.d2
+)
+SELECT d1, d2, inter, n_small, containment_bp, jaccard_bp,
+       CAST(CASE WHEN jaccard_bp < 5000 THEN 1 ELSE 0 END AS BIGINT) AS subset_only
+FROM m WHERE containment_bp >= {CONTAIN_BP}
+ORDER BY d1, d2
+""",
+)
+def dedup_containment_ngram(spark, sf_dir):
+    from pyspark import StorageLevel
+
+    from cascade_spark.operators._util import _intdiv, bigint
+
+    d = t(spark, sf_dir, "documents")
+    sh = _shingles(d).select("doc_id", F.xxhash64("s").alias("s")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    n_docs = d.agg(F.count(F.lit(1)).alias("_nd"))
+    common = (
+        sh.groupBy("s")
+        .count()
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("count") > F.col("_nd") * SHINGLE_DF_FRAC)
+        .select("s")
+    )
+    sh2 = sh.join(common, "s", "left_anti").persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = sh2.groupBy("doc_id").agg(bigint(F.count(F.lit(1))).alias("n"))
+    a, b = sh2.alias("a"), sh2.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(bigint(F.count(F.lit(1))).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("nb"))
+    n_small = F.least("na", "nb")
+    contain = _intdiv(F.lit(10000) * F.col("inter"), n_small)
+    jac = _intdiv(
+        F.lit(10000) * F.col("inter"), F.col("na") + F.col("nb") - F.col("inter")
+    )
+    return (
+        pairs.join(sa, "d1")
+        .join(sb, "d2")
+        .select(
+            "d1",
+            "d2",
+            "inter",
+            n_small.alias("n_small"),
+            contain.alias("containment_bp"),
+            jac.alias("jaccard_bp"),
+        )
+        .filter(F.col("containment_bp") >= CONTAIN_BP)
+        .select(
+            "*",
+            F.when(F.col("jaccard_bp") < 5000, 1).otherwise(0).cast("long").alias("subset_only"),
+        )
+        .orderBy("d1", "d2")
+    )

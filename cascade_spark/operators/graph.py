@@ -252,3 +252,110 @@ def graph_triangle_count(spark, sf_dir):
             4,
         ).alias("clustering_coef"),
     )
+
+
+_SQL_COACTIVITY_EDGES = """
+gaps AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts > LAG(ts) OVER w + INTERVAL 45 MINUTE
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess0 AS (
+    SELECT user_id, ts,
+           SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sidx
+    FROM gaps
+),
+sess AS (
+    SELECT user_id, sidx, MIN(ts) AS start_ts, MAX(ts) AS end_ts
+    FROM sess0 GROUP BY user_id, sidx
+),
+p AS (
+    SELECT a.user_id AS ua, b.user_id AS ub, COUNT(*) AS n
+    FROM sess a JOIN sess b
+      ON a.user_id < b.user_id
+     AND a.start_ts <= b.end_ts AND b.start_ts <= a.end_ts
+    GROUP BY 1, 2
+),
+e AS (SELECT ua, ub FROM p WHERE n >= 2)
+"""
+
+LP_TOP = 20
+
+
+@register(
+    "graph_link_prediction",
+    "analytics",
+    doc="Common-neighbor link prediction over the co-activity graph "
+    "(same persisted edge frame as graph_triangle_count): for every "
+    "non-adjacent user pair sharing >= 1 neighbor, the common-neighbor "
+    "count and neighbor-set Jaccard (exact floor bp) — the classic "
+    "recommender/link-inference primitive. The two-hop join is one "
+    "self-join of the symmetric adjacency list on the shared-neighbor "
+    "key, bounded by the degree distribution (hub mitigation = degree "
+    f"cap, same slot as the >=2-overlap threshold). Top {LP_TOP} "
+    "predicted links.",
+    oracle=f"""
+WITH {_SQL_COACTIVITY_EDGES},
+adj AS (
+    SELECT ua AS u, ub AS w FROM e UNION ALL SELECT ub AS u, ua AS w FROM e
+),
+deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY u),
+cn AS (
+    SELECT a.u AS u1, b.u AS u2, CAST(COUNT(*) AS BIGINT) AS common
+    FROM adj a JOIN adj b ON a.w = b.w AND a.u < b.u
+    GROUP BY a.u, b.u
+),
+cand AS (
+    SELECT cn.u1, cn.u2, cn.common,
+           da.d AS d1, db.d AS d2,
+           (10000 * cn.common) // (da.d + db.d - cn.common) AS jaccard_bp
+    FROM cn
+    JOIN deg da ON da.u = cn.u1
+    JOIN deg db ON db.u = cn.u2
+    LEFT JOIN e ON e.ua = cn.u1 AND e.ub = cn.u2
+    WHERE e.ua IS NULL
+)
+SELECT u1, u2, common, d1, d2, jaccard_bp
+FROM cand
+ORDER BY common DESC, jaccard_bp DESC, u1, u2
+LIMIT {LP_TOP}
+""",
+)
+def graph_link_prediction(spark, sf_dir):
+    from cascade_spark.operators._util import _intdiv, bigint
+    from cascade_spark.operators.interval import _overlap_pairs
+
+    pairs = _overlap_pairs(spark, sf_dir)
+    e = (
+        pairs.groupBy(F.col("user_a").alias("ua"), F.col("user_b").alias("ub"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("ua", "ub")
+    )
+    adj = e.select(F.col("ua").alias("u"), F.col("ub").alias("w")).unionByName(
+        e.select(F.col("ub").alias("u"), F.col("ua").alias("w"))
+    )
+    deg = adj.groupBy("u").agg(bigint(F.count(F.lit(1))).alias("d"))
+    a, b = adj.alias("a"), adj.alias("b")
+    cn = (
+        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.u") < F.col("b.u")))
+        .groupBy(F.col("a.u").alias("u1"), F.col("b.u").alias("u2"))
+        .agg(bigint(F.count(F.lit(1))).alias("common"))
+    )
+    cand = (
+        cn.join(e, (F.col("u1") == F.col("ua")) & (F.col("u2") == F.col("ub")), "left_anti")
+        .join(deg.select(F.col("u").alias("u1"), F.col("d").alias("d1")), "u1")
+        .join(deg.select(F.col("u").alias("u2"), F.col("d").alias("d2")), "u2")
+    )
+    jac = _intdiv(
+        F.lit(10000) * F.col("common"), F.col("d1") + F.col("d2") - F.col("common")
+    )
+    return (
+        cand.select("u1", "u2", "common", "d1", "d2", jac.alias("jaccard_bp"))
+        .orderBy(F.col("common").desc(), F.col("jaccard_bp").desc(), "u1", "u2")
+        .limit(LP_TOP)
+    )

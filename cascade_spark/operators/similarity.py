@@ -413,3 +413,84 @@ def similarity_knn_join(spark, sf_dir):
         .filter(F.col("rnk") <= KNN_K)
         .orderBy("qid", "rnk")
     )
+
+
+HN_ANCHORS = 8  # vec_id 0..7 act as the anchor mini-batch
+
+
+@register(
+    "similarity_hard_negative_mining",
+    "similarity",
+    doc="Contrastive-training hard-negative mining: for each anchor in "
+    f"an {HN_ANCHORS}-vector mini-batch, the single most-similar vector "
+    "with a DIFFERENT label (the hardest negative). Similarity is the "
+    "int8-quantized dot product (exact integers — hash-checkable, no "
+    "float tolerance). The anchor batch broadcasts; the base table "
+    "streams through scoring map-only; a per-anchor rank window keeps "
+    "k=1. At 100 TB the same plan holds per training batch — or the "
+    "LSH/IVF candidate structures bound the scored set first.",
+    oracle=f"""
+WITH anchors AS (
+    SELECT vec_id AS anchor_id, label AS anchor_label, embedding AS av
+    FROM embeddings WHERE vec_id < {HN_ANCHORS}
+),
+scored AS (
+    SELECT a.anchor_id, a.anchor_label, e.vec_id AS neg_id, e.label AS neg_label,
+           CAST(SUM(FLOOR(CAST(e.embedding[i] AS DOUBLE) * {Q_SCALE})
+                    * FLOOR(CAST(a.av[i] AS DOUBLE) * {Q_SCALE})) AS BIGINT) AS qdot
+    FROM embeddings e CROSS JOIN anchors a,
+         LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(e.embedding))) AS i)
+    WHERE e.label <> a.anchor_label
+    GROUP BY a.anchor_id, a.anchor_label, e.vec_id, e.label
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                 ORDER BY qdot DESC, neg_id) AS rnk
+    FROM scored
+)
+SELECT anchor_id, CAST(anchor_label AS BIGINT) AS anchor_label,
+       neg_id, CAST(neg_label AS BIGINT) AS neg_label, qdot
+FROM ranked WHERE rnk = 1 ORDER BY anchor_id
+""",
+)
+def similarity_hard_negative_mining(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "embeddings")
+
+    def _quant(col):
+        return F.transform(col, lambda x: F.floor(x.cast("double") * Q_SCALE))
+
+    anchors = e.filter(F.col("vec_id") < HN_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        _quant(F.col("embedding")).alias("_av"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(anchors))
+        .filter(F.col("label") != F.col("anchor_label"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            F.aggregate(
+                F.zip_with(_quant(F.col("embedding")), F.col("_av"), lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("qdot"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.col("qdot").desc(), "neg_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "anchor_id",
+            F.col("anchor_label").cast("long").alias("anchor_label"),
+            "neg_id",
+            F.col("neg_label").cast("long").alias("neg_label"),
+            "qdot",
+        )
+        .orderBy("anchor_id")
+    )

@@ -225,3 +225,65 @@ def text_lm_commonality(spark, sf_dir):
         bigint(F.col("n_bigrams")).alias("n_bigrams"),
         avg_round(F.col("s"), F.col("n_bigrams"), 4).alias("mean_bigram_freq"),
     ).orderBy("doc_id")
+
+
+# --- linear quality-classifier inference -------------------------------------
+# The fastText-style corpus quality gate (CCNet / GPT-3 style): a linear
+# model over hashed unigram features, applied map-only to every document.
+# Weights here are a deterministic closed-form function of the feature
+# slot (a Knuth multiplicative hash) standing in for learned weights; in
+# production the learned weight array is a broadcast variable and the
+# plan is identical. Scoring is one explode + map-side-combinable SUM in
+# exact integers — no Python in the hot path, no weight-table shuffle.
+QC_SLOTS = 64
+QC_MULT = 2654435761  # Knuth multiplicative constant
+QC_WRANGE = 1024  # weights span [-512, 511]
+
+
+@register(
+    "pipeline_quality_classifier",
+    "pipeline",
+    doc="Hashed linear quality-classifier inference: each token hashes "
+    f"(md5) into one of {QC_SLOTS} feature slots; the slot's integer "
+    "weight is a fixed multiplicative-hash function (stand-in for a "
+    "broadcast learned weight array); doc score = exact integer sum "
+    "over tokens; keep decision = score > 0. One explode + map-side-"
+    "combinable aggregate — the classifier-filter pass of CCNet/GPT-3 "
+    "pipelines at 100 TB is exactly this shape.",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents
+),
+feat AS (
+    SELECT doc_id,
+           ('0x' || SUBSTR(MD5(w), 1, 8))::BIGINT % {QC_SLOTS} AS slot
+    FROM tok WHERE w <> ''
+),
+scored AS (
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           SUM((slot * {QC_MULT}) % {QC_WRANGE} - {QC_WRANGE // 2}) AS score
+    FROM feat GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(score AS BIGINT) AS score,
+       CAST(CASE WHEN score > 0 THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM scored ORDER BY doc_id
+""",
+)
+def pipeline_quality_classifier(spark, sf_dir):
+    d = widen(t(spark, sf_dir, "documents"))
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    slot = F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long") % QC_SLOTS
+    weight = (slot * QC_MULT) % QC_WRANGE - QC_WRANGE // 2
+    scored = tok.groupBy("doc_id").agg(
+        bigint(F.count(F.lit(1))).alias("n_tokens"),
+        bigint(F.sum(weight)).alias("score"),
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "score",
+        F.when(F.col("score") > 0, 1).otherwise(0).cast("long").alias("kept"),
+    ).orderBy("doc_id")

@@ -395,3 +395,87 @@ def events_changepoint_cusum(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+SN_LAG = 7  # weekly seasonality
+
+
+@register(
+    "events_forecast_seasonal_naive",
+    "analytics",
+    doc="Seasonal-naive forecast backtest: predict each day's per-type "
+    f"event count with the count {SN_LAG} days earlier on a gap-free "
+    "zero-filled day spine, then score MAE / max error per event type "
+    "in exact integers (MAE as floor division). The lag window runs "
+    "over the (type, day) aggregate — a few thousand rows at any "
+    "corpus scale — never over raw events; this is the capacity-"
+    "planning baseline every fancier forecaster must beat.",
+    oracle=f"""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2
+),
+spine AS (
+    SELECT t.event_type, d.day
+    FROM (SELECT DISTINCT event_type FROM daily) t
+    CROSS JOIN (SELECT UNNEST(GENERATE_SERIES((SELECT MIN(day) FROM daily),
+                                              (SELECT MAX(day) FROM daily),
+                                              INTERVAL 1 DAY))::DATE AS day) d
+),
+series AS (
+    SELECT s.event_type, s.day, COALESCE(d.c, 0) AS c
+    FROM spine s LEFT JOIN daily d
+    ON d.event_type = s.event_type AND d.day = s.day
+),
+lagged AS (
+    SELECT event_type, c,
+           LAG(c, {SN_LAG}) OVER (PARTITION BY event_type ORDER BY day) AS f
+    FROM series
+)
+SELECT event_type,
+       CAST(COUNT(f) AS BIGINT) AS n_scored,
+       CAST(SUM(ABS(c - f)) AS BIGINT) AS total_abs_err,
+       CAST(SUM(ABS(c - f)) // COUNT(f) AS BIGINT) AS mae_floor,
+       CAST(MAX(ABS(c - f)) AS BIGINT) AS max_abs_err,
+       CAST(SUM(c) FILTER (f IS NOT NULL) AS BIGINT) AS total_actual,
+       CAST(SUM(f) AS BIGINT) AS total_forecast
+FROM lagged WHERE f IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+""",
+)
+def events_forecast_seasonal_naive(spark, sf_dir):
+    from cascade_spark.operators._util import _intdiv, bigint
+
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(bigint(F.count(F.lit(1))).alias("c"))
+    bounds = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    types = daily.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type", F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    series = spine.join(daily, ["event_type", "day"], "left").select(
+        "event_type", "day", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = series.select(
+        "event_type", "c", F.lag("c", SN_LAG).over(w).alias("f")
+    ).filter(F.col("f").isNotNull())
+    err = F.abs(F.col("c") - F.col("f"))
+    agg = lagged.groupBy("event_type").agg(
+        bigint(F.count("f")).alias("n_scored"),
+        bigint(F.sum(err)).alias("total_abs_err"),
+        bigint(F.max(err)).alias("max_abs_err"),
+        bigint(F.sum("c")).alias("total_actual"),
+        bigint(F.sum("f")).alias("total_forecast"),
+    )
+    return agg.select(
+        "event_type",
+        "n_scored",
+        "total_abs_err",
+        _intdiv(F.col("total_abs_err"), F.col("n_scored")).alias("mae_floor"),
+        "max_abs_err",
+        "total_actual",
+        "total_forecast",
+    ).orderBy("event_type")

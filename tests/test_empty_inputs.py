@@ -62,7 +62,10 @@ QUERIES = [
     "udf_pandas_grouped_agg", "events_changepoint_cusum",
     "stats_weighted_median", "events_attribution_touch",
     "udtf_table_arg_per_user", "dedup_minhash_error_audit",
-    "multimodal_audio_frame_energy",
+    "multimodal_audio_frame_energy", "text_bpe_train",
+    "pipeline_quality_classifier", "similarity_hard_negative_mining",
+    "dedup_containment_ngram", "events_forecast_seasonal_naive",
+    "graph_link_prediction", "pipeline_mixture_temperature",
 ]
 
 

@@ -361,3 +361,24 @@ def test_attribution_join_extracts_equality_key(spark, sf_dir):
     plan = _plan(load_all()["events_attribution_touch"].builder(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_quality_classifier_no_join(spark, sf_dir):
+    """Weights are a closed-form slot function — scoring must be one
+    explode + map-side-combinable aggregate with NO join anywhere."""
+    from cascade_spark.plans.registry import load_all
+
+    plan = _plan(load_all()["pipeline_quality_classifier"].builder(spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert "HashAggregate" in plan, plan
+
+
+def test_hard_negative_anchor_broadcast(spark, sf_dir):
+    """The anchor mini-batch broadcasts; the base embedding table is
+    scored map-only (no base-side shuffle join)."""
+    from cascade_spark.plans.registry import load_all
+
+    plan = _plan(load_all()["similarity_hard_negative_mining"].builder(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
