@@ -30,6 +30,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # the sampled window; the full registry stays oracle-gated in pytest
 # (tests/test_oracle.py) regardless of sampling.
 _NEW_THIS_ROUND: list[str] = [
+    "join_asof_forward",
+    "join_asof_tolerance",
+    "multimodal_image_resize",
+    "stats_benford_audit",
+    "scan_json_permissive_badrecords",
     "text_bpe_train",
     "pipeline_quality_classifier",
     "similarity_hard_negative_mining",

@@ -100,3 +100,119 @@ def join_asof(spark, sf_dir):
         value_cols=["last_order_price"],
     )
     return joined.select("event_id", "user_id", "last_order_price").orderBy("event_id")
+
+
+@register(
+    "join_asof_forward",
+    "joins",
+    doc="Forward as-of join (merge_asof direction='forward'): each event "
+    "picks the customer's NEXT order price at-or-after the event time — "
+    "the lookahead enrichment used for label construction (what did the "
+    "user do next?). Same union+window composition as join_asof with "
+    "the window ordered descending, one shuffle on the entity key. "
+    "Oracle: DuckDB native ASOF with the inequality reversed.",
+    oracle="""
+WITH o AS (
+    SELECT o_custkey, o_orderdate, MAX(o_totalprice) AS next_order_price
+    FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, e.user_id, o.next_order_price
+FROM events e ASOF LEFT JOIN o
+  ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+ORDER BY e.event_id
+""",
+)
+def join_asof_forward(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_totalprice").alias("next_order_price"))
+    )
+    state_types = dict(orders.dtypes)
+    probe_types = dict(ev.dtypes)
+    p = ev.select(
+        F.col("user_id").alias("_k"),
+        F.col("ts").cast("timestamp").alias("_ts"),
+        F.lit(1).alias("_kind"),
+        F.lit(None).cast(state_types["next_order_price"]).alias("next_order_price"),
+        *ev.columns,
+    )
+    s = orders.select(
+        F.col("o_custkey").alias("_k"),
+        F.col("o_orderdate").cast("timestamp").alias("_ts"),
+        F.lit(0).alias("_kind"),
+        F.col("next_order_price"),
+        *[F.lit(None).cast(probe_types[c]).alias(c) for c in ev.columns],
+    )
+    u = p.unionByName(s)
+    # descending time + state-first at ties realizes the inclusive
+    # state_ts >= probe_ts forward match
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts").desc(), "_kind")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    u = u.withColumn(
+        "next_order_price", F.last("next_order_price", ignorenulls=True).over(w)
+    )
+    return (
+        u.filter(F.col("_kind") == 1)
+        .select("event_id", "user_id", "next_order_price")
+        .orderBy("event_id")
+    )
+
+
+ASOF_TOL_DAYS = 30
+
+
+@register(
+    "join_asof_tolerance",
+    "joins",
+    doc="Tolerance-bounded as-of join (merge_asof tolerance=30d): the "
+    "backward match is kept only while it is fresh — the matched order "
+    "date and its age ride along, and the price is NULLed once the "
+    "state is staler than 30 days (the feature-store staleness rule). "
+    "Same single-shuffle union+window plan; the staleness predicate is "
+    "exact integer day arithmetic on both engines.",
+    oracle=f"""
+WITH o AS (
+    SELECT o_custkey, o_orderdate, MAX(o_totalprice) AS p
+    FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, e.user_id,
+       CAST(o.o_orderdate AS VARCHAR) AS matched_date,
+       DATEDIFF('day', CAST(o.o_orderdate AS DATE), CAST(e.ts AS DATE)) AS age_days,
+       CASE WHEN DATEDIFF('day', CAST(o.o_orderdate AS DATE), CAST(e.ts AS DATE))
+                 <= {ASOF_TOL_DAYS}
+            THEN o.p END AS price_within_tol
+FROM events e ASOF LEFT JOIN o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+ORDER BY e.event_id
+""",
+)
+def join_asof_tolerance(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_totalprice").alias("p"))
+        .withColumn("matched_d", F.col("o_orderdate"))
+    )
+    joined = asof_join(
+        ev,
+        orders,
+        probe_on="user_id",
+        state_on="o_custkey",
+        probe_ts="ts",
+        state_ts="o_orderdate",
+        value_cols=["p", "matched_d"],
+    )
+    age = F.datediff(F.to_date("ts"), F.to_date("matched_d"))
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("matched_d").cast("string").alias("matched_date"),
+        age.cast("long").alias("age_days"),
+        F.when(age <= ASOF_TOL_DAYS, F.col("p")).alias("price_within_tol"),
+    ).orderBy("event_id")

@@ -532,3 +532,78 @@ def multimodal_audio_frame_energy(spark, sf_dir):
         schema="doc_id long, frame_idx long, n_samples long, energy long, peak_abs long",
     )
     return out.orderBy("doc_id", "frame_idx")
+
+
+RESIZE_STRIDE = 2  # nearest-neighbor downsample factor
+
+
+@register(
+    "multimodal_image_resize",
+    "multimodal",
+    doc="REAL image transform: P6 blobs decoded by the real PPM parser, "
+    f"then nearest-neighbor stride-{RESIZE_STRIDE} downsampled via a "
+    "numpy strided view inside the same map-only mapInPandas stage — "
+    "the thumbnail/preprocess step of an image-pipeline. Output: new "
+    "dims + the exact int64 pixel checksum of the RESIZED image, which "
+    "the oracle recomputes from the synthesis recurrence pixel-by-"
+    "pixel — so the resampling arithmetic itself is hash-checked. "
+    "No shuffle until the presentation sort.",
+    oracle=f"""
+WITH dims AS (
+    SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+    FROM documents
+),
+px AS (
+    SELECT d.doc_id, d.w, d.h, y.y, x.x, c.c,
+           (d.doc_id * 31 + 3 * (y.y * d.w + x.x) + c.c) % 256 AS v
+    FROM dims d,
+         LATERAL (SELECT UNNEST(GENERATE_SERIES(0, d.h - 1, {RESIZE_STRIDE})) AS y) y,
+         LATERAL (SELECT UNNEST(GENERATE_SERIES(0, d.w - 1, {RESIZE_STRIDE})) AS x) x,
+         LATERAL (SELECT UNNEST(GENERATE_SERIES(0, 2)) AS c) c
+)
+SELECT doc_id,
+       CAST((w + {RESIZE_STRIDE} - 1) // {RESIZE_STRIDE} AS BIGINT) AS new_w,
+       CAST((h + {RESIZE_STRIDE} - 1) // {RESIZE_STRIDE} AS BIGINT) AS new_h,
+       CAST(COUNT(*) AS BIGINT) AS n_bytes_out,
+       CAST(SUM(v) AS BIGINT) AS pixel_sum
+FROM px
+GROUP BY doc_id, w, h
+ORDER BY doc_id
+""",
+)
+def multimodal_image_resize(spark, sf_dir):
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents")
+    ids = d.repartition(8).select("doc_id")
+
+    def resize_batches(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h, _, _, _ = decode_ppm(synth_ppm(doc_id))
+                px = np.frombuffer(
+                    synth_ppm(doc_id).split(b"\n255\n", 1)[1], dtype=np.uint8
+                ).reshape(h, w, 3)
+                small = px[::RESIZE_STRIDE, ::RESIZE_STRIDE, :]
+                rows.append(
+                    (
+                        doc_id,
+                        small.shape[1],
+                        small.shape[0],
+                        int(small.size),
+                        int(small.sum(dtype="int64")),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "new_w", "new_h", "n_bytes_out", "pixel_sum"]
+            )
+
+    out = ids.mapInPandas(
+        resize_batches,
+        schema="doc_id long, new_w long, new_h long, n_bytes_out long, pixel_sum long",
+    )
+    return out.orderBy("doc_id")

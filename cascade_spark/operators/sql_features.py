@@ -521,3 +521,49 @@ def catalog_global_temp_view(spark, sf_dir):
         ORDER BY o_orderstatus
         """
     )
+
+
+_JSON_BAD_CACHE: dict = {}
+
+
+@register(
+    "scan_json_permissive_badrecords",
+    "sources",
+    doc="Malformed-JSON handling on ingest (the JSONL twin of the CSV "
+    "permissive scan): every 10th line of a JSONL feed is truncated "
+    "mid-object; PERMISSIVE mode surfaces those lines in the corrupt-"
+    "record column with NULL typed fields instead of failing the job. "
+    "Output: good/bad counts + good-row sum, oracle-derived from the "
+    "generation rule.",
+    oracle="""
+WITH rows_ AS (SELECT UNNEST(GENERATE_SERIES(0, 99)) AS id)
+SELECT CAST(SUM(CASE WHEN id % 10 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+       CAST(SUM(CASE WHEN id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+       CAST(SUM(CASE WHEN id % 10 <> 0 THEN id * 7 END) AS BIGINT) AS sum_good_val
+FROM rows_
+""",
+)
+def scan_json_permissive_badrecords(spark, sf_dir):
+    import os
+    import tempfile
+
+    if sf_dir not in _JSON_BAD_CACHE:
+        d = tempfile.mkdtemp(prefix="cascade_badjson_")
+        path = os.path.join(d, "feed.jsonl")
+        with open(path, "w") as fh:
+            for i in range(100):
+                line = f'{{"id": {i}, "val": {i * 7}}}'
+                fh.write((line[: len(line) // 2] if i % 10 == 0 else line) + "\n")
+        _JSON_BAD_CACHE[sf_dir] = path
+    df = (
+        spark.read.schema("id long, val long, _corrupt string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(_JSON_BAD_CACHE[sf_dir])
+        .cache()
+    )
+    return df.agg(
+        F.sum(F.when(F.col("_corrupt").isNull(), 1).otherwise(0)).cast("long").alias("n_good"),
+        F.sum(F.when(F.col("_corrupt").isNotNull(), 1).otherwise(0)).cast("long").alias("n_bad"),
+        F.sum(F.when(F.col("_corrupt").isNull(), F.col("val"))).cast("long").alias("sum_good_val"),
+    )

@@ -539,3 +539,71 @@ def stats_weighted_median(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+# Benford first-digit expectation, floor(10000*log10(1+1/d)) — embedded
+# as integer literals so neither engine evaluates a float log.
+BENFORD_BP = {1: 3010, 2: 1760, 3: 1249, 4: 969, 5: 791, 6: 669, 7: 579, 8: 511, 9: 457}
+
+
+@register(
+    "stats_benford_audit",
+    "analytics",
+    doc="Benford first-significant-digit audit over order totals — the "
+    "classic financial-data anomaly screen: per digit, observed count "
+    "and share (floor bp) against the Benford expectation, with the "
+    "signed deviation. The digit is extracted from exact integer cents "
+    "(no float log10), expectations are embedded integer literals, so "
+    "the whole table hash-checks. One map-side-combinable aggregate.",
+    oracle=f"""
+WITH cents AS (
+    SELECT CAST(CAST(o_totalprice AS DECIMAL(12,4)) * 100 AS BIGINT) AS c
+    FROM orders WHERE o_totalprice > 0
+),
+digits AS (
+    SELECT CAST(SUBSTR(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit FROM cents
+),
+obs AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY digit),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM obs),
+exp_ AS (
+    {" UNION ALL ".join(f"SELECT {d} AS digit, {bp} AS benford_bp" for d, bp in BENFORD_BP.items())}
+)
+SELECT e.digit, COALESCE(o.n, 0) AS n,
+       (10000 * COALESCE(o.n, 0)) // t.t AS share_bp,
+       CAST(e.benford_bp AS BIGINT) AS benford_bp,
+       (10000 * COALESCE(o.n, 0)) // t.t - e.benford_bp AS dev_bp
+FROM exp_ e LEFT JOIN obs o ON o.digit = e.digit, tot t
+ORDER BY e.digit
+""",
+)
+def stats_benford_audit(spark, sf_dir):
+    from cascade_spark.operators._util import _intdiv, bigint, dec
+
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    cents = o.select((dec("o_totalprice") * 100).cast("long").alias("c"))
+    digits = cents.select(
+        F.substring(F.col("c").cast("string"), 1, 1).cast("long").alias("digit")
+    )
+    obs = digits.groupBy("digit").agg(bigint(F.count(F.lit(1))).alias("n"))
+    tot = obs.agg(bigint(F.sum("n")).alias("t"))
+    exp_ = o.sparkSession.createDataFrame(
+        list(BENFORD_BP.items()), "digit long, benford_bp long"
+    )
+    j = (
+        exp_.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            "benford_bp",
+            "t",
+        )
+    )
+    share = _intdiv(F.lit(10000) * F.col("n"), F.col("t"))
+    return j.select(
+        "digit",
+        "n",
+        share.alias("share_bp"),
+        "benford_bp",
+        (share - F.col("benford_bp")).alias("dev_bp"),
+    ).orderBy("digit")

@@ -66,6 +66,9 @@ QUERIES = [
     "pipeline_quality_classifier", "similarity_hard_negative_mining",
     "dedup_containment_ngram", "events_forecast_seasonal_naive",
     "graph_link_prediction", "pipeline_mixture_temperature",
+    "join_asof_forward", "join_asof_tolerance",
+    "multimodal_image_resize", "stats_benford_audit",
+    "scan_json_permissive_badrecords",
 ]
 
 
@@ -83,5 +86,10 @@ def test_query_survives_empty_tables(spark, empty_sf_dir, name):
     # scalar-aggregate audits legitimately return one (zeroed) row, and
     # fixed-rule report queries one row per declared rule; everything
     # else must be empty — never an exception either way
-    fixed_shape = {"agg_grouping_id": 4, "profile_expectations_report": 5}
+    fixed_shape = {
+        "agg_grouping_id": 4,
+        "profile_expectations_report": 5,
+        # fixed-rule report: one row per Benford digit, NULL shares
+        "stats_benford_audit": 9,
+    }
     assert len(rows) <= fixed_shape.get(name, 1), (name, rows[:3])
