@@ -30,6 +30,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # the sampled window; the full registry stays oracle-gated in pytest
 # (tests/test_oracle.py) regardless of sampling.
 _NEW_THIS_ROUND: list[str] = [
+    "multimodal_video_decode",
+    "agg_pivot_dynamic",
+    "maintenance_analyze_table_stats",
     "join_asof_forward",
     "join_asof_tolerance",
     "multimodal_image_resize",

@@ -320,3 +320,36 @@ def agg_unpivot(spark, sf_dir):
         )
         .orderBy("p_partkey", "measure")
     )
+
+
+@register(
+    "agg_pivot_dynamic",
+    "aggregations",
+    doc="Dynamic pivot: pivot(event_type) WITHOUT an explicit value "
+    "list — Spark runs the distinct-values subquery at plan time and "
+    "sorts the inferred columns, the ad-hoc-reporting surface. The "
+    "production caveat stands in the plan: the values scan is an extra "
+    "job, so at scale you pass the list explicitly (agg_pivot does). "
+    "Oracle pins the inferred column set + counts.",
+    oracle="""
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+       COUNT(*) FILTER (event_type = 'click') AS click,
+       COUNT(*) FILTER (event_type = 'error') AS error,
+       COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+       COUNT(*) FILTER (event_type = 'signup') AS signup,
+       COUNT(*) FILTER (event_type = 'view') AS view
+FROM events
+GROUP BY 1 ORDER BY 1
+""",
+)
+def agg_pivot_dynamic(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    out = (
+        ev.groupBy(F.to_date("ts").cast("string").alias("day"))
+        .pivot("event_type")  # no values list: inferred + sorted by Spark
+        .count()
+        .na.fill(0)
+    )
+    return out.select(
+        "day", *[F.col(c).cast("long").alias(c) for c in sorted(out.columns) if c != "day"]
+    ).orderBy("day")

@@ -209,3 +209,43 @@ def maintenance_zorder_cluster(spark, sf_dir):
         )
         .orderBy("zbucket")
     )
+
+
+@register(
+    "maintenance_analyze_table_stats",
+    "maintenance",
+    doc="Catalog statistics for the cost-based optimizer: saveAsTable + "
+    "ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS, then the stats "
+    "read back from the catalog as a relation. Only the EXACT stats "
+    "are declared output (row count, column min/max/null count) — "
+    "distinct_count is an HLL estimate and stays out of the hash "
+    "contract. These stats are what CBO join reordering and broadcast "
+    "decisions key on at scale; ANALYZE cost is one scan.",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS row_count,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+       CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS null_count
+FROM orders
+""",
+)
+def maintenance_analyze_table_stats(spark, sf_dir):
+    import os
+
+    tbl = "cascade_stats_orders_" + os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    if not spark.catalog.tableExists(tbl):
+        t(spark, sf_dir, "orders").write.mode("overwrite").saveAsTable(tbl)
+    spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS FOR COLUMNS o_orderkey")
+    desc = spark.sql(f"DESCRIBE EXTENDED {tbl} o_orderkey").collect()
+    kv = {r["info_name"]: r["info_value"] for r in desc}
+    stats = spark.sql(f"DESCRIBE TABLE EXTENDED {tbl}").collect()
+    row_count = None
+    for r in stats:
+        if r["col_name"] == "Statistics":
+            # "N bytes, M rows"
+            row_count = int(r["data_type"].split(",")[1].strip().split(" ")[0])
+    return spark.createDataFrame(
+        [(row_count, int(kv["min"]), int(kv["max"]), int(kv["num_nulls"]))],
+        "row_count long, min_key long, max_key long, null_count long",
+    )

@@ -607,3 +607,108 @@ def multimodal_image_resize(spark, sf_dir):
         schema="doc_id long, new_w long, new_h long, n_bytes_out long, pixel_sum long",
     )
     return out.orderBy("doc_id")
+
+
+# --- video: a trivial multi-frame container over real P6 frames -------------
+VIDEO_SAMPLE_EVERY = 2
+
+
+def synth_video(doc_id: int) -> bytes:
+    """Deterministic multi-frame container: ``PVID\\n<n>\\n`` header then
+    n concatenated P6 blobs (same dims per frame, pixel recurrence
+    (doc_id*31 + f*7 + i) % 256)."""
+    n_frames = 2 + doc_id % 5
+    w, h = 4 + doc_id % 13, 3 + doc_id % 7
+    out = [b"PVID\n", f"{n_frames}\n".encode()]
+    for f in range(n_frames):
+        out.append(f"P6\n{w} {h}\n255\n".encode())
+        out.append(bytes((doc_id * 31 + f * 7 + i) % 256 for i in range(3 * w * h)))
+    return b"".join(out)
+
+
+def decode_video(blob: bytes):
+    """Real container parser: walks the PVID header then each embedded
+    P6 frame (header parse → exact pixel-block slice). Yields
+    (frame_idx, width, height, pixel_sum). Raises ValueError on a
+    non-PVID payload or a truncated frame."""
+    import numpy as np
+
+    nl = blob.index(b"\n")
+    if blob[:nl] != b"PVID":
+        raise ValueError("not a PVID container")
+    nl2 = blob.index(b"\n", nl + 1)
+    n_frames = int(blob[nl + 1 : nl2])
+    pos = nl2 + 1
+    for f in range(n_frames):
+        if blob[pos : pos + 3] != b"P6\n":
+            raise ValueError(f"frame {f}: missing P6 magic at {pos}")
+        d1 = blob.index(b"\n", pos + 3)
+        w_s, h_s = blob[pos + 3 : d1].split()
+        d2 = blob.index(b"\n", d1 + 1)
+        w, h = int(w_s), int(h_s)
+        n = 3 * w * h
+        px = np.frombuffer(blob, dtype=np.uint8, offset=d2 + 1, count=n)
+        if px.size != n:
+            raise ValueError(f"frame {f}: truncated pixel data")
+        yield f, w, h, int(px.sum(dtype="int64"))
+        pos = d2 + 1 + n
+
+
+@register(
+    "multimodal_video_decode",
+    "multimodal",
+    doc="REAL video-container decode: PVID blobs (multi-frame containers "
+    "of P6 frames) are walked frame-by-frame by the real parser inside "
+    f"one map-only mapInPandas stage; every {VIDEO_SAMPLE_EVERY}nd "
+    "frame is sampled (the frame-sampling step of a video-training "
+    "pipeline) and its exact pixel checksum emitted. The oracle "
+    "recomputes each sampled frame from the synthesis recurrence, so "
+    "container walking + frame slicing arithmetic is hash-checked. At "
+    "100 TB: fan-out bounded by maxPartitionBytes, no shuffle before "
+    "the presentation sort.",
+    oracle=f"""
+WITH dims AS (
+    SELECT doc_id, 2 + doc_id % 5 AS nf, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+    FROM documents
+),
+frames AS (
+    SELECT d.doc_id, d.nf, d.w, d.h, f.f
+    FROM dims d,
+         LATERAL (SELECT UNNEST(GENERATE_SERIES(0, d.nf - 1, {VIDEO_SAMPLE_EVERY})) AS f) f
+),
+px AS (
+    SELECT fr.doc_id, fr.nf, fr.f,
+           (fr.doc_id * 31 + fr.f * 7 + i.i) % 256 AS v
+    FROM frames fr,
+         LATERAL (SELECT UNNEST(GENERATE_SERIES(0, 3 * fr.w * fr.h - 1)) AS i) i
+)
+SELECT doc_id, CAST(nf AS BIGINT) AS n_frames, CAST(f AS BIGINT) AS frame_idx,
+       CAST(SUM(v) AS BIGINT) AS pixel_sum
+FROM px GROUP BY doc_id, nf, f
+ORDER BY doc_id, frame_idx
+""",
+)
+def multimodal_video_decode(spark, sf_dir):
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents")
+    ids = d.repartition(8).select("doc_id")
+
+    def decode_batches(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                frames = list(decode_video(synth_video(doc_id)))
+                for f, _, _, psum in frames:
+                    if f % VIDEO_SAMPLE_EVERY == 0:
+                        rows.append((doc_id, len(frames), f, psum))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_frames", "frame_idx", "pixel_sum"]
+            )
+
+    out = ids.mapInPandas(
+        decode_batches,
+        schema="doc_id long, n_frames long, frame_idx long, pixel_sum long",
+    )
+    return out.orderBy("doc_id", "frame_idx")

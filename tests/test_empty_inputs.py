@@ -68,7 +68,8 @@ QUERIES = [
     "graph_link_prediction", "pipeline_mixture_temperature",
     "join_asof_forward", "join_asof_tolerance",
     "multimodal_image_resize", "stats_benford_audit",
-    "scan_json_permissive_badrecords",
+    "scan_json_permissive_badrecords", "multimodal_video_decode",
+    "agg_pivot_dynamic",
 ]
 
 

@@ -188,3 +188,30 @@ def test_wav_decoder_is_a_real_parser():
                            struct.pack("<IHHIIHH", 16, 3, 1, 8000, 16000, 2, 16))
     with pytest.raises(ValueError):
         decode_wav(bad_fmt)
+
+
+def test_video_decoder_is_a_real_parser():
+    """decode_video walks the PVID container and each embedded P6 frame
+    from raw bytes — hand-built, wrong-magic, and truncated payloads."""
+    import pytest
+
+    from cascade_spark.operators.multimodal import decode_video, synth_video
+
+    # hand-built 2-frame 1x1 container: frame pixel sums 1+2+3, 4+5+6
+    blob = b"PVID\n2\n" + b"P6\n1 1\n255\n" + bytes([1, 2, 3]) + b"P6\n1 1\n255\n" + bytes([4, 5, 6])
+    frames = list(decode_video(blob))
+    assert frames == [(0, 1, 1, 6), (1, 1, 1, 15)]
+
+    for doc_id in (0, 7, 123):
+        fr = list(decode_video(synth_video(doc_id)))
+        assert len(fr) == 2 + doc_id % 5
+        w, h = 4 + doc_id % 13, 3 + doc_id % 7
+        assert all(f[1] == w and f[2] == h for f in fr)
+        assert fr[0][3] == sum((doc_id * 31 + i) % 256 for i in range(3 * w * h))
+
+    with pytest.raises(ValueError):
+        list(decode_video(b"RIFF\n2\n"))
+    with pytest.raises(ValueError):
+        list(decode_video(b"PVID\n1\nP6\n2 2\n255\n" + bytes(5)))  # truncated
+    with pytest.raises(ValueError):
+        list(decode_video(b"PVID\n2\nP6\n1 1\n255\n" + bytes(3)))  # missing frame 2
