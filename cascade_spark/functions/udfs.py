@@ -12,6 +12,8 @@ intact:
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import pandas as pd
 
 from pyspark.sql import functions as F
@@ -595,3 +597,36 @@ def udtf_table_arg_per_user(spark, sf_dir):
         "SELECT * FROM per_user_summary(TABLE(udtf_events_in) "
         "PARTITION BY user_id ORDER BY (ts, event_id)) ORDER BY user_id"
     )
+
+
+@register(
+    "udf_pandas_scalar_iter",
+    "udf",
+    doc="SCALAR_ITER pandas UDF — the Iterator[pd.Series] form whose "
+    "point is amortizing expensive per-worker initialization (model "
+    "load, compiled regex, codec table) across every Arrow batch "
+    "instead of paying it per batch: init runs once before the loop, "
+    "then streams batches. Here the init compiles the tokenizer regex; "
+    "the per-doc token count is exact so the query hash-checks (unlike "
+    "a model score, which would be rows-only).",
+    oracle="""
+SELECT doc_id,
+       CAST(LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')) AS BIGINT) AS n_tokens
+FROM documents
+ORDER BY doc_id
+""",
+)
+def udf_pandas_scalar_iter(spark, sf_dir):
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def tok_count(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import re
+
+        # one-time per-worker init, amortized over all Arrow batches
+        splitter = re.compile(r"\s+")
+        for s in batches:
+            yield s.map(lambda x: len(splitter.split(x.strip())))
+
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", tok_count("text").alias("n_tokens")).orderBy("doc_id")

@@ -422,3 +422,45 @@ def analytics_frequent_itemsets(spark, sf_dir):
         )
         .orderBy("item1", F.col("item2").asc_nulls_first())
     )
+
+
+@register(
+    "subquery_relational_division",
+    "subqueries",
+    doc='Relational division ("FOR ALL"): users who performed EVERY '
+    "event type present in the corpus — the universal-quantifier "
+    "query class (double NOT EXISTS in textbook SQL). Expressed as "
+    "the scalable rewrite: per-user distinct-type count equals the "
+    "global distinct-type count (two aggregates + a broadcast 1-row "
+    "join), never a nested per-user subquery. Output: qualifying "
+    "users with their event totals.",
+    oracle="""
+WITH per_user AS (
+    SELECT user_id, COUNT(DISTINCT event_type) AS n_types,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+),
+total AS (SELECT COUNT(DISTINCT event_type) AS t FROM events)
+SELECT u.user_id, CAST(u.n_types AS BIGINT) AS n_types, u.n_events
+FROM per_user u, total
+WHERE u.n_types = total.t
+ORDER BY u.user_id
+""",
+)
+def subquery_relational_division(spark, sf_dir):
+    from cascade_spark.operators._util import bigint
+
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    per_user = ev.groupBy("user_id").agg(
+        bigint(F.countDistinct("event_type")).alias("n_types"),
+        bigint(F.count(F.lit(1))).alias("n_events"),
+    )
+    total = t(spark, sf_dir, "events").agg(
+        F.countDistinct("event_type").alias("t")
+    )
+    return (
+        per_user.crossJoin(F.broadcast(total))
+        .filter(F.col("n_types") == F.col("t"))
+        .select("user_id", "n_types", "n_events")
+        .orderBy("user_id")
+    )

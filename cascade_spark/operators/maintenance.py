@@ -232,9 +232,17 @@ FROM orders
 )
 def maintenance_analyze_table_stats(spark, sf_dir):
     import os
+    import shutil
 
     tbl = "cascade_stats_orders_" + os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     if not spark.catalog.tableExists(tbl):
+        # a previous session's managed-table directory may survive in the
+        # warehouse while the in-memory catalog does not — clear it or
+        # CREATE fails with LOCATION_ALREADY_EXISTS
+        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        loc = os.path.join(wh.removeprefix("file:"), tbl)
+        if os.path.isdir(loc):
+            shutil.rmtree(loc)
         t(spark, sf_dir, "orders").write.mode("overwrite").saveAsTable(tbl)
     spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS FOR COLUMNS o_orderkey")
     desc = spark.sql(f"DESCRIBE EXTENDED {tbl} o_orderkey").collect()

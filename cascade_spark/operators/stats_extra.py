@@ -607,3 +607,73 @@ def stats_benford_audit(spark, sf_dir):
         "benford_bp",
         (share - F.col("benford_bp")).alias("dev_bp"),
     ).orderBy("digit")
+
+
+@register(
+    "stats_chisq_independence",
+    "analytics",
+    doc="Chi-square independence screen over the (event_type x ISO "
+    "weekday) contingency table: observed counts, marginals, and the "
+    "scaled residual d = o*n - r*c in EXACT int64, plus each cell's "
+    "chi-square contribution d^2/(n*r*c) as ONE mirrored IEEE "
+    "expression evaluated identically by both engines (the "
+    "stats_skew_kurtosis determinism pattern). Flags which weekday/"
+    "type cells drive the dependence — the drift screen run before "
+    "trusting a week-blind sample. All marginals from one pass.",
+    oracle="""
+WITH cells AS (
+    SELECT event_type, ISODOW(CAST(ts AS DATE)) AS dow,
+           CAST(COUNT(*) AS BIGINT) AS o
+    FROM events GROUP BY 1, 2
+),
+r AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+c AS (SELECT dow, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells)
+SELECT cells.event_type, CAST(cells.dow AS BIGINT) AS dow, cells.o,
+       r.r AS row_total, c.c AS col_total,
+       cells.o * n.n - r.r * c.c AS d,
+       ROUND(CAST(cells.o * n.n - r.r * c.c AS DOUBLE)
+             * CAST(cells.o * n.n - r.r * c.c AS DOUBLE)
+             / (CAST(n.n AS DOUBLE) * CAST(r.r AS DOUBLE)
+                * CAST(c.c AS DOUBLE) * CAST(n.n AS DOUBLE)), 6) AS contrib
+FROM cells, n JOIN r ON r.event_type = cells.event_type
+            JOIN c ON c.dow = cells.dow
+ORDER BY cells.event_type, dow
+""",
+)
+def stats_chisq_independence(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    # ISO weekday: Mon=1..Sun=7 (dayofweek is Sun=1..Sat=7)
+    cells = ev.groupBy(
+        "event_type",
+        F.dayofweek(F.date_sub(F.to_date("ts"), 1)).cast("long").alias("dow"),
+    ).agg(bigint(F.count(F.lit(1))).alias("o"))
+    r = cells.groupBy("event_type").agg(bigint(F.sum("o")).alias("r"))
+    c = cells.groupBy("dow").agg(bigint(F.sum("o")).alias("c"))
+    n = cells.agg(bigint(F.sum("o")).alias("n"))
+    j = (
+        cells.join(F.broadcast(r), "event_type")
+        .join(F.broadcast(c), "dow")
+        .crossJoin(F.broadcast(n))
+    )
+    d = F.col("o") * F.col("n") - F.col("r") * F.col("c")
+    contrib = F.round(
+        d.cast("double")
+        * d.cast("double")
+        / (
+            F.col("n").cast("double")
+            * F.col("r").cast("double")
+            * F.col("c").cast("double")
+            * F.col("n").cast("double")
+        ),
+        6,
+    )
+    return j.select(
+        "event_type",
+        "dow",
+        "o",
+        F.col("r").alias("row_total"),
+        F.col("c").alias("col_total"),
+        d.alias("d"),
+        contrib.alias("contrib"),
+    ).orderBy("event_type", "dow")

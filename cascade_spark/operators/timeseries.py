@@ -255,7 +255,9 @@ sums AS (
            {", ".join(f"CAST(SUM(c * l{L}) AS BIGINT) AS s{L}, CAST(COUNT(l{L}) AS BIGINT) AS n{L}" for L in range(1, ACF_MAX_LAG + 1))}
     FROM lagged
 )
-SELECT lag, n_pairs, dot, (10000 * dot) // sums.e0 AS acf_bp
+SELECT lag, n_pairs, dot,
+       CASE WHEN dot >= 0 THEN 1 ELSE -1 END
+       * ((10000 * ABS(dot)) // sums.e0) AS acf_bp
 FROM sums, LATERAL (
     {" UNION ALL ".join(f"SELECT {L} AS lag, n{L} AS n_pairs, s{L} AS dot" for L in range(1, ACF_MAX_LAG + 1))}
 )
@@ -311,7 +313,12 @@ def events_autocorrelation(spark, sf_dir):
         bigint(F.col("lag")).alias("lag"),
         "n_pairs",
         "dot",
-        _intdiv(F.lit(10000) * F.col("dot"), F.col("e0")).alias("acf_bp"),
+        # magnitude-divide + sign: total semantics even for negative
+        # dots (DuckDB // truncates toward zero, _intdiv floors)
+        (
+            F.when(F.col("dot") >= 0, 1).otherwise(-1)
+            * _intdiv(F.lit(10000) * F.abs(F.col("dot")), F.col("e0"))
+        ).alias("acf_bp"),
     ).orderBy("lag")
 
 
@@ -479,3 +486,84 @@ def events_forecast_seasonal_naive(spark, sf_dir):
         "total_actual",
         "total_forecast",
     ).orderBy("event_type")
+
+
+SEASONAL_DEV_FLAG_BP = 2500  # flag days deviating >= 25% from their dow norm
+
+
+@register(
+    "events_seasonal_adjusted_anomaly",
+    "analytics",
+    doc="Day-of-week seasonally adjusted anomaly screen: each day's "
+    "count is compared to ITS weekday's mean on the gap-free spine — "
+    "the deseasonalized complement to the raw z-score detector (a busy "
+    "Monday is normal; a Monday-like Sunday is not). Deviation is "
+    "exact floor bp of (c*n_dow - sum_dow)/sum_dow, so no float mean "
+    "ever forms; flag at |dev| >= 25%. Windows run over the |days| "
+    "aggregate only.",
+    oracle=f"""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+    FROM events GROUP BY 1
+),
+spine AS (
+    SELECT UNNEST(GENERATE_SERIES((SELECT MIN(day) FROM daily),
+                                  (SELECT MAX(day) FROM daily),
+                                  INTERVAL 1 DAY))::DATE AS day
+),
+series AS (
+    SELECT s.day, ISODOW(s.day) AS dow, COALESCE(d.c, 0) AS c
+    FROM spine s LEFT JOIN daily d ON d.day = s.day
+),
+dows AS (
+    SELECT dow, CAST(SUM(c) AS BIGINT) AS sum_dow,
+           CAST(COUNT(*) AS BIGINT) AS n_dow
+    FROM series GROUP BY dow
+)
+SELECT CAST(s.day AS VARCHAR) AS day, CAST(s.dow AS BIGINT) AS dow, s.c,
+       d.sum_dow, d.n_dow,
+       CASE WHEN s.c * d.n_dow >= d.sum_dow THEN 1 ELSE -1 END
+       * ((10000 * ABS(s.c * d.n_dow - d.sum_dow)) // d.sum_dow) AS dev_bp,
+       CAST(CASE WHEN (10000 * ABS(s.c * d.n_dow - d.sum_dow)) // d.sum_dow
+                      >= {SEASONAL_DEV_FLAG_BP}
+                 THEN 1 ELSE 0 END AS BIGINT) AS flagged
+FROM series s JOIN dows d ON d.dow = s.dow
+ORDER BY s.day
+""",
+)
+def events_seasonal_adjusted_anomaly(spark, sf_dir):
+    from cascade_spark.operators._util import _intdiv, bigint
+
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        bigint(F.count(F.lit(1))).alias("c")
+    )
+    spine = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi")).select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    series = spine.join(daily, "day", "left").select(
+        "day",
+        F.dayofweek(F.date_sub("day", 1)).alias("dow"),  # ISO dow: Mon=1..Sun=7
+        F.coalesce("c", F.lit(0)).alias("c"),
+    )
+    dows = series.groupBy("dow").agg(
+        bigint(F.sum("c")).alias("sum_dow"), bigint(F.count(F.lit(1))).alias("n_dow")
+    )
+    j = series.join(F.broadcast(dows), "dow")
+    # divide magnitudes only: DuckDB's // truncates toward zero for
+    # negatives while _intdiv floors — sign applied after the division
+    # keeps both engines on the same (truncating) semantics
+    mag = _intdiv(
+        F.lit(10000) * F.abs(F.col("c") * F.col("n_dow") - F.col("sum_dow")),
+        F.col("sum_dow"),
+    )
+    sign = F.when(F.col("c") * F.col("n_dow") >= F.col("sum_dow"), 1).otherwise(-1)
+    return j.select(
+        F.col("day").cast("string").alias("day"),
+        bigint(F.col("dow")).alias("dow"),
+        "c",
+        "sum_dow",
+        "n_dow",
+        (sign * mag).alias("dev_bp"),
+        F.when(mag >= SEASONAL_DEV_FLAG_BP, 1).otherwise(0).cast("long").alias("flagged"),
+    ).orderBy("day")

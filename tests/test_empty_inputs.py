@@ -69,7 +69,9 @@ QUERIES = [
     "join_asof_forward", "join_asof_tolerance",
     "multimodal_image_resize", "stats_benford_audit",
     "scan_json_permissive_badrecords", "multimodal_video_decode",
-    "agg_pivot_dynamic",
+    "agg_pivot_dynamic", "events_seasonal_adjusted_anomaly",
+    "stats_chisq_independence", "udf_pandas_scalar_iter",
+    "subquery_relational_division",
 ]
 
 

@@ -382,3 +382,13 @@ def test_hard_negative_anchor_broadcast(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_relational_division_broadcasts_total(spark, sf_dir):
+    """The FOR-ALL rewrite: two aggregates + a broadcast 1-row total —
+    never a per-user correlated subquery join."""
+    from cascade_spark.plans.registry import load_all
+
+    plan = _plan(load_all()["subquery_relational_division"].builder(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
