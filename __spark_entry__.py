@@ -30,6 +30,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # the sampled window; the full registry stays oracle-gated in pytest
 # (tests/test_oracle.py) regardless of sampling.
 _NEW_THIS_ROUND: list[str] = [
+    "events_peak_concurrency",
     "events_seasonal_adjusted_anomaly",
     "stats_chisq_independence",
     "udf_pandas_scalar_iter",

@@ -87,3 +87,102 @@ def events_sessionize_gap(spark, sf_dir):
         )
         .orderBy("user_id", "session_idx")
     )
+
+
+@register(
+    "events_peak_concurrency",
+    "analytics",
+    doc=f"Peak concurrent sessions via the sweep line: {GAP_MIN}-min gap "
+    "sessions become (+1 at start, -1 just after end — closed "
+    "intervals via a 1-microsecond exclusive edge) delta points, "
+    "net-aggregated per distinct instant, then a RUNNING SUM in time "
+    "order gives the occupancy curve; the answer is its max and the "
+    "earliest instant achieving it. The running sum uses the two-phase "
+    "range-partition prefix sum (ingest.assign_prefix_sum) — the raw "
+    "curve NEVER enters a single-task global window, so the sweep "
+    "scales to any activity volume. Output in exact epoch-µs.",
+    oracle=f"""
+WITH gaps AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts > LAG(ts) OVER w + INTERVAL {GAP_MIN} MINUTE
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess0 AS (
+    SELECT user_id, ts,
+           SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sidx
+    FROM gaps
+),
+sess AS (
+    SELECT user_id, sidx, MIN(ts) AS start_ts, MAX(ts) AS end_ts
+    FROM sess0 GROUP BY user_id, sidx
+),
+pts AS (
+    SELECT start_ts AS pt, 1 AS delta FROM sess
+    UNION ALL
+    SELECT end_ts + INTERVAL 1 MICROSECOND, -1 FROM sess
+),
+net AS (SELECT pt, CAST(SUM(delta) AS BIGINT) AS net FROM pts GROUP BY pt),
+curve AS (
+    SELECT pt, SUM(net) OVER (ORDER BY pt ROWS UNBOUNDED PRECEDING) AS conc
+    FROM net
+),
+peak AS (SELECT MAX(conc) AS peak FROM curve)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM sess) AS n_sessions,
+       CAST(p.peak AS BIGINT) AS peak_concurrency,
+       CAST(MIN(EPOCH_US(c.pt)) AS BIGINT) AS peak_at_us
+FROM curve c, peak p
+WHERE c.conc = p.peak
+GROUP BY p.peak
+""",
+)
+def events_peak_concurrency(spark, sf_dir):
+    from cascade_spark.operators.ingest import assign_prefix_sum
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(
+            prev.isNull() | (F.col("ts") > prev + F.expr(f"INTERVAL {GAP_MIN} MINUTES")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    sess = (
+        flagged.select(
+            "user_id",
+            "ts",
+            F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("sidx"),
+        )
+        .groupBy("user_id", "sidx")
+        .agg(F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts"))
+    )
+    pts = sess.select(F.col("start_ts").alias("pt"), F.lit(1).alias("delta")).unionByName(
+        sess.select(
+            (F.col("end_ts") + F.expr("INTERVAL 1 MICROSECOND")).alias("pt"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    net = pts.groupBy("pt").agg(F.sum("delta").cast("long").alias("net"))
+    # distinct instants only — then the exclusive two-phase prefix sum
+    # (+ the instant's own net) is the inclusive occupancy, no global window
+    curve = assign_prefix_sum(net, ["pt"], "net").select(
+        "pt", (F.col("prefix_sum") + F.col("net")).alias("conc")
+    )
+    peak = curve.agg(F.max("conc").alias("peak"))
+    n_sess = sess.agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+    return (
+        curve.join(F.broadcast(peak), F.col("conc") == F.col("peak"))
+        .agg(F.min(F.unix_micros("pt")).cast("long").alias("peak_at_us"),
+             F.first("peak").cast("long").alias("peak_concurrency"))
+        .crossJoin(F.broadcast(n_sess))
+        .select("n_sessions", "peak_concurrency", "peak_at_us")
+    )

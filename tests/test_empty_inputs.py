@@ -71,7 +71,7 @@ QUERIES = [
     "scan_json_permissive_badrecords", "multimodal_video_decode",
     "agg_pivot_dynamic", "events_seasonal_adjusted_anomaly",
     "stats_chisq_independence", "udf_pandas_scalar_iter",
-    "subquery_relational_division",
+    "subquery_relational_division", "events_peak_concurrency",
 ]
 
 
