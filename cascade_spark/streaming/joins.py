@@ -142,3 +142,76 @@ def stream_stream_left_outer(spark, sf_dir):
         .drop("p_type")
         .orderBy("purchase_id", "click_id")
     )
+
+
+@register(
+    "stream_stream_full_outer",
+    "streaming",
+    doc="Stream-stream FULL OUTER join — both unmatched sides emit: "
+    "purchases with no attributable click AND clicks that never led "
+    "to a purchase within the hour (the abandoned-intent stream). "
+    "Null-side rows emit only when the OTHER side's watermark passes "
+    "their join window — the same state-eviction point that bounds "
+    "state at O(window) on an unbounded stream. Sentinel flush rows "
+    "ride both sides (excluded after the sink); the single-sided-ON "
+    "watermark-starvation trap documented on the left-outer variant "
+    "applies here twice over. Oracle: batch FULL JOIN of the two "
+    "filtered sides with the same time-bound predicate.",
+    oracle="""
+SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+       COALESCE(p.user_id, c.user_id) AS user_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON c.user_id = p.user_id
+ AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+ORDER BY purchase_id NULLS FIRST, click_id NULLS FIRST
+""",
+)
+def stream_stream_full_outer(spark, sf_dir):
+    from cascade_spark.streaming.pipeline import stage_stream_input as _stage
+
+    indir, schema, _, wm_delay = _stage(spark, sf_dir, n_files=4, sentinels=2)
+    clicks = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(indir)
+        .filter(F.col("event_type").isin("click", "sentinel"))
+        .withWatermark("ts", wm_delay)
+        .alias("c")
+    )
+    purchases = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(indir)
+        .filter(F.col("event_type").isin("purchase", "sentinel"))
+        .withWatermark("ts", wm_delay)
+        .alias("p")
+    )
+    # single-sided ON predicates stay OUT of the join condition (they
+    # would be pushed below a watermark node and starve it — see the
+    # left-outer variant); sentinels cannot join (user_id -1)
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "c.user_id = p.user_id AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts"
+        ),
+        "fullOuter",
+    ).select(
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("c.event_id").alias("click_id"),
+        F.coalesce(F.col("p.user_id"), F.col("c.user_id")).alias("user_id"),
+        F.col("p.event_type").alias("p_type"),
+        F.col("c.event_type").alias("c_type"),
+    )
+    with state_partitions(spark, 8):
+        out = run_to_memory(joined, "append")
+    keep = (F.col("p_type") == "purchase") | (
+        F.col("p_type").isNull() & (F.col("c_type") == "click")
+    )
+    return (
+        out.filter(keep)
+        .drop("p_type", "c_type")
+        .orderBy(
+            F.col("purchase_id").asc_nulls_first(), F.col("click_id").asc_nulls_first()
+        )
+    )
