@@ -30,6 +30,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # the sampled window; the full registry stays oracle-gated in pytest
 # (tests/test_oracle.py) regardless of sampling.
 _NEW_THIS_ROUND: list[str] = [
+    "stats_ab_srm_check",
+    "pipeline_dataset_manifest",
     "stream_stream_full_outer",
     "events_peak_concurrency",
     "events_seasonal_adjusted_anomaly",

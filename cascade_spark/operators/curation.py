@@ -550,3 +550,56 @@ def pipeline_length_grouped_batching(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+MANIFEST_SHARDS = 8
+
+
+@register(
+    "pipeline_dataset_manifest",
+    "pipeline",
+    doc="Dataset integrity manifest: docs hash (md5) into "
+    f"{MANIFEST_SHARDS} output shards; per shard the manifest records "
+    "row count, total bytes, and an ORDER-INDEPENDENT content checksum "
+    "(sum of per-row md5-derived 56-bit integers — mergeable across "
+    "partials, so shard checksums compose into a dataset checksum "
+    "without any ordering constraint). This is the verify-after-copy / "
+    "publish-manifest step of a corpus release; one map-side-"
+    "combinable aggregate, no shuffle beyond the shard key.",
+    oracle=f"""
+WITH rows_ AS (
+    SELECT ('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % {MANIFEST_SHARDS} AS shard,
+           OCTET_LENGTH(ENCODE(text)) AS n_bytes,
+           ('0x' || SUBSTR(MD5(text), 1, 14))::BIGINT AS row_sig
+    FROM documents
+)
+SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(SUM(row_sig) AS BIGINT) AS content_checksum
+FROM rows_ GROUP BY shard ORDER BY shard
+""",
+)
+def pipeline_dataset_manifest(spark, sf_dir):
+    from cascade_spark.operators._util import bigint
+
+    d = t(spark, sf_dir, "documents")
+    shard = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long") % MANIFEST_SHARDS
+    # 56-bit per-row signature: 500M rows x 2^56 stays < 2^63 in the sum
+    sig = F.conv(F.substring(F.md5("text"), 1, 14), 16, 10).cast("long")
+    return (
+        d.select(
+            shard.alias("shard"),
+            F.length(F.col("text").cast("binary")).alias("n_bytes"),
+            sig.alias("row_sig"),
+        )
+        .groupBy("shard")
+        .agg(
+            bigint(F.count(F.lit(1))).alias("n_rows"),
+            bigint(F.sum("n_bytes")).alias("total_bytes"),
+            bigint(F.sum("row_sig")).alias("content_checksum"),
+        )
+        .orderBy("shard")
+    )

@@ -154,27 +154,7 @@ ORDER BY p.d1, p.d2
 """,
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    from pyspark import StorageLevel
-
-    d = t(spark, sf_dir, "documents")
-    # the shingle index feeds 4 plan branches (df counts, anti-join, sizes,
-    # self-join both sides) — materialize once, exactly like a persisted
-    # inverted index at scale. Shingles ride the shuffles as xxhash64
-    # fingerprints (8-byte keys vs ~30-byte strings; equality classes —
-    # and hence every count below — are unchanged barring a 64-bit
-    # collision, which at even 10^10 distinct shingles is ~1e-5 corpus-wide).
-    sh = _shingles(d).select("doc_id", F.xxhash64("s").alias("s")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    n_docs = d.agg(F.count(F.lit(1)).alias("_nd"))
-    common = (
-        sh.groupBy("s")
-        .count()
-        .crossJoin(F.broadcast(n_docs))
-        .filter(F.col("count") > F.col("_nd") * SHINGLE_DF_FRAC)
-        .select("s")
-    )
-    sh2 = sh.join(common, "s", "left_anti").persist(StorageLevel.MEMORY_AND_DISK)
+    sh2 = _capped_shingle_index(spark, sf_dir)
     sizes = sh2.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh2.alias("a"), sh2.alias("b")
     pairs = (
@@ -209,6 +189,40 @@ def dedup_ngram_jaccard(spark, sf_dir):
 # negligible next to the corpus).
 _SIG_CACHE: dict = {}
 _PAIR_CACHE: dict = {}
+_SHINGLE_CACHE: dict = {}
+
+
+def _capped_shingle_index(spark, sf_dir) -> DataFrame:
+    """DF-capped xxhash64 shingle inverted index (doc_id, s) — the
+    frame the n-gram Jaccard AND containment passes both join on.
+    Shingles ride the shuffles as xxhash64 fingerprints (8-byte keys vs
+    ~30-byte strings; equality classes — and hence every count
+    downstream — are unchanged barring a 64-bit collision, ~1e-5
+    corpus-wide even at 10^10 distinct shingles). Built and persisted
+    once per (app, sf_dir) like the signature index: in production this
+    IS the maintained inverted index of the corpus generation."""
+
+    def build() -> DataFrame:
+        from pyspark import StorageLevel
+
+        d = t(spark, sf_dir, "documents")
+        sh = _shingles(d).select("doc_id", F.xxhash64("s").alias("s")).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        n_docs = d.agg(F.count(F.lit(1)).alias("_nd"))
+        common = (
+            sh.groupBy("s")
+            .count()
+            .crossJoin(F.broadcast(n_docs))
+            .filter(F.col("count") > F.col("_nd") * SHINGLE_DF_FRAC)
+            .select("s")
+        )
+        sh2 = sh.join(common, "s", "left_anti").persist(StorageLevel.MEMORY_AND_DISK)
+        sh2.count()  # materialize both branches, then drop the raw index
+        sh.unpersist()
+        return sh2
+
+    return _cached_frame(_SHINGLE_CACHE, spark, sf_dir, build)
 
 
 def _cached_frame(cache: dict, spark, sf_dir, build) -> DataFrame:
@@ -824,23 +838,9 @@ ORDER BY d1, d2
 """,
 )
 def dedup_containment_ngram(spark, sf_dir):
-    from pyspark import StorageLevel
-
     from cascade_spark.operators._util import _intdiv, bigint
 
-    d = t(spark, sf_dir, "documents")
-    sh = _shingles(d).select("doc_id", F.xxhash64("s").alias("s")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    n_docs = d.agg(F.count(F.lit(1)).alias("_nd"))
-    common = (
-        sh.groupBy("s")
-        .count()
-        .crossJoin(F.broadcast(n_docs))
-        .filter(F.col("count") > F.col("_nd") * SHINGLE_DF_FRAC)
-        .select("s")
-    )
-    sh2 = sh.join(common, "s", "left_anti").persist(StorageLevel.MEMORY_AND_DISK)
+    sh2 = _capped_shingle_index(spark, sf_dir)
     sizes = sh2.groupBy("doc_id").agg(bigint(F.count(F.lit(1))).alias("n"))
     a, b = sh2.alias("a"), sh2.alias("b")
     pairs = (

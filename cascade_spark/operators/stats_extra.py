@@ -677,3 +677,60 @@ def stats_chisq_independence(spark, sf_dir):
         d.alias("d"),
         contrib.alias("contrib"),
     ).orderBy("event_type", "dow")
+
+
+SRM_FLAG_SCALED = 108_300  # chi-sq 1 dof at p=0.001 is 10.83 -> x 10^4
+
+
+@register(
+    "stats_ab_srm_check",
+    "analytics",
+    doc="A/B sample-ratio-mismatch (SRM) check — the experiment-health "
+    "gate run before reading any metric: users hash (md5) into two "
+    "arms that SHOULD split 50/50; the observed imbalance is scored "
+    "with the 1-dof chi-square statistic (o1-o2)^2/(o1+o2) kept exact "
+    "by 10^4 integer scaling, flagged past the p=0.001 critical value. "
+    "Assignment is the same deterministic md5-bucket machinery as the "
+    "train/val/test splitter, so the check is reproducible anywhere. "
+    "One map-side-combinable aggregate over distinct users.",
+    oracle=f"""
+WITH users AS (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL),
+arms AS (
+    SELECT ('0x' || SUBSTR(MD5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS arm
+    FROM users
+),
+counts AS (
+    SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS arm_a,
+           CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS arm_b
+    FROM arms
+)
+SELECT arm_a, arm_b, arm_a - arm_b AS diff,
+       (10000 * (arm_a - arm_b) * (arm_a - arm_b)) // (arm_a + arm_b)
+           AS srm_x2_scaled,
+       CAST(CASE WHEN (10000 * (arm_a - arm_b) * (arm_a - arm_b))
+                      // (arm_a + arm_b) > {SRM_FLAG_SCALED}
+                 THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
+FROM counts
+""",
+)
+def stats_ab_srm_check(spark, sf_dir):
+    from cascade_spark.operators._util import _intdiv
+
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    users = ev.select("user_id").distinct()
+    arm = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+    ).cast("long") % 2
+    counts = users.agg(
+        F.sum(F.when(arm == 0, 1).otherwise(0)).cast("long").alias("arm_a"),
+        F.sum(F.when(arm == 1, 1).otherwise(0)).cast("long").alias("arm_b"),
+    )
+    diff = F.col("arm_a") - F.col("arm_b")
+    stat = _intdiv(F.lit(10000) * diff * diff, F.col("arm_a") + F.col("arm_b"))
+    return counts.select(
+        "arm_a",
+        "arm_b",
+        diff.alias("diff"),
+        stat.alias("srm_x2_scaled"),
+        F.when(stat > SRM_FLAG_SCALED, 1).otherwise(0).cast("long").alias("srm_flag"),
+    )

@@ -72,6 +72,7 @@ QUERIES = [
     "agg_pivot_dynamic", "events_seasonal_adjusted_anomaly",
     "stats_chisq_independence", "udf_pandas_scalar_iter",
     "subquery_relational_division", "events_peak_concurrency",
+    "stats_ab_srm_check", "pipeline_dataset_manifest",
 ]
 
 
