@@ -30,6 +30,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # the sampled window; the full registry stays oracle-gated in pytest
 # (tests/test_oracle.py) regardless of sampling.
 _NEW_THIS_ROUND: list[str] = [
+    "sql_udf_create_function",
+    "sql_scripting_batch",
+    "pandas_api_rolling_sum",
     "stats_ab_srm_check",
     "pipeline_dataset_manifest",
     "stream_stream_full_outer",

@@ -567,3 +567,122 @@ def scan_json_permissive_badrecords(spark, sf_dir):
         F.sum(F.when(F.col("_corrupt").isNotNull(), 1).otherwise(0)).cast("long").alias("n_bad"),
         F.sum(F.when(F.col("_corrupt").isNull(), F.col("val"))).cast("long").alias("sum_good_val"),
     )
+
+
+@register(
+    "sql_udf_create_function",
+    "functions",
+    doc="SQL scalar UDF (Spark 4 CREATE FUNCTION ... RETURN expr): a "
+    "price-band classifier declared ONCE in the catalog and reused by "
+    "name. Unlike Python UDFs, SQL UDFs inline into the plan at "
+    "analysis time — the banding expression runs inside whole-stage "
+    "codegen with zero serialization boundary, which is why they are "
+    "the first tool for shared business logic at scale. Oracle inlines "
+    "the same expression.",
+    oracle="""
+SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+            WHEN o_totalprice < 150000 THEN 'mid'
+            ELSE 'high' END AS band,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,4)) * 100 AS BIGINT))
+            AS BIGINT) AS cents
+FROM orders
+GROUP BY 1 ORDER BY band
+""",
+)
+def sql_udf_create_function(spark, sf_dir):
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    spark.sql(
+        """
+CREATE OR REPLACE TEMPORARY FUNCTION price_band(x DOUBLE) RETURNS STRING
+RETURN CASE WHEN x < 50000 THEN 'low'
+            WHEN x < 150000 THEN 'mid'
+            ELSE 'high' END
+"""
+    )
+    return spark.sql(
+        """
+SELECT price_band(o_totalprice) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,4)) * 100 AS BIGINT))
+            AS BIGINT) AS cents
+FROM orders_v
+GROUP BY 1 ORDER BY band
+"""
+    )
+
+
+@register(
+    "sql_scripting_batch",
+    "functions",
+    doc="SQL scripting (Spark 4 BEGIN...END): procedural control flow "
+    "— DECLARE'd variables and a WHILE loop driving real queries — "
+    "without leaving SQL; each iteration counts orders above a rising "
+    "price threshold and accumulates. The loop runs on the driver but "
+    "every statement inside is a full distributed query; the oracle is "
+    "the unrolled closed form.",
+    oracle="""
+SELECT CAST(4 AS BIGINT) AS n_iterations,
+       CAST((SELECT COUNT(*) FROM orders WHERE o_totalprice > 50000)
+          + (SELECT COUNT(*) FROM orders WHERE o_totalprice > 100000)
+          + (SELECT COUNT(*) FROM orders WHERE o_totalprice > 150000)
+          + (SELECT COUNT(*) FROM orders WHERE o_totalprice > 200000)
+          AS BIGINT) AS total_above
+""",
+)
+def sql_scripting_batch(spark, sf_dir):
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+BEGIN
+  DECLARE k INT = 1;
+  DECLARE total BIGINT = 0;
+  WHILE k <= 4 DO
+    SET total = total
+      + (SELECT COUNT(*) FROM orders_v WHERE o_totalprice > k * 50000);
+    SET k = k + 1;
+  END WHILE;
+  SELECT CAST(4 AS BIGINT) AS n_iterations, CAST(total AS BIGINT) AS total_above;
+END
+"""
+    )
+
+
+@register(
+    "pandas_api_rolling_sum",
+    "functions",
+    doc="Pandas API on Spark (pyspark.pandas): the day-count series "
+    "wrapped as a distributed pandas DataFrame, 7-day rolling sum via "
+    "the pandas idiom (.rolling(7).sum()) — the migration surface for "
+    "pandas codebases; underneath it compiles to the same RANGE/ROWS "
+    "window Catalyst plans natively. Counts are exact integers so the "
+    "result hash-checks against the window oracle (NULL until the "
+    "window fills, pandas min_periods semantics).",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM events GROUP BY 1
+),
+rolled AS (
+    SELECT day, c,
+           SUM(c) OVER (ORDER BY day ROWS 6 PRECEDING) AS s,
+           ROW_NUMBER() OVER (ORDER BY day) AS rn
+    FROM daily
+)
+SELECT day, c, CASE WHEN rn >= 7 THEN CAST(s AS BIGINT) END AS rolling_7d
+FROM rolled ORDER BY day
+""",
+)
+def pandas_api_rolling_sum(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").cast("string").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    psdf = daily.pandas_api(index_col="day").sort_index()
+    psdf["rolling_7d"] = psdf["c"].rolling(7).sum()
+    out = psdf.reset_index().to_spark()
+    return out.select(
+        "day", F.col("c").cast("long").alias("c"),
+        F.col("rolling_7d").cast("long").alias("rolling_7d"),
+    ).orderBy("day")

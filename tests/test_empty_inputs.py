@@ -73,6 +73,8 @@ QUERIES = [
     "stats_chisq_independence", "udf_pandas_scalar_iter",
     "subquery_relational_division", "events_peak_concurrency",
     "stats_ab_srm_check", "pipeline_dataset_manifest",
+    "sql_udf_create_function", "sql_scripting_batch",
+    "pandas_api_rolling_sum",
 ]
 
 

@@ -392,3 +392,14 @@ def test_relational_division_broadcasts_total(spark, sf_dir):
     plan = _plan(load_all()["subquery_relational_division"].builder(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_sql_udf_inlines_into_codegen(spark, sf_dir):
+    """A SQL UDF must inline at analysis time — no Python evaluation
+    node, the banding CASE lives inside the aggregate's plan."""
+    from cascade_spark.plans.registry import load_all
+
+    plan = _plan(load_all()["sql_udf_create_function"].builder(spark, sf_dir))
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+    assert "CASE WHEN" in plan, plan

@@ -215,3 +215,65 @@ def test_video_decoder_is_a_real_parser():
         list(decode_video(b"PVID\n1\nP6\n2 2\n255\n" + bytes(5)))  # truncated
     with pytest.raises(ValueError):
         list(decode_video(b"PVID\n2\nP6\n1 1\n255\n" + bytes(3)))  # missing frame 2
+
+
+def test_bpe_wrapped_replace_equals_greedy_merge():
+    """The `<t1><t2>` REPLACE trick must equal the textbook greedy
+    left-to-right non-overlapping BPE merge on token lists — property-
+    tested over random words (pure semantics, no Spark)."""
+    from hypothesis import given, strategies as st
+
+    def wrap(tokens):
+        return "".join(f"<{t}>" for t in tokens)
+
+    def unwrap(s):
+        return s[1:-1].split("><") if s else []
+
+    def greedy_merge(tokens, a, b):
+        out, i = [], 0
+        while i < len(tokens):
+            if i + 1 < len(tokens) and tokens[i] == a and tokens[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(tokens[i])
+                i += 1
+        return out
+
+    alpha = st.sampled_from("ab")  # tiny alphabet maximizes overlap cases
+
+    @given(
+        st.lists(st.text(alpha, min_size=1, max_size=2), min_size=0, max_size=8),
+        st.text(alpha, min_size=1, max_size=2),
+        st.text(alpha, min_size=1, max_size=2),
+    )
+    def check(tokens, a, b):
+        replaced = wrap(tokens).replace(f"<{a}><{b}>", f"<{a + b}>")
+        assert unwrap(replaced) == greedy_merge(tokens, a, b)
+
+    check()
+
+
+def test_peak_concurrency_matches_brute_force(spark):
+    """The two-phase sweep line must equal the O(n^2) brute-force peak
+    on a hand-rolled interval set with ties, containment, and an
+    instantaneous (start == end) session."""
+    import pandas as pd
+
+    from cascade_spark.operators.ingest import assign_prefix_sum
+    from pyspark.sql import functions as F
+
+    iv = [(0, 10), (5, 15), (10, 20), (10, 10), (12, 13), (30, 40), (30, 40)]
+    # brute force on the closed intervals, probing every endpoint
+    points = sorted({p for s, e in iv for p in (s, e)})
+    brute = max(sum(1 for s, e in iv if s <= p <= e) for p in points)
+
+    sess = spark.createDataFrame(iv, "s long, e long")
+    pts = sess.select(F.col("s").alias("pt"), F.lit(1).alias("delta")).unionByName(
+        sess.select((F.col("e") + 1).alias("pt"), F.lit(-1).alias("delta"))
+    )
+    net = pts.groupBy("pt").agg(F.sum("delta").cast("long").alias("net"))
+    curve = assign_prefix_sum(net, ["pt"], "net").select(
+        "pt", (F.col("prefix_sum") + F.col("net")).alias("conc")
+    )
+    assert curve.agg(F.max("conc")).collect()[0][0] == brute == 4
