@@ -686,3 +686,83 @@ def pandas_api_rolling_sum(spark, sf_dir):
         "day", F.col("c").cast("long").alias("c"),
         F.col("rolling_7d").cast("long").alias("rolling_7d"),
     ).orderBy("day")
+
+
+@register(
+    "agg_transpose_summary",
+    "aggregations",
+    doc="DataFrame.transpose (Spark 4): the per-event-type metrics "
+    "summary flipped so metrics are rows and types are columns — the "
+    "report-orientation step after aggregation. Transpose happens on "
+    "the |types|-row summary, never raw data (it collects the index "
+    "column to name the new schema — fine for a summary, wrong for a "
+    "fact table; that boundary is the point of the demo). Oracle "
+    "builds the same pivoted shape by hand.",
+    oracle="""
+WITH s AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+)
+SELECT 'n_events' AS key,
+       (SELECT n_events FROM s WHERE event_type='click') AS click,
+       (SELECT n_events FROM s WHERE event_type='error') AS error,
+       (SELECT n_events FROM s WHERE event_type='purchase') AS purchase,
+       (SELECT n_events FROM s WHERE event_type='signup') AS signup,
+       (SELECT n_events FROM s WHERE event_type='view') AS view
+UNION ALL
+SELECT 'n_users',
+       (SELECT n_users FROM s WHERE event_type='click'),
+       (SELECT n_users FROM s WHERE event_type='error'),
+       (SELECT n_users FROM s WHERE event_type='purchase'),
+       (SELECT n_users FROM s WHERE event_type='signup'),
+       (SELECT n_users FROM s WHERE event_type='view')
+ORDER BY key
+""",
+)
+def agg_transpose_summary(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    summary = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+    return summary.transpose().orderBy("key")
+
+
+@register(
+    "fn_str_to_map_kv",
+    "functions",
+    doc="str_to_map parsing of delimited key:value tag strings — the "
+    "non-JSON config/tag format (k1:v1,k2:v2) every log pipeline "
+    "eventually meets — with typed element_at extraction; round-trip "
+    "pinned against the source columns by the oracle. Map stays "
+    "columnar; no UDF.",
+    oracle="""
+SELECT doc_id, lang AS lang_v, source AS source_v,
+       CAST(n_chars AS BIGINT) AS len_v
+FROM documents
+ORDER BY doc_id
+""",
+)
+def fn_str_to_map_kv(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    kv = F.concat_ws(
+        ",",
+        F.concat(F.lit("lang:"), F.col("lang")),
+        F.concat(F.lit("source:"), F.col("source")),
+        F.concat(F.lit("len:"), F.col("n_chars").cast("string")),
+    )
+    parsed = d.select("doc_id", kv.alias("kv")).select(
+        "doc_id", F.expr("str_to_map(kv, ',', ':')").alias("m")
+    )
+    return parsed.select(
+        "doc_id",
+        F.element_at("m", "lang").alias("lang_v"),
+        F.element_at("m", "source").alias("source_v"),
+        F.element_at("m", "len").cast("long").alias("len_v"),
+    ).orderBy("doc_id")
