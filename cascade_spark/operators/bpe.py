@@ -142,3 +142,113 @@ def text_bpe_train(spark, sf_dir):
     return spark.createDataFrame(
         rules, "step long, left_tok string, right_tok string, merged string, pair_count long"
     ).orderBy("step")
+
+
+def _sql_encode_oracle() -> str:
+    ctes = [f"words AS ({_sql_words()})", f"w0 AS (SELECT {_sql_wrap('w')} AS s, cnt FROM words)"]
+    for k in range(1, BPE_MERGES + 1):
+        ctes.append(f"m{k} AS ({_sql_pairs(f'w{k - 1}')})")
+        ctes.append(
+            f"w{k} AS (SELECT REPLACE(s, '<' || m.a || '><' || m.b || '>', "
+            f"'<' || m.a || m.b || '>') AS s, cnt FROM w{k - 1}, m{k} m)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+, agg0 AS (
+    SELECT CAST(SUM(cnt * (LEN(s) - LEN(REPLACE(s, '<', '')))) AS BIGINT)
+               AS tokens_before,
+           CAST(SUM(cnt) AS BIGINT) AS n_words
+    FROM w0
+),
+aggk AS (
+    SELECT CAST(SUM(cnt * (LEN(s) - LEN(REPLACE(s, '<', '')))) AS BIGINT)
+               AS tokens_after
+    FROM w{BPE_MERGES}
+)
+SELECT n_words, tokens_before, tokens_after,
+       (10000 * tokens_after) // tokens_before AS compression_bp
+FROM agg0, aggk
+""")
+
+
+@register(
+    "text_bpe_encode",
+    "text",
+    doc="BPE ENCODE — the apply half of the tokenizer pipeline: the "
+    f"{BPE_MERGES} merges learned by text_bpe_train are applied to the "
+    "frequency-weighted word table and the corpus token count is "
+    "measured before/after (compression in floor bp). Token counting "
+    "is the wrapper-char count of the rendered token string, so the "
+    "whole path — train, apply, measure — is exact arithmetic in both "
+    "engines. Encoding cost at scale = K REPLACE projections over the "
+    "distinct-word frame + one weighted aggregate; documents join the "
+    "word->tokenization map by word key, never re-merging per doc.",
+    oracle=_sql_encode_oracle(),
+)
+def text_bpe_encode(spark, sf_dir):
+    from pyspark import StorageLevel
+
+    from cascade_spark.operators._util import _intdiv, bigint
+
+    d = t(spark, sf_dir, "documents")
+    words = (
+        widen(d)
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    cur = words.select(
+        F.concat(F.lit("<"), F.concat_ws("><", F.split("w", "")), F.lit(">")).alias("s"),
+        "cnt",
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    before = cur.select("s", "cnt")
+    for _ in range(BPE_MERGES):
+        toks = cur.select(
+            F.split(F.expr("substring(s, 2, length(s) - 2)"), "><").alias("tk"), "cnt"
+        )
+        pairs = (
+            toks.select(
+                F.posexplode(F.expr("slice(tk, 1, size(tk) - 1)")).alias("i", "a"),
+                F.expr("tk").alias("tk"),
+                "cnt",
+            )
+            .select("a", F.expr("tk[i + 1]").alias("b"), "cnt")
+            .groupBy("a", "b")
+            .agg(F.sum("cnt").alias("c"))
+        )
+        top = pairs.orderBy(F.col("c").desc(), "a", "b").limit(1).collect()
+        if not top:
+            break
+        best = top[0]
+        nxt = cur.select(
+            F.replace(
+                F.col("s"),
+                F.lit(f"<{best['a']}><{best['b']}>"),
+                F.lit(f"<{best['a'] + best['b']}>"),
+            ).alias("s"),
+            "cnt",
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        nxt.count()
+        cur.unpersist()
+        cur = nxt
+    ntok = F.length("s") - F.length(F.replace(F.col("s"), F.lit("<"), F.lit("")))
+    b = before.agg(
+        bigint(F.sum(F.col("cnt") * ntok)).alias("tokens_before"),
+        bigint(F.sum("cnt")).alias("n_words"),
+    )
+    a = cur.agg(bigint(F.sum(F.col("cnt") * ntok)).alias("tokens_after"))
+    out = b.crossJoin(a).select(
+        "n_words",
+        "tokens_before",
+        "tokens_after",
+        _intdiv(F.lit(10000) * F.col("tokens_after"), F.col("tokens_before")).alias(
+            "compression_bp"
+        ),
+    )
+    res = out.collect()[0]
+    cur.unpersist()
+    return spark.createDataFrame(
+        [tuple(res)],
+        "n_words long, tokens_before long, tokens_after long, compression_bp long",
+    )

@@ -74,7 +74,7 @@ QUERIES = [
     "subquery_relational_division", "events_peak_concurrency",
     "stats_ab_srm_check", "pipeline_dataset_manifest",
     "sql_udf_create_function", "sql_scripting_batch",
-    "pandas_api_rolling_sum", "fn_str_to_map_kv",
+    "pandas_api_rolling_sum", "fn_str_to_map_kv", "text_bpe_encode",
 ]
 
 
