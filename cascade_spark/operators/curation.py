@@ -561,9 +561,10 @@ MANIFEST_SHARDS = 8
     doc="Dataset integrity manifest: docs hash (md5) into "
     f"{MANIFEST_SHARDS} output shards; per shard the manifest records "
     "row count, total bytes, and an ORDER-INDEPENDENT content checksum "
-    "(sum of per-row md5-derived 56-bit integers — mergeable across "
-    "partials, so shard checksums compose into a dataset checksum "
-    "without any ordering constraint). This is the verify-after-copy / "
+    "(BIT_XOR of per-row md5-derived 56-bit signatures — commutative, "
+    "mergeable across partials, and overflow-free at ANY row count, "
+    "where a SUM of 56-bit values exceeds int64 past ~256 rows — the "
+    "sf0.1 oracle gate caught exactly that). The verify-after-copy / "
     "publish-manifest step of a corpus release; one map-side-"
     "combinable aggregate, no shuffle beyond the shard key.",
     oracle=f"""
@@ -576,7 +577,7 @@ WITH rows_ AS (
 )
 SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
-       CAST(SUM(row_sig) AS BIGINT) AS content_checksum
+       CAST(BIT_XOR(row_sig) AS BIGINT) AS content_checksum
 FROM rows_ GROUP BY shard ORDER BY shard
 """,
 )
@@ -587,7 +588,7 @@ def pipeline_dataset_manifest(spark, sf_dir):
     shard = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
     ).cast("long") % MANIFEST_SHARDS
-    # 56-bit per-row signature: 500M rows x 2^56 stays < 2^63 in the sum
+    # 56-bit per-row signature, combined with XOR (never overflows)
     sig = F.conv(F.substring(F.md5("text"), 1, 14), 16, 10).cast("long")
     return (
         d.select(
@@ -599,7 +600,7 @@ def pipeline_dataset_manifest(spark, sf_dir):
         .agg(
             bigint(F.count(F.lit(1))).alias("n_rows"),
             bigint(F.sum("n_bytes")).alias("total_bytes"),
-            bigint(F.sum("row_sig")).alias("content_checksum"),
+            bigint(F.bit_xor("row_sig")).alias("content_checksum"),
         )
         .orderBy("shard")
     )
