@@ -873,3 +873,102 @@ def dedup_containment_ngram(spark, sf_dir):
         )
         .orderBy("d1", "d2")
     )
+
+
+@register(
+    "dedup_corpus_report",
+    "dedup",
+    doc="Corpus dedup dashboard — every flavor's headline number in ONE "
+    "frame: total docs, exact-dup docs (md5 fingerprints), MinHash-LSH "
+    "near-dup pairs (est J >= 0.5), shingle-Jaccard pairs (J >= 0.2), "
+    "and containment pairs (>= 0.6). Each metric reads the SHARED "
+    "persisted index for its family (signatures/pairs, capped shingle "
+    "index), so the whole report costs little more than the dearest "
+    "single pass — the production shape: one index build per corpus "
+    "generation, many consumers. Oracle recomputes all five from the "
+    "same CTE definitions.",
+    oracle=f"""
+WITH {_SQL_PAIR_CTES},
+sh AS ({_SQL_SHINGLES}),
+common AS (SELECT s FROM sh GROUP BY s
+           HAVING COUNT(*) > (SELECT COUNT(*) FROM documents) * {SHINGLE_DF_FRAC}),
+sh2 AS (SELECT * FROM sh WHERE s NOT IN (SELECT s FROM common)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh2 GROUP BY doc_id),
+jp AS (
+    SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+    FROM sh2 a JOIN sh2 b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+jm AS (
+    SELECT p.inter, sa.n AS na, sb.n AS nb
+    FROM jp p JOIN sizes sa ON sa.doc_id = p.d1
+              JOIN sizes sb ON sb.doc_id = p.d2
+),
+fp AS (
+    SELECT COUNT(*) AS n_docs,
+           COUNT(*) - COUNT(DISTINCT
+               MD5(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))))) AS n_exact
+    FROM documents
+)
+SELECT metric, CAST(n AS BIGINT) AS n FROM (
+    SELECT 'docs_total' AS metric, (SELECT n_docs FROM fp) AS n
+    UNION ALL
+    SELECT 'exact_dup_docs', (SELECT n_exact FROM fp)
+    UNION ALL
+    SELECT 'minhash_pairs',
+           (SELECT COUNT(*) FROM sim WHERE matches * 2 >= {N_HASHES})
+    UNION ALL
+    SELECT 'jaccard_pairs',
+           (SELECT COUNT(*) FROM jm WHERE inter * 5 >= na + nb - inter)
+    UNION ALL
+    SELECT 'containment_pairs',
+           (SELECT COUNT(*) FROM jm
+            WHERE (10000 * inter) // LEAST(na, nb) >= {CONTAIN_BP})
+)
+ORDER BY metric
+""",
+)
+def dedup_corpus_report(spark, sf_dir):
+    from cascade_spark.operators._util import bigint
+
+    d = t(spark, sf_dir, "documents")
+    fp = d.select(
+        F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))).alias("f")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.count(F.lit(1)) - F.countDistinct("f")).alias("n_exact"),
+    )
+    mh = _lsh_pairs(spark, sf_dir).agg(F.count(F.lit(1)).alias("n_mh"))
+    sh2 = _capped_shingle_index(spark, sf_dir)
+    sizes = sh2.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh2.alias("a"), sh2.alias("b")
+    jp = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .join(sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("na")), "d1")
+        .join(sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("nb")), "d2")
+    )
+    uni = F.col("na") + F.col("nb") - F.col("inter")
+    jagg = jp.agg(
+        F.sum(F.when(F.col("inter") * 5 >= uni, 1).otherwise(0)).alias("n_j"),
+        F.sum(
+            F.when(
+                F.lit(10000) * F.col("inter")
+                >= CONTAIN_BP * F.least("na", "nb"),
+                1,
+            ).otherwise(0)
+        ).alias("n_c"),
+    )
+    row = fp.crossJoin(F.broadcast(mh)).crossJoin(F.broadcast(jagg)).collect()[0]
+    vals = [
+        ("containment_pairs", row["n_c"]),
+        ("docs_total", row["n_docs"]),
+        ("exact_dup_docs", row["n_exact"]),
+        ("jaccard_pairs", row["n_j"]),
+        ("minhash_pairs", row["n_mh"]),
+    ]
+    return spark.createDataFrame(
+        [(m, int(v) if v is not None else None) for m, v in vals],
+        "metric string, n long",
+    ).orderBy("metric")

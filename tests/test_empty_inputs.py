@@ -75,6 +75,7 @@ QUERIES = [
     "stats_ab_srm_check", "pipeline_dataset_manifest",
     "sql_udf_create_function", "sql_scripting_batch",
     "pandas_api_rolling_sum", "fn_str_to_map_kv", "text_bpe_encode",
+    "dedup_corpus_report",
 ]
 
 
@@ -97,5 +98,7 @@ def test_query_survives_empty_tables(spark, empty_sf_dir, name):
         "profile_expectations_report": 5,
         # fixed-rule report: one row per Benford digit, NULL shares
         "stats_benford_audit": 9,
+        # fixed-shape dashboard: one row per dedup metric
+        "dedup_corpus_report": 5,
     }
     assert len(rows) <= fixed_shape.get(name, 1), (name, rows[:3])
