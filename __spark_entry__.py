@@ -30,6 +30,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # the sampled window; the full registry stays oracle-gated in pytest
 # (tests/test_oracle.py) regardless of sampling.
 _NEW_THIS_ROUND: list[str] = [
+    "stats_gini_concentration",
     "dedup_corpus_report",
     "text_bpe_encode",
     "agg_transpose_summary",

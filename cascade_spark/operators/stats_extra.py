@@ -734,3 +734,68 @@ def stats_ab_srm_check(spark, sf_dir):
         stat.alias("srm_x2_scaled"),
         F.when(stat > SRM_FLAG_SCALED, 1).otherwise(0).cast("long").alias("srm_flag"),
     )
+
+
+@register(
+    "stats_gini_concentration",
+    "analytics",
+    doc="Gini coefficient of customer revenue concentration — the "
+    "single-number complement to the ABC/Pareto classes: G = "
+    "(2*SUM(i*x_i) - (n+1)*SUM(x)) / (n*SUM(x)) over revenues sorted "
+    "ascending. Ranks come from the TWO-PHASE offset assignment "
+    "(ingest.assign_offsets), so no per-customer global window; "
+    "numerator and denominator are published as exact int64 (cents — "
+    "bounded to ~3e17 at sf0.1-class scales; a DECIMAL(38) swap is the "
+    "documented path beyond) and the final ratio is one mirrored IEEE "
+    "ROUND both engines evaluate identically.",
+    oracle="""
+WITH rev AS (
+    SELECT o_custkey,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,4)) * 100 AS BIGINT))
+                AS BIGINT) AS cents
+    FROM orders GROUP BY o_custkey
+),
+ranked AS (
+    SELECT cents,
+           ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS i
+    FROM rev
+),
+agg AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS total,
+           CAST(SUM(i * cents) AS BIGINT) AS weighted
+    FROM ranked
+)
+SELECT n, total,
+       2 * weighted - (n + 1) * total AS gini_num,
+       n * total AS gini_den,
+       ROUND(CAST(2 * weighted - (n + 1) * total AS DOUBLE)
+             / CAST(n * total AS DOUBLE), 6) AS gini
+FROM agg
+""",
+)
+def stats_gini_concentration(spark, sf_dir):
+    from cascade_spark.operators._util import bigint, dec
+    from cascade_spark.operators.ingest import assign_offsets
+
+    o = t(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        (F.sum(dec("o_totalprice") * 100)).cast("long").alias("cents")
+    )
+    ranked = assign_offsets(rev, ["cents", "o_custkey"]).withColumn(
+        "i", F.col("offset") + 1
+    )
+    agg = ranked.agg(
+        bigint(F.count(F.lit(1))).alias("n"),
+        bigint(F.sum("cents")).alias("total"),
+        bigint(F.sum(F.col("i") * F.col("cents"))).alias("weighted"),
+    )
+    num = 2 * F.col("weighted") - (F.col("n") + 1) * F.col("total")
+    den = F.col("n") * F.col("total")
+    return agg.select(
+        "n",
+        "total",
+        num.alias("gini_num"),
+        den.alias("gini_den"),
+        F.round(num.cast("double") / den.cast("double"), 6).alias("gini"),
+    )

@@ -75,7 +75,7 @@ QUERIES = [
     "stats_ab_srm_check", "pipeline_dataset_manifest",
     "sql_udf_create_function", "sql_scripting_batch",
     "pandas_api_rolling_sum", "fn_str_to_map_kv", "text_bpe_encode",
-    "dedup_corpus_report",
+    "dedup_corpus_report", "stats_gini_concentration",
 ]
 
 

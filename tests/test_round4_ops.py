@@ -277,3 +277,29 @@ def test_peak_concurrency_matches_brute_force(spark):
         "pt", (F.col("prefix_sum") + F.col("net")).alias("conc")
     )
     assert curve.agg(F.max("conc")).collect()[0][0] == brute == 4
+
+
+def test_isqrt_exact_for_random_n():
+    """The float-sqrt-plus-correction isqrt must equal math.isqrt for
+    arbitrary bigint counts (the temperature-mixture determinism
+    claim), including perfect squares and off-by-one boundaries."""
+    import math
+
+    from hypothesis import given, strategies as st
+
+    def isqrt_like(n: int) -> int:
+        s0 = int(math.floor(math.sqrt(float(n))))
+        if (s0 + 1) * (s0 + 1) <= n:
+            return s0 + 1
+        if s0 * s0 > n:
+            return s0 - 1
+        return s0
+
+    @given(st.integers(min_value=0, max_value=2**52))
+    def check(n):
+        assert isqrt_like(n) == math.isqrt(n)
+
+    check()
+    for k in range(1, 10**6, 99991):  # sweep incl. squares around boundaries
+        assert isqrt_like(k * k) == k
+        assert isqrt_like(k * k - 1) == k - 1
