@@ -170,7 +170,7 @@ def tpch_q3_shipping_priority(spark, sf_dir):
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy(
             "l_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
@@ -187,8 +187,9 @@ def tpch_q3_shipping_priority(spark, sf_dir):
     "tpch_q5_local_supplier",
     "analytics",
     doc="TPC-H Q5 shape: revenue from orders where customer and supplier "
-    "share the nation, region-filtered — 6-table join, all dims "
-    "broadcast, facts shuffle once each.",
+    "share the nation, region-filtered — 6-table join; nation/region "
+    "(fixed 25/5 rows) broadcast explicitly, SF-scaling customer/"
+    "supplier joins left to AQE, facts shuffle once each.",
     oracle="""
 SELECT n_name,
        CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
@@ -218,9 +219,9 @@ def tpch_q5_local_supplier(spark, sf_dir):
     r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)

@@ -34,6 +34,69 @@ _EDGE_CACHE: dict = {}
 _DAMP_NUM, _DAMP_DEN = 85, 100  # damping 0.85 as an exact rational
 _ITERS = 3
 
+# Degree admission cap for the two-hop joins (triangle count's
+# ordered-edge join, link prediction's common-neighbor join) — part of
+# the declared semantics, same pattern as OVERLAP_BUCKET_CAP /
+# SIMHASH_BUCKET_CAP: wedge count through a node is d(v)², so one hub
+# (a power-law certainty in co-activity graphs) makes one join key
+# quadratic. Nodes with degree > MAX_DEGREE are removed from the graph
+# (with all their edges) before any two-hop join; 1024² ≈ 1M wedges is
+# the per-node worst case. Both test scales stay far below the cap
+# (max degree: 15 at sf0.01, 194 at sf0.1), so capped output is
+# identical there. Dropped hubs are observable via the
+# profile_graph_degree declared query. Mirrored in the DuckDB oracles.
+MAX_DEGREE = 1024
+
+
+def _coactivity_edges(spark, sf_dir):
+    """Co-activity edges (>=2 session overlaps) with hub nodes above
+    MAX_DEGREE excluded — the degree-capped subgraph every two-hop join
+    runs on. Derives from the shared persisted overlap-pair frame."""
+    from cascade_spark.operators.interval import _overlap_pairs
+
+    pairs = _overlap_pairs(spark, sf_dir)
+    e0 = (
+        pairs.groupBy(F.col("user_a").alias("ua"), F.col("user_b").alias("ub"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("ua", "ub")
+    )
+    deg0 = (
+        e0.select(F.col("ua").alias("u"))
+        .unionByName(e0.select(F.col("ub").alias("u")))
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    hubs = deg0.filter(F.col("d") > MAX_DEGREE).select("u")
+    return e0.join(hubs, e0["ua"] == hubs["u"], "left_anti").join(
+        hubs, e0["ub"] == hubs["u"], "left_anti"
+    )
+
+
+def _sql_coactivity_edges():
+    """Oracle CTE chain mirroring _coactivity_edges (including the
+    OVERLAP_BUCKET_CAP applied upstream in _SQL_OVERLAP_PAIRS and the
+    MAX_DEGREE hub exclusion here)."""
+    from cascade_spark.operators.interval import _SQL_OVERLAP_PAIRS
+
+    return f"""{_SQL_OVERLAP_PAIRS},
+p AS (
+    SELECT user_a AS ua, user_b AS ub, COUNT(*) AS n
+    FROM opairs GROUP BY 1, 2
+),
+e0 AS (SELECT ua, ub FROM p WHERE n >= 2),
+deg0 AS (
+    SELECT u, COUNT(*) AS d FROM (
+        SELECT ua AS u FROM e0 UNION ALL SELECT ub AS u FROM e0
+    ) GROUP BY u
+),
+hubs AS (SELECT u FROM deg0 WHERE d > {MAX_DEGREE}),
+e AS (
+    SELECT ua, ub FROM e0
+    WHERE ua NOT IN (SELECT u FROM hubs)
+      AND ub NOT IN (SELECT u FROM hubs)
+)"""
+
 # reused by tests
 def _pagerank_frames(spark, sf_dir):
     ev = (
@@ -156,36 +219,11 @@ def graph_pagerank(spark, sf_dir):
     "from per-node degree counts; the coefficient 3*tri/wedges is an "
     "exact integer rational (avg_round), so the output hash-matches "
     "the oracle. At 100 TB the edge list is the only big frame; the "
-    "two-hop join is bounded by the degree distribution and the "
-    "standard mitigation for hub nodes (degree-cap or high-degree "
-    "split) slots in exactly where the >=2-overlap threshold sits.",
+    f"two-hop join is bounded by the MAX_DEGREE={MAX_DEGREE} hub "
+    "exclusion (declared semantics, mirrored in the oracle; dropped "
+    "hubs observable via profile_graph_degree).",
     oracle=f"""
-WITH gaps AS (
-    SELECT user_id, event_id, ts,
-           CASE WHEN LAG(ts) OVER w IS NULL
-                  OR ts > LAG(ts) OVER w + INTERVAL 45 MINUTE
-                THEN 1 ELSE 0 END AS new_sess
-    FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-),
-sess0 AS (
-    SELECT user_id, ts,
-           SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS UNBOUNDED PRECEDING) AS sidx
-    FROM gaps
-),
-sess AS (
-    SELECT user_id, sidx, MIN(ts) AS start_ts, MAX(ts) AS end_ts
-    FROM sess0 GROUP BY user_id, sidx
-),
-p AS (
-    SELECT a.user_id AS ua, b.user_id AS ub, COUNT(*) AS n
-    FROM sess a JOIN sess b
-      ON a.user_id < b.user_id
-     AND a.start_ts <= b.end_ts AND b.start_ts <= a.end_ts
-    GROUP BY 1, 2
-),
-e AS (SELECT ua, ub FROM p WHERE n >= 2),
+WITH {_sql_coactivity_edges()},
 deg AS (
     SELECT u, COUNT(*) AS d FROM (
         SELECT ua AS u FROM e UNION ALL SELECT ub AS u FROM e
@@ -212,15 +250,8 @@ FROM agg
 )
 def graph_triangle_count(spark, sf_dir):
     from cascade_spark.operators._util import avg_round, dec
-    from cascade_spark.operators.interval import _overlap_pairs
 
-    pairs = _overlap_pairs(spark, sf_dir)
-    e = (
-        pairs.groupBy(F.col("user_a").alias("ua"), F.col("user_b").alias("ub"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= 2)
-        .select("ua", "ub")
-    )
+    e = _coactivity_edges(spark, sf_dir)
     deg = (
         e.select(F.col("ua").alias("u"))
         .unionByName(e.select(F.col("ub").alias("u")))
@@ -254,35 +285,6 @@ def graph_triangle_count(spark, sf_dir):
     )
 
 
-_SQL_COACTIVITY_EDGES = """
-gaps AS (
-    SELECT user_id, event_id, ts,
-           CASE WHEN LAG(ts) OVER w IS NULL
-                  OR ts > LAG(ts) OVER w + INTERVAL 45 MINUTE
-                THEN 1 ELSE 0 END AS new_sess
-    FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-),
-sess0 AS (
-    SELECT user_id, ts,
-           SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS UNBOUNDED PRECEDING) AS sidx
-    FROM gaps
-),
-sess AS (
-    SELECT user_id, sidx, MIN(ts) AS start_ts, MAX(ts) AS end_ts
-    FROM sess0 GROUP BY user_id, sidx
-),
-p AS (
-    SELECT a.user_id AS ua, b.user_id AS ub, COUNT(*) AS n
-    FROM sess a JOIN sess b
-      ON a.user_id < b.user_id
-     AND a.start_ts <= b.end_ts AND b.start_ts <= a.end_ts
-    GROUP BY 1, 2
-),
-e AS (SELECT ua, ub FROM p WHERE n >= 2)
-"""
-
 LP_TOP = 20
 
 
@@ -295,11 +297,11 @@ LP_TOP = 20
     "count and neighbor-set Jaccard (exact floor bp) — the classic "
     "recommender/link-inference primitive. The two-hop join is one "
     "self-join of the symmetric adjacency list on the shared-neighbor "
-    "key, bounded by the degree distribution (hub mitigation = degree "
-    f"cap, same slot as the >=2-overlap threshold). Top {LP_TOP} "
+    f"key, bounded by the MAX_DEGREE={MAX_DEGREE} hub exclusion "
+    f"(declared semantics, mirrored in the oracle). Top {LP_TOP} "
     "predicted links.",
     oracle=f"""
-WITH {_SQL_COACTIVITY_EDGES},
+WITH {_sql_coactivity_edges()},
 adj AS (
     SELECT ua AS u, ub AS w FROM e UNION ALL SELECT ub AS u, ua AS w FROM e
 ),
@@ -327,15 +329,8 @@ LIMIT {LP_TOP}
 )
 def graph_link_prediction(spark, sf_dir):
     from cascade_spark.operators._util import _intdiv, bigint
-    from cascade_spark.operators.interval import _overlap_pairs
 
-    pairs = _overlap_pairs(spark, sf_dir)
-    e = (
-        pairs.groupBy(F.col("user_a").alias("ua"), F.col("user_b").alias("ub"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= 2)
-        .select("ua", "ub")
-    )
+    e = _coactivity_edges(spark, sf_dir)
     adj = e.select(F.col("ua").alias("u"), F.col("ub").alias("w")).unionByName(
         e.select(F.col("ub").alias("u"), F.col("ua").alias("w"))
     )
@@ -358,4 +353,64 @@ def graph_link_prediction(spark, sf_dir):
         cand.select("u1", "u2", "common", "d1", "d2", jac.alias("jaccard_bp"))
         .orderBy(F.col("common").desc(), F.col("jaccard_bp").desc(), "u1", "u2")
         .limit(LP_TOP)
+    )
+
+
+@register(
+    "profile_graph_degree",
+    "profiling",
+    doc="Blocking-health audit for the graph two-hop joins (the same "
+    "observability pattern as profile_simhash_buckets / "
+    "profile_overlap_buckets): the co-activity graph's degree "
+    "distribution BEFORE the hub exclusion — node/edge counts, max "
+    "degree, the implied wedge total (sum d*(d-1)/2, the two-hop join's "
+    f"cost driver), and the hubs MAX_DEGREE={MAX_DEGREE} would drop "
+    "with their incident-edge mass. The pre-flight that makes the "
+    "degree cap's effect observable before the quadratic stage runs.",
+    oracle=f"""
+WITH {{edges}},
+degall AS (SELECT u, d FROM deg0)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST((SELECT COUNT(*) FROM e0) AS BIGINT) AS n_edges,
+       CAST(MAX(d) AS BIGINT) AS max_degree,
+       CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS total_wedges,
+       CAST(COALESCE(COUNT(*) FILTER (WHERE d > {MAX_DEGREE}), 0) AS BIGINT)
+         AS n_hubs,
+       CAST(COALESCE(SUM(d) FILTER (WHERE d > {MAX_DEGREE}), 0) AS BIGINT)
+         AS hub_edge_endpoints
+FROM degall
+""".format(edges=_sql_coactivity_edges().rsplit(",\ne AS", 1)[0]),
+)
+def profile_graph_degree(spark, sf_dir):
+    from cascade_spark.operators.interval import _overlap_pairs
+
+    pairs = _overlap_pairs(spark, sf_dir)
+    e0 = (
+        pairs.groupBy(F.col("user_a").alias("ua"), F.col("user_b").alias("ub"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("ua", "ub")
+    )
+    deg0 = (
+        e0.select(F.col("ua").alias("u"))
+        .unionByName(e0.select(F.col("ub").alias("u")))
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    n_edges = e0.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    hub = F.col("d") > MAX_DEGREE
+    stats = deg0.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.max("d").cast("long").alias("max_degree"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("total_wedges"),
+        F.coalesce(F.sum(F.when(hub, 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("n_hubs"),
+        F.coalesce(F.sum(F.when(hub, F.col("d")).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("hub_edge_endpoints"),
+    )
+    return stats.crossJoin(F.broadcast(n_edges)).select(
+        "n_nodes", "n_edges", "max_degree", "total_wedges", "n_hubs",
+        "hub_edge_endpoints",
     )

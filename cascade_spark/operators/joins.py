@@ -204,9 +204,12 @@ def join_theta(spark, sf_dir):
 @register(
     "join_star",
     "joins",
-    doc="Multi-way star join lineitem⨝orders⨝customer⨝nation⨝region with "
-    "explicit broadcast hints on every dimension — the 100 TB plan is one "
-    "fact shuffle (lineitem⨝orders) and zero dim shuffles.",
+    doc="Multi-way star join lineitem⨝orders⨝customer⨝nation⨝region. "
+    "Fixed-size nation/region (25/5 rows) carry explicit broadcast "
+    "hints; the SF-scaling customer join is left to AQE (broadcast at "
+    "local SF, shuffle/bucketed at 100×) — the 100 TB plan is the fact "
+    "shuffle pair plus one bounded customer exchange, never a forced "
+    "multi-GB broadcast.",
     oracle="""
 SELECT r_name, CAST(YEAR(o_orderdate) AS BIGINT) AS order_year,
        CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
@@ -228,7 +231,7 @@ def join_star(spark, sf_dir):
     r = t(spark, sf_dir, "region")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", F.year("o_orderdate").cast("long").alias("order_year"))

@@ -6,9 +6,14 @@ supply-cost/stock-value role. No comment/phone/shipinstr columns, so
 Q13's comment filter becomes an order-priority filter.
 
 Scale notes: every query keeps the big fact (lineitem/orders) on the
-probe side and broadcasts dims (part/supplier/nation ≤ thousands of
-rows at any SF — they grow with SF but stay millions of rows at 100 TB,
-still broadcastable or bucketed). Min-per-group (Q2/Q15) uses a window
+probe side. Dimension join strategy is left to AQE: customer/part/
+supplier scale linearly with SF (FIXTURES.md), so forcing F.broadcast()
+on them would bypass AQE's size check and OOM at 100× — explicit hints
+are reserved for genuinely fixed-size frames (nation = 25 rows, region
+= 5 rows, single-row scalar aggregates). AQE still picks
+BroadcastHashJoin for all of them at local scale, so plans and results
+are unchanged; at cluster scale it degrades gracefully to shuffle or
+bucketed joins. Min-per-group (Q2/Q15) uses a window
 over the *aggregated* (part,supp) rows — cardinality parts×suppliers,
 orders of magnitude below the fact — not over raw lineitem. Scalar
 thresholds (Q11 grand total) are single-row broadcasts. All money math
@@ -83,14 +88,14 @@ def tpch_q2_min_cost_supplier(spark, sf_dir):
     )
     w = Window.partitionBy("p_partkey")
     ranked = (
-        ps.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        ps.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .withColumn("min_cost", F.min("cost").over(w))
         .filter(F.col("cost") == F.col("min_cost"))
     )
     supp = t(spark, sf_dir, "supplier")
     nation = t(spark, sf_dir, "nation")
     return (
-        ranked.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        ranked.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .select(
             "p_partkey",
@@ -107,8 +112,10 @@ def tpch_q2_min_cost_supplier(spark, sf_dir):
     "tpch_q7_volume_shipping",
     "analytics",
     doc="TPC-H Q7 shape: shipping volume between two nations by year — "
-    "the fact joins orders on its key (one shuffle pair), all four dim "
-    "tables broadcast; nation filters push below the join.",
+    "the fact joins orders on its key (one shuffle pair); the 2-row "
+    "nation sides carry explicit broadcast hints, while the SF-scaling "
+    "customer/supplier joins are left to AQE; nation filters push "
+    "below the join.",
     oracle="""
 SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
        CAST(YEAR(l.l_shipdate) AS BIGINT) AS l_year,
@@ -143,8 +150,8 @@ def tpch_q7_volume_shipping(spark, sf_dir):
     )
     joined = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
@@ -209,12 +216,12 @@ def tpch_q8_market_share(spark, sf_dir):
     )
     flat = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .select(
             F.year("o_orderdate").alias("o_year"),
             (dec("l_extendedprice") * (1 - dec("l_discount"))).alias("volume"),
@@ -274,9 +281,9 @@ def tpch_q9_product_profit(spark, sf_dir):
     part = t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
     joined = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
     )
     tenth = F.lit(0.1).cast("decimal(2,1)")
     profit_row = dec("l_extendedprice") * (1 - dec("l_discount")) - dec(
@@ -380,7 +387,8 @@ def tpch_q13_customer_distribution(spark, sf_dir):
     "tpch_q14_promo_revenue",
     "analytics",
     doc="TPC-H Q14: PROMO-part share of September-1997 revenue. "
-    "Date filter prunes the fact scan before the part broadcast join; "
+    "Date filter prunes the fact scan before the part join (strategy "
+    "left to AQE — part scales with SF, no forced broadcast); "
     "both sums stay exact decimals until the final double division.",
     oracle="""
 SELECT ROUND(SUM(CASE WHEN p.p_type = 'PROMO'
@@ -412,7 +420,7 @@ def tpch_q14_promo_revenue(spark, sf_dir):
     promo = F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(zero))
     total = F.sum(vol)
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             d2(promo).alias("promo_revenue"),
             d2(total).alias("total_revenue"),
@@ -460,7 +468,7 @@ def tpch_q15_top_supplier(spark, sf_dir):
     return (
         revenue.join(F.broadcast(max_rev))
         .filter(F.col("total_rev") == F.col("max_rev"))
-        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(supp, F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", d2(F.col("total_rev")).alias("total_revenue"))
         .orderBy("s_suppkey")
     )
@@ -490,7 +498,7 @@ def tpch_q16_part_supplier_cnt(spark, sf_dir):
     )
     li = t(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", bigint(F.col("p_size")).alias("p_size"))
         .agg(bigint(F.countDistinct("l_suppkey")).alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
@@ -505,10 +513,10 @@ def tpch_q16_part_supplier_cnt(spark, sf_dir):
     "is cross-multiplied into exact decimals (5·qty·cnt < sum_qty) — "
     "no float quotient in the predicate. Per-part stats are computed "
     "ONLY for partkeys surviving the brand filter (semi-join before the "
-    "aggregate), so the broadcast side is bounded by the predicate's "
-    "selectivity (~1/brand_count of |part|), not |part| itself — an "
-    "unfiltered per-partkey aggregate grows with scale factor and would "
-    "OOM a forced broadcast at 100×.",
+    "aggregate), so the stats side is bounded by the predicate's "
+    "selectivity (~1/brand_count of |part|), not |part| itself. Even "
+    "so, that bound still scales linearly with SF, so join strategy is "
+    "left to AQE rather than forced with a broadcast hint.",
     oracle="""
 WITH stats AS (
     SELECT l_partkey, COUNT(*) AS cnt,
@@ -529,11 +537,11 @@ def tpch_q17_small_quantity(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
     part = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
     # Semi-join the fact against the filtered dim BEFORE aggregating:
-    # stats cardinality is then bounded by the brand predicate, so the
-    # broadcast hint below is safe at any scale factor.
+    # stats cardinality is then bounded by the brand predicate. AQE
+    # picks the join strategy (broadcast at local SF, shuffle at 100×).
     stats = (
         li.join(
-            F.broadcast(part.select("p_partkey")),
+            part.select("p_partkey"),
             F.col("l_partkey") == F.col("p_partkey"),
             "left_semi",
         )
@@ -544,8 +552,8 @@ def tpch_q17_small_quantity(spark, sf_dir):
         )
     )
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(stats), F.col("l_partkey") == F.col("st_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(stats, F.col("l_partkey") == F.col("st_partkey"))
         .filter(F.lit(5) * dec("l_quantity") * F.col("cnt") < F.col("sum_qty"))
         .agg(
             d2(F.sum(dec("l_extendedprice")) / 7).alias("avg_yearly"),
@@ -589,7 +597,7 @@ def tpch_q18_large_volume(spark, sf_dir):
     cust = t(spark, sf_dir, "customer")
     return (
         big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_name",
             "c_custkey",
@@ -607,8 +615,8 @@ def tpch_q18_large_volume(spark, sf_dir):
     "tpch_q19_disjunctive",
     "analytics",
     doc="TPC-H Q19 shape: revenue under three OR'd brand/size/quantity "
-    "predicate bundles — the disjunction sits in the join condition "
-    "after a broadcast of part, exercising non-pushable compound "
+    "predicate bundles — the disjunction sits above the part equi-join "
+    "(strategy left to AQE), exercising non-pushable compound "
     "predicates; the conjunct equi-key still hash-joins.",
     oracle="""
 SELECT ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,4))
@@ -644,7 +652,7 @@ def tpch_q19_disjunctive(spark, sf_dir):
         )
     )
     return (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
         .filter(cond)
         .agg(
             d2(F.sum(dec("l_extendedprice") * (1 - dec("l_discount")))).alias(
@@ -716,7 +724,7 @@ def tpch_q21_waiting_suppliers(spark, sf_dir):
     )
     supp = t(spark, sf_dir, "supplier")
     return (
-        waiting.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        waiting.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(bigint(F.count(F.lit(1))).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
@@ -775,10 +783,11 @@ def tpch_q22_global_sales(spark, sf_dir):
     doc="TPC-H Q20 shape (completes the Q1-Q22 set): suppliers whose "
     "1997 shipped quantity of 'small' parts exceeds half their all-time "
     "shipped quantity of those parts — the nested-aggregate + double "
-    "semi-join chain. The part filter is broadcast and pushed below the "
+    "semi-join chain. The part filter is semi-joined below the "
     "per-(part,supp) aggregate, so the agg only sees filtered partkeys "
-    "(same boundedness discipline as Q17); the threshold compare is "
-    "2*qty_win > qty_total in exact decimals.",
+    "(same boundedness discipline as Q17; join strategy left to AQE "
+    "since the filtered part set scales with SF); the threshold "
+    "compare is 2*qty_win > qty_total in exact decimals.",
     oracle="""
 WITH target AS (SELECT p_partkey FROM part WHERE p_name LIKE 'small%'),
 qty AS (
@@ -801,7 +810,7 @@ def tpch_q20_potential_promotion(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
     target = t(spark, sf_dir, "part").filter(F.col("p_name").like("small%")).select("p_partkey")
     qty = (
-        li.join(F.broadcast(target), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        li.join(target, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
         .groupBy("l_partkey", "l_suppkey")
         .agg(
             F.sum(

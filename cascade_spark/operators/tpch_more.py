@@ -123,7 +123,7 @@ def tpch_q10_returned_items(spark, sf_dir):
     nation = t(spark, sf_dir, "nation")
     joined = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
     )
     return (

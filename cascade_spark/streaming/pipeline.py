@@ -272,8 +272,10 @@ def stream_dedup_watermark(spark, sf_dir):
 @register(
     "stream_static_join",
     "streaming",
-    doc="Stream-static join: streaming events enriched with the (static, "
-    "broadcast) customer dimension, aggregated per market segment.",
+    doc="Stream-static join: streaming events enriched with the static "
+    "customer dimension, aggregated per market segment. Join strategy "
+    "left to AQE — customer scales with SF, so no forced broadcast; "
+    "each micro-batch re-plans against the static side's actual size.",
     oracle=f"""
 SELECT c.c_mktsegment,
        COUNT(*) AS n,
@@ -287,9 +289,7 @@ def stream_static_join(spark, sf_dir):
     indir, schema, _, _ = stage_stream_input(spark, sf_dir)
     customer = load(spark, sf_dir, "customer")
     src = spark.readStream.schema(schema).parquet(indir)
-    joined = src.join(
-        F.broadcast(customer), src.user_id == customer.c_custkey, "inner"
-    )
+    joined = src.join(customer, src.user_id == customer.c_custkey, "inner")
     agg = joined.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n"),
         avg_round(F.sum(dec("value")), F.count(F.lit(1)), 2).alias("avg_value"),

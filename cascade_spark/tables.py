@@ -25,9 +25,12 @@ TABLE_NAMES = [
     "embeddings",
 ]
 
-# Small dimension tables that should always be broadcast in joins at any
-# scale (region: 5 rows, nation: 25 — fixed-size catalogs even at 100 TB).
-BROADCASTABLE = {"region", "nation", "supplier", "part", "customer"}
+# Dimension tables safe for an explicit broadcast hint at ANY scale:
+# only region (5 rows) and nation (25) are genuinely fixed-size.
+# customer/part/supplier scale linearly with SF (FIXTURES.md), so their
+# join strategy is left to AQE's size check — a forced hint would OOM
+# at 100×.
+BROADCASTABLE = {"region", "nation"}
 
 
 def ensure_session_confs(spark: SparkSession) -> None:

@@ -229,3 +229,119 @@ def test_lakehouse_probe_documents_environment(spark):
 
         with pytest.raises(NotImplementedError):
             read_delta(spark, "/tmp/nonexistent")
+
+
+def test_overlap_bucket_cap_drops_flash_crowd_hour(spark, tmp_path):
+    """A flash-crowd hour — OVERLAP_BUCKET_CAP+452 users all active in
+    the same hour — must NOT reach the quadratic within-bucket self-join
+    (2.5k² ≈ 6M candidate pairs here; unbounded at scale). The admission
+    cap drops the oversized bucket, so the pair output is empty and the
+    audit reports the dropped memberships."""
+    import os
+
+    import pandas as pd
+
+    from cascade_spark.operators.interval import OVERLAP_BUCKET_CAP
+    from cascade_spark.plans.registry import load_all
+
+    n = OVERLAP_BUCKET_CAP + 452  # 2500 single-event sessions, one hour
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(n),
+            "ts": pd.to_datetime(["2024-01-01 12:30:00"] * n)
+            + pd.to_timedelta([i % 60 for i in range(n)], unit="s"),
+            "user_id": range(n),
+            "event_type": ["click"] * n,
+            "value": [1.0] * n,
+            "props": ["{}"] * n,
+        }
+    )
+    sf = str(tmp_path / "flashcrowd")
+    spark.createDataFrame(pdf).write.parquet(os.path.join(sf, "events.parquet"))
+
+    reg = load_all()
+    assert reg["join_interval_overlap"].builder(spark, sf).count() == 0
+    audit = reg["profile_overlap_buckets"].builder(spark, sf).collect()[0]
+    assert audit["n_buckets"] == 1
+    assert audit["max_active"] == n
+    assert audit["n_over_cap"] == 1
+    assert audit["dropped_memberships"] == n
+
+
+def test_graph_degree_cap_drops_hub_node(spark, tmp_path):
+    """A star graph — one hub user whose sessions overlap MAX_DEGREE+6
+    spokes (each >=2 times), spokes pairwise disjoint — makes the
+    common-neighbor join quadratic in the hub's degree (d(hub)² ≈ 1M
+    wedges; unbounded at scale). The MAX_DEGREE exclusion drops the hub
+    and its edges, so both two-hop queries see an empty graph, and the
+    audit reports the hub."""
+    import os
+
+    import pandas as pd
+
+    from cascade_spark.operators.graph import MAX_DEGREE
+    from cascade_spark.plans.registry import load_all
+
+    n_spokes = MAX_DEGREE + 6
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    sess_span_h = n_spokes + 1
+    gap_h = sess_span_h + 1  # hub inter-session gap start offset
+    rows = []
+    eid = 0
+    for s in range(2):  # two hub sessions -> every hub-spoke pair overlaps twice
+        base = t0 + pd.Timedelta(hours=s * gap_h)
+        for i in range(2 * sess_span_h + 1):  # 30-min spacing keeps one session
+            rows.append((eid, base + pd.Timedelta(minutes=30 * i), 0))
+            eid += 1
+        for u in range(1, n_spokes + 1):  # spoke u: one event inside hour u
+            rows.append((eid, base + pd.Timedelta(hours=u, minutes=10), u))
+            eid += 1
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id"])
+    pdf["event_type"] = "click"
+    pdf["value"] = 1.0
+    pdf["props"] = "{}"
+    sf = str(tmp_path / "stargraph")
+    spark.createDataFrame(pdf).write.parquet(os.path.join(sf, "events.parquet"))
+
+    reg = load_all()
+    audit = reg["profile_graph_degree"].builder(spark, sf).collect()[0]
+    assert audit["max_degree"] == n_spokes, audit
+    assert audit["n_hubs"] == 1, audit
+    assert audit["hub_edge_endpoints"] == n_spokes, audit
+    tri = reg["graph_triangle_count"].builder(spark, sf).collect()[0]
+    assert tri["n_edges"] == 0, tri
+    assert reg["graph_link_prediction"].builder(spark, sf).count() == 0
+
+
+def test_cached_frame_evicts_dead_session_entries(spark, sf_dir):
+    """Every shared persisted-frame cache must drop entries keyed by a
+    stopped application on the next miss — holding a dead session's
+    DataFrame handle leaks driver memory and can never serve a hit.
+    Parametrized over ALL the family caches (dedup signatures/pairs/
+    shingles, interval pairs, pagerank edges, Q11 per-part values)."""
+    import pytest
+
+    from cascade_spark.operators import dedup, graph, interval, tpch_full
+
+    caches = {
+        "dedup._SIG_CACHE": dedup._SIG_CACHE,
+        "dedup._PAIR_CACHE": getattr(dedup, "_PAIR_CACHE", None),
+        "dedup._SHINGLE_CACHE": dedup._SHINGLE_CACHE,
+        "interval._PAIR_CACHE": interval._PAIR_CACHE,
+        "graph._EDGE_CACHE": graph._EDGE_CACHE,
+        "tpch_full._Q11_VAL_CACHE": tpch_full._Q11_VAL_CACHE,
+    }
+    caches = {k: v for k, v in caches.items() if v is not None}
+    assert len(caches) >= 5
+    live_app = spark.sparkContext.applicationId
+    for name, cache in caches.items():
+        stale_key = ("app-dead-0000", "/no/such/dir")
+        cache[stale_key] = spark.range(1)  # stands in for a dead handle
+        out = dedup._cached_frame(
+            cache, spark, "/eviction/probe", lambda: spark.range(2)
+        )
+        assert out.count() == 2
+        assert stale_key not in cache, name
+        assert (live_app, "/eviction/probe") in cache, name
+        # cleanup the probe entry so later tests see pristine caches
+        cache.pop((live_app, "/eviction/probe")).unpersist()

@@ -403,3 +403,33 @@ def test_sql_udf_inlines_into_codegen(spark, sf_dir):
     assert "BatchEvalPython" not in plan, plan
     assert "ArrowEvalPython" not in plan, plan
     assert "CASE WHEN" in plan, plan
+
+
+def test_no_static_broadcast_hints_on_sf_scaling_dims(spark, sf_dir):
+    """customer/part/supplier scale linearly with SF (FIXTURES.md), so a
+    forced F.broadcast() hint on them bypasses AQE's size check and OOMs
+    at 100x. Pin: the analyzed plans carry ResolvedHints ONLY for the
+    genuinely fixed frames (nation=25, region=5, 1-row scalars) — any
+    reintroduced hint on an SF-scaling dim bumps the count — while the
+    final AQE plan still picks BroadcastHashJoin for every dim locally
+    (strategy chosen by the size check, not forced)."""
+    from cascade_spark.plans.registry import load_all
+
+    qs = load_all()
+    # query -> (expected ResolvedHint count, min final BroadcastHashJoins)
+    expected = {
+        "join_star": (2, 3),  # nation + region
+        "tpch_q7_volume_shipping": (2, 4),  # the two 1-row nation sides
+        "tpch_q2_min_cost_supplier": (1, 3),  # nation
+        "tpch_q10_returned_items": (1, 2),  # nation
+        "tpch_q17_small_quantity": (0, 2),  # no fixed dim in the plan
+        "tpch_q14_promo_revenue": (0, 1),
+        "tpch_q18_large_volume": (0, 1),
+    }
+    for name, (n_hints, min_bhj) in expected.items():
+        df = qs[name].builder(spark, sf_dir)
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        assert analyzed.count("ResolvedHint") == n_hints, (name, analyzed)
+        df.collect()  # finalize AQE
+        plan = _plan(df)
+        assert plan.count("BroadcastHashJoin") >= min_bhj, (name, plan)
