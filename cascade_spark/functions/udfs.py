@@ -626,7 +626,10 @@ def udf_pandas_scalar_iter(spark, sf_dir):
         # one-time per-worker init, amortized over all Arrow batches
         splitter = re.compile(r"\s+")
         for s in batches:
-            yield s.map(lambda x: len(splitter.split(x.strip())))
+            # strip(' ') not strip(): the oracle's DuckDB TRIM strips
+            # only spaces — stripping tabs/newlines too would diverge
+            # on text with leading/trailing non-space whitespace
+            yield s.map(lambda x: len(splitter.split(x.strip(" "))))
 
     d = t(spark, sf_dir, "documents")
     return d.select("doc_id", tok_count("text").alias("n_tokens")).orderBy("doc_id")

@@ -604,3 +604,119 @@ def pipeline_dataset_manifest(spark, sf_dir):
         )
         .orderBy("shard")
     )
+
+
+SHARD_CHARS = 20_000  # target shard size (chars as the byte proxy)
+
+
+@register(
+    "pipeline_shard_assignment",
+    "analytics",
+    doc="Deterministic size-balanced release sharding — the step that "
+    "turns a curated corpus into uniform output shards for a dataset "
+    "release: docs take a reproducible md5 shuffle order, an EXCLUSIVE "
+    f"running total of n_chars (two-phase prefix sum, no single-task "
+    f"global window) assigns shard_id = floor(prefix/{SHARD_CHARS}), so "
+    "every shard lands within one document of the target size "
+    "regardless of partitioning. Output: per-shard doc count + exact "
+    "char payload. At 100 TB this is one range shuffle + one tiny "
+    "per-partition base aggregate.",
+    oracle=f"""
+WITH h AS (
+    SELECT doc_id, n_chars, MD5(CAST(doc_id AS VARCHAR)) AS hk
+    FROM documents
+),
+c AS (
+    SELECT doc_id, n_chars,
+           COALESCE(SUM(n_chars) OVER (ORDER BY hk, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ps
+    FROM h
+)
+SELECT CAST(ps // {SHARD_CHARS} AS BIGINT) AS shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM c GROUP BY 1 ORDER BY shard_id
+""",
+)
+def pipeline_shard_assignment(spark, sf_dir):
+    from cascade_spark.operators.ingest import assign_prefix_sum
+
+    h = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.md5(F.col("doc_id").cast("string")).alias("hk"),
+    )
+    c = assign_prefix_sum(h, ["hk", "doc_id"], "n_chars")
+    return (
+        c.groupBy(
+            F.expr(f"prefix_sum DIV {SHARD_CHARS}").cast("long").alias("shard_id")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+EPOCHS = 3
+EPOCH_HEAD = 15  # rows shown per epoch (the reproducibility probe)
+
+
+@register(
+    "pipeline_epoch_shuffle",
+    "analytics",
+    doc="Deterministic per-epoch training order: each epoch e reorders "
+    "the corpus by md5(doc_id:e), so every epoch sees a different but "
+    "exactly reproducible shuffle (the data-loader contract for "
+    f"multi-epoch training). Emits the first {EPOCH_HEAD} docs of each "
+    f"of {EPOCHS} epochs with their ordinals. Scale shape: local "
+    "per-partition top-k first, then the global rank runs over at most "
+    "partitions x k survivors — never a single-task full-corpus sort "
+    "per epoch.",
+    oracle=f"""
+WITH e AS (SELECT UNNEST(GENERATE_SERIES(0, {EPOCHS - 1})) AS epoch),
+h AS (
+    SELECT epoch, doc_id,
+           MD5(CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR)) AS hk
+    FROM documents CROSS JOIN e
+),
+r AS (
+    SELECT epoch, doc_id, hk,
+           ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY hk, doc_id) AS ordinal
+    FROM h
+)
+SELECT CAST(epoch AS BIGINT) AS epoch,
+       CAST(ordinal AS BIGINT) AS ordinal,
+       doc_id
+FROM r WHERE ordinal <= {EPOCH_HEAD}
+ORDER BY epoch, ordinal
+""",
+)
+def pipeline_epoch_shuffle(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    epochs = spark.range(EPOCHS).select(F.col("id").cast("long").alias("epoch"))
+    h = docs.crossJoin(F.broadcast(epochs)).select(
+        "epoch",
+        "doc_id",
+        F.md5(
+            F.concat(
+                F.col("doc_id").cast("string"), F.lit(":"), F.col("epoch").cast("string")
+            )
+        ).alias("hk"),
+    )
+    # phase 1: per-(epoch, input-partition) local head — parallel
+    local_w = Window.partitionBy("epoch", F.spark_partition_id()).orderBy(
+        "hk", "doc_id"
+    )
+    survivors = h.withColumn("_rn", F.row_number().over(local_w)).filter(
+        F.col("_rn") <= EPOCH_HEAD
+    )
+    # phase 2: global rank over <= partitions*k survivors per epoch
+    global_w = Window.partitionBy("epoch").orderBy("hk", "doc_id")
+    return (
+        survivors.withColumn("ordinal", F.row_number().over(global_w).cast("long"))
+        .filter(F.col("ordinal") <= EPOCH_HEAD)
+        .select("epoch", "ordinal", "doc_id")
+        .orderBy("epoch", "ordinal")
+    )

@@ -225,6 +225,15 @@ def _capped_shingle_index(spark, sf_dir) -> DataFrame:
     return _cached_frame(_SHINGLE_CACHE, spark, sf_dir, build)
 
 
+# Global hit/build counters across ALL shared persisted-frame caches
+# (dedup signatures/pairs/shingles, interval pairs, pagerank edges, Q11
+# values). bench.py diffs these around each query to emit a
+# machine-readable amortized-timing flag in BENCH_DETAIL.json: a query
+# whose timing rode a cache hit is an order-dependent amortized figure;
+# one that triggered a build paid the shared cost for its whole family.
+CACHE_STATS = {"hits": 0, "builds": 0}
+
+
 def _cached_frame(cache: dict, spark, sf_dir, build) -> DataFrame:
     """Keyed persist-cache with eviction: entries from OTHER applications
     are dropped on every miss (a stopped session's persisted blocks died
@@ -232,12 +241,14 @@ def _cached_frame(cache: dict, spark, sf_dir, build) -> DataFrame:
     outgrows the live session's sf_dirs. Note for bench readers: the
     first dedup query to run pays the shared build; later family members
     read the cache — per-query timings are order-dependent amortized
-    figures (documented in STATUS.md)."""
+    figures (documented in STATUS.md and flagged per-query in
+    BENCH_DETAIL.json via CACHE_STATS)."""
     from pyspark import StorageLevel
 
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = cache.get(key)
     if cached is not None:
+        CACHE_STATS["hits"] += 1
         return cached
     for stale in [k for k in cache if k[0] != key[0]]:
         df = cache.pop(stale)
@@ -245,6 +256,7 @@ def _cached_frame(cache: dict, spark, sf_dir, build) -> DataFrame:
             df.unpersist()
         except Exception:
             pass  # session already gone — handle drop is the cleanup
+    CACHE_STATS["builds"] += 1
     df = build().persist(StorageLevel.MEMORY_AND_DISK)
     cache[key] = df
     return df
@@ -463,6 +475,32 @@ def _cc_labels_distributed(edges, labels):
     return labels
 
 
+def _cc_label_frame(spark, sf_dir):
+    """(node, comp) labels of the LSH near-dup graph — shared by the
+    component-summary query and the canonical-pick query. Local
+    union-find under LOCAL_CC_MAX_EDGES, min-label propagation above."""
+    from pyspark import StorageLevel
+
+    # _lsh_pairs is already persisted by its cache; the projection here
+    # is cheap lineage over it.
+    pairs = _lsh_pairs(spark, sf_dir).select("d1", "d2")
+    if pairs.count() <= LOCAL_CC_MAX_EDGES:
+        # collect, not toLocalIterator: the latter launches one job per
+        # partition (32 round-trips for a 256-row edge list); the edge
+        # list is ≤2M×2 longs — one fetch.
+        rows = [(r[0], r[1]) for r in pairs.collect()]
+        return spark.createDataFrame(_cc_local(rows), "node long, comp long")
+    fwd = pairs.select(F.col("d1").alias("src"), F.col("d2").alias("nbr"))
+    rev = pairs.select(F.col("d2").alias("src"), F.col("d1").alias("nbr"))
+    edges = fwd.union(rev).persist(StorageLevel.MEMORY_AND_DISK)
+    init = (
+        edges.select("src").distinct().select(F.col("src").alias("node"))
+        .withColumn("comp", F.col("node"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    return _cc_labels_distributed(edges, init)
+
+
 @register(
     "dedup_connected_components",
     "dedup",
@@ -495,32 +533,82 @@ FROM comp GROUP BY comp ORDER BY component_id
 """,
 )
 def dedup_connected_components(spark, sf_dir):
-    from pyspark import StorageLevel
-
-    # _lsh_pairs is already persisted by its cache; the projection here
-    # is cheap lineage over it.
-    pairs = _lsh_pairs(spark, sf_dir).select("d1", "d2")
-    if pairs.count() <= LOCAL_CC_MAX_EDGES:
-        # collect, not toLocalIterator: the latter launches one job per
-        # partition (32 round-trips for a 256-row edge list); the edge
-        # list is ≤2M×2 longs — one fetch.
-        rows = [(r[0], r[1]) for r in pairs.collect()]
-        labels = spark.createDataFrame(_cc_local(rows), "node long, comp long")
-    else:
-        fwd = pairs.select(F.col("d1").alias("src"), F.col("d2").alias("nbr"))
-        rev = pairs.select(F.col("d2").alias("src"), F.col("d1").alias("nbr"))
-        edges = fwd.union(rev).persist(StorageLevel.MEMORY_AND_DISK)
-        init = (
-            edges.select("src").distinct().select(F.col("src").alias("node"))
-            .withColumn("comp", F.col("node"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        labels = _cc_labels_distributed(edges, init)
+    labels = _cc_label_frame(spark, sf_dir)
     return (
         labels.groupBy(F.col("comp").cast("long").alias("component_id"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.max("node").cast("long").alias("max_doc"),
+        )
+        .orderBy("component_id")
+    )
+
+
+@register(
+    "dedup_cluster_canonical",
+    "dedup",
+    doc="Canonical-document selection per near-dup cluster — the KEEP "
+    "side of cluster dedup (the step after dedup_connected_components "
+    "that actually decides which row survives): within each component "
+    "the longest document wins (n_chars DESC, doc_id ASC tiebreak), "
+    "everything else is purged. Output per cluster: the canonical doc, "
+    "member/purge counts, and the exact characters removed — the "
+    "numbers a dataset card reports for dedup shrinkage. The rank "
+    "window runs per-component (components are near-dup clusters, "
+    "bounded by the LSH pair structure, never corpus-sized); labels "
+    "reuse the shared persisted pair frame.",
+    oracle=f"""
+WITH RECURSIVE {_SQL_PAIR_CTES},
+pairs AS (SELECT d1, d2 FROM sim WHERE matches * 2 >= {N_HASHES}),
+edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+          UNION ALL SELECT d2 AS a, d1 AS b FROM pairs),
+reach(src, dst) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+lab AS (
+    SELECT src AS node, LEAST(src, MIN(dst)) AS comp
+    FROM reach GROUP BY src
+),
+m AS (
+    SELECT l.comp, d.doc_id, d.n_chars,
+           ROW_NUMBER() OVER (PARTITION BY l.comp
+                              ORDER BY d.n_chars DESC, d.doc_id) AS rn
+    FROM lab l JOIN documents d ON d.doc_id = l.node
+)
+SELECT CAST(comp AS BIGINT) AS component_id,
+       CAST(MAX(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS canonical_doc,
+       CAST(MAX(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT) AS canonical_chars,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(n_chars) - MAX(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT)
+           AS chars_purged
+FROM m GROUP BY comp ORDER BY component_id
+""",
+)
+def dedup_cluster_canonical(spark, sf_dir):
+    from pyspark.sql import Window
+
+    labels = _cc_label_frame(spark, sf_dir)
+    docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    m = labels.join(docs, labels["node"] == docs["doc_id"])
+    w = Window.partitionBy("comp").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    ranked = m.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy(F.col("comp").cast("long").alias("component_id"))
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("doc_id")))
+            .cast("long")
+            .alias("canonical_doc"),
+            F.max(F.when(F.col("rn") == 1, F.col("n_chars")))
+            .cast("long")
+            .alias("canonical_chars"),
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            (
+                F.sum("n_chars") - F.max(F.when(F.col("rn") == 1, F.col("n_chars")))
+            )
+            .cast("long")
+            .alias("chars_purged"),
         )
         .orderBy("component_id")
     )
@@ -950,14 +1038,21 @@ def dedup_corpus_report(spark, sf_dir):
         .join(sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("nb")), "d2")
     )
     uni = F.col("na") + F.col("nb") - F.col("inter")
+    # coalesce: on a corpus with no shingle-sharing docs jp is empty and
+    # SUM returns NULL, while the oracle's COUNT(*) subqueries return 0
     jagg = jp.agg(
-        F.sum(F.when(F.col("inter") * 5 >= uni, 1).otherwise(0)).alias("n_j"),
-        F.sum(
-            F.when(
-                F.lit(10000) * F.col("inter")
-                >= CONTAIN_BP * F.least("na", "nb"),
-                1,
-            ).otherwise(0)
+        F.coalesce(
+            F.sum(F.when(F.col("inter") * 5 >= uni, 1).otherwise(0)), F.lit(0)
+        ).alias("n_j"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.lit(10000) * F.col("inter")
+                    >= CONTAIN_BP * F.least("na", "nb"),
+                    1,
+                ).otherwise(0)
+            ),
+            F.lit(0),
         ).alias("n_c"),
     )
     row = fp.crossJoin(F.broadcast(mh)).crossJoin(F.broadcast(jagg)).collect()[0]

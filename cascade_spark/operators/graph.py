@@ -84,14 +84,14 @@ p AS (
     SELECT user_a AS ua, user_b AS ub, COUNT(*) AS n
     FROM opairs GROUP BY 1, 2
 ),
-e0 AS (SELECT ua, ub FROM p WHERE n >= 2),
+e0 AS MATERIALIZED (SELECT ua, ub FROM p WHERE n >= 2),
 deg0 AS (
     SELECT u, COUNT(*) AS d FROM (
         SELECT ua AS u FROM e0 UNION ALL SELECT ub AS u FROM e0
     ) GROUP BY u
 ),
 hubs AS (SELECT u FROM deg0 WHERE d > {MAX_DEGREE}),
-e AS (
+e AS MATERIALIZED (
     SELECT ua, ub FROM e0
     WHERE ua NOT IN (SELECT u FROM hubs)
       AND ub NOT IN (SELECT u FROM hubs)
@@ -414,3 +414,98 @@ def profile_graph_degree(spark, sf_dir):
         "n_nodes", "n_edges", "max_degree", "total_wedges", "n_hubs",
         "hub_edge_endpoints",
     )
+
+
+KCORE_K = 4
+KCORE_ROUNDS = 3
+
+
+@register(
+    "graph_kcore",
+    "analytics",
+    doc=f"Truncated k-core peel (k={KCORE_K}, {KCORE_ROUNDS} fixed "
+    "rounds) over the degree-capped co-activity graph — the iterative "
+    "densest-substructure primitive (community cores, spam-ring "
+    "detection). Each round drops nodes with degree < k and their "
+    "edges; fixed rounds keep the result deterministic and the oracle "
+    "an unrolled CTE chain (same discipline as graph_pagerank's "
+    "unrolled power iterations). Per round: one degree aggregate + two "
+    "semi-joins, all on the edge frame — at 100 TB each round is two "
+    "shuffles over a strictly shrinking edge list; per-round stats are "
+    "single-row aggregates.",
+    oracle=f"""
+WITH {_sql_coactivity_edges()},
+d0 AS MATERIALIZED (SELECT u, COUNT(*) AS d FROM (
+           SELECT ua AS u FROM e UNION ALL SELECT ub AS u FROM e) GROUP BY u),
+k1 AS (SELECT u FROM d0 WHERE d >= {KCORE_K}),
+e1 AS MATERIALIZED (SELECT ua, ub FROM e
+       WHERE ua IN (SELECT u FROM k1) AND ub IN (SELECT u FROM k1)),
+d1 AS MATERIALIZED (SELECT u, COUNT(*) AS d FROM (
+           SELECT ua AS u FROM e1 UNION ALL SELECT ub AS u FROM e1) GROUP BY u),
+k2 AS (SELECT u FROM d1 WHERE d >= {KCORE_K}),
+e2 AS MATERIALIZED (SELECT ua, ub FROM e1
+       WHERE ua IN (SELECT u FROM k2) AND ub IN (SELECT u FROM k2)),
+d2 AS MATERIALIZED (SELECT u, COUNT(*) AS d FROM (
+           SELECT ua AS u FROM e2 UNION ALL SELECT ub AS u FROM e2) GROUP BY u),
+k3 AS (SELECT u FROM d2 WHERE d >= {KCORE_K}),
+e3 AS MATERIALIZED (SELECT ua, ub FROM e2
+       WHERE ua IN (SELECT u FROM k3) AND ub IN (SELECT u FROM k3)),
+s AS (
+    SELECT 1 AS round,
+           (SELECT COUNT(DISTINCT u) FROM (SELECT ua AS u FROM e1
+                UNION ALL SELECT ub AS u FROM e1)) AS n_nodes,
+           (SELECT COUNT(*) FROM e1) AS n_edges
+    UNION ALL
+    SELECT 2,
+           (SELECT COUNT(DISTINCT u) FROM (SELECT ua AS u FROM e2
+                UNION ALL SELECT ub AS u FROM e2)),
+           (SELECT COUNT(*) FROM e2)
+    UNION ALL
+    SELECT 3,
+           (SELECT COUNT(DISTINCT u) FROM (SELECT ua AS u FROM e3
+                UNION ALL SELECT ub AS u FROM e3)),
+           (SELECT COUNT(*) FROM e3)
+)
+SELECT CAST(round AS BIGINT) AS round,
+       CAST(n_nodes AS BIGINT) AS n_nodes,
+       CAST(n_edges AS BIGINT) AS n_edges
+FROM s ORDER BY round
+""",
+)
+def graph_kcore(spark, sf_dir):
+    # Per-round lineage truncation: without it, round r's plan re-derives
+    # every earlier round's degree aggregate and semi-joins (and the
+    # overlap machinery under them) once per downstream consumer — the
+    # classic iterative-algorithm recompute explosion. The pruned edge
+    # list is tiny (<= |edges| pairs of longs), so an eager
+    # localCheckpoint per round is cheap; long chains on a real cluster
+    # would use reliable checkpoints instead.
+    e = _coactivity_edges(spark, sf_dir).localCheckpoint(eager=True)
+    stats = []
+    for r in range(1, KCORE_ROUNDS + 1):
+        deg = (
+            e.select(F.col("ua").alias("u"))
+            .unionByName(e.select(F.col("ub").alias("u")))
+            .groupBy("u")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= KCORE_K).select("u")
+        e = (
+            e.join(keep, e["ua"] == keep["u"], "left_semi")
+            .join(keep, e["ub"] == keep["u"], "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        nodes = e.select(F.col("ua").alias("u")).unionByName(
+            e.select(F.col("ub").alias("u"))
+        )
+        stats.append(
+            nodes.agg(
+                F.lit(r).cast("long").alias("round"),
+                F.countDistinct("u").cast("long").alias("n_nodes"),
+                (F.count(F.lit(1)) / 2).cast("long").alias("n_edges"),
+            )
+        )
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("round")

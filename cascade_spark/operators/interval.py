@@ -87,7 +87,7 @@ sess0 AS (
                                ROWS UNBOUNDED PRECEDING) AS sidx
     FROM gaps
 ),
-sess AS (
+sess AS MATERIALIZED (
     SELECT user_id, sidx, MIN(ts) AS start_ts, MAX(ts) AS end_ts
     FROM sess0 GROUP BY user_id, sidx
 ),
@@ -98,13 +98,13 @@ bucketed AS (
                                   INTERVAL 1 HOUR)) AS bucket
     FROM sess
 ),
-capped AS (
+capped AS MATERIALIZED (
     SELECT * FROM (
         SELECT *, COUNT(*) OVER (PARTITION BY bucket) AS n_active
         FROM bucketed
     ) WHERE n_active <= {OVERLAP_BUCKET_CAP}
 ),
-opairs AS (
+opairs AS MATERIALIZED (
     SELECT DISTINCT a.user_id AS user_a, a.sidx AS sidx_a,
                     b.user_id AS user_b, b.sidx AS sidx_b
     FROM capped a JOIN capped b ON a.bucket = b.bucket

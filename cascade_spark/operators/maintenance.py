@@ -235,15 +235,18 @@ def maintenance_analyze_table_stats(spark, sf_dir):
     import shutil
 
     tbl = "cascade_stats_orders_" + os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    # Always (re)write the table: skipping when it exists would let the
+    # catalog copy (and its ANALYZE stats) go stale relative to the
+    # sf_dir parquet within a session. A previous session's managed-table
+    # directory may also survive in the warehouse while the in-memory
+    # catalog does not — clear it or CREATE fails with
+    # LOCATION_ALREADY_EXISTS.
     if not spark.catalog.tableExists(tbl):
-        # a previous session's managed-table directory may survive in the
-        # warehouse while the in-memory catalog does not — clear it or
-        # CREATE fails with LOCATION_ALREADY_EXISTS
         wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
         loc = os.path.join(wh.removeprefix("file:"), tbl)
         if os.path.isdir(loc):
             shutil.rmtree(loc)
-        t(spark, sf_dir, "orders").write.mode("overwrite").saveAsTable(tbl)
+    t(spark, sf_dir, "orders").write.mode("overwrite").saveAsTable(tbl)
     spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS FOR COLUMNS o_orderkey")
     desc = spark.sql(f"DESCRIBE EXTENDED {tbl} o_orderkey").collect()
     kv = {r["info_name"]: r["info_value"] for r in desc}
@@ -253,6 +256,9 @@ def maintenance_analyze_table_stats(spark, sf_dir):
         if r["col_name"] == "Statistics":
             # "N bytes, M rows"
             row_count = int(r["data_type"].split(",")[1].strip().split(" ")[0])
+    # fail loudly if the Statistics line is absent or reformatted — a
+    # silent NULL row_count would mask a broken ANALYZE
+    assert row_count is not None, "ANALYZE produced no Statistics row-count"
     return spark.createDataFrame(
         [(row_count, int(kv["min"]), int(kv["max"]), int(kv["num_nulls"]))],
         "row_count long, min_key long, max_key long, null_count long",

@@ -185,4 +185,7 @@ def events_peak_concurrency(spark, sf_dir):
              F.first("peak").cast("long").alias("peak_concurrency"))
         .crossJoin(F.broadcast(n_sess))
         .select("n_sessions", "peak_concurrency", "peak_at_us")
+        # empty events: the ungrouped agg still emits one all-NULL row,
+        # but the oracle's GROUP BY peak yields zero rows — drop it
+        .filter(F.col("peak_concurrency").isNotNull())
     )

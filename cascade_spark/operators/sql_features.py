@@ -766,3 +766,41 @@ def fn_str_to_map_kv(spark, sf_dir):
         F.element_at("m", "source").alias("source_v"),
         F.element_at("m", "len").cast("long").alias("len_v"),
     ).orderBy("doc_id")
+
+
+@register(
+    "sql_pipe_syntax",
+    "functions",
+    doc="SQL pipe syntax (Spark 4 / GoogleSQL '|>' operators): the "
+    "linear FROM -> WHERE -> EXTEND -> AGGREGATE -> ORDER BY form of a "
+    "revenue rollup — each |> stage consumes the previous table, so "
+    "queries read top-to-bottom like a DataFrame chain. Parses to the "
+    "identical Catalyst plan as the nested-SELECT equivalent (the "
+    "oracle), so pushdown/pruning are unchanged.",
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                      * (1 - CAST(l_discount AS DECIMAL(12,4)))), 2) AS DOUBLE)
+           AS revenue
+FROM lineitem
+WHERE l_quantity >= 10
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def sql_pipe_syntax(spark, sf_dir):
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_pipe_v")
+    return spark.sql(
+        """
+FROM lineitem_pipe_v
+|> WHERE l_quantity >= 10
+|> EXTEND CAST(l_extendedprice AS DECIMAL(12,4))
+          * (1 - CAST(l_discount AS DECIMAL(12,4))) AS vol
+|> AGGREGATE COUNT(*) AS n_items,
+             CAST(ROUND(SUM(vol), 2) AS DOUBLE) AS revenue
+   GROUP BY l_returnflag
+|> SELECT l_returnflag, CAST(n_items AS BIGINT) AS n_items, revenue
+|> ORDER BY l_returnflag
+"""
+    )

@@ -799,3 +799,105 @@ def stats_gini_concentration(spark, sf_dir):
         den.alias("gini_den"),
         F.round(num.cast("double") / den.cast("double"), 6).alias("gini"),
     )
+
+
+@register(
+    "stats_ks_two_sample",
+    "analytics",
+    doc="Two-sample Kolmogorov-Smirnov drift test between the click and "
+    "purchase value distributions — the distribution-level data-quality "
+    "gate (is today's feed shaped like yesterday's?). D = max |ECDF "
+    "difference| kept EXACT: both ECDFs are rationals over (n1, n2), so "
+    "the statistic is max |cum1*n2 - cum2*n1| / (n1*n2) in integer "
+    "arithmetic, reported in floor basis points with the value where "
+    "the max is first attained. The running counts use the two-phase "
+    "prefix-sum pattern (range repartition + per-partition cumsums + "
+    "tiny base aggregate) — no single-task global window over the "
+    "distinct-value spine. Products stay exact through int64 up to "
+    "~3e9 rows per side (fixture magnitudes are far below).",
+    oracle="""
+WITH pv AS (
+    SELECT value,
+           COUNT(*) FILTER (WHERE event_type = 'click') AS c1,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS c2
+    FROM events WHERE event_type IN ('click', 'purchase')
+    GROUP BY value
+),
+n AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2 FROM pv),
+cum AS (
+    SELECT value,
+           CAST(SUM(c1) OVER (ORDER BY value) AS BIGINT) AS cum1,
+           CAST(SUM(c2) OVER (ORDER BY value) AS BIGINT) AS cum2
+    FROM pv
+),
+d AS (
+    SELECT value,
+           ABS(cum1 * (SELECT n2 FROM n) - cum2 * (SELECT n1 FROM n)) AS dn
+    FROM cum
+)
+SELECT (SELECT n1 FROM n) AS n_click,
+       (SELECT n2 FROM n) AS n_purchase,
+       CAST((10000 * MAX(dn)) // ((SELECT n1 FROM n) * (SELECT n2 FROM n))
+            AS BIGINT) AS ks_d_bp,
+       MIN(CASE WHEN dn = (SELECT MAX(dn) FROM d) THEN value END) AS ks_at_value
+FROM d
+""",
+)
+def stats_ks_two_sample(spark, sf_dir):
+    from cascade_spark.operators._util import _intdiv
+
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    pv = ev.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("c2"),
+    )
+    n = pv.agg(
+        F.sum("c1").cast("long").alias("n1"), F.sum("c2").cast("long").alias("n2")
+    )
+    # two-phase INCLUSIVE cumsums of c1 and c2 along the value spine
+    part = pv.repartitionByRange(32, F.col("value")).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = part.withColumn("_l1", F.sum("c1").over(w)).withColumn(
+        "_l2", F.sum("c2").over(w)
+    )
+    wb = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    bases = (
+        local.groupBy("_pid")
+        .agg(F.sum("c1").alias("_s1"), F.sum("c2").alias("_s2"))
+        .withColumn("_b1", F.coalesce(F.sum("_s1").over(wb), F.lit(0)))
+        .withColumn("_b2", F.coalesce(F.sum("_s2").over(wb), F.lit(0)))
+        .select("_pid", "_b1", "_b2")
+    )
+    cum = local.join(F.broadcast(bases), "_pid").select(
+        "value",
+        (F.col("_b1") + F.col("_l1")).cast("long").alias("cum1"),
+        (F.col("_b2") + F.col("_l2")).cast("long").alias("cum2"),
+    )
+    d = cum.crossJoin(F.broadcast(n)).select(
+        "value",
+        "n1",
+        "n2",
+        F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")).alias("dn"),
+    )
+    maxd = d.agg(F.max("dn").alias("max_dn"))
+    return (
+        d.crossJoin(F.broadcast(maxd))
+        .agg(
+            F.first("n1").alias("n_click"),
+            F.first("n2").alias("n_purchase"),
+            _intdiv(
+                F.lit(10000) * F.first("max_dn"), F.first("n1") * F.first("n2")
+            ).alias("ks_d_bp"),
+            F.min(F.when(F.col("dn") == F.col("max_dn"), F.col("value"))).alias(
+                "ks_at_value"
+            ),
+        )
+    )

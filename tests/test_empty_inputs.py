@@ -76,6 +76,10 @@ QUERIES = [
     "sql_udf_create_function", "sql_scripting_batch",
     "pandas_api_rolling_sum", "fn_str_to_map_kv", "text_bpe_encode",
     "dedup_corpus_report", "stats_gini_concentration",
+    # round-5 batch
+    "profile_graph_degree", "dedup_cluster_canonical",
+    "pipeline_shard_assignment", "pipeline_epoch_shuffle",
+    "stats_ks_two_sample", "graph_kcore", "sql_pipe_syntax",
 ]
 
 
@@ -100,5 +104,21 @@ def test_query_survives_empty_tables(spark, empty_sf_dir, name):
         "stats_benford_audit": 9,
         # fixed-shape dashboard: one row per dedup metric
         "dedup_corpus_report": 5,
+        # fixed-round peel: one row per round even on an empty graph
+        "graph_kcore": 3,
     }
     assert len(rows) <= fixed_shape.get(name, 1), (name, rows[:3])
+
+
+def test_empty_input_oracle_parity_regressions(spark, empty_sf_dir):
+    """ADVICE r4: two latent Spark/oracle divergences the <=1-row bound
+    above hid. On empty inputs (a) events_peak_concurrency must emit
+    ZERO rows (the oracle's GROUP BY peak does), not one all-NULL agg
+    row; (b) dedup_corpus_report's pair metrics must report 0 (the
+    oracle's COUNT(*) subqueries do), not NULL from SUM-over-empty."""
+    reg = load_all()
+    assert reg["events_peak_concurrency"].builder(spark, empty_sf_dir).count() == 0
+    rows = {r["metric"]: r["n"] for r in
+            reg["dedup_corpus_report"].builder(spark, empty_sf_dir).collect()}
+    assert rows["jaccard_pairs"] == 0
+    assert rows["containment_pairs"] == 0

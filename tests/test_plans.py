@@ -148,16 +148,16 @@ def test_tpch_q18_take_ordered_not_global_sort(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan
 
 
-def test_tpch_q21_semi_anti_pair(spark, sf_dir):
-    """Q21's EXISTS / NOT EXISTS pair must compile to left-semi and
-    left-anti joins — no cartesian or nested-loop fallback over the fact."""
+def test_tpch_q21_no_cartesian_fallback(spark, sf_dir):
+    """Q21's EXISTS / NOT EXISTS semantics (round-5 window rewrite —
+    see test_tpch_q21_single_fact_scan) must never fall back to a
+    cartesian or nested-loop product over the fact."""
     from cascade_spark.plans.registry import load_all
 
     df = load_all()["tpch_q21_waiting_suppliers"].builder(spark, sf_dir)
     plan = _plan(df)
-    assert "LeftSemi" in plan, plan
-    assert "LeftAnti" in plan, plan
     assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
 def test_pack_context_windows_no_global_data_window(spark, sf_dir):
@@ -433,3 +433,22 @@ def test_no_static_broadcast_hints_on_sf_scaling_dims(spark, sf_dir):
         df.collect()  # finalize AQE
         plan = _plan(df)
         assert plan.count("BroadcastHashJoin") >= min_bhj, (name, plan)
+
+
+def test_tpch_q21_single_fact_scan(spark, sf_dir):
+    """Q21's EXISTS/NOT-EXISTS pair must NOT plan as the naive triple
+    lineitem self-reference (three fact scans + semi/anti joins). The
+    window rewrite computes both existence tests from per-order
+    distinct-supplier sets over ONE orderkey partition: exactly one
+    lineitem scan and at least one Window node, zero sort-merge
+    self-joins."""
+    import re
+
+    from cascade_spark.plans.registry import load_all
+
+    df = load_all()["tpch_q21_waiting_suppliers"].builder(spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    scans = len(set(re.findall(r"FileScan parquet \[l_orderkey#\d+L", plan)))
+    assert scans == 1, plan
+    assert "Window" in plan, plan
