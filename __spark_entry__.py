@@ -42,6 +42,12 @@ _NEW_THIS_ROUND: list[str] = [
     "stats_ks_two_sample",
     "graph_kcore",
     "sql_pipe_syntax",
+    "multimodal_phash_dedup",
+    "text_prefix_boilerplate",
+    "stats_mannwhitney_u",
+    "similarity_semantic_dedup",
+    "window_distribution_functions",
+    "events_funnel_conversion_window",
     # -- (2) changed this round --
     "join_interval_overlap",
     "profile_overlap_buckets",

@@ -998,3 +998,85 @@ def pipeline_mixture_temperature(spark, sf_dir):
         .otherwise(_intdiv(F.lit(10000) * share, prop))
         .alias("boost_bp"),
     ).orderBy("source")
+
+
+@register(
+    "events_funnel_conversion_window",
+    "analytics",
+    doc="Time-bounded funnel conversion: users whose FIRST purchase "
+    "lands within 1 hour of their FIRST signup, grouped by signup day "
+    "— the product-analytics conversion-window metric (the plain "
+    "funnel counts any-time completion). Per-user firsts are one "
+    "user-key aggregate each, the window match is a user-key "
+    "co-partitioned join with the time bound in the join condition, "
+    "and the mean time-to-convert is an exact floor of epoch-µs gaps. "
+    "Two user-key shuffles total at any scale.",
+    oracle="""
+WITH sgn AS (
+    SELECT user_id, MIN(ts) AS s FROM events
+    WHERE event_type = 'signup' GROUP BY user_id
+),
+conv AS (
+    SELECT g.user_id, g.s, MIN(e.ts) AS p
+    FROM sgn g JOIN events e
+      ON e.user_id = g.user_id AND e.event_type = 'purchase'
+     AND e.ts > g.s AND e.ts <= g.s + INTERVAL 1 HOUR
+    GROUP BY g.user_id, g.s
+)
+SELECT STRFTIME(g.s, '%Y-%m-%d') AS signup_day,
+       CAST(COUNT(*) AS BIGINT) AS n_signups,
+       CAST(COUNT(c.user_id) AS BIGINT) AS n_converted,
+       CAST(COALESCE((10000 * COUNT(c.user_id)) // COUNT(*), 0) AS BIGINT)
+           AS conversion_bp,
+       CAST(CASE WHEN COUNT(c.user_id) > 0
+                 THEN SUM(EPOCH_US(c.p) - EPOCH_US(c.s)) // COUNT(c.user_id)
+            END AS BIGINT) AS mean_gap_us
+FROM sgn g LEFT JOIN conv c ON g.user_id = c.user_id
+GROUP BY 1 ORDER BY signup_day
+""",
+)
+def events_funnel_conversion_window(spark, sf_dir):
+    from cascade_spark.operators._util import _intdiv
+
+    ev = t(spark, sf_dir, "events")
+    sgn = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s"))
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    conv = (
+        sgn.join(
+            pur,
+            (F.col("user_id") == F.col("pu"))
+            & (F.col("pts") > F.col("s"))
+            & (F.col("pts") <= F.col("s") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .groupBy("user_id", "s")
+        .agg(F.min("pts").alias("p"))
+        .select(F.col("user_id").alias("cu"), F.col("p"))
+    )
+    j = sgn.join(conv, sgn["user_id"] == conv["cu"], "left_outer")
+    return (
+        j.groupBy(F.date_format("s", "yyyy-MM-dd").alias("signup_day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_signups"),
+            F.count("cu").cast("long").alias("n_converted"),
+            F.coalesce(
+                _intdiv(F.lit(10000) * F.count("cu"), F.count(F.lit(1))), F.lit(0)
+            )
+            .cast("long")
+            .alias("conversion_bp"),
+            F.when(
+                F.count("cu") > 0,
+                _intdiv(
+                    F.sum(F.unix_micros("p") - F.unix_micros("s")), F.count("cu")
+                ),
+            )
+            .cast("long")
+            .alias("mean_gap_us"),
+        )
+        .orderBy("signup_day")
+    )

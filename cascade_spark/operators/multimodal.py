@@ -712,3 +712,106 @@ def multimodal_video_decode(spark, sf_dir):
         schema="doc_id long, n_frames long, frame_idx long, pixel_sum long",
     )
     return out.orderBy("doc_id", "frame_idx")
+
+
+@register(
+    "multimodal_phash_dedup",
+    "multimodal",
+    doc="Perceptual-hash (dHash) near-dup detection over REAL decoded "
+    "pixels: each P6 blob is parsed by the actual byte decoder, "
+    "grayscale = 3-channel integer sum (no division — exact), the "
+    "image is nearest-neighbor sampled to a 9x8 grid, and the 64 "
+    "horizontal-gradient bits form the dHash (split hi/lo 32-bit "
+    "halves so int64 summation never touches the sign bit). Docs "
+    "sharing a dHash are perceptual duplicates — reported as clusters "
+    "(the image analog of exact text dedup; Hamming-banded variants "
+    "follow the SimHash machinery). The oracle recomputes every bit "
+    "from the synthesis recurrence in SQL, so the decoder, the "
+    "sampling grid, and the bit packing are all hash-checked. "
+    "Map-only decode + one groupBy shuffle at any corpus size.",
+    oracle="""
+WITH g AS (
+    SELECT d.doc_id,
+           4 + d.doc_id % 13 AS w,
+           3 + d.doc_id % 7 AS h,
+           gy.v AS gy, gx.v AS gx
+    FROM documents d,
+         (SELECT UNNEST(GENERATE_SERIES(0, 7)) AS v) gy,
+         (SELECT UNNEST(GENERATE_SERIES(0, 7)) AS v) gx
+),
+b AS (
+    SELECT doc_id, gy, gx,
+           CASE WHEN
+             (doc_id*31 + 3*(((gy*h)//8)*w + (((gx+1)*w)//9))) % 256
+           + (doc_id*31 + 3*(((gy*h)//8)*w + (((gx+1)*w)//9)) + 1) % 256
+           + (doc_id*31 + 3*(((gy*h)//8)*w + (((gx+1)*w)//9)) + 2) % 256
+           >
+             (doc_id*31 + 3*(((gy*h)//8)*w + ((gx*w)//9))) % 256
+           + (doc_id*31 + 3*(((gy*h)//8)*w + ((gx*w)//9)) + 1) % 256
+           + (doc_id*31 + 3*(((gy*h)//8)*w + ((gx*w)//9)) + 2) % 256
+           THEN 1 ELSE 0 END AS bit
+    FROM g
+),
+ph AS (
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN gy < 4 THEN bit * (CAST(1 AS BIGINT) << (gy*8+gx))
+                         ELSE 0 END) AS BIGINT) AS phash_lo,
+           CAST(SUM(CASE WHEN gy >= 4 THEN bit * (CAST(1 AS BIGINT) << ((gy-4)*8+gx))
+                         ELSE 0 END) AS BIGINT) AS phash_hi
+    FROM b GROUP BY doc_id
+)
+SELECT phash_hi, phash_lo,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc
+FROM ph GROUP BY phash_hi, phash_lo
+HAVING COUNT(*) >= 2
+ORDER BY phash_hi, phash_lo
+""",
+)
+def multimodal_phash_dedup(spark, sf_dir):
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents")
+    ids = d.repartition(8).select("doc_id")
+
+    def dhash_batches(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                blob = synth_ppm(doc_id)  # producer side
+                # consumer side: REAL parse, bytes only
+                nl1 = blob.index(b"\n")
+                nl2 = blob.index(b"\n", nl1 + 1)
+                w, h = (int(v) for v in blob[nl1 + 1 : nl2].split())
+                nl3 = blob.index(b"\n", nl2 + 1)
+                px = np.frombuffer(blob, dtype=np.uint8, offset=nl3 + 1)
+                gray = px.reshape(h, w, 3).sum(axis=2, dtype=np.int64)
+                xs = [(gx * w) // 9 for gx in range(9)]
+                ys = [(gy * h) // 8 for gy in range(8)]
+                g = gray[np.ix_(ys, xs)]
+                lo = hi = 0
+                for gy in range(8):
+                    for gx in range(8):
+                        if g[gy][gx + 1] > g[gy][gx]:
+                            if gy < 4:
+                                lo |= 1 << (gy * 8 + gx)
+                            else:
+                                hi |= 1 << ((gy - 4) * 8 + gx)
+                rows.append((doc_id, hi, lo))
+            yield pd.DataFrame(rows, columns=["doc_id", "phash_hi", "phash_lo"])
+
+    ph = ids.mapInPandas(dhash_batches, schema="doc_id long, phash_hi long, phash_lo long")
+    return (
+        ph.groupBy("phash_hi", "phash_lo")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("min_doc"),
+            F.max("doc_id").cast("long").alias("max_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("phash_hi", "phash_lo")
+    )

@@ -494,3 +494,125 @@ def similarity_hard_negative_mining(spark, sf_dir):
         )
         .orderBy("anchor_id")
     )
+
+
+SEMDEDUP_T_NUM, SEMDEDUP_T_DEN = 2, 5  # cosine threshold 0.4 as a rational
+
+
+@register(
+    "similarity_semantic_dedup",
+    "similarity",
+    doc="SemDeDup-style semantic dedup: label-blocked embedding pairs "
+    "whose QUANTIZED cosine exceeds 0.4 become edges, components become "
+    "semantic-duplicate clusters (keep the min-id representative). The "
+    "threshold test is exact integer arithmetic — with q = floor(x*200) "
+    f"int8 values, cos >= {SEMDEDUP_T_NUM}/{SEMDEDUP_T_DEN} iff qdot>0 "
+    f"and {SEMDEDUP_T_DEN * SEMDEDUP_T_DEN}*qdot² >= "
+    f"{SEMDEDUP_T_NUM * SEMDEDUP_T_NUM}*|qa|²*|qb|² — no float "
+    "tolerance anywhere, so clusters hash-check against the recursive-"
+    "closure oracle. Label blocking caps the pair space (the coarse "
+    "IVF cell); the transitive closure follows the dedup_connected_"
+    "components discipline (local union-find under the edge gate, "
+    "min-label propagation above).",
+    oracle=f"""
+WITH RECURSIVE q AS (
+    SELECT vec_id, label,
+           ARRAY(SELECT FLOOR(CAST(x AS DOUBLE) * {Q_SCALE})
+                 FROM UNNEST(embedding) AS t(x)) AS qv
+    FROM embeddings
+),
+p AS MATERIALIZED (
+    SELECT a.vec_id AS v1, b.vec_id AS v2,
+           (SELECT CAST(SUM(a.qv[i] * b.qv[i]) AS BIGINT)
+            FROM UNNEST(GENERATE_SERIES(1, LEN(a.qv))) AS s(i)) AS qd,
+           (SELECT CAST(SUM(a.qv[i] * a.qv[i]) AS BIGINT)
+            FROM UNNEST(GENERATE_SERIES(1, LEN(a.qv))) AS s(i)) AS na,
+           (SELECT CAST(SUM(b.qv[i] * b.qv[i]) AS BIGINT)
+            FROM UNNEST(GENERATE_SERIES(1, LEN(b.qv))) AS s(i)) AS nb
+    FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id
+),
+pairs AS MATERIALIZED (
+    SELECT v1, v2 FROM p
+    WHERE qd > 0
+      AND {SEMDEDUP_T_DEN * SEMDEDUP_T_DEN} * qd * qd
+          >= {SEMDEDUP_T_NUM * SEMDEDUP_T_NUM} * na * nb
+),
+edges AS (SELECT v1 AS a, v2 AS b FROM pairs
+          UNION ALL SELECT v2 AS a, v1 AS b FROM pairs),
+reach(src, dst) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+comp AS (
+    SELECT src AS node, LEAST(src, MIN(dst)) AS comp
+    FROM reach GROUP BY src
+)
+SELECT CAST(comp AS BIGINT) AS cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(MAX(node) AS BIGINT) AS max_vec
+FROM comp GROUP BY comp ORDER BY cluster_id
+""",
+    bench=False,  # O(in-label pairs · dim) like embedding_neardup_blocked;
+    # the 100 TB path swaps the label block for LSH buckets
+)
+def similarity_semantic_dedup(spark, sf_dir):
+    from cascade_spark.operators.dedup import (
+        LOCAL_CC_MAX_EDGES,
+        _cc_labels_distributed,
+        _cc_local,
+    )
+
+    e = t(spark, sf_dir, "embeddings")
+
+    def _quant(col):
+        return F.transform(col, lambda x: F.floor(x.cast("double") * Q_SCALE))
+
+    def _dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    q = e.select("vec_id", "label", _quant(F.col("embedding")).alias("qv"))
+    a = q.select(F.col("vec_id").alias("v1"), "label", F.col("qv").alias("qa"))
+    b = q.select(
+        F.col("vec_id").alias("v2"), F.col("label").alias("lb"), F.col("qv").alias("qb")
+    )
+    p = a.join(b, (F.col("label") == F.col("lb")) & (F.col("v1") < F.col("v2"))).select(
+        "v1",
+        "v2",
+        _dot(F.col("qa"), F.col("qb")).alias("qd"),
+        _dot(F.col("qa"), F.col("qa")).alias("na"),
+        _dot(F.col("qb"), F.col("qb")).alias("nb"),
+    )
+    t2 = SEMDEDUP_T_DEN * SEMDEDUP_T_DEN
+    n2 = SEMDEDUP_T_NUM * SEMDEDUP_T_NUM
+    pairs = p.filter(
+        (F.col("qd") > 0)
+        & (F.lit(t2) * F.col("qd") * F.col("qd") >= F.lit(n2) * F.col("na") * F.col("nb"))
+    ).select("v1", "v2")
+    if pairs.count() <= LOCAL_CC_MAX_EDGES:
+        rows = [(r[0], r[1]) for r in pairs.collect()]
+        labels = spark.createDataFrame(_cc_local(rows), "node long, comp long")
+    else:
+        from pyspark import StorageLevel
+
+        fwd = pairs.select(F.col("v1").alias("src"), F.col("v2").alias("nbr"))
+        rev = pairs.select(F.col("v2").alias("src"), F.col("v1").alias("nbr"))
+        edges = fwd.union(rev).persist(StorageLevel.MEMORY_AND_DISK)
+        init = (
+            edges.select("src").distinct().select(F.col("src").alias("node"))
+            .withColumn("comp", F.col("node"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        labels = _cc_labels_distributed(edges, init)
+    return (
+        labels.groupBy(F.col("comp").cast("long").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.max("node").cast("long").alias("max_vec"),
+        )
+        .orderBy("cluster_id")
+    )

@@ -901,3 +901,77 @@ def stats_ks_two_sample(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "stats_mannwhitney_u",
+    "analytics",
+    doc="Mann-Whitney U rank test between the click and purchase value "
+    "samples — the nonparametric location-shift twin of the KS shape "
+    "test. Tie-correct midranks come EXACTLY from per-distinct-value "
+    "counts (2*midrank = 2*cum_before + cnt + 1 — the cumulative count "
+    "rides the same spine as stats_ks_two_sample, computed per distinct "
+    "value so no per-row global ranking is ever needed), U is kept in "
+    "doubled integer units end-to-end, and the common-language effect "
+    "size U/(n1*n2) is reported in floor basis points. Exact through "
+    "the 2^53 double-integer range at fixture magnitudes.",
+    oracle="""
+WITH pv AS (
+    SELECT value,
+           COUNT(*) FILTER (WHERE event_type = 'click') AS c1,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS c2
+    FROM events WHERE event_type IN ('click', 'purchase')
+    GROUP BY value
+),
+n AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2 FROM pv),
+cum AS (
+    SELECT value, c1, c2,
+           CAST(COALESCE(SUM(c1 + c2) OVER (ORDER BY value
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS cum_before
+    FROM pv
+),
+r AS (
+    SELECT CAST(SUM(c1 * (2 * cum_before + (c1 + c2) + 1)) AS BIGINT) AS two_r1
+    FROM cum
+)
+SELECT (SELECT n1 FROM n) AS n_click,
+       (SELECT n2 FROM n) AS n_purchase,
+       (SELECT two_r1 FROM r) - (SELECT n1 * (n1 + 1) FROM n) AS two_u1,
+       CAST((10000 * ((SELECT two_r1 FROM r) - (SELECT n1 * (n1 + 1) FROM n)))
+            // (2 * (SELECT n1 * n2 FROM n)) AS BIGINT) AS cles_bp
+""",
+)
+def stats_mannwhitney_u(spark, sf_dir):
+    from cascade_spark.operators._util import _intdiv
+    from cascade_spark.operators.ingest import assign_prefix_sum
+
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    pv = ev.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("c2"),
+    ).withColumn("ct", F.col("c1") + F.col("c2"))
+    cum = assign_prefix_sum(pv, ["value"], "ct")  # exclusive cumsum of total
+    n = pv.agg(
+        F.sum("c1").cast("long").alias("n1"), F.sum("c2").cast("long").alias("n2")
+    )
+    r = cum.agg(
+        F.sum(
+            F.col("c1") * (F.lit(2) * F.col("prefix_sum") + F.col("ct") + 1)
+        )
+        .cast("long")
+        .alias("two_r1")
+    )
+    return (
+        r.crossJoin(F.broadcast(n)).select(
+            F.col("n1").alias("n_click"),
+            F.col("n2").alias("n_purchase"),
+            (F.col("two_r1") - F.col("n1") * (F.col("n1") + 1)).alias("two_u1"),
+            _intdiv(
+                F.lit(10000) * (F.col("two_r1") - F.col("n1") * (F.col("n1") + 1)),
+                F.lit(2) * F.col("n1") * F.col("n2"),
+            ).alias("cles_bp"),
+        )
+    )

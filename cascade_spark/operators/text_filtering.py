@@ -287,3 +287,51 @@ def pipeline_quality_classifier(spark, sf_dir):
         "score",
         F.when(F.col("score") > 0, 1).otherwise(0).cast("long").alias("kept"),
     ).orderBy("doc_id")
+
+
+PREFIX_WORDS = 5
+
+
+@register(
+    "text_prefix_boilerplate",
+    "text",
+    doc=f"Boilerplate-prefix detection: docs sharing their first "
+    f"{PREFIX_WORDS} words are flagged as template/boilerplate "
+    "candidates (the web-corpus 'same nav header' smell that exact "
+    "dedup misses because bodies differ). One projection + one "
+    "groupBy on the prefix fingerprint — map-side combinable at any "
+    "corpus size. Reports each shared prefix with its doc count and "
+    "id range.",
+    oracle=f"""
+WITH p AS (
+    SELECT doc_id,
+           ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[1:{PREFIX_WORDS}], ' ') AS prefix
+    FROM documents
+    WHERE LEN(STRING_SPLIT(text, ' ')) >= {PREFIX_WORDS}
+)
+SELECT prefix,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc
+FROM p GROUP BY prefix
+HAVING COUNT(*) >= 2
+ORDER BY n_docs DESC, prefix
+""",
+)
+def text_prefix_boilerplate(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    p = d.filter(F.size(words) >= PREFIX_WORDS).select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(words, 1, PREFIX_WORDS)).alias("prefix"),
+    )
+    return (
+        p.groupBy("prefix")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("min_doc"),
+            F.max("doc_id").cast("long").alias("max_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), "prefix")
+    )

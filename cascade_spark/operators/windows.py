@@ -150,3 +150,66 @@ def window_time_range_frame(spark, sf_dir):
         F.count(F.lit(1)).over(w).cast("long").alias("n_1h"),
         d2(F.sum(dec("value")).over(w)).alias("sum_1h"),
     ).orderBy("user_id", "event_id")
+
+
+@register(
+    "window_distribution_functions",
+    "windows",
+    doc="Distribution window functions — percent_rank / cume_dist / "
+    "ntile over supplier account balances per nation. Both relative "
+    "ranks are exact rationals over small integers, so they are "
+    "projected to floor basis points with integer arithmetic "
+    "(10000*(rank-1) DIV (n-1), 10000*cume_rank DIV n) instead of "
+    "engine-rounded doubles — hash-exact. One shuffle on the nation "
+    "partition key; per-partition state is the rank counter.",
+    oracle="""
+WITH r AS (
+    SELECT s_nationkey, s_suppkey,
+           CAST(s_acctbal AS DECIMAL(12,4)) AS bal,
+           RANK() OVER w AS rk,
+           COUNT(*) OVER (PARTITION BY s_nationkey) AS n,
+           CAST(COUNT(*) FILTER (WHERE TRUE)
+                OVER (PARTITION BY s_nationkey ORDER BY CAST(s_acctbal AS DECIMAL(12,4)), s_suppkey
+                      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cume_n,
+           NTILE(4) OVER w AS quartile
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY CAST(s_acctbal AS DECIMAL(12,4)), s_suppkey)
+)
+SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
+       CAST(s_suppkey AS BIGINT) AS suppkey,
+       CAST(CASE WHEN n > 1 THEN (10000 * (rk - 1)) // (n - 1) ELSE 0 END AS BIGINT)
+           AS pct_rank_bp,
+       CAST((10000 * cume_n) // n AS BIGINT) AS cume_dist_bp,
+       CAST(quartile AS BIGINT) AS quartile
+FROM r
+ORDER BY nationkey, suppkey
+""",
+)
+def window_distribution_functions(spark, sf_dir):
+    from cascade_spark.operators._util import _intdiv
+
+    s = t(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(dec("s_acctbal"), F.col("s_suppkey"))
+    nw = Window.partitionBy("s_nationkey")
+    r = s.select(
+        F.col("s_nationkey").cast("long").alias("nationkey"),
+        F.col("s_suppkey").cast("long").alias("suppkey"),
+        F.rank().over(w).alias("rk"),
+        F.count(F.lit(1)).over(nw).alias("n"),
+        F.count(F.lit(1))
+        .over(w.rangeBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cume_n"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+    return r.select(
+        "nationkey",
+        "suppkey",
+        F.when(
+            F.col("n") > 1, _intdiv(F.lit(10000) * (F.col("rk") - 1), F.col("n") - 1)
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("pct_rank_bp"),
+        _intdiv(F.lit(10000) * F.col("cume_n"), F.col("n")).alias("cume_dist_bp"),
+        "quartile",
+    ).orderBy("nationkey", "suppkey")

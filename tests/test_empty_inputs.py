@@ -80,6 +80,9 @@ QUERIES = [
     "profile_graph_degree", "dedup_cluster_canonical",
     "pipeline_shard_assignment", "pipeline_epoch_shuffle",
     "stats_ks_two_sample", "graph_kcore", "sql_pipe_syntax",
+    "multimodal_phash_dedup", "text_prefix_boilerplate",
+    "stats_mannwhitney_u", "similarity_semantic_dedup",
+    "window_distribution_functions", "events_funnel_conversion_window",
 ]
 
 
