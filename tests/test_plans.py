@@ -452,3 +452,49 @@ def test_tpch_q21_single_fact_scan(spark, sf_dir):
     scans = len(set(re.findall(r"FileScan parquet \[l_orderkey#\d+L", plan)))
     assert scans == 1, plan
     assert "Window" in plan, plan
+
+
+def test_round5_two_phase_stats_no_global_data_window(spark, sf_dir):
+    """The KS / Mann-Whitney cumulative counts and the shard-assignment
+    prefix sum must be the two-phase form: data-bearing windows
+    partition by _pid; any SinglePartition exchange may only feed the
+    tiny per-partition totals, never the value-spine rows."""
+    from cascade_spark.plans.registry import load_all
+
+    reg = load_all()
+    for name, base_marker in [
+        ("stats_ks_two_sample", "_s1"),
+        ("stats_mannwhitney_u", "_psum"),
+        ("pipeline_shard_assignment", "_psum"),
+    ]:
+        plan = _plan(reg[name].builder(spark, sf_dir))
+        assert "_pid" in plan, (name, plan)
+        for seg in plan.split("Exchange SinglePartition")[1:]:
+            assert base_marker in seg[:3000] or "HashAggregate" in seg[:500], (
+                name,
+                plan,
+            )
+
+
+def test_epoch_shuffle_local_head_before_global_rank(spark, sf_dir):
+    """The per-epoch ordinal must come from the local-head-then-global
+    pattern: the first (data-bearing) window partitions by
+    (epoch, SPARK_PARTITION_ID()), so the epoch-only window ranks at
+    most partitions*k survivors."""
+    from cascade_spark.plans.registry import load_all
+
+    plan = _plan(load_all()["pipeline_epoch_shuffle"].builder(spark, sf_dir))
+    assert "SPARK_PARTITION_ID" in plan, plan
+    # the survivor filter must sit between the two windows
+    assert plan.count("Window") >= 2, plan
+
+
+def test_phash_dedup_map_only_then_single_shuffle(spark, sf_dir):
+    """The dHash stage is map-only Python (one ArrowEvalPython/
+    mapInPandas pass, no join); the only shuffle is the cluster
+    groupBy."""
+    from cascade_spark.plans.registry import load_all
+
+    plan = _plan(load_all()["multimodal_phash_dedup"].builder(spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan, plan
