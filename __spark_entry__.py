@@ -48,6 +48,12 @@ _NEW_THIS_ROUND: list[str] = [
     "similarity_semantic_dedup",
     "window_distribution_functions",
     "events_funnel_conversion_window",
+    "pipeline_contamination_split_report",
+    "events_cohort_ltv",
+    "stats_bootstrap_mean_ci",
+    "scan_recursive_file_lookup",
+    "fn_aggregate_struct_accumulator",
+    "multimodal_video_scene_cut",
     # -- (2) changed this round --
     "join_interval_overlap",
     "profile_overlap_buckets",

@@ -335,3 +335,58 @@ def fn_map_higher_order(spark, sf_dir):
             F.transform_keys("m", lambda k, v: F.upper(k)), ["DISC", "PRICE", "QTY"]
         ).alias("upper_keys"),
     ).orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "fn_aggregate_struct_accumulator",
+    "functions",
+    doc="Higher-order aggregate with a STRUCT accumulator: one "
+    "F.aggregate pass over each embedding computes (sum, min, max, n) "
+    "of the floor(x*200) quantized values simultaneously — the "
+    "fold-with-compound-state form that replaces three separate array "
+    "traversals. All integer arithmetic, so the per-vector stats "
+    "hash-check exactly; evaluation is per-row JVM code, no shuffle "
+    "until the presentation sort.",
+    oracle="""
+SELECT vec_id,
+       (SELECT CAST(SUM(FLOOR(CAST(x AS DOUBLE) * 200)) AS BIGINT)
+        FROM UNNEST(embedding) AS t(x)) AS q_sum,
+       (SELECT CAST(MIN(FLOOR(CAST(x AS DOUBLE) * 200)) AS BIGINT)
+        FROM UNNEST(embedding) AS t(x)) AS q_min,
+       (SELECT CAST(MAX(FLOOR(CAST(x AS DOUBLE) * 200)) AS BIGINT)
+        FROM UNNEST(embedding) AS t(x)) AS q_max,
+       CAST(LEN(embedding) AS BIGINT) AS dim
+FROM embeddings
+ORDER BY vec_id
+""",
+)
+def fn_aggregate_struct_accumulator(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    q = F.transform(F.col("embedding"), lambda x: F.floor(x.cast("double") * 200))
+    zero = F.named_struct(
+        F.lit("s"), F.lit(0).cast("long"),
+        F.lit("mn"), F.lit(None).cast("long"),
+        F.lit("mx"), F.lit(None).cast("long"),
+        F.lit("n"), F.lit(0).cast("long"),
+    )
+    folded = F.aggregate(
+        q,
+        zero,
+        lambda acc, x: F.named_struct(
+            F.lit("s"), acc["s"] + x,
+            F.lit("mn"), F.least(F.coalesce(acc["mn"], x), x),
+            F.lit("mx"), F.greatest(F.coalesce(acc["mx"], x), x),
+            F.lit("n"), acc["n"] + 1,
+        ),
+    )
+    return (
+        e.select("vec_id", folded.alias("st"))
+        .select(
+            "vec_id",
+            F.col("st.s").alias("q_sum"),
+            F.col("st.mn").alias("q_min"),
+            F.col("st.mx").alias("q_max"),
+            F.col("st.n").alias("dim"),
+        )
+        .orderBy("vec_id")
+    )

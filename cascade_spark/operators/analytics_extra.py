@@ -1080,3 +1080,88 @@ def events_funnel_conversion_window(spark, sf_dir):
         )
         .orderBy("signup_day")
     )
+
+
+LTV_MAX_OFFSET = 7
+
+
+@register(
+    "events_cohort_ltv",
+    "analytics",
+    doc="Cohort LTV curve: users grouped by first-seen day, cumulative "
+    f"purchase value at day offsets 0..{LTV_MAX_OFFSET} since joining "
+    "— the revenue twin of the retention matrix. Per-user firsts are "
+    "one user-key aggregate, the offset spine is generated (gap-free "
+    "even for offsets with no purchases), value accumulates in exact "
+    "DECIMAL(12,4), and the cumulative window runs over at most "
+    f"{LTV_MAX_OFFSET + 1} rows per cohort — never event-sized "
+    "partitions.",
+    oracle=f"""
+WITH first_seen AS (
+    SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day
+    FROM events GROUP BY user_id
+),
+purch AS (
+    SELECT f.cohort_day,
+           DATEDIFF('day', f.cohort_day, CAST(e.ts AS DATE)) AS off,
+           CAST(e.value AS DECIMAL(12,4)) AS v
+    FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    WHERE e.event_type = 'purchase'
+      AND DATEDIFF('day', f.cohort_day, CAST(e.ts AS DATE))
+          BETWEEN 0 AND {LTV_MAX_OFFSET}
+),
+spine AS (
+    SELECT DISTINCT f.cohort_day, o.off
+    FROM first_seen f,
+         (SELECT UNNEST(GENERATE_SERIES(0, {LTV_MAX_OFFSET})) AS off) o
+),
+daily AS (
+    SELECT s.cohort_day, s.off,
+           COALESCE(SUM(p.v), CAST(0 AS DECIMAL(12,4))) AS rev
+    FROM spine s LEFT JOIN purch p
+      ON p.cohort_day = s.cohort_day AND p.off = s.off
+    GROUP BY s.cohort_day, s.off
+)
+SELECT STRFTIME(cohort_day, '%Y-%m-%d') AS cohort_day,
+       CAST(off AS BIGINT) AS day_offset,
+       ROUND(SUM(rev) OVER (PARTITION BY cohort_day ORDER BY off), 2)::DOUBLE
+           AS cum_revenue
+FROM daily
+ORDER BY cohort_day, day_offset
+""",
+)
+def events_cohort_ltv(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("cohort_day")
+    )
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first_seen, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff(F.col("ts").cast("date"), F.col("cohort_day")).alias("off"),
+            dec("value").alias("v"),
+        )
+        .filter(F.col("off").between(0, LTV_MAX_OFFSET))
+    )
+    offsets = (
+        first_seen.sparkSession.range(LTV_MAX_OFFSET + 1)
+        .select(F.col("id").cast("int").alias("off"))
+    )
+    spine = first_seen.select("cohort_day").distinct().crossJoin(F.broadcast(offsets))
+    daily = (
+        spine.join(purch, ["cohort_day", "off"], "left_outer")
+        .groupBy("cohort_day", "off")
+        .agg(F.coalesce(F.sum("v"), F.lit(0).cast("decimal(12,4)")).alias("rev"))
+    )
+    w = (
+        Window.partitionBy("cohort_day")
+        .orderBy("off")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return daily.select(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        F.col("off").cast("long").alias("day_offset"),
+        d2(F.sum("rev").over(w)).alias("cum_revenue"),
+    ).orderBy("cohort_day", "day_offset")

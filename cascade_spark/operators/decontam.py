@@ -104,3 +104,88 @@ def pipeline_decontaminate(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "pipeline_contamination_split_report",
+    "analytics",
+    doc="Contamination-by-split release gate: the decontamination scorer "
+    "(broadcast benchmark n-gram index, map-only scoring) crossed with "
+    "the deterministic train/val/test assignment — the per-split "
+    "contamination rates a dataset card must publish before release. "
+    "One shingle pass + one combinable per-doc aggregate + one tiny "
+    "per-split rollup; the corpus never shuffles for the benchmark "
+    "join. Rates in exact floor basis points.",
+    oracle=f"""
+WITH sh AS ({_SQL_SHINGLES}),
+bench AS (
+    SELECT doc_id FROM documents
+    WHERE ('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % {BENCH_MOD} = 0
+),
+bn AS (
+    SELECT DISTINCT s FROM sh WHERE doc_id IN (SELECT doc_id FROM bench)
+),
+stats AS (
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(COUNT(bn.s) AS BIGINT) AS n_shared
+    FROM sh LEFT JOIN bn ON sh.s = bn.s
+    WHERE sh.doc_id NOT IN (SELECT doc_id FROM bench)
+    GROUP BY sh.doc_id
+),
+tagged AS (
+    SELECT s.doc_id,
+           CASE WHEN ('0x' || SUBSTR(MD5(CAST(s.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                     % 100 < 80 THEN 'train'
+                WHEN ('0x' || SUBSTR(MD5(CAST(s.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                     % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           CASE WHEN s.n_shared * 5 >= s.n_shingles THEN 1 ELSE 0 END AS dirty
+    FROM stats s
+)
+SELECT split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(dirty) AS BIGINT) AS n_contaminated,
+       CAST((10000 * SUM(dirty)) // COUNT(*) AS BIGINT) AS contamination_bp
+FROM tagged GROUP BY split ORDER BY split
+""",
+)
+def pipeline_contamination_split_report(spark, sf_dir):
+    from cascade_spark.operators._util import _intdiv
+
+    d = t(spark, sf_dir, "documents")
+    sh = _shingles(d)
+    bench_ids = d.filter(_bench_flag()).select("doc_id")
+    bn = (
+        sh.join(bench_ids, "doc_id", "left_semi").select("s").distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    stats = (
+        sh.join(bench_ids, "doc_id", "left_anti")
+        .join(F.broadcast(bn), "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("_hit").alias("n_shared"),
+        )
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    tagged = stats.select(
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
+        F.when(F.col("n_shared") * 5 >= F.col("n_shingles"), 1).otherwise(0).alias("dirty"),
+    )
+    return (
+        tagged.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("dirty").cast("long").alias("n_contaminated"),
+            _intdiv(F.lit(10000) * F.sum("dirty"), F.count(F.lit(1))).alias(
+                "contamination_bp"
+            ),
+        )
+        .orderBy("split")
+    )

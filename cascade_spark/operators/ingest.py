@@ -30,9 +30,19 @@ from pyspark.sql import functions as F
 
 def assign_offsets(df: DataFrame, order_cols: list[str], num_partitions: int = 32) -> DataFrame:
     """Add a dense global ``offset`` column (0-based) following the total
-    order of ``order_cols``, without a single-task global window."""
+    order of ``order_cols``, without a single-task global window.
+
+    The bucketized frame is materialized ONCE (eager localCheckpoint)
+    before the two consumers (per-partition cumsum + per-partition
+    totals) branch off it: repartitionByRange picks its boundaries by
+    SAMPLING, so if the exchange is ever re-executed instead of reused
+    (AQE plan divergence between the branches — observed once at sf0.1),
+    the two branches would bucketize differently and the ``_pid`` join
+    would mix inconsistent partitionings, silently corrupting the
+    offsets. Materializing pins one boundary set for both branches; a
+    long-lived cluster job would use a reliable checkpoint instead."""
     part = df.repartitionByRange(num_partitions, *[F.col(c) for c in order_cols])
-    part = part.withColumn("_pid", F.spark_partition_id())
+    part = part.withColumn("_pid", F.spark_partition_id()).localCheckpoint(eager=True)
     w = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in order_cols])
     local = part.withColumn("_local", F.row_number().over(w) - F.lit(1))
     # Tiny aggregate (one row per partition) → cumulative base, broadcast back.
@@ -61,9 +71,11 @@ def assign_prefix_sum(
     trick as :func:`assign_offsets`, generalized from counting rows to
     summing a value column. Phase 1: range-repartition + per-partition
     cumsum (parallel). Phase 2: one tiny per-partition total aggregate →
-    cumulative bases, broadcast back. No single-task global window."""
+    cumulative bases, broadcast back. No single-task global window.
+    Bucketization materialized once before branching — see the
+    boundary-consistency note in :func:`assign_offsets`."""
     part = df.repartitionByRange(num_partitions, *[F.col(c) for c in order_cols])
-    part = part.withColumn("_pid", F.spark_partition_id())
+    part = part.withColumn("_pid", F.spark_partition_id()).localCheckpoint(eager=True)
     w = (
         Window.partitionBy("_pid")
         .orderBy(*[F.col(c) for c in order_cols])

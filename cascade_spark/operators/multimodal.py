@@ -815,3 +815,84 @@ def multimodal_phash_dedup(spark, sf_dir):
         .filter(F.col("n_docs") >= 2)
         .orderBy("phash_hi", "phash_lo")
     )
+
+
+SCENE_CUT_DELTA = 600  # |pixel_sum(f) - pixel_sum(f-1)| above this = cut
+
+
+@register(
+    "multimodal_video_scene_cut",
+    "multimodal",
+    doc="Scene-cut detection over REAL decoded video frames: every PVID "
+    "frame's exact pixel sum comes from the actual container parser "
+    "(map-only mapInPandas), consecutive-frame deltas are compared "
+    f"against SCENE_CUT_DELTA={SCENE_CUT_DELTA} inside the same Python "
+    "stage (frames of one blob are local to their row — no shuffle for "
+    "the LAG), and per-video cut statistics are emitted. The oracle "
+    "recomputes every frame sum from the synthesis recurrence, so the "
+    "full decode→delta→threshold chain is hash-checked. The shape of "
+    "video temporal segmentation at 100 TB: one pass, no shuffle "
+    "before the presentation sort.",
+    oracle=f"""
+WITH dims AS (
+    SELECT doc_id, 2 + doc_id % 5 AS nf, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+    FROM documents
+),
+frames AS (
+    SELECT d.doc_id, d.nf, f.f,
+           (SELECT CAST(SUM((d.doc_id * 31 + f.f * 7 + i) % 256) AS BIGINT)
+            FROM UNNEST(GENERATE_SERIES(0, 3 * d.w * d.h - 1)) AS s(i)) AS psum
+    FROM dims d,
+         LATERAL (SELECT UNNEST(GENERATE_SERIES(0, d.nf - 1)) AS f) f
+),
+deltas AS (
+    SELECT doc_id, nf, f,
+           ABS(psum - LAG(psum) OVER (PARTITION BY doc_id ORDER BY f)) AS delta
+    FROM frames
+)
+SELECT doc_id,
+       CAST(nf AS BIGINT) AS n_frames,
+       CAST(COALESCE(SUM(CASE WHEN delta > {SCENE_CUT_DELTA} THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_cuts,
+       CAST(MAX(delta) AS BIGINT) AS max_delta,
+       CAST(MIN(CASE WHEN delta > {SCENE_CUT_DELTA} THEN f END) AS BIGINT)
+           AS first_cut_frame
+FROM deltas GROUP BY doc_id, nf
+ORDER BY doc_id
+""",
+)
+def multimodal_video_scene_cut(spark, sf_dir):
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents")
+    ids = d.repartition(8).select("doc_id")
+
+    def cut_batches(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                blob = synth_video(doc_id)  # producer side
+                sums = [psum for _, _, _, psum in decode_video(blob)]
+                deltas = [abs(b - a) for a, b in zip(sums, sums[1:])]
+                cuts = [i + 1 for i, dl in enumerate(deltas) if dl > SCENE_CUT_DELTA]
+                rows.append(
+                    (
+                        doc_id,
+                        len(sums),
+                        len(cuts),
+                        max(deltas) if deltas else None,
+                        cuts[0] if cuts else None,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_frames", "n_cuts", "max_delta", "first_cut_frame"],
+            )
+
+    out = ids.mapInPandas(
+        cut_batches,
+        schema="doc_id long, n_frames long, n_cuts long, max_delta long, "
+        "first_cut_frame long",
+    )
+    return out.orderBy("doc_id")

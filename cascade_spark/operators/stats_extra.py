@@ -856,9 +856,13 @@ def stats_ks_two_sample(spark, sf_dir):
     n = pv.agg(
         F.sum("c1").cast("long").alias("n1"), F.sum("c2").cast("long").alias("n2")
     )
-    # two-phase INCLUSIVE cumsums of c1 and c2 along the value spine
-    part = pv.repartitionByRange(32, F.col("value")).withColumn(
-        "_pid", F.spark_partition_id()
+    # two-phase INCLUSIVE cumsums of c1 and c2 along the value spine;
+    # bucketization materialized once before the local/bases branches
+    # (range-boundary consistency — see assign_offsets in ingest.py)
+    part = (
+        pv.repartitionByRange(32, F.col("value"))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     w = (
         Window.partitionBy("_pid")
@@ -974,4 +978,115 @@ def stats_mannwhitney_u(spark, sf_dir):
                 F.lit(2) * F.col("n1") * F.col("n2"),
             ).alias("cles_bp"),
         )
+    )
+
+
+BOOT_B = 16  # bootstrap replicates
+
+
+@register(
+    "stats_bootstrap_mean_ci",
+    "analytics",
+    doc=f"Deterministic bootstrap CI for the daily-revenue mean: "
+    f"{BOOT_B} resamples drawn by md5(replicate:i) mod n (the "
+    "reproducible-hash convention replacing seeded RNG everywhere in "
+    "this repo), each replicate's mean an exact floor of cents, the "
+    "band from discrete percentiles over the replicate means — no "
+    "float tolerance anywhere. The day table is tiny (|days| rows), "
+    "so the resample join is a broadcast; at 100 TB the bootstrap runs "
+    "on the pre-aggregated frame, never the raw fact.",
+    oracle=f"""
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS d,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) * 100 AS BIGINT) AS cents
+    FROM orders GROUP BY 1
+),
+idx AS (
+    SELECT d, cents, ROW_NUMBER() OVER (ORDER BY d) - 1 AS i,
+           COUNT(*) OVER () AS n
+    FROM daily
+),
+draws AS (
+    SELECT b.b, s.i AS draw_pos,
+           ('0x' || SUBSTR(MD5(CAST(b.b AS VARCHAR) || ':' || CAST(s.i AS VARCHAR)), 1, 8))::BIGINT
+             % (SELECT MAX(n) FROM idx) AS pick
+    FROM (SELECT UNNEST(GENERATE_SERIES(0, {BOOT_B - 1})) AS b) b,
+         (SELECT i FROM idx) s
+),
+reps AS (
+    SELECT d2.b, CAST(SUM(i2.cents) // COUNT(*) AS BIGINT) AS mean_cents
+    FROM draws d2 JOIN idx i2 ON i2.i = d2.pick
+    GROUP BY d2.b
+)
+SELECT CAST((SELECT MAX(n) FROM idx) AS BIGINT) AS n_days,
+       CAST({BOOT_B} AS BIGINT) AS n_replicates,
+       CAST(MIN(mean_cents) AS BIGINT) AS mean_min_cents,
+       CAST(PERCENTILE_DISC(0.1) WITHIN GROUP (ORDER BY mean_cents) AS BIGINT)
+           AS mean_p10_cents,
+       CAST(PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY mean_cents) AS BIGINT)
+           AS mean_p50_cents,
+       CAST(PERCENTILE_DISC(0.9) WITHIN GROUP (ORDER BY mean_cents) AS BIGINT)
+           AS mean_p90_cents,
+       CAST(MAX(mean_cents) AS BIGINT) AS mean_max_cents
+FROM reps
+""",
+)
+def stats_bootstrap_mean_ci(spark, sf_dir):
+    from cascade_spark.operators._util import _intdiv
+    from cascade_spark.operators.ingest import assign_offsets
+
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        (F.sum(dec("o_totalprice")) * 100).cast("long").alias("cents")
+    )
+    idx = assign_offsets(daily, ["d"]).select(
+        "cents", F.col("offset").alias("i")
+    )
+    n = idx.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    b = daily.sparkSession.range(BOOT_B).select(F.col("id").cast("long").alias("b"))
+    positions = idx.select("i")
+    draws = (
+        b.crossJoin(positions)
+        .crossJoin(F.broadcast(n))
+        .select(
+            "b",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("b").cast("string"),
+                                F.lit(":"),
+                                F.col("i").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % F.col("n")
+            ).alias("pick"),
+        )
+    )
+    reps = (
+        draws.join(F.broadcast(idx.select(F.col("i").alias("pick"), "cents")), "pick")
+        .groupBy("b")
+        .agg(_intdiv(F.sum("cents"), F.count(F.lit(1))).alias("mean_cents"))
+    )
+    return reps.crossJoin(F.broadcast(n)).agg(
+        F.first("n").alias("n_days"),
+        F.max(F.lit(BOOT_B)).cast("long").alias("n_replicates"),
+        F.min("mean_cents").alias("mean_min_cents"),
+        F.expr("percentile_disc(0.1) WITHIN GROUP (ORDER BY mean_cents)")
+        .cast("long")
+        .alias("mean_p10_cents"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY mean_cents)")
+        .cast("long")
+        .alias("mean_p50_cents"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY mean_cents)")
+        .cast("long")
+        .alias("mean_p90_cents"),
+        F.max("mean_cents").alias("mean_max_cents"),
     )

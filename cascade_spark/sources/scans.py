@@ -373,3 +373,58 @@ def scan_nested_struct_roundtrip(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "scan_recursive_file_lookup",
+    "sources",
+    doc="Recursive directory ingestion: customer rows sharded into a "
+    "nested region=<k>/batch=<j>/ tree (non-Hive layout — directory "
+    "names are NOT partition columns), read back in one scan with "
+    "recursiveFileLookup=true + pathGlobFilter='*.parquet' (a stray "
+    ".tmp file in the tree proves the glob filter skips non-data "
+    "files). The data-lake ingest shape for arbitrarily nested vendor "
+    "drops; the scan parallelizes across every leaf file.",
+    oracle="""
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,4))), 2) AS DOUBLE)
+           AS total_balance
+FROM customer
+GROUP BY c_nationkey
+ORDER BY nationkey
+""",
+)
+def scan_recursive_file_lookup(spark, sf_dir):
+    import os
+
+    c = t(spark, sf_dir, "customer")
+    root = tempfile.mkdtemp(prefix="cascade_rfl_") + "/tree"
+    # nested, non-Hive layout: region=<mod3>/batch=<mod2>
+    for r in range(3):
+        for bch in range(2):
+            part = c.filter(
+                (F.col("c_custkey") % 3 == r)
+                & (F.expr("c_custkey DIV 3") % 2 == bch)
+            )
+            part.write.mode("overwrite").parquet(f"{root}/r{r}/b{bch}")
+    # a non-parquet stray the glob filter must skip
+    os.makedirs(f"{root}/r0", exist_ok=True)
+    with open(f"{root}/r0/note.tmp", "w") as fh:
+        fh.write("not data")
+    back = (
+        spark.read.schema(c.schema)
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(root)
+    )
+    return (
+        back.groupBy(F.col("c_nationkey").cast("long").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(12,4)")), 2)
+            .cast("double")
+            .alias("total_balance"),
+        )
+        .orderBy("nationkey")
+    )

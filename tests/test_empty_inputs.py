@@ -83,6 +83,9 @@ QUERIES = [
     "multimodal_phash_dedup", "text_prefix_boilerplate",
     "stats_mannwhitney_u", "similarity_semantic_dedup",
     "window_distribution_functions", "events_funnel_conversion_window",
+    "pipeline_contamination_split_report", "events_cohort_ltv",
+    "stats_bootstrap_mean_ci", "scan_recursive_file_lookup",
+    "fn_aggregate_struct_accumulator", "multimodal_video_scene_cut",
 ]
 
 
