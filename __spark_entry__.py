@@ -54,6 +54,7 @@ _NEW_THIS_ROUND: list[str] = [
     "scan_recursive_file_lookup",
     "fn_aggregate_struct_accumulator",
     "multimodal_video_scene_cut",
+    "join_asof_nearest",
     # -- (2) changed this round --
     "join_interval_overlap",
     "profile_overlap_buckets",

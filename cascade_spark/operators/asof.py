@@ -216,3 +216,119 @@ def join_asof_tolerance(spark, sf_dir):
         age.cast("long").alias("age_days"),
         F.when(age <= ASOF_TOL_DAYS, F.col("p")).alias("price_within_tol"),
     ).orderBy("event_id")
+
+
+@register(
+    "join_asof_nearest",
+    "joins",
+    doc="Nearest as-of join (merge_asof direction='nearest', completing "
+    "the backward/forward/tolerance/nearest matrix): each event takes "
+    "the order whose date is CLOSEST in time, ties broken toward the "
+    "backward (earlier) match — the declared rule, applied identically "
+    "in the oracle. Composition: the backward and forward union+window "
+    "passes each carry (matched value, matched ts), then one projection "
+    "compares exact epoch-us gaps. Both passes shuffle on the same "
+    "entity key, so at scale this is two windows over one co-partitioned "
+    "layout, no extra join.",
+    oracle="""
+WITH o AS (
+    SELECT o_custkey, o_orderdate, MAX(o_totalprice) AS price
+    FROM orders GROUP BY o_custkey, o_orderdate
+),
+b AS (
+    SELECT e.event_id, e.user_id, e.ts, o.price AS bprice, o.o_orderdate AS bts
+    FROM events e ASOF LEFT JOIN o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+),
+f AS (
+    SELECT e.event_id, o.price AS fprice, o.o_orderdate AS fts
+    FROM events e ASOF LEFT JOIN o
+      ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+)
+SELECT b.event_id, b.user_id,
+       CASE WHEN b.bts IS NULL THEN f.fprice
+            WHEN f.fts IS NULL THEN b.bprice
+            WHEN EPOCH_US(b.ts) - EPOCH_US(b.bts)
+                 <= EPOCH_US(f.fts) - EPOCH_US(b.ts) THEN b.bprice
+            ELSE f.fprice END AS nearest_price,
+       CASE WHEN b.bts IS NULL AND f.fts IS NULL THEN NULL
+            WHEN b.bts IS NULL THEN 'forward'
+            WHEN f.fts IS NULL THEN 'backward'
+            WHEN EPOCH_US(b.ts) - EPOCH_US(b.bts)
+                 <= EPOCH_US(f.fts) - EPOCH_US(b.ts) THEN 'backward'
+            ELSE 'forward' END AS direction,
+       CASE WHEN b.bts IS NULL AND f.fts IS NULL THEN NULL
+            WHEN b.bts IS NULL THEN EPOCH_US(f.fts) - EPOCH_US(b.ts)
+            WHEN f.fts IS NULL THEN EPOCH_US(b.ts) - EPOCH_US(b.bts)
+            ELSE LEAST(EPOCH_US(b.ts) - EPOCH_US(b.bts),
+                       EPOCH_US(f.fts) - EPOCH_US(b.ts)) END AS gap_us
+FROM b JOIN f ON b.event_id = f.event_id
+ORDER BY b.event_id
+""",
+)
+def join_asof_nearest(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_totalprice").alias("price"))
+    )
+
+    def _pass(desc: bool, prefix: str):
+        p = ev.select(
+            F.col("user_id").alias("_k"),
+            F.col("ts").cast("timestamp").alias("_ts"),
+            F.lit(1).alias("_kind"),
+            F.lit(None).cast("double").alias(f"{prefix}price"),
+            F.lit(None).cast("timestamp").alias(f"{prefix}ts"),
+            "event_id",
+            "user_id",
+            "ts",
+        )
+        s = orders.select(
+            F.col("o_custkey").alias("_k"),
+            F.col("o_orderdate").cast("timestamp").alias("_ts"),
+            F.lit(0).alias("_kind"),
+            F.col("price").alias(f"{prefix}price"),
+            F.col("o_orderdate").cast("timestamp").alias(f"{prefix}ts"),
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(None).cast("long").alias("user_id"),
+            F.lit(None).cast("timestamp").alias("ts"),
+        )
+        u = p.unionByName(s)
+        order = [F.col("_ts").desc(), "_kind"] if desc else [F.col("_ts").asc(), "_kind"]
+        w = (
+            Window.partitionBy("_k")
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        for c in (f"{prefix}price", f"{prefix}ts"):
+            u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
+        return u.filter(F.col("_kind") == 1).select(
+            "event_id", "user_id", "ts", f"{prefix}price", f"{prefix}ts"
+        )
+
+    b = _pass(desc=False, prefix="b")
+    f = _pass(desc=True, prefix="f").select("event_id", "fprice", "fts")
+    j = b.join(f, "event_id")
+    bgap = F.unix_micros("ts") - F.unix_micros("bts")
+    fgap = F.unix_micros("fts") - F.unix_micros("ts")
+    back_wins = F.col("bts").isNotNull() & (
+        F.col("fts").isNull() | (bgap <= fgap)
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.when(back_wins, F.col("bprice"))
+        .otherwise(F.col("fprice"))
+        .alias("nearest_price"),
+        F.when(F.col("bts").isNull() & F.col("fts").isNull(), F.lit(None))
+        .when(back_wins, F.lit("backward"))
+        .otherwise(F.lit("forward"))
+        .alias("direction"),
+        F.when(F.col("bts").isNull() & F.col("fts").isNull(), F.lit(None))
+        .when(back_wins, bgap)
+        .otherwise(fgap)
+        .cast("long")
+        .alias("gap_us"),
+    ).orderBy("event_id")

@@ -48,29 +48,41 @@ _ITERS = 3
 MAX_DEGREE = 1024
 
 
+_COEDGE_CACHE: dict = {}
+
+
 def _coactivity_edges(spark, sf_dir):
     """Co-activity edges (>=2 session overlaps) with hub nodes above
     MAX_DEGREE excluded — the degree-capped subgraph every two-hop join
-    runs on. Derives from the shared persisted overlap-pair frame."""
+    runs on. Derives from the shared persisted overlap-pair frame and is
+    itself persisted per (app, sf_dir): the adjacency unions and
+    self-joins downstream reference the edge frame up to ~6 times, and
+    without the persist each reference re-runs the groupBy + degree +
+    hub anti-join chain (measured 2x on graph_link_prediction at
+    sf0.1). Edge lists are pair-frame-sized — tiny next to events."""
+    from cascade_spark.operators.dedup import _cached_frame
     from cascade_spark.operators.interval import _overlap_pairs
 
-    pairs = _overlap_pairs(spark, sf_dir)
-    e0 = (
-        pairs.groupBy(F.col("user_a").alias("ua"), F.col("user_b").alias("ub"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= 2)
-        .select("ua", "ub")
-    )
-    deg0 = (
-        e0.select(F.col("ua").alias("u"))
-        .unionByName(e0.select(F.col("ub").alias("u")))
-        .groupBy("u")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-    hubs = deg0.filter(F.col("d") > MAX_DEGREE).select("u")
-    return e0.join(hubs, e0["ua"] == hubs["u"], "left_anti").join(
-        hubs, e0["ub"] == hubs["u"], "left_anti"
-    )
+    def build():
+        pairs = _overlap_pairs(spark, sf_dir)
+        e0 = (
+            pairs.groupBy(F.col("user_a").alias("ua"), F.col("user_b").alias("ub"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") >= 2)
+            .select("ua", "ub")
+        )
+        deg0 = (
+            e0.select(F.col("ua").alias("u"))
+            .unionByName(e0.select(F.col("ub").alias("u")))
+            .groupBy("u")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        hubs = deg0.filter(F.col("d") > MAX_DEGREE).select("u")
+        return e0.join(hubs, e0["ua"] == hubs["u"], "left_anti").join(
+            hubs, e0["ub"] == hubs["u"], "left_anti"
+        )
+
+    return _cached_frame(_COEDGE_CACHE, spark, sf_dir, build)
 
 
 def _sql_coactivity_edges():

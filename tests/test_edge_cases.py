@@ -329,6 +329,7 @@ def test_cached_frame_evicts_dead_session_entries(spark, sf_dir):
         "dedup._SHINGLE_CACHE": dedup._SHINGLE_CACHE,
         "interval._PAIR_CACHE": interval._PAIR_CACHE,
         "graph._EDGE_CACHE": graph._EDGE_CACHE,
+        "graph._COEDGE_CACHE": graph._COEDGE_CACHE,
         "tpch_full._Q11_VAL_CACHE": tpch_full._Q11_VAL_CACHE,
     }
     caches = {k: v for k, v in caches.items() if v is not None}

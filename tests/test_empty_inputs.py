@@ -86,6 +86,7 @@ QUERIES = [
     "pipeline_contamination_split_report", "events_cohort_ltv",
     "stats_bootstrap_mean_ci", "scan_recursive_file_lookup",
     "fn_aggregate_struct_accumulator", "multimodal_video_scene_cut",
+    "join_asof_nearest",
 ]
 
 
