@@ -55,6 +55,8 @@ _NEW_THIS_ROUND: list[str] = [
     "fn_aggregate_struct_accumulator",
     "multimodal_video_scene_cut",
     "join_asof_nearest",
+    "dedup_minhash_band_tuning",
+    "dedup_lsh_recall_audit",
     # -- (2) changed this round --
     "join_interval_overlap",
     "profile_overlap_buckets",

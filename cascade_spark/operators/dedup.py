@@ -1067,3 +1067,222 @@ def dedup_corpus_report(spark, sf_dir):
         [(m, int(v) if v is not None else None) for m, v in vals],
         "metric string, n long",
     ).orderBy("metric")
+
+
+# LSH band/row configurations for the tuning table: all factorizations
+# of the 16-hash signature with >= 2 rows per band.
+_BAND_CONFIGS = [(2, 8), (4, 4), (8, 2)]
+
+
+def _sql_band_config(bands: int, rows: int) -> str:
+    """Candidate/kept counts for one (bands, rows) factorization of the
+    shared 16-hash signature — mirrors the Spark banding exactly."""
+    band_hash = " || ',' || ".join(
+        "CASE band "
+        + " ".join(
+            f"WHEN {b} THEN CAST(h{b * rows + r} AS VARCHAR)" for b in range(bands)
+        )
+        + " END"
+        for r in range(rows)
+    )
+    return f"""
+    SELECT 'bands={bands},rows={rows}' AS config,
+           CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(COALESCE(SUM(CASE WHEN matches * 2 >= {N_HASHES}
+                              THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_kept,
+           CAST(COALESCE((10000 * SUM(CASE WHEN matches * 2 >= {N_HASHES}
+                                           THEN 1 ELSE 0 END))
+                         // NULLIF(COUNT(*), 0), 0) AS BIGINT) AS precision_bp
+    FROM (
+        SELECT c.d1, c.d2,
+               ({" + ".join(
+                   f"CASE WHEN x.h{k} = y.h{k} THEN 1 ELSE 0 END"
+                   for k in range(N_HASHES)
+               )}) AS matches
+        FROM (
+            SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+            FROM (SELECT doc_id, band, MD5({band_hash}) AS bh
+                  FROM sig CROSS JOIN
+                       (SELECT UNNEST(GENERATE_SERIES(0, {bands - 1})) AS band)) a
+            JOIN (SELECT doc_id, band, MD5({band_hash}) AS bh
+                  FROM sig CROSS JOIN
+                       (SELECT UNNEST(GENERATE_SERIES(0, {bands - 1})) AS band)) b
+              ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+        ) c
+        JOIN sig x ON x.doc_id = c.d1
+        JOIN sig y ON y.doc_id = c.d2
+    )"""
+
+
+@register(
+    "dedup_minhash_band_tuning",
+    "dedup",
+    doc="LSH S-curve tuning table: the SAME persisted 16-hash signature "
+    "index banded three ways (2x8 / 4x4 / 8x2), reporting candidate "
+    "volume, kept pairs (est J >= 0.5 — banding-independent), and "
+    "precision in floor bp per configuration — the measurement every "
+    "LSH deployment runs before picking its bands (more bands = higher "
+    "recall, more candidates). Signatures are computed once (shared "
+    "cache); each config adds only a band-key self-join over them — at "
+    "100 TB this is the cheap way to A/B blocking configs without "
+    "re-sketching the corpus.",
+    oracle=f"""
+WITH sig AS MATERIALIZED ({_SQL_SIGNATURES})
+{" UNION ALL ".join(_sql_band_config(b, r) for b, r in _BAND_CONFIGS)}
+ORDER BY config
+""",
+)
+def dedup_minhash_band_tuning(spark, sf_dir):
+    from cascade_spark.operators._util import _intdiv
+
+    sig = _signatures(spark, sf_dir)
+    outs = []
+    for bands, rows in _BAND_CONFIGS:
+        ks = sig.sparkSession.range(bands).select(F.col("id").cast("int").alias("band"))
+        banded = sig.crossJoin(F.broadcast(ks)).select(
+            "doc_id",
+            "band",
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.coalesce(
+                            *[
+                                F.when(
+                                    F.col("band") == b,
+                                    F.col(f"h{b * rows + r}").cast("string"),
+                                )
+                                for b in range(bands)
+                            ]
+                        )
+                        for r in range(rows)
+                    ],
+                )
+            ).alias("bh"),
+        )
+        a, b_ = banded.alias("a"), banded.alias("b")
+        cand = (
+            a.join(
+                b_,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bh") == F.col("b.bh"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+            .distinct()
+        )
+        x = sig.select(F.col("doc_id").alias("d1"), *[F.col(f"h{k}").alias(f"x{k}") for k in range(N_HASHES)])
+        y = sig.select(F.col("doc_id").alias("d2"), *[F.col(f"h{k}").alias(f"y{k}") for k in range(N_HASHES)])
+        matches = sum(
+            F.when(F.col(f"x{k}") == F.col(f"y{k}"), 1).otherwise(0)
+            for k in range(N_HASHES)
+        )
+        scored = cand.join(x, "d1").join(y, "d2").select(matches.alias("matches"))
+        outs.append(
+            scored.agg(
+                F.max(F.lit(f"bands={bands},rows={rows}")).alias("config"),
+                F.count(F.lit(1)).cast("long").alias("n_candidates"),
+                F.coalesce(
+                    F.sum(F.when(F.col("matches") * 2 >= N_HASHES, 1).otherwise(0)),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias("n_kept"),
+            ).select(
+                F.coalesce(F.col("config"), F.lit(f"bands={bands},rows={rows}")).alias("config"),
+                "n_candidates",
+                "n_kept",
+                F.when(
+                    F.col("n_candidates") > 0,
+                    _intdiv(F.lit(10000) * F.col("n_kept"), F.col("n_candidates")),
+                )
+                .otherwise(F.lit(0))
+                .cast("long")
+                .alias("precision_bp"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("config")
+
+
+@register(
+    "dedup_lsh_recall_audit",
+    "dedup",
+    doc="LSH recall audit — the honest complement of "
+    "dedup_minhash_error_audit: ground-truth near-dup pairs (true "
+    "Jaccard >= 0.5 over the DF-capped shingle index, exact integer "
+    "test inter*2 >= union) compared against what the banded LSH "
+    "surfaced, reporting found/missed counts and recall in floor bp. "
+    "Both inputs read shared persisted indices (shingles, LSH pairs) — "
+    "the audit adds one candidate-bounded join, no re-sketching. This "
+    "is the calibration number that justifies trusting the bands at "
+    "100 TB, where the brute-force ground truth can only be sampled.",
+    oracle=f"""
+WITH sh AS ({_SQL_SHINGLES}),
+common AS (SELECT s FROM sh GROUP BY s
+           HAVING COUNT(*) > (SELECT COUNT(*) FROM documents) * {SHINGLE_DF_FRAC}),
+sh2 AS (SELECT * FROM sh WHERE s NOT IN (SELECT s FROM common)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh2 GROUP BY doc_id),
+exact AS (
+    SELECT p.d1, p.d2
+    FROM (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+        FROM sh2 a JOIN sh2 b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ) p
+    JOIN sizes sa ON sa.doc_id = p.d1
+    JOIN sizes sb ON sb.doc_id = p.d2
+    WHERE p.inter * 2 >= (sa.n + sb.n - p.inter)
+),
+{_SQL_PAIR_CTES},
+lsh AS (SELECT d1, d2 FROM sim WHERE matches * 2 >= {N_HASHES})
+SELECT CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_true_pairs,
+       CAST((SELECT COUNT(*) FROM lsh) AS BIGINT) AS n_lsh_candidates,
+       CAST((SELECT COUNT(*) FROM exact e JOIN lsh l
+             ON e.d1 = l.d1 AND e.d2 = l.d2) AS BIGINT) AS n_found,
+       CAST(COALESCE((10000 * (SELECT COUNT(*) FROM exact e JOIN lsh l
+                               ON e.d1 = l.d1 AND e.d2 = l.d2))
+                     // NULLIF((SELECT COUNT(*) FROM exact), 0), 0) AS BIGINT)
+           AS recall_bp
+""",
+)
+def dedup_lsh_recall_audit(spark, sf_dir):
+    from cascade_spark.operators._util import _intdiv
+
+    sh2 = _capped_shingle_index(spark, sf_dir)
+    sizes = sh2.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh2.alias("a"), sh2.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    exact = (
+        inter.join(sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("na")), "d1")
+        .join(sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("nb")), "d2")
+        .filter(F.col("inter") * 2 >= F.col("na") + F.col("nb") - F.col("inter"))
+        .select("d1", "d2")
+    )
+    lsh = _lsh_pairs(spark, sf_dir).select("d1", "d2")
+    found = exact.join(lsh, ["d1", "d2"], "left_semi")
+    n_true = exact.agg(F.count(F.lit(1)).cast("long").alias("n_true_pairs"))
+    n_lsh = lsh.agg(F.count(F.lit(1)).cast("long").alias("n_lsh_candidates"))
+    n_found = found.agg(F.count(F.lit(1)).cast("long").alias("n_found"))
+    return (
+        n_true.crossJoin(F.broadcast(n_lsh))
+        .crossJoin(F.broadcast(n_found))
+        .select(
+            "n_true_pairs",
+            "n_lsh_candidates",
+            "n_found",
+            F.when(
+                F.col("n_true_pairs") > 0,
+                _intdiv(F.lit(10000) * F.col("n_found"), F.col("n_true_pairs")),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("recall_bp"),
+        )
+    )

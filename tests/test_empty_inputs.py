@@ -86,7 +86,8 @@ QUERIES = [
     "pipeline_contamination_split_report", "events_cohort_ltv",
     "stats_bootstrap_mean_ci", "scan_recursive_file_lookup",
     "fn_aggregate_struct_accumulator", "multimodal_video_scene_cut",
-    "join_asof_nearest",
+    "join_asof_nearest", "dedup_minhash_band_tuning",
+    "dedup_lsh_recall_audit",
 ]
 
 
@@ -113,6 +114,8 @@ def test_query_survives_empty_tables(spark, empty_sf_dir, name):
         "dedup_corpus_report": 5,
         # fixed-round peel: one row per round even on an empty graph
         "graph_kcore": 3,
+        # fixed-shape tuning table: one row per band configuration
+        "dedup_minhash_band_tuning": 3,
     }
     assert len(rows) <= fixed_shape.get(name, 1), (name, rows[:3])
 
