@@ -57,6 +57,7 @@ _NEW_THIS_ROUND: list[str] = [
     "join_asof_nearest",
     "dedup_minhash_band_tuning",
     "dedup_lsh_recall_audit",
+    "pipeline_dataset_card",
     # -- (2) changed this round --
     "join_interval_overlap",
     "profile_overlap_buckets",

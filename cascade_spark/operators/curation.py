@@ -14,6 +14,8 @@ from pyspark.sql import Window, functions as F
 from cascade_spark.plans.registry import register
 from cascade_spark.operators._util import sql_avg_round, t, widen
 from cascade_spark.operators.text import LANG_MARKERS, _sql_hits
+from cascade_spark.operators.decontam import BENCH_MOD
+from cascade_spark.operators.dedup import _SQL_SHINGLES
 
 _QUALITY_SQL = """
     LENGTH(REGEXP_REPLACE(text, '[^a-z]', '', 'g')) * 10 >= LENGTH(text) * 7
@@ -720,3 +722,116 @@ def pipeline_epoch_shuffle(spark, sf_dir):
         .select("epoch", "ordinal", "doc_id")
         .orderBy("epoch", "ordinal")
     )
+
+
+@register(
+    "pipeline_dataset_card",
+    "analytics",
+    doc="Dataset release card — the one-frame summary a corpus ships "
+    "with: volume (docs/chars/whitespace tokens), provenance breadth "
+    "(sources, languages), hygiene (exact-duplicate docs, benchmark-"
+    "contaminated docs at the >=20% 3-gram-overlap rule), and the "
+    "deterministic split sizes. Every number is an exact integer from "
+    "one of the established single-pass aggregates; the whole card is "
+    "a union of scalar frames (metric, n) like dedup_corpus_report. "
+    "At 100 TB: two corpus passes total (one plain projection pass, "
+    "one shingle pass for contamination), everything else is "
+    "aggregate-sized.",
+    oracle=f"""
+WITH base AS (
+    SELECT doc_id, text, source, lang, n_chars,
+           MD5(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g')))) AS fp,
+           ('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+               AS bucket,
+           LEN(STRING_SPLIT(text, ' ')) AS n_tokens
+    FROM documents
+),
+sh AS ({{shingles}}),
+bench AS (
+    SELECT doc_id FROM documents
+    WHERE ('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+          % {{bench_mod}} = 0
+),
+bn AS (SELECT DISTINCT s FROM sh WHERE doc_id IN (SELECT doc_id FROM bench)),
+contam AS (
+    SELECT sh.doc_id
+    FROM sh LEFT JOIN bn ON sh.s = bn.s
+    WHERE sh.doc_id NOT IN (SELECT doc_id FROM bench)
+    GROUP BY sh.doc_id
+    HAVING COUNT(bn.s) * 5 >= COUNT(*)
+)
+SELECT metric, CAST(n AS BIGINT) AS n FROM (
+    SELECT 'docs_total' AS metric, (SELECT COUNT(*) FROM base) AS n
+    UNION ALL SELECT 'chars_total', (SELECT SUM(n_chars) FROM base)
+    UNION ALL SELECT 'ws_tokens_total', (SELECT SUM(n_tokens) FROM base)
+    UNION ALL SELECT 'sources', (SELECT COUNT(DISTINCT source) FROM base)
+    UNION ALL SELECT 'languages', (SELECT COUNT(DISTINCT lang) FROM base)
+    UNION ALL SELECT 'exact_dup_docs',
+        (SELECT COUNT(*) - COUNT(DISTINCT fp) FROM base)
+    UNION ALL SELECT 'contaminated_docs', (SELECT COUNT(*) FROM contam)
+    UNION ALL SELECT 'split_train',
+        (SELECT COUNT(*) FROM base WHERE bucket < 80)
+    UNION ALL SELECT 'split_val',
+        (SELECT COUNT(*) FROM base WHERE bucket >= 80 AND bucket < 90)
+    UNION ALL SELECT 'split_test',
+        (SELECT COUNT(*) FROM base WHERE bucket >= 90)
+)
+ORDER BY metric
+""".format(shingles=_SQL_SHINGLES, bench_mod=BENCH_MOD),
+)
+def pipeline_dataset_card(spark, sf_dir):
+    from cascade_spark.operators.decontam import BENCH_MOD, _bench_flag
+    from cascade_spark.operators.dedup import _shingles
+
+    d = t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    base = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))).alias("fp"),
+        bucket.alias("bucket"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    core = base.agg(
+        F.count(F.lit(1)).alias("docs_total"),
+        F.sum("n_chars").alias("chars_total"),
+        F.sum("n_tokens").alias("ws_tokens_total"),
+        F.countDistinct("source").alias("sources"),
+        F.countDistinct("lang").alias("languages"),
+        (F.count(F.lit(1)) - F.countDistinct("fp")).alias("exact_dup_docs"),
+        F.sum(F.when(F.col("bucket") < 80, 1).otherwise(0)).alias("split_train"),
+        F.sum(
+            F.when((F.col("bucket") >= 80) & (F.col("bucket") < 90), 1).otherwise(0)
+        ).alias("split_val"),
+        F.sum(F.when(F.col("bucket") >= 90, 1).otherwise(0)).alias("split_test"),
+    )
+    sh = _shingles(d)
+    bench_ids = d.filter(_bench_flag()).select("doc_id")
+    bn = (
+        sh.join(bench_ids, "doc_id", "left_semi").select("s").distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    contam = (
+        sh.join(bench_ids, "doc_id", "left_anti")
+        .join(F.broadcast(bn), "s", "left")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_sh"), F.count("_hit").alias("n_shared"))
+        .filter(F.col("n_shared") * 5 >= F.col("n_sh"))
+        .agg(F.count(F.lit(1)).alias("contaminated_docs"))
+    )
+    row = core.crossJoin(F.broadcast(contam)).collect()[0]
+    metrics = [
+        "chars_total", "contaminated_docs", "docs_total", "exact_dup_docs",
+        "languages", "sources", "split_test", "split_train", "split_val",
+        "ws_tokens_total",
+    ]
+    return spark.createDataFrame(
+        [(m, int(row[m]) if row[m] is not None else None) for m in metrics],
+        "metric string, n long",
+    ).orderBy("metric")

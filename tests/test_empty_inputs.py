@@ -87,7 +87,7 @@ QUERIES = [
     "stats_bootstrap_mean_ci", "scan_recursive_file_lookup",
     "fn_aggregate_struct_accumulator", "multimodal_video_scene_cut",
     "join_asof_nearest", "dedup_minhash_band_tuning",
-    "dedup_lsh_recall_audit",
+    "dedup_lsh_recall_audit", "pipeline_dataset_card",
 ]
 
 
@@ -116,6 +116,8 @@ def test_query_survives_empty_tables(spark, empty_sf_dir, name):
         "graph_kcore": 3,
         # fixed-shape tuning table: one row per band configuration
         "dedup_minhash_band_tuning": 3,
+        # fixed-shape release card: one row per declared metric
+        "pipeline_dataset_card": 10,
     }
     assert len(rows) <= fixed_shape.get(name, 1), (name, rows[:3])
 
