@@ -383,10 +383,167 @@ def fn_aggregate_struct_accumulator(spark, sf_dir):
         e.select("vec_id", folded.alias("st"))
         .select(
             "vec_id",
-            F.col("st.s").alias("q_sum"),
+            # SUM over an empty UNNEST is NULL in SQL; the fold zero is 0,
+            # so gate on n (same empty-aggregate class as dedup_corpus_report)
+            F.when(F.col("st.n") > 0, F.col("st.s")).alias("q_sum"),
             F.col("st.mn").alias("q_min"),
             F.col("st.mx").alias("q_max"),
             F.col("st.n").alias("dim"),
         )
         .orderBy("vec_id")
     )
+
+
+# --- round-6 additions: regexp-extract-all, array set ops, outer explode,
+# --- safe array access -------------------------------------------------------
+
+
+@register(
+    "fn_regexp_extract_all",
+    "functions",
+    doc="regexp_extract_all over document text: every >=4-letter word is "
+    "pulled by one JVM regex pass per row (no explode of the raw split), "
+    "then per-doc match count, distinct count, and the lexicographic "
+    "first/last match. The scale shape of tokenizer-adjacent scans: one "
+    "map-only regex stage, aggregation only over the tiny per-doc result "
+    "arrays via array_* functions — no shuffle before the final sort.",
+    oracle="""
+SELECT doc_id,
+       CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-z]{4,}')) AS BIGINT) AS n_matches,
+       CAST(LEN(LIST_DISTINCT(REGEXP_EXTRACT_ALL(text, '[a-z]{4,}'))) AS BIGINT)
+           AS n_distinct,
+       LIST_MIN(REGEXP_EXTRACT_ALL(text, '[a-z]{4,}')) AS first_match,
+       LIST_MAX(REGEXP_EXTRACT_ALL(text, '[a-z]{4,}')) AS last_match
+FROM documents
+ORDER BY doc_id
+""",
+)
+def fn_regexp_extract_all(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    matches = F.regexp_extract_all(F.col("text"), F.lit("[a-z]{4,}"), 0)
+    return d.select(
+        "doc_id",
+        F.size(matches).cast("long").alias("n_matches"),
+        F.size(F.array_distinct(matches)).cast("long").alias("n_distinct"),
+        F.array_min(matches).alias("first_match"),
+        F.array_max(matches).alias("last_match"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "fn_array_set_operations",
+    "functions",
+    doc="Array set algebra between consecutive documents' token sets: "
+    "array_union / array_intersect / array_except sizes plus the sorted "
+    "intersection rendered as a string. The set ops run on the deduped "
+    "per-row arrays JVM-side — the pairwise-document shape (self-join on "
+    "doc_id+1) keeps exactly one shuffle, and the arrays never explode. "
+    "DuckDB mirrors with list_distinct/list_filter/list_contains.",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id, LIST_SORT(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS ts
+    FROM documents
+)
+SELECT a.doc_id,
+       CAST(LEN(LIST_DISTINCT(LIST_CONCAT(a.ts, b.ts))) AS BIGINT) AS n_union,
+       CAST(LEN(LIST_FILTER(a.ts, x -> LIST_CONTAINS(b.ts, x))) AS BIGINT)
+           AS n_intersect,
+       CAST(LEN(LIST_FILTER(a.ts, x -> NOT LIST_CONTAINS(b.ts, x))) AS BIGINT)
+           AS n_except,
+       ARRAY_TO_STRING(LIST_SORT(LIST_FILTER(a.ts, x -> LIST_CONTAINS(b.ts, x))), ',')
+           AS common_tokens
+FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1
+ORDER BY a.doc_id
+""",
+)
+def fn_array_set_operations(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.array_sort(F.array_distinct(F.split("text", " "))).alias("ts"),
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    j = a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+    inter = F.array_intersect(F.col("a.ts"), F.col("b.ts"))
+    return j.select(
+        F.col("a.doc_id").alias("doc_id"),
+        F.size(F.array_union(F.col("a.ts"), F.col("b.ts"))).cast("long").alias("n_union"),
+        F.size(inter).cast("long").alias("n_intersect"),
+        F.size(F.array_except(F.col("a.ts"), F.col("b.ts"))).cast("long").alias("n_except"),
+        F.array_join(F.array_sort(inter), ",").alias("common_tokens"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "fn_posexplode_outer",
+    "functions",
+    doc="posexplode_outer semantics: embeddings with vec_id % 97 == 0 are "
+    "nulled out, and the OUTER explode must still emit one (pos=NULL, "
+    "qval=NULL) row for them — the padding behavior plain explode drops "
+    "silently (the classic lost-row bug in feature-unnesting pipelines). "
+    "Bounded to vec_id < 200 so the exploded output stays presentation-"
+    "sized at every SF; the explode itself is map-only generate, no "
+    "shuffle before the final sort.",
+    oracle="""
+WITH base AS (
+    SELECT vec_id,
+           CASE WHEN vec_id % 97 = 0 THEN NULL ELSE embedding END AS emb
+    FROM embeddings WHERE vec_id < 200
+)
+SELECT vec_id, CAST(i AS BIGINT) AS pos,
+       CAST(FLOOR(CAST(emb[i + 1] AS DOUBLE) * 200) AS BIGINT) AS qval
+FROM base, UNNEST(GENERATE_SERIES(0, LEN(emb) - 1)) AS s(i)
+WHERE emb IS NOT NULL
+UNION ALL
+SELECT vec_id, NULL, NULL FROM base WHERE emb IS NULL
+ORDER BY vec_id, pos
+""",
+)
+def fn_posexplode_outer(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    base = e.select(
+        "vec_id",
+        F.when(F.col("vec_id") % 97 != 0, F.col("embedding")).alias("emb"),
+    )
+    return (
+        base.select("vec_id", F.posexplode_outer("emb").alias("pos", "x"))
+        .select(
+            "vec_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.floor(F.col("x").cast("double") * 200).cast("long").alias("qval"),
+        )
+        .orderBy("vec_id", "pos")
+    )
+
+
+@register(
+    "fn_array_safe_access",
+    "functions",
+    doc="Safe array access family: element_at with a negative index "
+    "(from-the-end), try_element_at past the end (NULL, no error), "
+    "get() with an out-of-range 0-based index (NULL), and slice() "
+    "clamped at the array tail — the bounds-safety contract feature "
+    "pipelines rely on when ragged arrays meet fixed extraction "
+    "positions. All per-row JVM expressions; DuckDB mirrors with its "
+    "NULL-on-out-of-range list indexing.",
+    oracle="""
+SELECT vec_id,
+       CAST(FLOOR(CAST(embedding[LEN(embedding)] AS DOUBLE) * 200) AS BIGINT)
+           AS last_q,
+       CAST(FLOOR(CAST(embedding[1000] AS DOUBLE) * 200) AS BIGINT) AS oob_q,
+       CAST(FLOOR(CAST(embedding[73] AS DOUBLE) * 200) AS BIGINT) AS get72_q,
+       CAST(LEN(embedding[61:1000]) AS BIGINT) AS tail_slice_len
+FROM embeddings
+ORDER BY vec_id
+""",
+)
+def fn_array_safe_access(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    q = lambda c: F.floor(c.cast("double") * 200).cast("long")  # noqa: E731
+    return e.select(
+        "vec_id",
+        q(F.element_at("embedding", -1)).alias("last_q"),
+        q(F.try_element_at("embedding", F.lit(1000))).alias("oob_q"),
+        q(F.get("embedding", 72)).alias("get72_q"),
+        F.size(F.slice("embedding", 61, 1000)).cast("long").alias("tail_slice_len"),
+    ).orderBy("vec_id")

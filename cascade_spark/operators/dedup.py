@@ -1213,8 +1213,11 @@ def dedup_minhash_band_tuning(spark, sf_dir):
     doc="LSH recall audit — the honest complement of "
     "dedup_minhash_error_audit: ground-truth near-dup pairs (true "
     "Jaccard >= 0.5 over the DF-capped shingle index, exact integer "
-    "test inter*2 >= union) compared against what the banded LSH "
-    "surfaced, reporting found/missed counts and recall in floor bp. "
+    "test inter*2 >= union) compared against the pairs the full LSH "
+    "pipeline KEPT (band-surfaced candidates whose signature estimate "
+    "passes matches*2 >= N_HASHES — so this is end-to-end pipeline "
+    "recall, banding + estimate threshold together, not band recall "
+    "alone), reporting found/kept counts and recall in floor bp. "
     "Both inputs read shared persisted indices (shingles, LSH pairs) — "
     "the audit adds one candidate-bounded join, no re-sketching. This "
     "is the calibration number that justifies trusting the bands at "
@@ -1239,7 +1242,7 @@ exact AS (
 {_SQL_PAIR_CTES},
 lsh AS (SELECT d1, d2 FROM sim WHERE matches * 2 >= {N_HASHES})
 SELECT CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_true_pairs,
-       CAST((SELECT COUNT(*) FROM lsh) AS BIGINT) AS n_lsh_candidates,
+       CAST((SELECT COUNT(*) FROM lsh) AS BIGINT) AS n_lsh_kept,
        CAST((SELECT COUNT(*) FROM exact e JOIN lsh l
              ON e.d1 = l.d1 AND e.d2 = l.d2) AS BIGINT) AS n_found,
        CAST(COALESCE((10000 * (SELECT COUNT(*) FROM exact e JOIN lsh l
@@ -1268,14 +1271,14 @@ def dedup_lsh_recall_audit(spark, sf_dir):
     lsh = _lsh_pairs(spark, sf_dir).select("d1", "d2")
     found = exact.join(lsh, ["d1", "d2"], "left_semi")
     n_true = exact.agg(F.count(F.lit(1)).cast("long").alias("n_true_pairs"))
-    n_lsh = lsh.agg(F.count(F.lit(1)).cast("long").alias("n_lsh_candidates"))
+    n_lsh = lsh.agg(F.count(F.lit(1)).cast("long").alias("n_lsh_kept"))
     n_found = found.agg(F.count(F.lit(1)).cast("long").alias("n_found"))
     return (
         n_true.crossJoin(F.broadcast(n_lsh))
         .crossJoin(F.broadcast(n_found))
         .select(
             "n_true_pairs",
-            "n_lsh_candidates",
+            "n_lsh_kept",
             "n_found",
             F.when(
                 F.col("n_true_pairs") > 0,

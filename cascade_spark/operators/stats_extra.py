@@ -813,8 +813,10 @@ def stats_gini_concentration(spark, sf_dir):
     "the max is first attained. The running counts use the two-phase "
     "prefix-sum pattern (range repartition + per-partition cumsums + "
     "tiny base aggregate) — no single-task global window over the "
-    "distinct-value spine. Products stay exact through int64 up to "
-    "~3e9 rows per side (fixture magnitudes are far below).",
+    "distinct-value spine. The |cum1*n2 - cum2*n1| products stay exact "
+    "through int64 up to ~3e9 rows per side; the bp conversion is "
+    "integral division in decimal(38,0) (HUGEINT on the oracle side), "
+    "so it never binds before the int64 product limit.",
     oracle="""
 WITH pv AS (
     SELECT value,
@@ -837,7 +839,8 @@ d AS (
 )
 SELECT (SELECT n1 FROM n) AS n_click,
        (SELECT n2 FROM n) AS n_purchase,
-       CAST((10000 * MAX(dn)) // ((SELECT n1 FROM n) * (SELECT n2 FROM n))
+       CAST((10000 * CAST(MAX(dn) AS HUGEINT))
+            // (CAST((SELECT n1 FROM n) AS HUGEINT) * (SELECT n2 FROM n))
             AS BIGINT) AS ks_d_bp,
        MIN(CASE WHEN dn = (SELECT MAX(dn) FROM d) THEN value END) AS ks_at_value
 FROM d
@@ -892,18 +895,26 @@ def stats_ks_two_sample(spark, sf_dir):
         F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")).alias("dn"),
     )
     maxd = d.agg(F.max("dn").alias("max_dn"))
-    return (
-        d.crossJoin(F.broadcast(maxd))
-        .agg(
-            F.first("n1").alias("n_click"),
-            F.first("n2").alias("n_purchase"),
-            _intdiv(
-                F.lit(10000) * F.first("max_dn"), F.first("n1") * F.first("n2")
-            ).alias("ks_d_bp"),
-            F.min(F.when(F.col("dn") == F.col("max_dn"), F.col("value"))).alias(
-                "ks_at_value"
-            ),
-        )
+    agg = d.crossJoin(F.broadcast(maxd)).agg(
+        F.first("n1").alias("n_click"),
+        F.first("n2").alias("n_purchase"),
+        F.first("max_dn").alias("max_dn"),
+        F.min(F.when(F.col("dn") == F.col("max_dn"), F.col("value"))).alias(
+            "ks_at_value"
+        ),
+    )
+    # decimal(38,0) IntegralDivide: 10000*max_dn exceeds double's 53-bit
+    # exact-integer range long before the int64 cum-product limit, so the
+    # bp step must not go through FP (or through a rounded decimal scale)
+    return agg.select(
+        "n_click",
+        "n_purchase",
+        F.expr(
+            "CAST((CAST(10000 AS DECIMAL(38,0)) * CAST(max_dn AS DECIMAL(38,0)))"
+            " DIV (CAST(n_click AS DECIMAL(38,0))"
+            " * CAST(n_purchase AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("ks_d_bp"),
+        "ks_at_value",
     )
 
 

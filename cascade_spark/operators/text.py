@@ -430,3 +430,162 @@ def text_oov_rate(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# --- round-6 additions -------------------------------------------------------
+
+
+@register(
+    "text_vocab_coverage_curve",
+    "text",
+    doc="Vocabulary coverage curve: what share of all corpus tokens the "
+    "top-k vocabulary covers, at k in (1, 3, 10, 100) — the tokenizer-"
+    "sizing question (how big a vocab before the tail stops paying). "
+    "Rank is (count DESC, token ASC) deterministic; coverage reported "
+    "in floor basis points from exact integer counts. Scale shape: one "
+    "explode+agg for counts, a LIMIT-k sort pushdown (TakeOrderedAndProject,"
+    " never a global sort), and the ranking window runs over the k<=100-"
+    "row candidate frame only, so no single-task stage ever sees data "
+    "proportional to the corpus.",
+    oracle="""
+WITH tok AS (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents),
+cnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY w),
+tot AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS vocab
+        FROM cnt),
+rk AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS r FROM cnt)
+SELECT CAST(ks.k AS BIGINT) AS k,
+       CAST(COALESCE(SUM(CASE WHEN rk.r <= ks.k THEN rk.c END), 0) AS BIGINT)
+           AS covered_tokens,
+       tot.total AS total_tokens,
+       tot.vocab AS vocab_size,
+       CAST(COALESCE((10000 * SUM(CASE WHEN rk.r <= ks.k THEN rk.c END))
+                     // NULLIF(tot.total, 0), 0) AS BIGINT) AS coverage_bp
+FROM (VALUES (1), (3), (10), (100)) ks(k)
+CROSS JOIN tot
+LEFT JOIN rk ON TRUE
+GROUP BY ks.k, tot.total, tot.vocab
+ORDER BY k
+""",
+)
+def text_vocab_coverage_curve(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from cascade_spark.operators._util import _intdiv
+
+    d = t(spark, sf_dir, "documents")
+    cnt = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    tot = cnt.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+    )
+    # candidate frame is <= 100 rows after the TakeOrdered pushdown, so the
+    # unpartitioned ranking window is a constant-size stage at any SF
+    top = cnt.orderBy(F.desc("c"), "w").limit(100)
+    rk = top.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.desc("c"), "w"))
+    )
+    ks = spark.createDataFrame([(1,), (3,), (10,), (100,)], "k long")
+    covered = (
+        ks.crossJoin(rk)
+        .groupBy("k")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("r") <= F.col("k"), F.col("c"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("covered_tokens")
+        )
+    )
+    # empty-corpus shape: ks LEFT JOIN keeps one row per k with covered=0
+    return (
+        ks.join(covered, "k", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "k",
+            F.coalesce("covered_tokens", F.lit(0)).cast("long").alias("covered_tokens"),
+            F.col("total").alias("total_tokens"),
+            F.col("vocab").alias("vocab_size"),
+            F.when(
+                F.col("total") > 0,
+                _intdiv(
+                    F.lit(10000) * F.coalesce("covered_tokens", F.lit(0)),
+                    F.col("total"),
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("coverage_bp"),
+        )
+        .orderBy("k")
+    )
+
+
+@register(
+    "text_tfidf_exact_topk",
+    "text",
+    doc="Exact-arithmetic TF-IDF top-3 terms per document — the hash-"
+    "checkable twin of text_tfidf_mllib (which is rows-only because "
+    "MLlib hashes features): idf is kept as the rational N/df and the "
+    "score reported as floor(10000 * tf * N / df) in exact integers, "
+    "rank deterministic by (score DESC, term ASC). Scale shape: "
+    "explode -> (doc, term) counts -> term df join on the term key "
+    "(AQE decides broadcast; the df side grows with corpus vocab so "
+    "it is never force-hinted), one per-doc ranking window.",
+    oracle="""
+WITH tok AS (
+    SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents
+),
+tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM tok GROUP BY doc_id, w),
+df AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.w AS term, tf.tf, df.df,
+           CAST((10000 * tf.tf * n.n) // df.df AS BIGINT) AS score_bp
+    FROM tf JOIN df ON df.w = tf.w, n
+),
+rk AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                 ORDER BY score_bp DESC, term) AS rank
+    FROM scored
+)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df, score_bp
+FROM rk WHERE rank <= 3
+ORDER BY doc_id, rank
+""",
+)
+def text_tfidf_exact_topk(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from cascade_spark.operators._util import _intdiv
+
+    d = t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    df = tf.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n = d.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    scored = (
+        tf.join(df, "w")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            F.col("w").alias("term"),
+            "tf",
+            "df",
+            _intdiv(F.lit(10000) * F.col("tf") * F.col("n"), F.col("df"))
+            .cast("long")
+            .alias("score_bp"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_bp"), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "rank", "term", "tf", "df", "score_bp")
+        .orderBy("doc_id", "rank")
+    )

@@ -1,0 +1,62 @@
+"""Round-6 operator semantics — property tests beyond the oracle gate."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from cascade_spark.plans.registry import load_all
+from cascade_spark.plans.compare import compare
+from cascade_spark.tables import load as tload
+
+
+def _write_all_empty_except(spark, sf_dir, out_dir, overrides):
+    """Fixture dir with every table empty except the supplied frames —
+    compare() builds DuckDB views for all tables, so all must exist as
+    SINGLE parquet files (the shape of the real testdata dirs)."""
+    import duckdb
+
+    os.makedirs(out_dir, exist_ok=True)
+    tables = [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    con = duckdb.connect()
+    for t in tables:
+        if t in overrides:
+            pdf = overrides[t].toPandas()  # noqa: F841 (duckdb scans it)
+            con.sql(
+                f"COPY (SELECT * FROM pdf) TO '{out_dir}/{t}.parquet' (FORMAT PARQUET)"
+            )
+        else:
+            con.sql(
+                f"COPY (SELECT * FROM read_parquet('{sf_dir}/{t}.parquet') LIMIT 0)"
+                f" TO '{out_dir}/{t}.parquet' (FORMAT PARQUET)"
+            )
+    con.close()
+
+
+def test_struct_accumulator_empty_array_oracle_parity(spark, sf_dir, tmp_path):
+    """ADVICE r5: SUM over an empty UNNEST is NULL in SQL, but the fold
+    zero is 0 — q_sum must be NULL (not 0) for a zero-length embedding,
+    alongside the already-NULL q_min/q_max and dim = 0."""
+    from pyspark.sql import functions as F
+
+    emb = tload(spark, sf_dir, "embeddings").limit(2)
+    empty_row = emb.limit(1).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.slice("embedding", 1, 0).alias("embedding"),
+        "label",
+    )
+    d = str(tmp_path / "emptyvec")
+    _write_all_empty_except(
+        spark, sf_dir, d, {"embeddings": emb.unionByName(empty_row)}
+    )
+    q = load_all()["fn_aggregate_struct_accumulator"]
+    out = q.builder(spark, d)
+    ok, msg = compare(out, q.oracle, d)
+    assert ok, msg
+    row = {r["vec_id"]: r for r in out.collect()}[1_000_000]
+    assert row["q_sum"] is None and row["q_min"] is None
+    assert row["dim"] == 0
