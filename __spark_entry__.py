@@ -25,106 +25,69 @@ def entry(spark: SparkSession) -> DataFrame:
     return load_all()["agg_grouped_q1"].builder(spark, "/root/testdata/sf0.001")
 
 
-# Driver-sample ordering for ROUND 5 (the driver's CORRECTNESS sampling
+# Driver-sample ordering for ROUND 6 (the driver's CORRECTNESS sampling
 # is partial, ~50 of the registry, taken from the front of queries()):
-# (1) queries added this round, (2) queries whose plans or semantics
-# CHANGED this round (AQE de-hinting, bucket/degree caps, ADVICE
-# empty-input fixes), then (3) a rotation slice of queries never
-# sampled in rounds 1-4 so old surface gets re-covered. The full
+# (1) queries added this round, (2) queries whose semantics CHANGED this
+# round (round-5 ADVICE fixes), then (3) a rotation slice of queries
+# never sampled in rounds 1-5 so old surface gets re-covered. The full
 # registry stays oracle-gated in pytest (tests/test_oracle.py)
 # regardless of sampling.
 _NEW_THIS_ROUND: list[str] = [
     # -- (1) new this round --
-    "profile_graph_degree",
-    "dedup_cluster_canonical",
-    "pipeline_shard_assignment",
-    "pipeline_epoch_shuffle",
-    "stats_ks_two_sample",
-    "graph_kcore",
-    "sql_pipe_syntax",
-    "multimodal_phash_dedup",
-    "text_prefix_boilerplate",
-    "stats_mannwhitney_u",
-    "similarity_semantic_dedup",
-    "window_distribution_functions",
-    "events_funnel_conversion_window",
-    "pipeline_contamination_split_report",
-    "events_cohort_ltv",
-    "stats_bootstrap_mean_ci",
-    "scan_recursive_file_lookup",
-    "fn_aggregate_struct_accumulator",
-    "multimodal_video_scene_cut",
-    "join_asof_nearest",
-    "dedup_minhash_band_tuning",
+    "stream_late_data_audit",
+    "window_running_distinct",
+    "pipeline_stage_funnel",
+    "text_vocab_coverage_curve",
+    "text_tfidf_exact_topk",
+    "graph_neighborhood_jaccard",
+    "multimodal_image_channel_stats",
+    "multimodal_wav_silence_trim",
+    "scan_csv_multiline_quoted",
+    "events_user_feature_vector",
+    "fn_regexp_extract_all",
+    "fn_array_set_operations",
+    "fn_posexplode_outer",
+    "fn_array_safe_access",
+    # -- (2) changed this round (round-5 ADVICE fixes) --
     "dedup_lsh_recall_audit",
-    "pipeline_dataset_card",
-    # -- (2) changed this round --
-    "join_interval_overlap",
-    "profile_overlap_buckets",
-    "graph_triangle_count",
-    "graph_link_prediction",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q16_part_supplier_cnt",
-    "tpch_q17_small_quantity",
-    "tpch_q18_large_volume",
-    "tpch_q19_disjunctive",
-    "tpch_q20_potential_promotion",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q10_returned_items",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier",
-    "join_star",
-    "stream_static_join",
-    "maintenance_analyze_table_stats",
-    "udf_pandas_scalar_iter",
-    "dedup_corpus_report",
-    "events_peak_concurrency",
-    # -- (3) rotation: never sampled in r01-r04 --
-    "agg_bitmap_distinct",
-    "agg_bitwise",
-    "agg_bool_flags",
-    "agg_collated_group",
-    "agg_correlation",
-    "agg_deciles_disc",
-    "agg_filtered_conditional",
-    "agg_group_by_all",
-    "agg_grouping_id",
-    "agg_median_mode",
-    "agg_string_concat_ordered",
-    "agg_trend_regression",
-    "analytics_abc_pareto",
-    "analytics_frequent_itemsets",
-    "analytics_rfm_segmentation",
-    "analytics_yoy_growth",
-    "bus_consumer_lag",
-    "bus_index_dump",
-    "bus_sink_batch_write",
-    "bus_sink_stream_roundtrip",
-    "bus_source_batch_scan",
-    "bus_source_offset_seek",
-    "bus_source_roundtrip",
-    "bus_stream_windowed_agg",
-    "bus_topic_compaction",
-    "catalog_global_temp_view",
-    "catalog_managed_table_dml",
-    "catalog_multi_topic_counts",
-    "catalog_partition_pruned_consume",
-    "consume_last_event",
-    "dedup_dupspan_ngrams",
-    "dedup_keep_best",
-    "embedding_centroid_per_label",
-    "embedding_neardup_blocked",
-    "embedding_norm_audit",
-    "events_activity_streaks",
-    "events_anomaly_mad",
-    "events_anomaly_zscore",
-    "events_ewma_dyadic",
-    "events_funnel_strict_sequence",
+    "stats_ks_two_sample",
+    "fn_aggregate_struct_accumulator",
+    # -- (3) rotation: never sampled in r01-r05 --
+    "events_gapfill_interpolate",
+    "events_new_vs_returning",
+    "events_resample_ohlc",
+    "events_session_window_batch",
+    "events_session_window_dynamic_gap",
+    "events_sessionize_gap",
+    "events_time_rollup",
+    "events_transition_matrix",
+    "events_trigram_paths",
+    "fn_aes_roundtrip",
+    "fn_array_basic",
+    "fn_array_explode",
+    "fn_array_higher_order",
+    "fn_bitwise",
+    "fn_cast_format",
+    "fn_conditional",
+    "fn_date_calendar",
+    "fn_datetime",
+    "fn_hash",
+    "fn_inline_array_structs",
+    "fn_json",
+    "fn_json_to_json",
+    "fn_map_struct",
+    "fn_math",
+    "fn_string",
+    "fn_string_distance",
+    "fn_string_split",
+    "fn_timestamp_parse",
+    "fn_try_arithmetic",
+    "fn_url_parse",
+    "fn_variant_json",
+    "graph_pagerank",
+    "ingest_consume_roundtrip",
+    "join_broadcast_left_outer",
+    "join_cross",
     # env-gated (register only where the container allows):
     "stream_tws_counter",
     "scan_delta_roundtrip",

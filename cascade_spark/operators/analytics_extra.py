@@ -1165,3 +1165,62 @@ def events_cohort_ltv(spark, sf_dir):
         F.col("off").cast("long").alias("day_offset"),
         d2(F.sum("rev").over(w)).alias("cum_revenue"),
     ).orderBy("cohort_day", "day_offset")
+
+
+@register(
+    "events_user_feature_vector",
+    "analytics",
+    doc="Per-user ML feature assembly: one combinable groupBy builds the "
+    "event-type count vector (click/view/purchase/signup/error), "
+    "distinct active days, and total spend in exact cents, then packs "
+    "the counts into an array<long> feature vector whose L1 norm comes "
+    "from F.aggregate — the assembly shape a training pipeline feeds a "
+    "featurizer. The vector is RENDERED as a canonical 'c,v,p,s,e' "
+    "string for the driver (its canonicalizer rejects top-level array "
+    "columns); the array itself stays internal. All integer "
+    "arithmetic, one combinable shuffle (the user key), no Python.",
+    oracle="""
+SELECT user_id,
+       ARRAY_TO_STRING(LIST_VALUE(
+           CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+       ), ',') AS type_counts,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'click')
+            + COUNT(*) FILTER (WHERE event_type = 'view')
+            + COUNT(*) FILTER (WHERE event_type = 'purchase')
+            + COUNT(*) FILTER (WHERE event_type = 'signup')
+            + COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS l1,
+       CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_active_days,
+       CAST(COALESCE(SUM(CAST(value AS DECIMAL(12,4)) * 100), 0) AS BIGINT)
+           AS total_value_cents
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def events_user_feature_vector(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    cnt = [
+        F.sum(F.when(F.col("event_type") == et, 1).otherwise(0))
+        .cast("long")
+        .alias(f"n_{et}")
+        for et in types
+    ]
+    g = ev.groupBy("user_id").agg(
+        *cnt,
+        F.countDistinct(F.to_date("ts")).cast("long").alias("n_active_days"),
+        F.coalesce(F.sum(dec("value") * 100), F.lit(0)).cast("long")
+        .alias("total_value_cents"),
+    )
+    vec = F.array(*[F.col(f"n_{et}") for et in types])
+    return g.select(
+        "user_id",
+        F.array_join(vec, ",").alias("type_counts"),
+        F.aggregate(vec, F.lit(0).cast("long"), lambda a, x: a + x).alias("l1"),
+        "n_active_days",
+        "total_value_cents",
+    ).orderBy("user_id")

@@ -835,3 +835,189 @@ def pipeline_dataset_card(spark, sf_dir):
         [(m, int(row[m]) if row[m] is not None else None) for m in metrics],
         "metric string, n long",
     ).orderBy("metric")
+
+
+_FUNNEL_STAGES = [
+    (0, "raw"),
+    (1, "exact_dedup"),
+    (2, "quality"),
+    (3, "neardup"),
+    (4, "decontam"),
+]
+
+
+@register(
+    "pipeline_stage_funnel",
+    "pipeline",
+    doc="Corpus-curation funnel dashboard: docs and tokens surviving each "
+    "sequential stage — raw -> exact-dedup keep-first -> quality gate "
+    "(alpha ratio >= 0.7, >= 10 words) -> MinHash near-dup drop (shared "
+    "persisted LSH pair frame, keep-earliest) -> decontamination (the "
+    "benchmark slice itself plus every >=20%%-shingle-overlap doc). One "
+    "pass computes every per-doc survival flag, ONE aggregate row "
+    "carries all stage sums, and the 5-row presentation is a constant-"
+    "size unpivot — so the funnel costs one extra aggregate over the "
+    "pipeline it audits, never five corpus scans. Token retention in "
+    "exact floor basis points vs raw; dropped_docs is per-stage.",
+    oracle=None,  # assembled below — reuses the dedup/decontam CTE chains
+)
+def pipeline_stage_funnel(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from cascade_spark.operators._util import _intdiv, widen
+    from cascade_spark.operators.decontam import _bench_flag
+    from cascade_spark.operators.dedup import N_HASHES, _lsh_pairs, _shingles
+
+    d = widen(t(spark, sf_dir, "documents"))
+    neardup = (
+        _lsh_pairs(spark, sf_dir)
+        .filter(F.col("matches") * 2 >= N_HASHES)
+        .select(F.col("d2").alias("doc_id"))
+        .distinct()
+        .withColumn("_nd", F.lit(1))
+    )
+    bench_ngrams = (
+        _shingles(d.filter(_bench_flag())).select("s").distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    contaminated = (
+        _shingles(d.filter(~_bench_flag()))
+        .join(F.broadcast(bench_ngrams), "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.count("_hit").alias("n_shared"),
+        )
+        .filter(F.col("n_shared") * 5 >= F.col("n_sh"))
+        .select("doc_id")
+        .withColumn("_ct", F.lit(1))
+    )
+    q = (
+        F.length(F.regexp_replace("text", "[^a-z]", "")) * 10
+        >= F.length("text") * 7
+    ) & (F.size(F.split("text", " ")) >= 10)
+    w = Window.partitionBy(F.md5(F.lower(F.trim("text")))).orderBy("doc_id")
+    base = (
+        d.select(
+            "doc_id",
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+            q.alias("q"),
+            _bench_flag().alias("is_bench"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .join(neardup, "doc_id", "left")
+        .join(contaminated, "doc_id", "left")
+    )
+    p1 = F.col("rn") == 1
+    p2 = p1 & F.col("q")
+    p3 = p2 & F.col("_nd").isNull()
+    p4 = p3 & ~F.col("is_bench") & F.col("_ct").isNull()
+    cnt = lambda p: F.coalesce(F.sum(F.when(p, 1)), F.lit(0)).cast("long")  # noqa: E731
+    tok = lambda p: F.coalesce(F.sum(F.when(p, F.col("n_tokens"))), F.lit(0)).cast("long")  # noqa: E731
+    a = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("t0"),
+        cnt(p1).alias("n1"), tok(p1).alias("t1"),
+        cnt(p2).alias("n2"), tok(p2).alias("t2"),
+        cnt(p3).alias("n3"), tok(p3).alias("t3"),
+        cnt(p4).alias("n4"), tok(p4).alias("t4"),
+    )
+    stages = spark.createDataFrame(_FUNNEL_STAGES, "stage_idx long, stage string")
+    pick = lambda pfx: F.when(F.col("stage_idx") == 0, F.col(f"{pfx}0")).when(  # noqa: E731
+        F.col("stage_idx") == 1, F.col(f"{pfx}1")
+    ).when(F.col("stage_idx") == 2, F.col(f"{pfx}2")).when(
+        F.col("stage_idx") == 3, F.col(f"{pfx}3")
+    ).otherwise(F.col(f"{pfx}4"))
+    prev_n = F.when(F.col("stage_idx") == 0, F.col("n0")).when(
+        F.col("stage_idx") == 1, F.col("n0")
+    ).when(F.col("stage_idx") == 2, F.col("n1")).when(
+        F.col("stage_idx") == 3, F.col("n2")
+    ).otherwise(F.col("n3"))
+    return (
+        stages.crossJoin(F.broadcast(a))
+        .select(
+            "stage_idx",
+            "stage",
+            pick("n").alias("n_docs"),
+            pick("t").alias("total_tokens"),
+            F.when(F.col("t0") > 0, _intdiv(F.lit(10000) * pick("t"), F.col("t0")))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("retained_bp"),
+            (prev_n - pick("n")).cast("long").alias("dropped_docs"),
+        )
+        .orderBy("stage_idx")
+    )
+
+
+def _funnel_oracle() -> str:
+    from cascade_spark.operators.decontam import BENCH_MOD
+    from cascade_spark.operators.dedup import N_HASHES, _SQL_PAIR_CTES, _SQL_SHINGLES
+
+    return f"""
+WITH {_SQL_PAIR_CTES},
+neardup AS (SELECT DISTINCT d2 AS doc_id FROM sim WHERE matches * 2 >= {N_HASHES}),
+shi AS ({_SQL_SHINGLES}),
+bench AS (
+    SELECT doc_id FROM documents
+    WHERE ('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % {BENCH_MOD} = 0
+),
+bn AS (SELECT DISTINCT s FROM shi WHERE doc_id IN (SELECT doc_id FROM bench)),
+cstats AS (
+    SELECT shi.doc_id, COUNT(*) AS n_sh, COUNT(bn.s) AS n_shared
+    FROM shi LEFT JOIN bn ON shi.s = bn.s
+    WHERE shi.doc_id NOT IN (SELECT doc_id FROM bench)
+    GROUP BY shi.doc_id
+),
+contaminated AS (SELECT doc_id FROM cstats WHERE n_shared * 5 >= n_sh),
+base AS (
+    SELECT doc_id,
+           LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+           LENGTH(REGEXP_REPLACE(text, '[^a-z]', '', 'g')) * 10 >= LENGTH(text) * 7
+             AND LEN(STRING_SPLIT(text, ' ')) >= 10 AS q,
+           doc_id IN (SELECT doc_id FROM bench) AS is_bench,
+           ROW_NUMBER() OVER (PARTITION BY MD5(LOWER(TRIM(text)))
+                              ORDER BY doc_id) AS rn
+    FROM documents
+),
+flags AS (
+    SELECT n_tokens,
+           rn = 1 AS p1,
+           rn = 1 AND q AS p2,
+           rn = 1 AND q AND doc_id NOT IN (SELECT doc_id FROM neardup) AS p3,
+           rn = 1 AND q AND doc_id NOT IN (SELECT doc_id FROM neardup)
+             AND NOT is_bench
+             AND doc_id NOT IN (SELECT doc_id FROM contaminated) AS p4
+    FROM base
+),
+a AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+           CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS t0,
+           CAST(COALESCE(SUM(CASE WHEN p1 THEN 1 END), 0) AS BIGINT) AS n1,
+           CAST(COALESCE(SUM(CASE WHEN p1 THEN n_tokens END), 0) AS BIGINT) AS t1,
+           CAST(COALESCE(SUM(CASE WHEN p2 THEN 1 END), 0) AS BIGINT) AS n2,
+           CAST(COALESCE(SUM(CASE WHEN p2 THEN n_tokens END), 0) AS BIGINT) AS t2,
+           CAST(COALESCE(SUM(CASE WHEN p3 THEN 1 END), 0) AS BIGINT) AS n3,
+           CAST(COALESCE(SUM(CASE WHEN p3 THEN n_tokens END), 0) AS BIGINT) AS t3,
+           CAST(COALESCE(SUM(CASE WHEN p4 THEN 1 END), 0) AS BIGINT) AS n4,
+           CAST(COALESCE(SUM(CASE WHEN p4 THEN n_tokens END), 0) AS BIGINT) AS t4
+    FROM flags
+)
+SELECT CAST(s.i AS BIGINT) AS stage_idx, s.nm AS stage,
+       CASE s.i WHEN 0 THEN a.n0 WHEN 1 THEN a.n1 WHEN 2 THEN a.n2
+                WHEN 3 THEN a.n3 ELSE a.n4 END AS n_docs,
+       CASE s.i WHEN 0 THEN a.t0 WHEN 1 THEN a.t1 WHEN 2 THEN a.t2
+                WHEN 3 THEN a.t3 ELSE a.t4 END AS total_tokens,
+       CAST(COALESCE((10000 * CASE s.i WHEN 0 THEN a.t0 WHEN 1 THEN a.t1
+                                      WHEN 2 THEN a.t2 WHEN 3 THEN a.t3
+                                      ELSE a.t4 END)
+                     // NULLIF(a.t0, 0), 0) AS BIGINT) AS retained_bp,
+       CASE s.i WHEN 0 THEN 0 WHEN 1 THEN a.n0 - a.n1 WHEN 2 THEN a.n1 - a.n2
+                WHEN 3 THEN a.n2 - a.n3 ELSE a.n3 - a.n4 END AS dropped_docs
+FROM (VALUES (0, 'raw'), (1, 'exact_dedup'), (2, 'quality'),
+             (3, 'neardup'), (4, 'decontam')) s(i, nm), a
+ORDER BY stage_idx
+"""
+
+
+_REG["pipeline_stage_funnel"].oracle = _funnel_oracle()

@@ -521,3 +521,99 @@ def graph_kcore(spark, sf_dir):
     for s in stats[1:]:
         out = out.unionByName(s)
     return out.orderBy("round")
+
+
+NJ_TOP = 25
+
+
+@register(
+    "graph_neighborhood_jaccard",
+    "graph",
+    doc="Per-edge neighborhood Jaccard over the degree-capped co-activity "
+    f"graph: |N(u) ∩ N(v)| via the wedge join (bounded by MAX_DEGREE="
+    "1024 like every two-hop stage here), |N(u) ∪ N(v)| = d(u)+d(v)-"
+    "common by inclusion-exclusion (degrees come from the one adjacency "
+    "aggregate — the union is never materialized), similarity in exact "
+    "floor basis points. Top-25 by (jaccard, ua, ub) — the tie-proof "
+    "presentation bound. Reuses the shared persisted edge frame; adds "
+    "one wedge join + one edge-keyed aggregate.",
+    oracle=None,  # assembled below — needs the shared co-activity CTE chain
+)
+def graph_neighborhood_jaccard(spark, sf_dir):
+    e = _coactivity_edges(spark, sf_dir)
+    adj = e.select(F.col("ua").alias("u"), F.col("ub").alias("v")).unionByName(
+        e.select(F.col("ub").alias("u"), F.col("ua").alias("v"))
+    )
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    a1 = adj.select(F.col("u").alias("ua"), F.col("v").alias("w1"))
+    a2 = adj.select(F.col("u").alias("ub2"), F.col("v").alias("w2"))
+    common = (
+        e.join(a1, "ua")
+        .join(a2, (F.col("ub") == F.col("ub2")) & (F.col("w1") == F.col("w2")))
+        .groupBy("ua", "ub")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    j = (
+        e.join(common, ["ua", "ub"], "left")
+        .join(deg.select(F.col("u").alias("ua"), F.col("d").alias("deg_a")), "ua")
+        .join(deg.select(F.col("u").alias("ub"), F.col("d").alias("deg_b")), "ub")
+        .select(
+            "ua",
+            "ub",
+            "deg_a",
+            "deg_b",
+            F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+            (F.col("deg_a") + F.col("deg_b") - F.coalesce("n_common", F.lit(0)))
+            .cast("long")
+            .alias("n_union"),
+        )
+    )
+    return (
+        j.select(
+            "ua",
+            "ub",
+            "deg_a",
+            "deg_b",
+            "n_common",
+            "n_union",
+            _intdiv(F.lit(10000) * F.col("n_common"), F.col("n_union"))
+            .cast("long")
+            .alias("jaccard_bp"),
+        )
+        .orderBy(F.desc("jaccard_bp"), "ua", "ub")
+        .limit(NJ_TOP)
+    )
+
+
+def _nj_oracle() -> str:
+    return f"""
+WITH {_sql_coactivity_edges()},
+adj AS (SELECT ua AS u, ub AS v FROM e UNION ALL SELECT ub, ua FROM e),
+deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY u),
+common AS (
+    SELECT e.ua, e.ub, CAST(COUNT(*) AS BIGINT) AS c
+    FROM e
+    JOIN adj a1 ON a1.u = e.ua
+    JOIN adj a2 ON a2.u = e.ub AND a2.v = a1.v
+    GROUP BY e.ua, e.ub
+),
+j AS (
+    SELECT e.ua, e.ub, da.d AS deg_a, db.d AS deg_b,
+           COALESCE(c.c, 0) AS n_common,
+           da.d + db.d - COALESCE(c.c, 0) AS n_union
+    FROM e
+    JOIN deg da ON da.u = e.ua
+    JOIN deg db ON db.u = e.ub
+    LEFT JOIN common c ON c.ua = e.ua AND c.ub = e.ub
+)
+SELECT ua, ub, deg_a, deg_b, n_common, n_union,
+       CAST((10000 * n_common) // n_union AS BIGINT) AS jaccard_bp
+FROM j
+ORDER BY jaccard_bp DESC, ua, ub
+LIMIT {NJ_TOP}
+"""
+
+
+from cascade_spark.plans.registry import REGISTRY as _REG  # noqa: E402
+
+_REG["graph_neighborhood_jaccard"].oracle = _nj_oracle()

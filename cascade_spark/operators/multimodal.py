@@ -896,3 +896,156 @@ def multimodal_video_scene_cut(spark, sf_dir):
         "first_cut_frame long",
     )
     return out.orderBy("doc_id")
+
+
+@register(
+    "multimodal_image_channel_stats",
+    "multimodal",
+    doc="Per-channel image statistics from REAL P6 decode: each doc's "
+    "synthesized PPM is parsed bytes-only (same decoder path as "
+    "multimodal_decode_ppm), pixels reshaped (n,3), and per-channel "
+    "count / exact sum / 4-bucket value histogram (v//64) computed in "
+    "numpy — one output row per (doc, channel). The oracle recomputes "
+    "every bucket from the synthesis formula in SQL, so the reshape "
+    "and channel-slicing math is hash-checked, not just the checksum. "
+    "Map-only mapInPandas; no shuffle before the final sort.",
+    oracle="""
+SELECT d.doc_id,
+       CAST(i % 3 AS BIGINT) AS channel,
+       CAST(COUNT(*) AS BIGINT) AS n_px,
+       CAST(SUM((d.doc_id * 31 + i) % 256) AS BIGINT) AS ch_sum,
+       CAST(SUM(CASE WHEN (d.doc_id * 31 + i) % 256 < 64 THEN 1 ELSE 0 END) AS BIGINT) AS b0,
+       CAST(SUM(CASE WHEN (d.doc_id * 31 + i) % 256 BETWEEN 64 AND 127 THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+       CAST(SUM(CASE WHEN (d.doc_id * 31 + i) % 256 BETWEEN 128 AND 191 THEN 1 ELSE 0 END) AS BIGINT) AS b2,
+       CAST(SUM(CASE WHEN (d.doc_id * 31 + i) % 256 >= 192 THEN 1 ELSE 0 END) AS BIGINT) AS b3
+FROM documents d,
+     UNNEST(GENERATE_SERIES(0, 3 * (4 + d.doc_id % 13) * (3 + d.doc_id % 7) - 1)) s(i)
+GROUP BY d.doc_id, i % 3
+ORDER BY doc_id, channel
+""",
+)
+def multimodal_image_channel_stats(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents")
+    ids = d.repartition(8).select("doc_id")
+
+    def synth_and_stat(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                blob = synth_ppm(doc_id)
+                nl3 = blob.index(b"\n", blob.index(b"\n", blob.index(b"\n") + 1) + 1)
+                px = np.frombuffer(blob, dtype=np.uint8, offset=nl3 + 1).reshape(-1, 3)
+                for ch in range(3):
+                    col = px[:, ch].astype("int64")
+                    bucket = col // 64
+                    rows.append(
+                        (
+                            doc_id,
+                            ch,
+                            int(col.size),
+                            int(col.sum()),
+                            int((bucket == 0).sum()),
+                            int((bucket == 1).sum()),
+                            int((bucket == 2).sum()),
+                            int((bucket == 3).sum()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "channel", "n_px", "ch_sum", "b0", "b1", "b2", "b3"],
+            )
+
+    schema = (
+        "doc_id long, channel long, n_px long, ch_sum long, "
+        "b0 long, b1 long, b2 long, b3 long"
+    )
+    return ids.mapInPandas(synth_and_stat, schema=schema).orderBy("doc_id", "channel")
+
+
+SILENCE_ABS = 16384  # |sample| below this is "silence" (25% full scale)
+
+
+@register(
+    "multimodal_wav_silence_trim",
+    "multimodal",
+    doc="Leading/trailing silence trim over REAL PCM16 WAV decode: each "
+    "doc's synthesized RIFF blob is chunk-parsed bytes-only (same "
+    f"parser as multimodal_decode_wav), loud = |sample| >= {16384}, "
+    "and the trim bounds come from numpy flatnonzero — first/last loud "
+    "index, kept/trimmed sample counts, and the trimmed duration in "
+    "exact floor microseconds (integer division by the sample rate; no "
+    "float seconds). Docs whose whole window is quiet trim to zero "
+    "kept samples with NULL bounds. The oracle replays the PCM "
+    "synthesis formula per sample in SQL.",
+    oracle=f"""
+WITH s AS (
+    SELECT d.doc_id,
+           8000 + (d.doc_id % 3) * 4000 AS rate,
+           64 + d.doc_id % 129 AS n,
+           i,
+           ABS((d.doc_id * 7 + i) % 65536 - 32768) >= {SILENCE_ABS} AS loud
+    FROM documents d,
+         UNNEST(GENERATE_SERIES(0, 64 + d.doc_id % 129 - 1)) t(i)
+),
+agg AS (
+    SELECT doc_id, MAX(rate) AS rate, MAX(n) AS n,
+           MIN(CASE WHEN loud THEN i END) AS first_loud,
+           MAX(CASE WHEN loud THEN i END) AS last_loud
+    FROM s GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(rate AS BIGINT) AS sample_rate,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(first_loud AS BIGINT) AS first_loud,
+       CAST(last_loud AS BIGINT) AS last_loud,
+       CAST(COALESCE(last_loud - first_loud + 1, 0) AS BIGINT) AS n_kept,
+       CAST(n - COALESCE(last_loud - first_loud + 1, 0) AS BIGINT) AS n_trimmed,
+       CAST(((n - COALESCE(last_loud - first_loud + 1, 0)) * 1000000) // rate
+            AS BIGINT) AS trimmed_us
+FROM agg
+ORDER BY doc_id
+""",
+)
+def multimodal_wav_silence_trim(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents")
+    ids = d.repartition(8).select("doc_id")
+
+    def synth_and_trim(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                _, rate, samples = parse_wav(synth_wav(doc_id))
+                n = int(samples.size)
+                loud = np.flatnonzero(
+                    np.abs(samples.astype("int32")) >= SILENCE_ABS
+                )
+                if loud.size:
+                    first, last = int(loud[0]), int(loud[-1])
+                    kept = last - first + 1
+                else:
+                    first = last = None
+                    kept = 0
+                trimmed = n - kept
+                rows.append(
+                    (doc_id, rate, n, first, last, kept, trimmed,
+                     (trimmed * 1_000_000) // rate)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "sample_rate", "n_samples", "first_loud",
+                         "last_loud", "n_kept", "n_trimmed", "trimmed_us"],
+            )
+
+    schema = (
+        "doc_id long, sample_rate long, n_samples long, first_loud long, "
+        "last_loud long, n_kept long, n_trimmed long, trimmed_us long"
+    )
+    return ids.mapInPandas(synth_and_trim, schema=schema).orderBy("doc_id")

@@ -213,3 +213,63 @@ def window_distribution_functions(spark, sf_dir):
         _intdiv(F.lit(10000) * F.col("cume_n"), F.col("n")).alias("cume_dist_bp"),
         "quartile",
     ).orderBy("nationkey", "suppkey")
+
+
+@register(
+    "window_running_distinct",
+    "windows",
+    doc="Running COUNT(DISTINCT) rewrite: Spark (like most engines) "
+    "rejects DISTINCT aggregates over a running window frame, so the "
+    "canonical rewrite marks each (user, event_type)'s FIRST day and "
+    "cumulative-sums the first-occurrence flags along the per-user day "
+    "spine — one extra aggregate instead of an O(frame) distinct per "
+    "row. Output: per (user, active day) the number of distinct event "
+    "types seen so far. Both windows partition by user_id (a real key; "
+    "never a global frame), days carry a unique order.",
+    oracle="""
+WITH firsts AS (
+    SELECT user_id, event_type, MIN(CAST(ts AS DATE)) AS first_day
+    FROM events GROUP BY user_id, event_type
+),
+days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+new_per_day AS (
+    SELECT d.user_id, d.day, COUNT(f.event_type) AS n_new
+    FROM days d
+    LEFT JOIN firsts f ON f.user_id = d.user_id AND f.first_day = d.day
+    GROUP BY d.user_id, d.day
+)
+SELECT user_id,
+       STRFTIME(day, '%Y-%m-%d') AS day,
+       CAST(SUM(n_new) OVER (PARTITION BY user_id ORDER BY day
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS distinct_types_to_date
+FROM new_per_day
+ORDER BY user_id, day
+""",
+)
+def window_running_distinct(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id", "event_type").agg(
+        F.min(F.to_date("ts")).alias("first_day")
+    )
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    new_per_day = (
+        days.join(
+            firsts,
+            (days["user_id"] == firsts["user_id"])
+            & (firsts["first_day"] == days["day"]),
+            "left",
+        )
+        .groupBy(days["user_id"], days["day"])
+        .agg(F.count("event_type").alias("n_new"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return new_per_day.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.sum("n_new").over(w).cast("long").alias("distinct_types_to_date"),
+    ).orderBy("user_id", "day")

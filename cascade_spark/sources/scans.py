@@ -428,3 +428,52 @@ def scan_recursive_file_lookup(spark, sf_dir):
         )
         .orderBy("nationkey")
     )
+
+
+@register(
+    "scan_csv_multiline_quoted",
+    "sources",
+    doc="CSV roundtrip with embedded newlines, commas, and quotes: each "
+    "document's text gets a deterministic ',\\n\"the\" ' injection, is "
+    "written through the CSV sink (quoted fields), and read back with "
+    "multiLine=true — the parser mode that must treat a quoted LF as "
+    "data, not a record boundary (the classic silent-corruption bug in "
+    "naive line-split CSV ingestion; note multiLine forgoes per-line "
+    "splittability, so at 100 TB you shard by FILES, not byte ranges). "
+    "Verified by count / total length / line count / XOR content "
+    "checksum recomputed by the oracle from the same injection.",
+    oracle="""
+WITH t2 AS (
+    SELECT doc_id,
+           REPLACE(text, ' the ', ',' || CHR(10) || '"the" ') AS text2
+    FROM documents
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COALESCE(SUM(LENGTH(text2)), 0) AS BIGINT) AS total_chars,
+       CAST(COALESCE(SUM(LEN(STRING_SPLIT(text2, CHR(10)))), 0) AS BIGINT)
+           AS total_lines,
+       CAST(COALESCE(BIT_XOR(('0x' || SUBSTR(MD5(text2), 1, 14))::BIGINT), 0)
+            AS BIGINT) AS content_checksum
+FROM t2
+""",
+)
+def scan_csv_multiline_quoted(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    text2 = F.replace(
+        F.col("text"), F.lit(" the "), F.concat(F.lit(",\n"), F.lit('"the" '))
+    )
+    src = d.select("doc_id", text2.alias("text2"))
+    out = tempfile.mkdtemp(prefix="cascade_csvml_") + "/docs"
+    src.write.mode("overwrite").option("header", True).csv(out)
+    back = spark.read.schema(src.schema).option("header", True).option(
+        "multiLine", True
+    ).csv(out)
+    sig = F.conv(F.substring(F.md5("text2"), 1, 14), 16, 10).cast("long")
+    return back.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.coalesce(F.sum(F.length("text2")), F.lit(0)).cast("long").alias("total_chars"),
+        F.coalesce(F.sum(F.size(F.split("text2", "\n"))), F.lit(0))
+        .cast("long")
+        .alias("total_lines"),
+        F.coalesce(F.bit_xor(sig), F.lit(0)).cast("long").alias("content_checksum"),
+    )

@@ -467,3 +467,152 @@ def stream_union_sources(spark, sf_dir):
             "complete",
         )
     return out.orderBy("window_start", "src")
+
+
+LATE_DELAY_HOURS = 540  # 22.5 days of a 30-day fixture span -> partial drops
+
+
+def stage_late_input(spark, sf_dir):
+    """Stage a DETERMINISTIC late-arrival replay: the newer half of
+    events lands in batch 1, the older half arrives late in batch 2, a
+    far-future sentinel flushes in batch 3. One file per group with
+    strictly increasing mtimes + maxFilesPerTrigger=1 pins the batch
+    order (FileStreamSource orders by modification time), which pins
+    the watermark trajectory, which makes the set of dropped-late rows
+    an exact, hash-checkable function of the data."""
+    key = (sf_dir, "late_audit")
+    if key in _STAGE_CACHE:
+        return _STAGE_CACHE[key]
+    ev = load(spark, sf_dir, "events")
+    lo, hi = ev.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).collect()[0]
+    cut_us = lo + (hi - lo) // 2
+    tmp = tempfile.mkdtemp(prefix="cascade_late_")
+    indir = os.path.join(tmp, "in")
+    base_t = 1_700_000_000
+
+    def _write(df, t):
+        before = set(os.listdir(indir)) if os.path.isdir(indir) else set()
+        df.coalesce(1).write.mode("append").parquet(indir)
+        for f in set(os.listdir(indir)) - before:
+            os.utime(os.path.join(indir, f), (t, t))
+
+    def _marker(ts_us: int):
+        return ev.limit(1).select(
+            F.lit(-1).cast(ev.schema["event_id"].dataType).alias("event_id"),
+            F.timestamp_micros(F.lit(ts_us)).alias("ts"),
+            F.lit(-1).cast(ev.schema["user_id"].dataType).alias("user_id"),
+            F.lit("sentinel").alias("event_type"),
+            F.lit(0.0).cast(ev.schema["value"].dataType).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+
+    # Batch 0: the newer half — establishes max event time, so the NEXT
+    # batch commits watermark = max - delay.
+    _write(ev.filter(F.unix_micros("ts") >= cut_us), base_t)
+    # Batch 1: a pusher marker at max ts (no new max, excluded from the
+    # result by event_type) — Spark's late filter for batch k uses the
+    # watermark as of batch k-1's COMMIT, so one intermediate batch must
+    # pass between the max-setting data and the late data for the drop
+    # to engage (verified empirically; see the query doc).
+    _write(_marker(hi), base_t + 60)
+    # Batch 2: the older half — rows in hour windows ending at or below
+    # the committed watermark are dropped by the state store.
+    _write(ev.filter(F.unix_micros("ts") < cut_us), base_t + 120)
+    # Batch 3: far-future flush marker — pushes the final watermark past
+    # every real window end so append mode emits all surviving state.
+    _write(_marker(hi + (LATE_DELAY_HOURS + 60) * 3_600_000_000), base_t + 180)
+    result = (indir, ev.schema, cut_us, hi)
+    _STAGE_CACHE[key] = result
+    return result
+
+
+@register(
+    "stream_late_data_audit",
+    "streaming",
+    doc=f"Exact late-data accounting for append-mode windowed "
+    "aggregation: the staged replay delivers the newer half of events "
+    "first (establishing watermark = max event time - "
+    f"{LATE_DELAY_HOURS}h), then the older half, so every old row in "
+    "an hour window already sealed below the watermark is DROPPED by "
+    "the state store — deterministically, because one-file-per-batch + "
+    "pinned mtimes fix the watermark trajectory. The result joins the "
+    "streamed counts against batch ground truth per (window, type): "
+    "n_late_dropped is the exact row count append mode lost. This is "
+    "the audit a 100 TB streaming backfill needs before trusting its "
+    "aggregates — and it is hash-checked, not rows-only, because the "
+    "drop set is a pure function of the fixture.",
+    oracle=f"""
+WITH b AS (
+    SELECT EPOCH_US(MIN(ts)) AS lo, EPOCH_US(MAX(ts)) AS hi FROM events
+),
+c AS (
+    SELECT lo + (hi - lo) // 2 AS cut_us,
+           ((hi // 1000) - {LATE_DELAY_HOURS} * 3600000) * 1000 AS wm_us
+    FROM b
+),
+acc AS (
+    SELECT ts, event_type FROM events, c
+    WHERE EPOCH_US(ts) >= c.cut_us
+       OR EPOCH_US(DATE_TRUNC('hour', ts)) + 3600000000 > c.wm_us
+),
+s AS (
+    SELECT DATE_TRUNC('hour', ts) AS w, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_stream
+    FROM acc GROUP BY 1, 2
+),
+g AS (
+    SELECT DATE_TRUNC('hour', ts) AS w, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_batch
+    FROM events GROUP BY 1, 2
+)
+SELECT STRFTIME(g.w, '%Y-%m-%d %H:%M:%S') AS window_start,
+       g.event_type,
+       g.n_batch,
+       CAST(COALESCE(s.n_stream, 0) AS BIGINT) AS n_stream,
+       CAST(g.n_batch - COALESCE(s.n_stream, 0) AS BIGINT) AS n_late_dropped
+FROM g LEFT JOIN s ON s.w = g.w AND s.event_type = g.event_type
+ORDER BY window_start, g.event_type
+""",
+)
+def stream_late_data_audit(spark, sf_dir):
+    indir, schema, _, _ = stage_late_input(spark, sf_dir)
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(indir)
+    )
+    agg = (
+        src.withWatermark("ts", f"{LATE_DELAY_HOURS} hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_stream"))
+    )
+    with state_partitions(spark, 8):
+        out = run_to_memory(
+            agg.select(
+                F.date_format("w.start", _TS).alias("window_start"),
+                "event_type",
+                "n_stream",
+            ),
+            "append",
+        )
+    stream = out.filter(F.col("event_type") != "sentinel")
+    ev = load(spark, sf_dir, "events")
+    batch = ev.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), _TS).alias("window_start"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_batch"))
+    return (
+        batch.join(stream, ["window_start", "event_type"], "left")
+        .select(
+            "window_start",
+            "event_type",
+            "n_batch",
+            F.coalesce("n_stream", F.lit(0)).cast("long").alias("n_stream"),
+            (F.col("n_batch") - F.coalesce("n_stream", F.lit(0)))
+            .cast("long")
+            .alias("n_late_dropped"),
+        )
+        .orderBy("window_start", "event_type")
+    )

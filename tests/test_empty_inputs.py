@@ -88,6 +88,14 @@ QUERIES = [
     "fn_aggregate_struct_accumulator", "multimodal_video_scene_cut",
     "join_asof_nearest", "dedup_minhash_band_tuning",
     "dedup_lsh_recall_audit", "pipeline_dataset_card",
+    # round 6
+    "pipeline_stage_funnel", "text_vocab_coverage_curve",
+    "text_tfidf_exact_topk", "graph_neighborhood_jaccard",
+    "multimodal_image_channel_stats", "multimodal_wav_silence_trim",
+    "scan_csv_multiline_quoted", "events_user_feature_vector",
+    "fn_regexp_extract_all", "fn_array_set_operations",
+    "fn_posexplode_outer", "fn_array_safe_access",
+    "window_running_distinct",
 ]
 
 
@@ -118,6 +126,10 @@ def test_query_survives_empty_tables(spark, empty_sf_dir, name):
         "dedup_minhash_band_tuning": 3,
         # fixed-shape release card: one row per declared metric
         "pipeline_dataset_card": 10,
+        # fixed-shape funnel: one row per curation stage
+        "pipeline_stage_funnel": 5,
+        # fixed-shape curve: one row per k
+        "text_vocab_coverage_curve": 4,
     }
     assert len(rows) <= fixed_shape.get(name, 1), (name, rows[:3])
 

@@ -60,3 +60,42 @@ def test_struct_accumulator_empty_array_oracle_parity(spark, sf_dir, tmp_path):
     row = {r["vec_id"]: r for r in out.collect()}[1_000_000]
     assert row["q_sum"] is None and row["q_min"] is None
     assert row["dim"] == 0
+
+
+def test_vocab_coverage_uses_takeordered_not_global_sort(spark, sf_dir):
+    """The top-k candidate frame must come from a TakeOrdered pushdown —
+    a global Sort over the vocabulary would serialize on one task at
+    corpus scale."""
+    from pyspark.sql import functions as F
+    from cascade_spark.tables import load as tload2
+
+    d = tload2(spark, sf_dir, "documents")
+    cnt = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = cnt.orderBy(F.desc("c"), "w").limit(100)
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_late_audit_drop_set_nonempty_and_conserved(spark, sf_dir):
+    """The audit must actually exercise the drop path (older half below
+    the watermark) and conserve rows: n_batch = n_stream + dropped."""
+    from pyspark.sql import functions as F
+
+    from cascade_spark.plans.registry import load_all
+
+    rows = (
+        load_all()["stream_late_data_audit"]
+        .builder(spark, sf_dir)
+        .agg(
+            F.sum("n_batch").alias("b"),
+            F.sum("n_stream").alias("s"),
+            F.sum("n_late_dropped").alias("d"),
+        )
+        .collect()[0]
+    )
+    assert rows["d"] > 0, "no late rows dropped — the audit is vacuous"
+    assert rows["b"] == rows["s"] + rows["d"]
