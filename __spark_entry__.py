@@ -48,7 +48,9 @@ _NEW_THIS_ROUND: list[str] = [
     "fn_array_set_operations",
     "fn_posexplode_outer",
     "fn_array_safe_access",
-    # -- (2) changed this round (round-5 ADVICE fixes) --
+    "pipeline_tokenizer_fertility",
+    # -- (2) changed this round (round-5 ADVICE fixes + BPE refactor) --
+    "text_bpe_encode",
     "dedup_lsh_recall_audit",
     "stats_ks_two_sample",
     "fn_aggregate_struct_accumulator",

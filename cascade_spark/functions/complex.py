@@ -450,7 +450,8 @@ SELECT a.doc_id,
            AS n_intersect,
        CAST(LEN(LIST_FILTER(a.ts, x -> NOT LIST_CONTAINS(b.ts, x))) AS BIGINT)
            AS n_except,
-       ARRAY_TO_STRING(LIST_SORT(LIST_FILTER(a.ts, x -> LIST_CONTAINS(b.ts, x))), ',')
+       COALESCE(ARRAY_TO_STRING(
+           LIST_SORT(LIST_FILTER(a.ts, x -> LIST_CONTAINS(b.ts, x))), ','), '')
            AS common_tokens
 FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1
 ORDER BY a.doc_id

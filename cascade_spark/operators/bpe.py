@@ -171,6 +171,77 @@ FROM agg0, aggk
 """)
 
 
+_MERGED_CACHE: dict = {}
+
+
+def _words_frame(spark, sf_dir):
+    """Frequency-weighted distinct-word table (w, cnt)."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        widen(d)
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def _merged_words(spark, sf_dir):
+    """(w, s, cnt) after the BPE_MERGES greedy merges — the learned
+    word -> tokenization map. Shared persisted frame (keyed per
+    app/sf_dir like the dedup indices): text_bpe_encode and
+    pipeline_tokenizer_fertility both read it, so the 3-iteration merge
+    loop runs once per session, not once per consumer."""
+    from pyspark import StorageLevel
+
+    from cascade_spark.operators.dedup import _cached_frame
+
+    def build():
+        cur = _words_frame(spark, sf_dir).select(
+            "w",
+            F.concat(F.lit("<"), F.concat_ws("><", F.split("w", "")), F.lit(">")).alias("s"),
+            "cnt",
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        for _ in range(BPE_MERGES):
+            toks = cur.select(
+                F.split(F.expr("substring(s, 2, length(s) - 2)"), "><").alias("tk"), "cnt"
+            )
+            pairs = (
+                toks.select(
+                    F.posexplode(F.expr("slice(tk, 1, size(tk) - 1)")).alias("i", "a"),
+                    F.expr("tk").alias("tk"),
+                    "cnt",
+                )
+                .select("a", F.expr("tk[i + 1]").alias("b"), "cnt")
+                .groupBy("a", "b")
+                .agg(F.sum("cnt").alias("c"))
+            )
+            top = pairs.orderBy(F.col("c").desc(), "a", "b").limit(1).collect()
+            if not top:
+                break
+            best = top[0]
+            nxt = cur.select(
+                "w",
+                F.replace(
+                    F.col("s"),
+                    F.lit(f"<{best['a']}><{best['b']}>"),
+                    F.lit(f"<{best['a'] + best['b']}>"),
+                ).alias("s"),
+                "cnt",
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            nxt.count()
+            cur.unpersist()
+            cur = nxt
+        return cur
+
+    return _cached_frame(_MERGED_CACHE, spark, sf_dir, build)
+
+
+def _ntok(col="s"):
+    """Token count of a rendered token string = its wrapper-char count."""
+    return F.length(col) - F.length(F.replace(F.col(col), F.lit("<"), F.lit("")))
+
+
 @register(
     "text_bpe_encode",
     "text",
@@ -186,58 +257,19 @@ FROM agg0, aggk
     oracle=_sql_encode_oracle(),
 )
 def text_bpe_encode(spark, sf_dir):
-    from pyspark import StorageLevel
-
     from cascade_spark.operators._util import _intdiv, bigint
 
-    d = t(spark, sf_dir, "documents")
-    words = (
-        widen(d)
-        .select(F.explode(F.split("text", " ")).alias("w"))
-        .filter(F.col("w") != "")
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    )
-    cur = words.select(
+    words = _words_frame(spark, sf_dir)
+    before = words.select(
         F.concat(F.lit("<"), F.concat_ws("><", F.split("w", "")), F.lit(">")).alias("s"),
         "cnt",
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    before = cur.select("s", "cnt")
-    for _ in range(BPE_MERGES):
-        toks = cur.select(
-            F.split(F.expr("substring(s, 2, length(s) - 2)"), "><").alias("tk"), "cnt"
-        )
-        pairs = (
-            toks.select(
-                F.posexplode(F.expr("slice(tk, 1, size(tk) - 1)")).alias("i", "a"),
-                F.expr("tk").alias("tk"),
-                "cnt",
-            )
-            .select("a", F.expr("tk[i + 1]").alias("b"), "cnt")
-            .groupBy("a", "b")
-            .agg(F.sum("cnt").alias("c"))
-        )
-        top = pairs.orderBy(F.col("c").desc(), "a", "b").limit(1).collect()
-        if not top:
-            break
-        best = top[0]
-        nxt = cur.select(
-            F.replace(
-                F.col("s"),
-                F.lit(f"<{best['a']}><{best['b']}>"),
-                F.lit(f"<{best['a'] + best['b']}>"),
-            ).alias("s"),
-            "cnt",
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        nxt.count()
-        cur.unpersist()
-        cur = nxt
-    ntok = F.length("s") - F.length(F.replace(F.col("s"), F.lit("<"), F.lit("")))
+    )
+    cur = _merged_words(spark, sf_dir)
     b = before.agg(
-        bigint(F.sum(F.col("cnt") * ntok)).alias("tokens_before"),
+        bigint(F.sum(F.col("cnt") * _ntok())).alias("tokens_before"),
         bigint(F.sum("cnt")).alias("n_words"),
     )
-    a = cur.agg(bigint(F.sum(F.col("cnt") * ntok)).alias("tokens_after"))
+    a = cur.agg(bigint(F.sum(F.col("cnt") * _ntok())).alias("tokens_after"))
     out = b.crossJoin(a).select(
         "n_words",
         "tokens_before",
@@ -247,8 +279,92 @@ def text_bpe_encode(spark, sf_dir):
         ),
     )
     res = out.collect()[0]
-    cur.unpersist()
     return spark.createDataFrame(
         [tuple(res)],
         "n_words long, tokens_before long, tokens_after long, compression_bp long",
     )
+
+
+def _sql_merged_ctes() -> str:
+    """CTE chain carrying the word through the merges: w, s, cnt."""
+    ctes = [
+        f"words AS ({_sql_words()})",
+        f"w0 AS (SELECT w, {_sql_wrap('w')} AS s, cnt FROM words)",
+    ]
+    for k in range(1, BPE_MERGES + 1):
+        ctes.append(f"m{k} AS ({_sql_pairs(f'w{k - 1}')})")
+        ctes.append(
+            f"w{k} AS (SELECT w, REPLACE(s, '<' || m.a || '><' || m.b || '>', "
+            f"'<' || m.a || m.b || '>') AS s, cnt FROM w{k - 1}, m{k} m)"
+        )
+    return ",\n".join(ctes)
+
+
+@register(
+    "pipeline_tokenizer_fertility",
+    "pipeline",
+    doc="Tokenizer fertility by language — BPE tokens per whitespace "
+    f"word after the {BPE_MERGES} learned merges, the metric that "
+    "tells you which languages a tokenizer punishes (high fertility = "
+    "more tokens per word = less effective context). The learned "
+    "word->tokenization map is the SHARED merged-word frame (one merge "
+    "loop per session, amortized with text_bpe_encode); per-(lang, "
+    "word) counts join it on the word key and aggregate to exact "
+    "integer token/word totals, fertility in floor basis points. At "
+    "100 TB the map is vocab-sized — the join broadcasts or buckets on "
+    "the word key; the corpus is read once for the (lang, word) "
+    "counts.",
+    oracle=None,  # assembled below — shares the merge CTE chain
+)
+def pipeline_tokenizer_fertility(spark, sf_dir):
+    from cascade_spark.operators._util import _intdiv, bigint
+
+    d = t(spark, sf_dir, "documents")
+    lw = (
+        widen(d)
+        .select("lang", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt_lw"))
+    )
+    merged = _merged_words(spark, sf_dir).select("w", _ntok().alias("ntok"))
+    per_lang = (
+        lw.join(merged, "w")
+        .groupBy("lang")
+        .agg(
+            bigint(F.sum("cnt_lw")).alias("n_words"),
+            bigint(F.sum(F.col("cnt_lw") * F.col("ntok"))).alias("n_tokens"),
+        )
+    )
+    return per_lang.select(
+        "lang",
+        "n_words",
+        "n_tokens",
+        _intdiv(F.lit(10000) * F.col("n_tokens"), F.col("n_words")).alias(
+            "fertility_bp"
+        ),
+    ).orderBy("lang")
+
+
+def _fertility_oracle() -> str:
+    return f"""
+WITH {_sql_merged_ctes()},
+lw AS (
+    SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS cnt_lw
+    FROM (SELECT lang, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents)
+    WHERE w <> '' GROUP BY lang, w
+),
+m AS (SELECT w, LEN(s) - LEN(REPLACE(s, '<', '')) AS ntok FROM w{BPE_MERGES})
+SELECT lang,
+       CAST(SUM(cnt_lw) AS BIGINT) AS n_words,
+       CAST(SUM(cnt_lw * ntok) AS BIGINT) AS n_tokens,
+       CAST((10000 * SUM(cnt_lw * ntok)) // SUM(cnt_lw) AS BIGINT) AS fertility_bp
+FROM lw JOIN m ON m.w = lw.w
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+from cascade_spark.plans.registry import REGISTRY as _REG  # noqa: E402
+
+_REG["pipeline_tokenizer_fertility"].oracle = _fertility_oracle()

@@ -321,7 +321,7 @@ def test_cached_frame_evicts_dead_session_entries(spark, sf_dir):
     shingles, interval pairs, pagerank edges, Q11 per-part values)."""
     import pytest
 
-    from cascade_spark.operators import dedup, graph, interval, tpch_full
+    from cascade_spark.operators import bpe, dedup, graph, interval, tpch_full
 
     caches = {
         "dedup._SIG_CACHE": dedup._SIG_CACHE,
@@ -331,6 +331,7 @@ def test_cached_frame_evicts_dead_session_entries(spark, sf_dir):
         "graph._EDGE_CACHE": graph._EDGE_CACHE,
         "graph._COEDGE_CACHE": graph._COEDGE_CACHE,
         "tpch_full._Q11_VAL_CACHE": tpch_full._Q11_VAL_CACHE,
+        "bpe._MERGED_CACHE": bpe._MERGED_CACHE,
     }
     caches = {k: v for k, v in caches.items() if v is not None}
     assert len(caches) >= 5

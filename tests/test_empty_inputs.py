@@ -95,7 +95,7 @@ QUERIES = [
     "scan_csv_multiline_quoted", "events_user_feature_vector",
     "fn_regexp_extract_all", "fn_array_set_operations",
     "fn_posexplode_outer", "fn_array_safe_access",
-    "window_running_distinct",
+    "window_running_distinct", "pipeline_tokenizer_fertility",
 ]
 
 
