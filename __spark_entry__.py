@@ -34,6 +34,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # regardless of sampling.
 _NEW_THIS_ROUND: list[str] = [
     # -- (1) new this round --
+    "stream_update_mode_changelog",
+    "stats_quantile_bands_exact",
     "stream_late_data_audit",
     "window_running_distinct",
     "pipeline_stage_funnel",

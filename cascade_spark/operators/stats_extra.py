@@ -1101,3 +1101,74 @@ def stats_bootstrap_mean_ci(spark, sf_dir):
         .alias("mean_p90_cents"),
         F.max("mean_cents").alias("mean_max_cents"),
     )
+
+
+@register(
+    "stats_quantile_bands_exact",
+    "analytics",
+    doc="Exact discrete quantile bands (p10/p50/p90) of the purchase "
+    "value per event type, computed on the distinct-cents spine: "
+    "per-(type, cents) counts, a cumulative count window partitioned "
+    "by the type key (a real key — never a global frame), and the "
+    "band value = smallest cents with cum*10 >= n*q. No per-row "
+    "ranking, no interpolation, no floats — the quantile-band shape "
+    "that scales to 100 TB because state is one row per distinct "
+    "value, not per event. Complements the KS/Mann-Whitney spine "
+    "machinery with the point-estimate view.",
+    oracle="""
+WITH pv AS (
+    SELECT event_type,
+           CAST(CAST(value AS DECIMAL(12,4)) * 100 AS BIGINT) AS cents,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2
+),
+cum AS (
+    SELECT event_type, cents, c,
+           SUM(c) OVER (PARTITION BY event_type ORDER BY cents
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+           SUM(c) OVER (PARTITION BY event_type) AS n
+    FROM pv
+)
+SELECT event_type,
+       CAST(MAX(n) AS BIGINT) AS n,
+       CAST(MIN(CASE WHEN cum * 10 >= n * 1 THEN cents END) AS BIGINT) AS p10_cents,
+       CAST(MIN(CASE WHEN cum * 10 >= n * 5 THEN cents END) AS BIGINT) AS p50_cents,
+       CAST(MIN(CASE WHEN cum * 10 >= n * 9 THEN cents END) AS BIGINT) AS p90_cents
+FROM cum
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def stats_quantile_bands_exact(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    pv = ev.groupBy(
+        "event_type",
+        (dec("value") * 100).cast("long").alias("cents"),
+    ).agg(bigint(F.count(F.lit(1))).alias("c"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = Window.partitionBy("event_type")
+    cum = pv.select(
+        "event_type",
+        "cents",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(wn).alias("n"),
+    )
+    band = lambda q: bigint(  # noqa: E731
+        F.min(F.when(F.col("cum") * 10 >= F.col("n") * q, F.col("cents")))
+    )
+    return (
+        cum.groupBy("event_type")
+        .agg(
+            bigint(F.max("n")).alias("n"),
+            band(1).alias("p10_cents"),
+            band(5).alias("p50_cents"),
+            band(9).alias("p90_cents"),
+        )
+        .orderBy("event_type")
+    )

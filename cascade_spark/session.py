@@ -46,6 +46,19 @@ def get_spark(
         # so unix_micros/watermarks resolve; identity under UTC session tz).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # Scan-split sizing: the 4 MiB openCostInBytes default floors
+        # maxSplitBytes, so the ~10 MiB local fixture tables plan ~3
+        # scan tasks even on 32 threads. A 1 MiB override was A/B
+        # benched in round 6 (full 345-query run each way): 319.9 s vs
+        # 320.2 s — a wash, inside host noise, because per-query cost
+        # here is dominated by session/shuffle fixed costs, not scan
+        # CPU. The default is KEPT: at 100 TB files are ≥128 MiB and a
+        # higher open cost correctly coalesces small-file scans.
+        # CASCADE_OPEN_COST overrides for experiments (see SCALE.md).
+        .config(
+            "spark.sql.files.openCostInBytes",
+            os.environ.get("CASCADE_OPEN_COST", str(4 * 1024 * 1024)),
+        )
         .config("spark.driver.memory", os.environ.get("CASCADE_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         # ANSI off: declared queries rely on permissive casts matching

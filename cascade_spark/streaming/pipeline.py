@@ -616,3 +616,83 @@ def stream_late_data_audit(spark, sf_dir):
         )
         .orderBy("window_start", "event_type")
     )
+
+
+@register(
+    "stream_update_mode_changelog",
+    "streaming",
+    doc="Update-mode changelog accounting — completes the verified "
+    "output-mode triad (complete: stream_tumbling_window, append: "
+    "stream_late_data_audit, update: here). The same deterministic "
+    "late replay (shared staged input) runs a windowed count in "
+    "UPDATE mode, whose memory sink keeps one row per (window, type, "
+    "touching batch) — the changelog a downstream upsert sink would "
+    "consume. The result aggregates it to n_emissions (how many "
+    "batches touched the window: 1 for new-half-only or accepted-"
+    "late-only windows, 2 for the boundary window both halves hit) "
+    "and final_n, hash-checked against the oracle's replay of the "
+    "same watermark arithmetic — late rows below the previous "
+    "batch's committed watermark never produce an update row.",
+    oracle=f"""
+WITH b AS (
+    SELECT EPOCH_US(MIN(ts)) AS lo, EPOCH_US(MAX(ts)) AS hi FROM events
+),
+c AS (
+    SELECT lo + (hi - lo) // 2 AS cut_us,
+           ((hi // 1000) - {LATE_DELAY_HOURS} * 3600000) * 1000 AS wm_us
+    FROM b
+),
+f AS (
+    SELECT DATE_TRUNC('hour', ts) AS w, event_type,
+           CAST(EPOCH_US(ts) >= c.cut_us AS INT) AS in_a,
+           CAST(EPOCH_US(ts) < c.cut_us
+                AND EPOCH_US(DATE_TRUNC('hour', ts)) + 3600000000 > c.wm_us
+                AS INT) AS in_b_ok
+    FROM events, c
+),
+g AS (
+    SELECT w, event_type,
+           CAST(SUM(in_a) AS BIGINT) AS n_a,
+           CAST(SUM(in_b_ok) AS BIGINT) AS n_b
+    FROM f GROUP BY w, event_type
+)
+SELECT STRFTIME(w, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       CAST((CASE WHEN n_a > 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN n_b > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_emissions,
+       CAST(n_a + n_b AS BIGINT) AS final_n
+FROM g
+WHERE n_a + n_b > 0
+ORDER BY window_start, event_type
+""",
+)
+def stream_update_mode_changelog(spark, sf_dir):
+    indir, schema, _, _ = stage_late_input(spark, sf_dir)
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(indir)
+    )
+    agg = (
+        src.withWatermark("ts", f"{LATE_DELAY_HOURS} hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    with state_partitions(spark, 8):
+        out = run_to_memory(
+            agg.select(
+                F.date_format("w.start", _TS).alias("window_start"),
+                "event_type",
+                "n",
+            ),
+            "update",
+        )
+    return (
+        out.filter(F.col("event_type") != "sentinel")
+        .groupBy("window_start", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_emissions"),
+            F.max("n").cast("long").alias("final_n"),
+        )
+        .orderBy("window_start", "event_type")
+    )
