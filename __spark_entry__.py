@@ -34,6 +34,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # regardless of sampling.
 _NEW_THIS_ROUND: list[str] = [
     # -- (1) new this round --
+    "scan_xml_roundtrip",
+    "sink_rebalanced_write",
+    "sql_identifier_clause",
     "stream_update_mode_changelog",
     "stats_quantile_bands_exact",
     "stream_late_data_audit",

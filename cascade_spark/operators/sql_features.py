@@ -804,3 +804,36 @@ FROM lineitem_pipe_v
 |> ORDER BY l_returnflag
 """
     )
+
+
+@register(
+    "sql_identifier_clause",
+    "sql",
+    doc="Parameterized IDENTIFIER() clause (Spark 4 SQL): the table name "
+    "arrives as a named parameter and binds through IDENTIFIER(:tbl) — "
+    "the injection-safe form of dynamic table dispatch (string-"
+    "concatenated SQL is the alternative and the classic injection "
+    "hole). Runs against a registered temp view of nation; DuckDB "
+    "oracle is the static equivalent.",
+    oracle="""
+SELECT n_regionkey,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(n_name) AS first_name
+FROM nation
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+""",
+)
+def sql_identifier_clause(spark, sf_dir):
+    t(spark, sf_dir, "nation").createOrReplaceTempView("cascade_ident_nation")
+    return spark.sql(
+        """
+        SELECT n_regionkey,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               MIN(n_name) AS first_name
+        FROM IDENTIFIER(:tbl)
+        GROUP BY n_regionkey
+        ORDER BY n_regionkey
+        """,
+        args={"tbl": "cascade_ident_nation"},
+    )

@@ -477,3 +477,107 @@ def scan_csv_multiline_quoted(spark, sf_dir):
         .alias("total_lines"),
         F.coalesce(F.bit_xor(sig), F.lit(0)).cast("long").alias("content_checksum"),
     )
+
+
+@register(
+    "scan_xml_roundtrip",
+    "sources",
+    doc="Native XML source/sink roundtrip (built into Spark 4): orders "
+    "written as <order> row elements, read back with a pinned schema "
+    "(no inference pass — at 100 TB schema inference is a full extra "
+    "scan), aggregated per status. Exercises decimal/date/string type "
+    "fidelity through XML text encoding plus attribute-free element "
+    "mapping; the oracle recomputes the aggregate from the source "
+    "table, so any roundtrip corruption hash-mismatches.",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4)) * 100) AS BIGINT)
+           AS total_cents,
+       STRFTIME(MIN(o_orderdate), '%Y-%m-%d') AS first_date
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def scan_xml_roundtrip(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    out = tempfile.mkdtemp(prefix="cascade_xml_") + "/orders"
+    o.write.mode("overwrite").format("xml").option("rootTag", "orders").option(
+        "rowTag", "order"
+    ).save(out)
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "order")
+        .schema(o.schema)
+        .load(out)
+    )
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            (F.sum(dec("o_totalprice") * 100)).cast("long").alias("total_cents"),
+            F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_date"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "sink_rebalanced_write",
+    "sources",
+    doc="AQE-rebalanced write: the REBALANCE hint on the key column asks "
+    "AQE to split oversized and coalesce undersized output partitions "
+    "at runtime — the cure for both small-file explosion AND straggler "
+    "files in a skewed partitioned write (the static alternative, "
+    "repartition(n), can't adapt to per-key volume). Content integrity "
+    "verified by per-key count + XOR checksum recomputed by the oracle "
+    "from the source table; the hint's presence is pinned by a plan "
+    "test. At 100 TB this is the default write shape for any skewed "
+    "partition column.",
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(BIT_XOR(('0x' || SUBSTR(MD5(CAST(l_orderkey AS VARCHAR) || ':'
+                     || CAST(l_linenumber AS VARCHAR)), 1, 14))::BIGINT)
+            AS BIGINT) AS content_checksum
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def sink_rebalanced_write(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag"
+    )
+    out = tempfile.mkdtemp(prefix="cascade_rebal_") + "/li"
+    li.hint("rebalance", "l_returnflag").write.mode("overwrite").partitionBy(
+        "l_returnflag"
+    ).parquet(out)
+    # schema pinned: an empty write leaves no data files to infer from
+    back = spark.read.schema(li.schema).parquet(out)
+    sig = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("l_orderkey").cast("string"),
+                    F.col("l_linenumber").cast("string"),
+                )
+            ),
+            1,
+            14,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.bit_xor(sig).cast("long").alias("content_checksum"),
+        )
+        .orderBy("l_returnflag")
+    )

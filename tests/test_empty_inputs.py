@@ -96,7 +96,8 @@ QUERIES = [
     "fn_regexp_extract_all", "fn_array_set_operations",
     "fn_posexplode_outer", "fn_array_safe_access",
     "window_running_distinct", "pipeline_tokenizer_fertility",
-    "stats_quantile_bands_exact",
+    "stats_quantile_bands_exact", "scan_xml_roundtrip",
+    "sink_rebalanced_write", "sql_identifier_clause",
 ]
 
 

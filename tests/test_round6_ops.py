@@ -99,3 +99,29 @@ def test_late_audit_drop_set_nonempty_and_conserved(spark, sf_dir):
     )
     assert rows["d"] > 0, "no late rows dropped — the audit is vacuous"
     assert rows["b"] == rows["s"] + rows["d"]
+
+
+def test_rebalance_hint_reaches_optimized_plan(spark, sf_dir):
+    """sink_rebalanced_write's REBALANCE hint must survive analysis into
+    the optimized plan as RebalancePartitions — otherwise the write
+    degenerates to the static partitioning it exists to avoid."""
+    from cascade_spark.tables import load as tload3
+
+    li = tload3(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    plan = li.hint("rebalance", "l_returnflag")._jdf.queryExecution().optimizedPlan().toString()
+    assert "RebalancePartitions" in plan, plan
+
+
+def test_xml_roundtrip_preserves_row_count(spark, sf_dir, tmp_path):
+    """Native XML sink+source must preserve every row and key through
+    the text encoding (scan_xml_roundtrip's aggregate would also catch
+    this, but the direct row/key check localizes a failure)."""
+    from pyspark.sql import functions as F
+    from cascade_spark.tables import load as tload4
+
+    o = tload4(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    out = str(tmp_path / "xml_orders")
+    o.write.format("xml").option("rowTag", "order").save(out)
+    back = spark.read.format("xml").option("rowTag", "order").schema(o.schema).load(out)
+    assert back.count() == o.count()
+    assert back.agg(F.sum("o_orderkey")).collect()[0][0] == o.agg(F.sum("o_orderkey")).collect()[0][0]
