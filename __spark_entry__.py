@@ -34,6 +34,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # regardless of sampling.
 _NEW_THIS_ROUND: list[str] = [
     # -- (1) new this round --
+    "udtf_polymorphic_analyze",
     "scan_xml_roundtrip",
     "sink_rebalanced_write",
     "sql_identifier_clause",

@@ -633,3 +633,66 @@ def udf_pandas_scalar_iter(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents")
     return d.select("doc_id", tok_count("text").alias("n_tokens")).orderBy("doc_id")
+
+
+@register(
+    "udtf_polymorphic_analyze",
+    "udf",
+    doc="Polymorphic Python UDTF (Spark 4 analyze()): the output schema "
+    "is COMPUTED at plan time from a literal argument — top_words(text, "
+    "k) emits k columns w1..wk (the per-row top-k tokens by count, ties "
+    "lexicographic). AnalyzeResult builds the StructType from the bound "
+    "k, so one UDTF serves any width without code changes — the "
+    "schema-on-demand shape feature extractors want. Deterministic -> "
+    "fully hash-checked against a per-rank MIN/CASE oracle.",
+    oracle="""
+WITH tok AS (
+    SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+    FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents)
+    GROUP BY doc_id, w
+),
+rk AS (
+    SELECT doc_id, w,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, w) AS r
+    FROM tok
+)
+SELECT doc_id,
+       MIN(CASE WHEN r = 1 THEN w END) AS w1,
+       MIN(CASE WHEN r = 2 THEN w END) AS w2,
+       MIN(CASE WHEN r = 3 THEN w END) AS w3
+FROM rk
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def udtf_polymorphic_analyze(spark, sf_dir):
+    from collections import Counter
+
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class TopWords:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, k: AnalyzeArgument) -> AnalyzeResult:
+            schema = StructType()
+            for i in range(int(k.value)):
+                schema = schema.add(f"w{i + 1}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, text: str, k: int):
+            counts = Counter(text.split(" "))
+            top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+            row = [w for w, _ in top] + [None] * (k - len(top))
+            yield tuple(row)
+
+    spark.udtf.register("cascade_top_words", TopWords)
+    t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT d.doc_id, tw.w1, tw.w2, tw.w3
+        FROM documents d, LATERAL cascade_top_words(d.text, 3) tw
+        ORDER BY d.doc_id
+        """
+    )

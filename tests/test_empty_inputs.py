@@ -98,6 +98,7 @@ QUERIES = [
     "window_running_distinct", "pipeline_tokenizer_fertility",
     "stats_quantile_bands_exact", "scan_xml_roundtrip",
     "sink_rebalanced_write", "sql_identifier_clause",
+    "udtf_polymorphic_analyze",
 ]
 
 

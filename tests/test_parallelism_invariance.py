@@ -29,6 +29,11 @@ QUERIES = [
     "stats_correlation",         # decimal(38,0) second moments
     "join_fuzzy_editdistance",   # blocked candidates, set-equal results
     "pipeline_curriculum_order", # two-phase ordinal assignment
+    # round-6 representatives
+    "pipeline_stage_funnel",     # five-stage flags folded into one agg row
+    "text_tfidf_exact_topk",     # integer scoring + per-doc rank windows
+    "stats_quantile_bands_exact",  # per-type cumulative spine
+    "pipeline_tokenizer_fertility",  # shared merged-word frame join
 ]
 
 
