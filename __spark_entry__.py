@@ -34,6 +34,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # regardless of sampling.
 _NEW_THIS_ROUND: list[str] = [
     # -- (1) new this round --
+    "profile_shingle_df",
+    "stats_spearman_rho",
     "udtf_polymorphic_analyze",
     "scan_xml_roundtrip",
     "sink_rebalanced_write",

@@ -1289,3 +1289,73 @@ def dedup_lsh_recall_audit(spark, sf_dir):
             .alias("recall_bp"),
         )
     )
+
+
+@register(
+    "profile_shingle_df",
+    "dedup",
+    doc="Document-frequency audit of the shingle index — the "
+    f"observability query for the SHINGLE_DF_FRAC={SHINGLE_DF_FRAC} "
+    "admission cap (every declared cap here ships an audit: simhash "
+    "buckets, overlap buckets, graph degree — this one covers the "
+    "stop-shingle drop that bounds the Jaccard/containment joins). "
+    "Reports distinct shingles, postings, how many shingles the DF cap "
+    "classifies as common, the postings they account for, and the drop "
+    "share in floor bp. One explode + two combinable aggregates; the "
+    "audit costs one pass over the index it audits.",
+    oracle=f"""
+WITH sh AS ({_SQL_SHINGLES}),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+cnt AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY s),
+agg AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(COALESCE(SUM(df), 0) AS BIGINT) AS n_postings,
+           CAST(COALESCE(SUM(CASE WHEN df > nd.n_docs * {SHINGLE_DF_FRAC}
+                                  THEN 1 END), 0) AS BIGINT) AS n_common,
+           CAST(COALESCE(SUM(CASE WHEN df > nd.n_docs * {SHINGLE_DF_FRAC}
+                                  THEN df END), 0) AS BIGINT) AS postings_dropped
+    FROM cnt, nd
+)
+SELECT (SELECT n_docs FROM nd) AS n_docs, n_shingles, n_postings, n_common,
+       postings_dropped,
+       CAST(COALESCE((10000 * postings_dropped) // NULLIF(n_postings, 0), 0)
+            AS BIGINT) AS drop_bp
+FROM agg
+""",
+)
+def profile_shingle_df(spark, sf_dir):
+    from cascade_spark.operators._util import _intdiv
+
+    d = t(spark, sf_dir, "documents")
+    sh = _shingles(d)
+    nd = d.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    cnt = sh.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    common = F.col("df") > F.col("n_docs") * SHINGLE_DF_FRAC
+    agg = (
+        cnt.crossJoin(F.broadcast(nd))
+        .agg(
+            F.first("n_docs").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.coalesce(F.sum("df"), F.lit(0)).cast("long").alias("n_postings"),
+            F.coalesce(F.sum(F.when(common, 1)), F.lit(0)).cast("long").alias("n_common"),
+            F.coalesce(F.sum(F.when(common, F.col("df"))), F.lit(0))
+            .cast("long")
+            .alias("postings_dropped"),
+        )
+    )
+    # empty corpus: the aggregate over zero shingle rows still needs the
+    # n_docs scalar — recover it with a coalesce against the direct count
+    return agg.crossJoin(F.broadcast(nd.select(F.col("n_docs").alias("_nd")))).select(
+        F.coalesce("n_docs", F.col("_nd")).cast("long").alias("n_docs"),
+        "n_shingles",
+        "n_postings",
+        "n_common",
+        "postings_dropped",
+        F.when(
+            F.col("n_postings") > 0,
+            _intdiv(F.lit(10000) * F.col("postings_dropped"), F.col("n_postings")),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("drop_bp"),
+    )

@@ -1172,3 +1172,103 @@ def stats_quantile_bands_exact(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "stats_spearman_rho",
+    "analytics",
+    doc="Spearman rank correlation between per-user click activity and "
+    "purchase spend — the monotone-association screen (does engagement "
+    "track revenue?) kept EXACT: tie-corrected midranks come from "
+    "per-distinct-value counts via the two-phase exclusive prefix sum "
+    "(2*midrank = 2*cum_before + cnt + 1 — the Mann-Whitney spine, "
+    "never a per-row global ranking), rank differences stay in doubled "
+    "integer units (sum_e2 = 4*sum d^2), and rho uses the classic "
+    "6*sum(d^2)/(n(n^2-1)) formulation reported in truncated basis "
+    "points via BIGINT division (Spark DIV and DuckDB // both truncate "
+    "toward zero, so negative rho agrees). Exact through int64 while "
+    "30000*n^3 < 2^63 (n ~ 6e4 users; beyond that switch the final "
+    "division to decimal(38,0)).",
+    oracle="""
+WITH u AS (
+    SELECT user_id,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS x,
+           CAST(COALESCE(SUM(CAST(value AS DECIMAL(12,4)) * 100)
+                         FILTER (WHERE event_type = 'purchase'), 0) AS BIGINT) AS y
+    FROM events GROUP BY user_id
+),
+rx AS (
+    SELECT x, 2 * (SUM(c) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) - c) + c + 1
+              AS r2
+    FROM (SELECT x, CAST(COUNT(*) AS BIGINT) AS c FROM u GROUP BY x)
+),
+ry AS (
+    SELECT y, 2 * (SUM(c) OVER (ORDER BY y ROWS UNBOUNDED PRECEDING) - c) + c + 1
+              AS r2
+    FROM (SELECT y, CAST(COUNT(*) AS BIGINT) AS c FROM u GROUP BY y)
+),
+e AS (
+    SELECT u.user_id, rx.r2 - ry.r2 AS e
+    FROM u JOIN rx ON rx.x = u.x JOIN ry ON ry.y = u.y
+),
+agg AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COALESCE(SUM(e * e), 0) AS BIGINT) AS sum_e2
+    FROM e
+)
+SELECT n, sum_e2,
+       CAST(CASE WHEN n > 1
+            THEN (10000 * (2 * n * (n * n - 1) - 3 * sum_e2))
+                 // (2 * n * (n * n - 1))
+            ELSE 0 END AS BIGINT) AS rho_bp
+FROM agg
+""",
+)
+def stats_spearman_rho(spark, sf_dir):
+    from cascade_spark.operators.ingest import assign_prefix_sum
+
+    ev = t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", dec("value") * 100)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("y"),
+    )
+
+    def midranks(col):
+        c = u.groupBy(col).agg(F.count(F.lit(1)).cast("long").alias("c"))
+        p = assign_prefix_sum(c, [col], "c")
+        return p.select(
+            col, (2 * F.col("prefix_sum") + F.col("c") + 1).alias(f"r2_{col}")
+        )
+
+    e = (
+        u.join(midranks("x"), "x")
+        .join(midranks("y"), "y")
+        .select((F.col("r2_x") - F.col("r2_y")).alias("e"))
+    )
+    agg = e.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.coalesce(F.sum(F.col("e") * F.col("e")), F.lit(0))
+        .cast("long")
+        .alias("sum_e2"),
+    )
+    return agg.select(
+        "n",
+        "sum_e2",
+        F.when(
+            F.col("n") > 1,
+            F.expr(
+                "(10000 * (2 * n * (n * n - 1) - 3 * sum_e2))"
+                " DIV (2 * n * (n * n - 1))"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("rho_bp"),
+    )

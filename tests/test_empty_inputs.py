@@ -98,7 +98,7 @@ QUERIES = [
     "window_running_distinct", "pipeline_tokenizer_fertility",
     "stats_quantile_bands_exact", "scan_xml_roundtrip",
     "sink_rebalanced_write", "sql_identifier_clause",
-    "udtf_polymorphic_analyze",
+    "udtf_polymorphic_analyze", "profile_shingle_df", "stats_spearman_rho",
 ]
 
 

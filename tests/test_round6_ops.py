@@ -125,3 +125,28 @@ def test_xml_roundtrip_preserves_row_count(spark, sf_dir, tmp_path):
     back = spark.read.format("xml").option("rowTag", "order").schema(o.schema).load(out)
     assert back.count() == o.count()
     assert back.agg(F.sum("o_orderkey")).collect()[0][0] == o.agg(F.sum("o_orderkey")).collect()[0][0]
+
+
+def test_spearman_negative_rho_truncation_parity(spark, sf_dir, tmp_path):
+    """Perfectly anti-correlated users must give rho_bp = -10000, and a
+    partially negative rho must agree between Spark's DIV and DuckDB's
+    // (both truncate toward zero — the documented contract)."""
+    import pandas as pd
+
+    # users 1..6: more clicks -> strictly less purchase spend
+    rows, eid = [], 0
+    for uid in range(1, 7):
+        for _ in range(uid):  # uid clicks
+            rows.append((eid, "2024-01-01 00:00:00", uid, "click", 0.0, "{}")); eid += 1
+        rows.append((eid, "2024-01-01 01:00:00", uid, "purchase",
+                     float(70 - 10 * uid), "{}")); eid += 1
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type",
+                                      "value", "props"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    d = str(tmp_path / "anticorr")
+    _write_all_empty_except(spark, sf_dir, d, {"events": spark.createDataFrame(pdf)})
+    q = load_all()["stats_spearman_rho"]
+    out = q.builder(spark, d)
+    ok, msg = compare(out, q.oracle, d)
+    assert ok, msg
+    assert out.collect()[0]["rho_bp"] == -10000
