@@ -131,3 +131,40 @@ def join_range_bucketed(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+@register(
+    "agg_approx_top_k",
+    "aggregations",
+    doc="approx_top_k (Spark 4 built-in heavy-hitters sketch) on event "
+    "types: one mergeable sketch per partition, combined on the "
+    "driver-side final agg — the engine-native answer to 'top "
+    "categories over 100 TB' without a full groupBy shuffle of every "
+    "key. Hash-checkable because the query runs the sketch in its "
+    "EXACT regime: maxItemsTracked=1024 >> the bounded event_type "
+    "cardinality, so every count is exact (the sketch only "
+    "approximates once tracked slots evict). The exploded result is "
+    "re-sorted by (count DESC, item) — the sketch's own tie order is "
+    "unspecified and must never be depended on. Oracle is the exact "
+    "group-by.",
+    oracle="""
+SELECT event_type AS item, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM events
+GROUP BY event_type
+ORDER BY cnt DESC, item
+LIMIT 4
+""",
+)
+def agg_approx_top_k(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    sk = ev.select(
+        F.expr("approx_top_k(event_type, 4, 1024)").alias("topk")
+    )
+    return (
+        sk.select(F.explode("topk").alias("e"))
+        .select(
+            F.col("e.item").alias("item"),
+            F.col("e.count").cast("long").alias("cnt"),
+        )
+        .orderBy(F.desc("cnt"), "item")
+    )

@@ -837,3 +837,93 @@ def sql_identifier_clause(spark, sf_dir):
         """,
         args={"tbl": "cascade_ident_nation"},
     )
+
+
+@register(
+    "sql_execute_immediate",
+    "sql",
+    doc="EXECUTE IMMEDIATE (Spark 4 dynamic SQL): the query text is a "
+    "runtime string and its parameters bind through USING — the "
+    "engine-side prepared-statement form of dynamic SQL (vs. string "
+    "concatenation, the injection hole). The inner statement is a full "
+    "distributed aggregation; only the SQL *text* is dynamic, so the "
+    "plan is identical to the static form the oracle runs.",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,4)) * 100 AS BIGINT))
+            AS BIGINT) AS cents
+FROM orders
+WHERE o_totalprice > 100000 AND o_orderstatus = 'F'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def sql_execute_immediate(spark, sf_dir):
+    t(spark, sf_dir, "orders").createOrReplaceTempView("cascade_exec_orders")
+    stmt = (
+        "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,4)) * 100 AS BIGINT)) "
+        "AS BIGINT) AS cents "
+        "FROM cascade_exec_orders "
+        "WHERE o_totalprice > ? AND o_orderstatus = ? "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    )
+    spark.sql("DECLARE OR REPLACE VARIABLE cascade_exec_stmt STRING")
+    spark.sql("SET VAR cascade_exec_stmt = :s", args={"s": stmt})
+    return spark.sql(
+        "EXECUTE IMMEDIATE cascade_exec_stmt USING 100000, 'F'"
+    )
+
+
+@register(
+    "sql_table_valued_udf",
+    "sql",
+    doc="SQL table-valued UDF (Spark 4 CREATE FUNCTION ... RETURNS "
+    "TABLE): a per-segment top-spender relation declared once and "
+    "invoked per outer row via LATERAL correlation — the SQL-native "
+    "parameterized view. Like scalar SQL UDFs it inlines at analysis "
+    "time into a plain correlated join (no per-row re-execution, no "
+    "serialization boundary), which is what keeps it usable on a "
+    "billion-row outer side. Trap (empirically pinned): ORDER BY/LIMIT "
+    "in the TVF body is NOT applied per correlated invocation under "
+    "LATERAL in Spark 4.1 — the top-2 must be a ROW_NUMBER filter in "
+    "the body instead. Oracle is the inlined window form.",
+    oracle="""
+WITH ranked AS (
+  SELECT c.c_mktsegment, c.c_name,
+         CAST(CAST(c.c_acctbal AS DECIMAL(12,4)) * 100 AS BIGINT) AS bal_cents,
+         ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+                            ORDER BY c.c_acctbal DESC, c.c_name) AS rk
+  FROM customer c
+)
+SELECT c_mktsegment, c_name, bal_cents, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 2
+ORDER BY c_mktsegment, rk
+""",
+)
+def sql_table_valued_udf(spark, sf_dir):
+    t(spark, sf_dir, "customer").createOrReplaceTempView("cascade_tvf_customer")
+    spark.sql(
+        """
+CREATE OR REPLACE TEMPORARY FUNCTION cascade_top_spenders(seg STRING)
+RETURNS TABLE(c_name STRING, bal_cents BIGINT, rk BIGINT)
+RETURN
+  SELECT c_name, bal_cents, rk FROM (
+    SELECT c_name,
+           CAST(CAST(c_acctbal AS DECIMAL(12,4)) * 100 AS BIGINT) AS bal_cents,
+           CAST(ROW_NUMBER() OVER (ORDER BY c_acctbal DESC, c_name) AS BIGINT)
+               AS rk
+    FROM cascade_tvf_customer
+    WHERE c_mktsegment = seg)
+  WHERE rk <= 2
+"""
+    )
+    return spark.sql(
+        """
+SELECT s.c_mktsegment, f.c_name, f.bal_cents, f.rk
+FROM (SELECT DISTINCT c_mktsegment FROM cascade_tvf_customer) s,
+     LATERAL cascade_top_spenders(s.c_mktsegment) f
+ORDER BY s.c_mktsegment, f.rk
+"""
+    )
