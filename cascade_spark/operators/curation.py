@@ -1021,3 +1021,74 @@ ORDER BY stage_idx
 
 
 _REG["pipeline_stage_funnel"].oracle = _funnel_oracle()
+
+
+@register(
+    "pipeline_dataset_diff",
+    "pipeline",
+    doc="Release-to-release dataset diff — the audit run before "
+    "shipping corpus v2: which documents were added, removed, changed, "
+    "or untouched, per source. The two 'releases' are deterministic "
+    "views of the fixture (v1 = doc_id % 10 != 0 with original text; "
+    "v2 = doc_id % 7 != 0 with text revised when doc_id % 5 == 0), "
+    "compared by md5 content fingerprint through ONE full-outer join "
+    "on doc_id — at 100 TB both sides are manifest tables (id + "
+    "fingerprint), so the join moves fixed-width rows, never text; "
+    "classification is a map-side CASE and the per-source rollup is "
+    "combinable.",
+    oracle="""
+WITH v1 AS (
+    SELECT doc_id, source, MD5(text) AS fp
+    FROM documents WHERE doc_id % 10 <> 0
+),
+v2 AS (
+    SELECT doc_id, source,
+           MD5(CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]'
+                    ELSE text END) AS fp
+    FROM documents WHERE doc_id % 7 <> 0
+),
+d AS (
+    SELECT COALESCE(v1.source, v2.source) AS source,
+           CASE WHEN v1.doc_id IS NULL THEN 'added'
+                WHEN v2.doc_id IS NULL THEN 'removed'
+                WHEN v1.fp <> v2.fp THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+)
+SELECT source, status, CAST(COUNT(*) AS BIGINT) AS n
+FROM d GROUP BY 1, 2
+ORDER BY source, status
+""",
+)
+def pipeline_dataset_diff(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    v1 = docs.filter(F.col("doc_id") % 10 != 0).select(
+        "doc_id", "source", F.md5("text").alias("fp")
+    )
+    v2 = docs.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+            ).otherwise(F.col("text"))
+        ).alias("fp"),
+    )
+    j = v1.alias("a").join(
+        v2.alias("b"), F.col("a.doc_id") == F.col("b.doc_id"), "full_outer"
+    )
+    status = (
+        F.when(F.col("a.doc_id").isNull(), "added")
+        .when(F.col("b.doc_id").isNull(), "removed")
+        .when(F.col("a.fp") != F.col("b.fp"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("a.source"), F.col("b.source")).alias("source"),
+            status.alias("status"),
+        )
+        .groupBy("source", "status")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("source", "status")
+    )

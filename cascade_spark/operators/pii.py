@@ -131,3 +131,55 @@ def pii_k_anonymity_audit(spark, sf_dir):
         .filter(F.col("n") < 10)
         .orderBy("event_type", "hour", "user_decile")
     )
+
+
+@register(
+    "pii_l_diversity_audit",
+    "pii",
+    doc="l-diversity audit — the attack k-anonymity misses: a cohort "
+    "can be large (k-anonymous) yet homogeneous in its SENSITIVE "
+    "attribute, so membership alone leaks the secret. Cohort = the "
+    "quasi-identifier pair (event_type, hour-of-day); sensitive "
+    "attribute = the value band (floor(value/100)). Each cohort "
+    "reports n rows, l = distinct sensitive values, and a vulnerable "
+    "flag (l < 3). Distinct-count per cohort is one partial_agg-able "
+    "groupBy over (cohort, band) then a count per cohort — two "
+    "shuffles on the same key layout, no distinct state explosion.",
+    oracle="""
+WITH bands AS (
+    SELECT event_type,
+           CAST(HOUR(ts) AS BIGINT) AS hour,
+           CAST(FLOOR(value / 100) AS BIGINT) AS band
+    FROM events
+),
+coh AS (
+    SELECT event_type, hour,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT band) AS BIGINT) AS l_distinct
+    FROM bands GROUP BY 1, 2
+)
+SELECT event_type, hour, n, l_distinct,
+       CAST(CASE WHEN l_distinct < 3 THEN 1 ELSE 0 END AS BIGINT)
+           AS vulnerable
+FROM coh
+ORDER BY event_type, hour
+""",
+)
+def pii_l_diversity_audit(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    bands = ev.select(
+        "event_type",
+        F.hour("ts").cast("long").alias("hour"),
+        F.floor(F.col("value") / 100).cast("long").alias("band"),
+    )
+    coh = bands.groupBy("event_type", "hour").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.countDistinct("band").cast("long").alias("l_distinct"),
+    )
+    return coh.select(
+        "event_type",
+        "hour",
+        "n",
+        "l_distinct",
+        (F.col("l_distinct") < 3).cast("long").alias("vulnerable"),
+    ).orderBy("event_type", "hour")

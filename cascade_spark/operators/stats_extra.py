@@ -18,6 +18,7 @@ from pyspark.sql import Window, functions as F
 
 from cascade_spark.plans.registry import register
 from cascade_spark.operators._util import avg_round, bigint, d2, dec, sql_avg_round, t
+from cascade_spark.operators.analytics_extra import _isqrt, _sql_isqrt
 
 
 @register(
@@ -1271,4 +1272,186 @@ def stats_spearman_rho(spark, sf_dir):
         .otherwise(F.lit(0))
         .cast("long")
         .alias("rho_bp"),
+    )
+
+
+@register(
+    "stats_welch_ttest",
+    "analytics",
+    doc="Welch's unequal-variance t-test between every pair of event "
+    "types (10 pairs over 5 types): per-type sufficient statistics "
+    "(n, sum-cents, sum-cents-squared) are EXACT int64 from one "
+    "map-side-combinable pass; t and the Welch-Satterthwaite df are "
+    "then ONE mirrored IEEE expression over those integers, evaluated "
+    "operand-for-operand identically in both engines (the "
+    "stats_skew_kurtosis determinism pattern) and rounded at the end. "
+    "The pair join is over 5 aggregate rows — broadcast-trivial at any "
+    "corpus scale; 100 TB of raw events only ever feeds the one "
+    "sufficient-stats pass.",
+    oracle="""
+WITH s AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(12,4)) * 100 AS BIGINT))
+                AS BIGINT) AS sc,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(12,4)) * 100 AS BIGINT)
+                    * CAST(CAST(value AS DECIMAL(12,4)) * 100 AS BIGINT))
+                AS BIGINT) AS qc
+    FROM events GROUP BY 1
+),
+p AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           a.n AS n_a, b.n AS n_b,
+           CAST(a.sc AS DOUBLE) / CAST(a.n AS DOUBLE) AS m_a,
+           CAST(b.sc AS DOUBLE) / CAST(b.n AS DOUBLE) AS m_b,
+           (CAST(a.qc AS DOUBLE)
+            - CAST(a.sc AS DOUBLE) * CAST(a.sc AS DOUBLE)
+              / CAST(a.n AS DOUBLE)) / CAST(a.n - 1 AS DOUBLE) AS v_a,
+           (CAST(b.qc AS DOUBLE)
+            - CAST(b.sc AS DOUBLE) * CAST(b.sc AS DOUBLE)
+              / CAST(b.n AS DOUBLE)) / CAST(b.n - 1 AS DOUBLE) AS v_b
+    FROM s a JOIN s b ON a.event_type < b.event_type
+)
+SELECT type_a, type_b, n_a, n_b,
+       ROUND((m_a - m_b) / SQRT(v_a / CAST(n_a AS DOUBLE)
+                                + v_b / CAST(n_b AS DOUBLE)), 6) AS t_stat,
+       ROUND((v_a / CAST(n_a AS DOUBLE) + v_b / CAST(n_b AS DOUBLE))
+             * (v_a / CAST(n_a AS DOUBLE) + v_b / CAST(n_b AS DOUBLE))
+             / ((v_a / CAST(n_a AS DOUBLE)) * (v_a / CAST(n_a AS DOUBLE))
+                / CAST(n_a - 1 AS DOUBLE)
+                + (v_b / CAST(n_b AS DOUBLE)) * (v_b / CAST(n_b AS DOUBLE))
+                  / CAST(n_b - 1 AS DOUBLE)), 2) AS welch_df,
+       CAST(CASE WHEN ABS(ROUND((m_a - m_b)
+                 / SQRT(v_a / CAST(n_a AS DOUBLE)
+                        + v_b / CAST(n_b AS DOUBLE)), 6)) > 2.576
+            THEN 1 ELSE 0 END AS BIGINT) AS significant
+FROM p
+ORDER BY type_a, type_b
+""",
+)
+def stats_welch_ttest(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    cents = (dec("value") * 100).cast("long")
+    s = ev.groupBy("event_type").agg(
+        bigint(F.count(F.lit(1))).alias("n"),
+        bigint(F.sum(cents)).alias("sc"),
+        bigint(F.sum(cents * cents)).alias("qc"),
+    )
+    a, b = s.alias("a"), s.alias("b")
+    j = a.join(
+        F.broadcast(b), F.col("a.event_type") < F.col("b.event_type")
+    )
+
+    def mean(side):
+        return F.col(f"{side}.sc").cast("double") / F.col(f"{side}.n").cast(
+            "double"
+        )
+
+    def var(side):
+        return (
+            F.col(f"{side}.qc").cast("double")
+            - F.col(f"{side}.sc").cast("double")
+            * F.col(f"{side}.sc").cast("double")
+            / F.col(f"{side}.n").cast("double")
+        ) / (F.col(f"{side}.n") - 1).cast("double")
+
+    se_a = var("a") / F.col("a.n").cast("double")
+    se_b = var("b") / F.col("b.n").cast("double")
+    t_stat = F.round((mean("a") - mean("b")) / F.sqrt(se_a + se_b), 6)
+    df = F.round(
+        (se_a + se_b)
+        * (se_a + se_b)
+        / (
+            se_a * se_a / (F.col("a.n") - 1).cast("double")
+            + se_b * se_b / (F.col("b.n") - 1).cast("double")
+        ),
+        2,
+    )
+    return j.select(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+        t_stat.alias("t_stat"),
+        df.alias("welch_df"),
+        (F.abs(t_stat) > 2.576).cast("long").alias("significant"),
+    ).orderBy("type_a", "type_b")
+
+
+@register(
+    "stats_cramers_v",
+    "analytics",
+    doc="Cramer's V association strength for the (event_type x ISO "
+    "weekday) contingency table — the normalized companion of "
+    "stats_chisq_independence (chi-square grows with n; V in [0,1] is "
+    "comparable across table sizes). EXACT integer pipeline: per-cell "
+    "chi-square contribution floor-scaled to micro-units via wide "
+    "DECIMAL integer division (d^2 can exceed int64 at sf >= 1, so "
+    "d^2*10^6 runs in decimal(38,0) DIV / HUGEINT //), summed, then "
+    "V_bp = isqrt(10^8 * chi2 / (n * (min(R,C) - 1))) with the "
+    "off-by-one-corrected integer sqrt. Per-cell truncation bias "
+    "< n_cells micro-units, identical in both engines by construction. "
+    "One contingency pass; everything downstream is on <= 35 rows.",
+    oracle=f"""
+WITH cells AS (
+    SELECT event_type, ISODOW(CAST(ts AS DATE)) AS dow,
+           CAST(COUNT(*) AS BIGINT) AS o
+    FROM events GROUP BY 1, 2
+),
+r AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+c AS (SELECT dow, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+n AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_r,
+             CAST(COUNT(DISTINCT dow) AS BIGINT) AS n_c
+      FROM cells),
+terms AS (
+    SELECT CAST((CAST(cells.o * n.n - r.r * c.c AS HUGEINT)
+                 * (cells.o * n.n - r.r * c.c) * 1000000)
+                // (CAST(n.n AS HUGEINT) * r.r * c.c) AS BIGINT) AS tm
+    FROM cells, n
+    JOIN r ON r.event_type = cells.event_type
+    JOIN c ON c.dow = cells.dow
+),
+chi AS (SELECT CAST(SUM(tm) AS BIGINT) AS chi2_micro FROM terms)
+SELECT n.n, n.n_r AS r_levels, n.n_c AS c_levels, chi.chi2_micro,
+       {_sql_isqrt("(chi.chi2_micro * 100 // (n.n * (LEAST(n.n_r, n.n_c) - 1)))")}
+           AS v_bp
+FROM chi, n
+""",
+)
+def stats_cramers_v(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type",
+        F.dayofweek(F.date_sub(F.to_date("ts"), 1)).cast("long").alias("dow"),
+    ).agg(bigint(F.count(F.lit(1))).alias("o"))
+    r = cells.groupBy("event_type").agg(bigint(F.sum("o")).alias("r"))
+    c = cells.groupBy("dow").agg(bigint(F.sum("o")).alias("c"))
+    n = cells.agg(
+        bigint(F.sum("o")).alias("n"),
+        bigint(F.countDistinct("event_type")).alias("n_r"),
+        bigint(F.countDistinct("dow")).alias("n_c"),
+    )
+    j = (
+        cells.join(F.broadcast(r), "event_type")
+        .join(F.broadcast(c), "dow")
+        .crossJoin(F.broadcast(n))
+    )
+    term = F.expr(
+        "CAST((CAST(o * n - r * c AS DECIMAL(38,0))"
+        " * CAST(o * n - r * c AS DECIMAL(38,0)) * 1000000)"
+        " DIV (CAST(n AS DECIMAL(38,0)) * r * c) AS BIGINT)"
+    )
+    chi = j.select(
+        term.alias("tm"), "n", "n_r", "n_c"
+    ).groupBy("n", "n_r", "n_c").agg(bigint(F.sum("tm")).alias("chi2_micro"))
+    v2 = F.expr(
+        "chi2_micro * 100 DIV (n * (LEAST(n_r, n_c) - 1))"
+    )
+    return chi.select(
+        "n",
+        F.col("n_r").alias("r_levels"),
+        F.col("n_c").alias("c_levels"),
+        "chi2_micro",
+        _isqrt(v2).alias("v_bp"),
     )

@@ -589,3 +589,69 @@ def text_tfidf_exact_topk(spark, sf_dir):
         .select("doc_id", "rank", "term", "tf", "df", "score_bp")
         .orderBy("doc_id", "rank")
     )
+
+
+@register(
+    "text_char_ngram_profile",
+    "text",
+    doc="Per-language character-bigram profile — the TRAINING side of "
+    "the n-gram lang-ID family (text_lang_id is the scoring side): "
+    "top-5 bigrams per language by corpus frequency, with floor-bp "
+    "share of that language's bigram mass. Bigrams are generated "
+    "JVM-side (transform over a position sequence — no Python, no "
+    "per-row loop); the count is one map-side-combinable groupBy on "
+    "(lang, bigram) and the top-5 is a per-lang window over the "
+    "already-aggregated (small) frame, never over raw bigrams.",
+    oracle="""
+WITH grams AS (
+    SELECT lang, SUBSTR(text, i, 2) AS bg
+    FROM documents,
+         LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(text) - 1)) AS i)
+),
+counts AS (
+    SELECT lang, bg, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM grams GROUP BY 1, 2
+),
+tot AS (
+    SELECT lang, SUM(cnt) AS total FROM counts GROUP BY 1
+),
+ranked AS (
+    SELECT c.lang, c.bg, c.cnt,
+           CAST(c.cnt * 10000 // t.total AS BIGINT) AS share_bp,
+           ROW_NUMBER() OVER (PARTITION BY c.lang
+                              ORDER BY c.cnt DESC, c.bg) AS rk
+    FROM counts c JOIN tot t ON t.lang = c.lang
+)
+SELECT lang, bg, cnt, share_bp, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 5
+ORDER BY lang, rk
+""",
+)
+def text_char_ngram_profile(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = widen(t(spark, sf_dir, "documents"))
+    grams = d.select(
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, char_length(text) - 1),"
+                " i -> substring(text, i, 2))"
+            )
+        ).alias("bg"),
+    )
+    counts = grams.groupBy("lang", "bg").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    tot = Window.partitionBy("lang")
+    rk = Window.partitionBy("lang").orderBy(F.desc("cnt"), "bg")
+    ranked = counts.select(
+        "lang",
+        "bg",
+        "cnt",
+        F.floor(F.col("cnt") * 10000 / F.sum("cnt").over(tot))
+        .cast("long")
+        .alias("share_bp"),
+        F.row_number().over(rk).cast("long").alias("rk"),
+    )
+    return ranked.filter(F.col("rk") <= 5).orderBy("lang", "rk")

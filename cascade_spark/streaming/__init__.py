@@ -1,3 +1,3 @@
 """Structured Streaming surface (ingest pipeline, windowed analytics)."""
 
-from cascade_spark.streaming import joins, pipeline, ratesource, sinks, stateful  # noqa: F401
+from cascade_spark.streaming import joins, pipeline, ratesource, sinks, state_reader, stateful  # noqa: F401
