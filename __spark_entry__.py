@@ -25,15 +25,42 @@ def entry(spark: SparkSession) -> DataFrame:
     return load_all()["agg_grouped_q1"].builder(spark, "/root/testdata/sf0.001")
 
 
-# Driver-sample ordering for ROUND 6 (the driver's CORRECTNESS sampling
+# Driver-sample ordering for ROUND 7 (the driver's CORRECTNESS sampling
 # is partial, ~50 of the registry, taken from the front of queries()):
-# (1) queries added this round, (2) queries whose semantics CHANGED this
-# round (round-5 ADVICE fixes), then (3) a rotation slice of queries
-# never sampled in rounds 1-5 so old surface gets re-covered. The full
-# registry stays oracle-gated in pytest (tests/test_oracle.py)
-# regardless of sampling.
+# (1) queries added this round, (2) round-6 additions — the r06 driver
+# sample was never recorded (no CORRECTNESS_r06.json in the repo), so
+# they remain driver-unchecked and are re-surfaced, then (3) a rotation
+# slice of queries never sampled in rounds 1-5. The full registry stays
+# oracle-gated in pytest (tests/test_oracle.py) regardless of sampling.
 _NEW_THIS_ROUND: list[str] = [
     # -- (1) new this round --
+    "sql_pipe_lateral_having",
+    "fn_number_format_roundtrip",
+    "similarity_range_query",
+    "stats_mann_kendall_trend",
+    "scan_recursive_glob_filter",
+    "sink_file_size_targeting",
+    "dedup_minhash_1bit",
+    "scan_parquet_bloom_filter",
+    "maintenance_minmax_pruning_audit",
+    "sql_session_variables",
+    "agg_listagg_within_group",
+    "fn_interval_arithmetic",
+    "similarity_mips_norm_bound",
+    "embedding_quantization_error_audit",
+    "stream_state_store_read",
+    "stream_state_metadata_audit",
+    "stream_progress_audit",
+    "stream_rocksdb_state_store",
+    "pipeline_dataset_diff",
+    "agg_approx_top_k",
+    "pii_l_diversity_audit",
+    "sql_execute_immediate",
+    "sql_table_valued_udf",
+    "stats_welch_ttest",
+    "stats_cramers_v",
+    "text_char_ngram_profile",
+    # -- (2) round-6 additions, never driver-recorded --
     "profile_shingle_df",
     "stats_spearman_rho",
     "udtf_polymorphic_analyze",
@@ -57,47 +84,22 @@ _NEW_THIS_ROUND: list[str] = [
     "fn_posexplode_outer",
     "fn_array_safe_access",
     "pipeline_tokenizer_fertility",
-    # -- (2) changed this round (round-5 ADVICE fixes + BPE refactor) --
-    "text_bpe_encode",
-    "dedup_lsh_recall_audit",
-    "stats_ks_two_sample",
-    "fn_aggregate_struct_accumulator",
     # -- (3) rotation: never sampled in r01-r05 --
-    "events_gapfill_interpolate",
-    "events_new_vs_returning",
-    "events_resample_ohlc",
-    "events_session_window_batch",
-    "events_session_window_dynamic_gap",
-    "events_sessionize_gap",
-    "events_time_rollup",
-    "events_transition_matrix",
-    "events_trigram_paths",
-    "fn_aes_roundtrip",
-    "fn_array_basic",
-    "fn_array_explode",
-    "fn_array_higher_order",
-    "fn_bitwise",
-    "fn_cast_format",
-    "fn_conditional",
-    "fn_date_calendar",
-    "fn_datetime",
-    "fn_hash",
-    "fn_inline_array_structs",
-    "fn_json",
-    "fn_json_to_json",
-    "fn_map_struct",
-    "fn_math",
-    "fn_string",
-    "fn_string_distance",
-    "fn_string_split",
-    "fn_timestamp_parse",
-    "fn_try_arithmetic",
-    "fn_url_parse",
-    "fn_variant_json",
-    "graph_pagerank",
-    "ingest_consume_roundtrip",
-    "join_broadcast_left_outer",
-    "join_cross",
+    "bus_source_roundtrip",
+    "bus_topic_compaction",
+    "catalog_partition_pruned_consume",
+    "consume_last_event",
+    "setop_union",
+    "setop_except",
+    "sort_topk_per_group",
+    "window_ranking",
+    "window_frames",
+    "udf_pandas_scalar",
+    "scan_csv_roundtrip",
+    "tpch_q4_order_priority",
+    "join_left_semi",
+    "multimodal_decode",
+    "profile_events",
     # env-gated (register only where the container allows):
     "stream_tws_counter",
     "scan_delta_roundtrip",

@@ -61,6 +61,13 @@ def main() -> None:
     from cascade_spark.operators.bucketing import bucketed_tables
 
     bucketed_tables(spark, SF_DIR)
+    # bloom-filter + month-clustered layouts are likewise table prep:
+    # their queries measure the SCAN against the layout, not the rewrite
+    from cascade_spark.sources.scans import bloom_filter_output
+    from cascade_spark.operators.maintenance import clustered_output
+
+    bloom_filter_output(spark, SF_DIR)
+    clustered_output(spark, SF_DIR)
     # bus topic + partitioned registry staging is producer-side table prep
     # (the reference's load-gen), not read-path operator work
     from cascade_spark.sources.cascade_bus import stage_bus_topic

@@ -322,3 +322,100 @@ def fn_try_arithmetic(spark, sf_dir):
         F.round(F.min("quot"), 4).alias("min_quot"),
         F.round(F.max("quot"), 4).alias("max_quot"),
     )
+
+
+@register(
+    "fn_interval_arithmetic",
+    "functions",
+    doc="Calendar-interval arithmetic over order dates: +3 days, "
+    "+2 months with end-of-month clamping (add_months semantics — "
+    "both engines clamp Jan 31 + 1 month to Feb 28/29), last_day, "
+    "ISO-week truncation, and two exact day distances (to a fixed "
+    "anchor and order-to-ship). All JVM-side date arithmetic in "
+    "whole-stage codegen; safe cross-engine because every fixture "
+    "timestamp is midnight (no partial-day boundary disagreements "
+    "between Spark's timestampdiff and DuckDB's date_diff). Dates "
+    "project as strings per the determinism contract.",
+    oracle="""
+SELECT o_orderkey,
+       STRFTIME(o_orderdate + INTERVAL 3 DAY, '%Y-%m-%d') AS plus_3d,
+       STRFTIME(o_orderdate + INTERVAL 2 MONTH, '%Y-%m-%d') AS plus_2mo,
+       STRFTIME(LAST_DAY(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+       STRFTIME(DATE_TRUNC('week', o_orderdate), '%Y-%m-%d') AS week_start,
+       CAST(DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '2000-01-01')
+            AS BIGINT) AS days_to_y2k
+FROM orders
+WHERE o_orderkey % 97 = 0
+ORDER BY o_orderkey
+""",
+)
+def fn_interval_arithmetic(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 97 == 0)
+    return o.select(
+        "o_orderkey",
+        F.date_format(
+            F.col("o_orderdate") + F.expr("INTERVAL 3 DAYS"), "yyyy-MM-dd"
+        ).alias("plus_3d"),
+        F.date_format(
+            F.add_months(F.to_date("o_orderdate"), 2), "yyyy-MM-dd"
+        ).alias("plus_2mo"),
+        F.date_format(F.last_day(F.to_date("o_orderdate")), "yyyy-MM-dd").alias(
+            "month_end"
+        ),
+        F.date_format(F.date_trunc("week", "o_orderdate"), "yyyy-MM-dd").alias(
+            "week_start"
+        ),
+        F.datediff(
+            F.lit("2000-01-01").cast("date"), F.to_date("o_orderdate")
+        )
+        .cast("long")
+        .alias("days_to_y2k"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "fn_number_format_roundtrip",
+    "functions",
+    doc="to_char / to_number locale-format roundtrip: order totals "
+    "rendered with grouping separators ('999,999,999.99' — to_char "
+    "left-pads unused digit positions with spaces, trimmed here), "
+    "then parsed back with to_number and verified against the exact "
+    "integer cents. The oracle builds the identical rendering from "
+    "integer cents (thousands grouping on the dollar part + "
+    "zero-padded cents), so the string itself is hash-checked, not "
+    "just the roundtrip flag. All JVM-side expressions.",
+    oracle="""
+WITH c AS (
+    SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(12,4)) * 100 AS BIGINT) AS cents
+    FROM orders WHERE o_orderkey % 101 = 0
+)
+SELECT o_orderkey,
+       cents,
+       FORMAT('{:,}', cents // 100) || '.' ||
+           LPAD(CAST(cents % 100 AS VARCHAR), 2, '0') AS pretty,
+       CAST(1 AS BIGINT) AS roundtrip_ok
+FROM c
+ORDER BY o_orderkey
+""",
+)
+def fn_number_format_roundtrip(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 101 == 0)
+    cents = (F.col("o_totalprice").cast("decimal(12,4)") * 100).cast("long")
+    base = o.select("o_orderkey", cents.alias("cents"))
+    pretty = F.trim(
+        F.expr("to_char(CAST(cents AS DECIMAL(14,2)) / 100, '999,999,999.99')")
+    )
+    return (
+        base.withColumn("pretty", pretty)
+        .withColumn(
+            "roundtrip_ok",
+            (
+                (
+                    F.expr("to_number(pretty, '999,999,999.99')") * 100
+                ).cast("long")
+                == F.col("cents")
+            ).cast("long"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -353,3 +353,44 @@ def agg_pivot_dynamic(spark, sf_dir):
     return out.select(
         "day", *[F.col(c).cast("long").alias(c) for c in sorted(out.columns) if c != "day"]
     ).orderBy("day")
+
+
+@register(
+    "agg_listagg_within_group",
+    "aggregations",
+    doc="listagg(...) WITHIN GROUP (ORDER BY ...) (Spark 4 / ANSI "
+    "ordered string aggregation) — per region, the alphabetized "
+    "nation roster plus its DISTINCT-initial variant. The WITHIN "
+    "GROUP order makes the concatenation deterministic without the "
+    "collect_list + array_sort + concat_ws detour "
+    "(agg_string_concat_ordered's pre-Spark-4 rewrite of the same "
+    "semantics). Grouped on a 5-row dimension after a broadcast "
+    "join; ordered aggregation buffers only each group's members.",
+    oracle="""
+SELECT r.r_name,
+       STRING_AGG(n.n_name, '|' ORDER BY n.n_name) AS nations,
+       STRING_AGG(DISTINCT SUBSTR(n.n_name, 1, 1), ''
+                  ORDER BY SUBSTR(n.n_name, 1, 1)) AS initials,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM nation n JOIN region r ON r.r_regionkey = n.n_regionkey
+GROUP BY r.r_name
+ORDER BY r.r_name
+""",
+)
+def agg_listagg_within_group(spark, sf_dir):
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    j = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    j.createOrReplaceTempView("cascade_listagg_v")
+    return spark.sql(
+        """
+SELECT r_name,
+       listagg(n_name, '|') WITHIN GROUP (ORDER BY n_name) AS nations,
+       listagg(DISTINCT SUBSTRING(n_name, 1, 1), '')
+           WITHIN GROUP (ORDER BY SUBSTRING(n_name, 1, 1)) AS initials,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM cascade_listagg_v
+GROUP BY r_name
+ORDER BY r_name
+"""
+    )

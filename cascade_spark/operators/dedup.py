@@ -1359,3 +1359,76 @@ def profile_shingle_df(spark, sf_dir):
         .cast("long")
         .alias("drop_bp"),
     )
+
+
+@register(
+    "dedup_minhash_1bit",
+    "dedup",
+    doc="b-bit MinHash (b=1, Li & Konig 2010): each of the 16 minhash "
+    "values keeps only its lowest bit, shrinking the stored signature "
+    "16x (64 us-bits -> 16 bits per doc) at the cost of estimator "
+    "variance. Unbiased estimate: E[bit agreement] = (1+J)/2, so "
+    "J_1bit = 2*A/H - 1, floored at 0. The query scores the SHARED "
+    "LSH candidate pairs (amortized: reuses _PAIR_CACHE/_SIG_CACHE) "
+    "with both the full-signature estimate and the 1-bit estimate in "
+    "exact integer basis points ((2A-16)*625 and matches*625), so "
+    "the compression error is directly observable per pair. At 100 "
+    "TB, 1-bit signatures are what makes an in-memory dedup index of "
+    "10^11 docs feasible; candidate generation still uses the full "
+    "banded LSH (bucketed, never all-pairs).",
+    oracle=f"""
+WITH {_SQL_PAIR_CTES},
+kept AS (SELECT d1, d2, matches FROM sim WHERE matches * 2 >= {N_HASHES}),
+bits AS (
+    SELECT k.d1, k.d2, k.matches,
+           ({" + ".join(
+               f"CASE WHEN x.h{k} % 2 = y.h{k} % 2 THEN 1 ELSE 0 END"
+               for k in range(N_HASHES)
+           )}) AS bit_agree
+    FROM kept k
+    JOIN sig x ON x.doc_id = k.d1
+    JOIN sig y ON y.doc_id = k.d2
+)
+SELECT d1, d2,
+       CAST(matches AS BIGINT) AS matches,
+       CAST(bit_agree AS BIGINT) AS bit_agree,
+       CAST(matches * 625 AS BIGINT) AS est_full_bp,
+       CAST(GREATEST(0, (2 * bit_agree - {N_HASHES}) * 625) AS BIGINT)
+           AS est_1bit_bp
+FROM bits
+ORDER BY d1, d2
+""",
+)
+def dedup_minhash_1bit(spark, sf_dir):
+    pairs = _lsh_pairs(spark, sf_dir)
+    sig = _signatures(spark, sf_dir)
+    x = sig.select(
+        F.col("doc_id").alias("d1"),
+        *[(F.col(f"h{k}") % 2).alias(f"bx{k}") for k in range(N_HASHES)],
+    )
+    y = sig.select(
+        F.col("doc_id").alias("d2"),
+        *[(F.col(f"h{k}") % 2).alias(f"by{k}") for k in range(N_HASHES)],
+    )
+    bit_agree = sum(
+        F.when(F.col(f"bx{k}") == F.col(f"by{k}"), 1).otherwise(0)
+        for k in range(N_HASHES)
+    )
+    return (
+        pairs.join(x, "d1")
+        .join(y, "d2")
+        .select("d1", "d2", "matches", bit_agree.alias("bit_agree"))
+        .select(
+            "d1",
+            "d2",
+            F.col("matches").cast("long").alias("matches"),
+            F.col("bit_agree").cast("long").alias("bit_agree"),
+            (F.col("matches") * 625).cast("long").alias("est_full_bp"),
+            F.greatest(
+                F.lit(0), (2 * F.col("bit_agree") - N_HASHES) * 625
+            )
+            .cast("long")
+            .alias("est_1bit_bp"),
+        )
+        .orderBy("d1", "d2")
+    )

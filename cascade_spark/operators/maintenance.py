@@ -263,3 +263,76 @@ def maintenance_analyze_table_stats(spark, sf_dir):
         [(row_count, int(kv["min"]), int(kv["max"]), int(kv["num_nulls"]))],
         "row_count long, min_key long, max_key long, null_count long",
     )
+
+
+_CLUSTER_CACHE: dict = {}
+
+
+def clustered_output(spark, sf_dir: str) -> str:
+    """Write lineitem Hive-partitioned by ship month with ONE file per
+    partition, rows sorted by l_shipdate within each file (memoized)."""
+    if sf_dir not in _CLUSTER_CACHE:
+        import tempfile
+
+        out = tempfile.mkdtemp(prefix="cascade_cluster_") + "/lineitem"
+        li = t(spark, sf_dir, "lineitem").withColumn(
+            "ship_month", F.date_format("l_shipdate", "yyyy-MM")
+        )
+        (
+            li.repartition("ship_month")
+            .sortWithinPartitions("l_shipdate")
+            .write.mode("overwrite")
+            .partitionBy("ship_month")
+            .parquet(out)
+        )
+        _CLUSTER_CACHE[sf_dir] = out
+    return _CLUSTER_CACHE[sf_dir]
+
+
+@register(
+    "maintenance_minmax_pruning_audit",
+    "maintenance",
+    doc="Data-skipping layout + pruning audit: lineitem is rewritten "
+    "Hive-partitioned by ship month (repartition on the partition "
+    "column => one file per month, sortWithinPartitions => tight "
+    "row-group min/max on l_shipdate — the layout maintenance_zorder "
+    "generalizes to two columns). The audit reports, per month, the "
+    "row count and exact min/max ship dates, plus whether a reference "
+    "quarter predicate (1996-Q2) can PRUNE the month without reading "
+    "it — the sum of prunable months is the scan-avoidance a 100 TB "
+    "table gets from this layout. Partition-dir pruning itself is "
+    "pinned by a plan test (one month => one directory => "
+    "PartitionFilters). Hash-checked: layout metrics are a pure "
+    "function of the data because file assignment is the explicit "
+    "partition column, never task scheduling.",
+    oracle="""
+SELECT STRFTIME(l_shipdate, '%Y-%m') AS ship_month,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       STRFTIME(MIN(l_shipdate), '%Y-%m-%d') AS min_ship,
+       STRFTIME(MAX(l_shipdate), '%Y-%m-%d') AS max_ship,
+       CAST(CASE WHEN MAX(l_shipdate) < TIMESTAMP '1996-04-01'
+                   OR MIN(l_shipdate) >= TIMESTAMP '1996-07-01'
+            THEN 1 ELSE 0 END AS BIGINT) AS prunable_for_96q2
+FROM lineitem
+GROUP BY 1
+ORDER BY ship_month
+""",
+)
+def maintenance_minmax_pruning_audit(spark, sf_dir):
+    out = clustered_output(spark, sf_dir)
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy("ship_month")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("min_ship"),
+            F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("max_ship"),
+            (
+                (F.max("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+                | (F.min("l_shipdate") >= F.lit("1996-07-01").cast("timestamp"))
+            )
+            .cast("long")
+            .alias("prunable_for_96q2"),
+        )
+        .orderBy("ship_month")
+    )

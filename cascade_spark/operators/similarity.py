@@ -616,3 +616,212 @@ def similarity_semantic_dedup(spark, sf_dir):
         )
         .orderBy("cluster_id")
     )
+
+
+@register(
+    "similarity_mips_norm_bound",
+    "similarity",
+    doc="Maximum-inner-product search with a Cauchy-Schwarz norm-bound "
+    "pruning audit: dot(q,x) <= sqrt(|q|^2 * |x|^2), and both squared "
+    "norms are EXACT integers over the int8-quantized components, so "
+    "bound = isqrt(qn2 * xn2) is exact too. The query returns the true "
+    "top-10 by quantized dot product, each row carrying its bound and "
+    "the corpus-wide prunable count: vectors whose bound falls below "
+    "the exact 10th-best dot can be skipped WITHOUT computing their "
+    "dot product — at 100 TB the per-vector norm is a precomputed "
+    "index column and this bound is the map-side admission filter "
+    "(the norm-bound family behind ip-bounded MIPS indexes: one "
+    "cheap multiply per vector vs a 64-wide dot). Norms are one "
+    "map-only pass; the threshold is a 1-row broadcast.",
+    oracle=f"""
+WITH qv AS (
+    SELECT embedding AS q FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+),
+quant AS (
+    SELECT e.vec_id,
+           CAST(SUM(FLOOR(CAST(e.embedding[i] AS DOUBLE) * {Q_SCALE})
+                    * FLOOR(CAST(qv.q[i] AS DOUBLE) * {Q_SCALE}))
+                AS BIGINT) AS qdot,
+           CAST(SUM(FLOOR(CAST(e.embedding[i] AS DOUBLE) * {Q_SCALE})
+                    * FLOOR(CAST(e.embedding[i] AS DOUBLE) * {Q_SCALE}))
+                AS BIGINT) AS xn2,
+           CAST(SUM(FLOOR(CAST(qv.q[i] AS DOUBLE) * {Q_SCALE})
+                    * FLOOR(CAST(qv.q[i] AS DOUBLE) * {Q_SCALE}))
+                AS BIGINT) AS qn2
+    FROM embeddings e, qv,
+         LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(e.embedding))) AS i)
+    WHERE e.vec_id <> {QUERY_VEC_ID}
+    GROUP BY e.vec_id
+),
+bounded AS (
+    SELECT vec_id, qdot, (CASE WHEN (CAST(FLOOR(SQRT(CAST(xn2 * qn2 AS DOUBLE))) AS BIGINT) + 1) * (CAST(FLOOR(SQRT(CAST(xn2 * qn2 AS DOUBLE))) AS BIGINT) + 1) <= xn2 * qn2 THEN CAST(FLOOR(SQRT(CAST(xn2 * qn2 AS DOUBLE))) AS BIGINT) + 1 WHEN CAST(FLOOR(SQRT(CAST(xn2 * qn2 AS DOUBLE))) AS BIGINT) * CAST(FLOOR(SQRT(CAST(xn2 * qn2 AS DOUBLE))) AS BIGINT) > xn2 * qn2 THEN CAST(FLOOR(SQRT(CAST(xn2 * qn2 AS DOUBLE))) AS BIGINT) - 1 ELSE CAST(FLOOR(SQRT(CAST(xn2 * qn2 AS DOUBLE))) AS BIGINT) END) AS bound
+    FROM quant
+),
+thresh AS (
+    SELECT MIN(qdot) AS t10 FROM (
+        SELECT qdot FROM bounded ORDER BY qdot DESC, vec_id LIMIT {TOP_K})
+),
+pr AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_prunable
+    FROM bounded, thresh WHERE bounded.bound < thresh.t10
+)
+SELECT b.vec_id, b.qdot, b.bound, pr.n_prunable
+FROM bounded b, pr
+ORDER BY b.qdot DESC, b.vec_id LIMIT {TOP_K}
+""",
+)
+def similarity_mips_norm_bound(spark, sf_dir):
+    from cascade_spark.operators.analytics_extra import _isqrt
+
+    e = t(spark, sf_dir, "embeddings")
+
+    def _quant(col):
+        return F.transform(col, lambda x: F.floor(x.cast("double") * Q_SCALE))
+
+    def _idot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    query = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        _quant(F.col("embedding")).alias("_qq")
+    )
+    scored = (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(query))
+        .select(
+            "vec_id",
+            _idot(_quant(F.col("embedding")), F.col("_qq")).alias("qdot"),
+            _idot(_quant(F.col("embedding")), _quant(F.col("embedding"))).alias(
+                "xn2"
+            ),
+            _idot(F.col("_qq"), F.col("_qq")).alias("qn2"),
+        )
+    )
+    bounded = scored.select(
+        "vec_id", "qdot", _isqrt(F.col("xn2") * F.col("qn2")).alias("bound")
+    )
+    thresh = (
+        bounded.orderBy(F.col("qdot").desc(), "vec_id")
+        .limit(TOP_K)
+        .agg(F.min("qdot").alias("t10"))
+    )
+    pr = (
+        bounded.crossJoin(F.broadcast(thresh))
+        .filter(F.col("bound") < F.col("t10"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_prunable"))
+    )
+    return (
+        bounded.crossJoin(F.broadcast(pr))
+        .orderBy(F.col("qdot").desc(), "vec_id")
+        .limit(TOP_K)
+        .select("vec_id", "qdot", "bound", "n_prunable")
+    )
+
+
+RANGE_T_BP = 2500  # cosine radius: keep neighbors with cos >= 0.25
+
+
+@register(
+    "similarity_range_query",
+    "similarity",
+    doc="Radius (range) search — the dual of top-k: ALL vectors within "
+    "a declared cosine radius of the query vector, not a fixed count. "
+    f"Semantics are integer-exact: keep x iff qdot(x)*10000 >= "
+    f"{RANGE_T_BP} * isqrt(qn2*xn2) over the int8-quantized "
+    "components (floor-isqrt norms, same rule both engines — no IEEE "
+    "boundary can flip membership). Returned cos_bp is the truncated "
+    "basis-point cosine on the same integer arithmetic. Map-only: one "
+    "broadcast query row, one linear scan, no shuffle until the tiny "
+    "result sort — at 100 TB this is a pushed-down scan + filter, and "
+    "the per-vector norm is a precomputed index column "
+    "(similarity_mips_norm_bound's admission-filter machinery).",
+    oracle=f"""
+WITH qv AS (
+    SELECT embedding AS q FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+),
+quant AS (
+    SELECT e.vec_id,
+           CAST(SUM(FLOOR(CAST(e.embedding[i] AS DOUBLE) * {Q_SCALE})
+                    * FLOOR(CAST(qv.q[i] AS DOUBLE) * {Q_SCALE}))
+                AS BIGINT) AS qdot,
+           CAST(SUM(FLOOR(CAST(e.embedding[i] AS DOUBLE) * {Q_SCALE})
+                    * FLOOR(CAST(e.embedding[i] AS DOUBLE) * {Q_SCALE}))
+                AS BIGINT) AS xn2,
+           CAST(SUM(FLOOR(CAST(qv.q[i] AS DOUBLE) * {Q_SCALE})
+                    * FLOOR(CAST(qv.q[i] AS DOUBLE) * {Q_SCALE}))
+                AS BIGINT) AS qn2
+    FROM embeddings e, qv,
+         LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(e.embedding))) AS i)
+    WHERE e.vec_id <> {QUERY_VEC_ID}
+    GROUP BY e.vec_id
+),
+normed AS (
+    SELECT vec_id, qdot,
+           (CASE WHEN (CAST(FLOOR(SQRT(CAST(xn2 * qn2 AS DOUBLE))) AS BIGINT) + 1)
+                      * (CAST(FLOOR(SQRT(CAST(xn2 * qn2 AS DOUBLE))) AS BIGINT) + 1)
+                      <= xn2 * qn2
+                 THEN CAST(FLOOR(SQRT(CAST(xn2 * qn2 AS DOUBLE))) AS BIGINT) + 1
+                 WHEN CAST(FLOOR(SQRT(CAST(xn2 * qn2 AS DOUBLE))) AS BIGINT)
+                      * CAST(FLOOR(SQRT(CAST(xn2 * qn2 AS DOUBLE))) AS BIGINT)
+                      > xn2 * qn2
+                 THEN CAST(FLOOR(SQRT(CAST(xn2 * qn2 AS DOUBLE))) AS BIGINT) - 1
+                 ELSE CAST(FLOOR(SQRT(CAST(xn2 * qn2 AS DOUBLE))) AS BIGINT)
+            END) AS nrm
+    FROM quant
+)
+SELECT vec_id,
+       qdot,
+       CAST(qdot * 10000 // nrm AS BIGINT) AS cos_bp
+FROM normed
+WHERE qdot > 0 AND qdot * 10000 >= {RANGE_T_BP} * nrm
+ORDER BY cos_bp DESC, vec_id
+""",
+)
+def similarity_range_query(spark, sf_dir):
+    from cascade_spark.operators.analytics_extra import _isqrt
+
+    e = t(spark, sf_dir, "embeddings")
+
+    def _quant(col):
+        return F.transform(col, lambda x: F.floor(x.cast("double") * Q_SCALE))
+
+    def _idot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    query = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        _quant(F.col("embedding")).alias("_qq")
+    )
+    scored = (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(query))
+        .select(
+            "vec_id",
+            _idot(_quant(F.col("embedding")), F.col("_qq")).alias("qdot"),
+            _idot(
+                _quant(F.col("embedding")), _quant(F.col("embedding"))
+            ).alias("xn2"),
+            _idot(F.col("_qq"), F.col("_qq")).alias("qn2"),
+        )
+    )
+    normed = scored.select(
+        "vec_id", "qdot", _isqrt(F.col("xn2") * F.col("qn2")).alias("nrm")
+    )
+    return (
+        normed.filter(
+            (F.col("qdot") > 0)
+            & (F.col("qdot") * 10000 >= RANGE_T_BP * F.col("nrm"))
+        )
+        .select(
+            "vec_id",
+            "qdot",
+            F.expr("qdot * 10000 DIV nrm").cast("long").alias("cos_bp"),
+        )
+        .orderBy(F.col("cos_bp").desc(), "vec_id")
+    )

@@ -927,3 +927,86 @@ FROM (SELECT DISTINCT c_mktsegment FROM cascade_tvf_customer) s,
 ORDER BY s.c_mktsegment, f.rk
 """
     )
+
+
+@register(
+    "sql_session_variables",
+    "sql",
+    doc="SQL session variables (Spark 4 DECLARE / SET VAR): thresholds "
+    "declared once at session scope and referenced by NAME inside a "
+    "distributed query — parameterization without string templating "
+    "or repeated literals (and, unlike EXECUTE IMMEDIATE's USING "
+    "list, reusable across many statements). Variables fold to "
+    "literals at analysis time, so pushdown/pruning see constants. "
+    "Oracle inlines the same values.",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_big,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_finished
+FROM orders
+WHERE o_totalprice > 150000
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def sql_session_variables(spark, sf_dir):
+    t(spark, sf_dir, "orders").createOrReplaceTempView("cascade_var_orders")
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE cascade_price_floor DOUBLE DEFAULT 0.0"
+    )
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE cascade_done_status STRING DEFAULT ''"
+    )
+    spark.sql("SET VAR cascade_price_floor = 150000.0")
+    spark.sql("SET VAR cascade_done_status = 'F'")
+    return spark.sql(
+        """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_big,
+       CAST(SUM(CASE WHEN o_orderstatus = cascade_done_status
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_finished
+FROM cascade_var_orders
+WHERE o_totalprice > cascade_price_floor
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+    )
+
+
+@register(
+    "sql_pipe_lateral_having",
+    "sql",
+    doc="SQL pipe syntax, part 2 — the post-aggregation stages the "
+    "basic sql_pipe_syntax rollup doesn't exercise: a pipe WHERE "
+    "placed AFTER |> AGGREGATE (the pipe spelling of HAVING, "
+    "filtering on the aggregate's output column by NAME, which "
+    "classic SQL forbids in HAVING) over the orders priority rollup. "
+    "Desugars to the same Aggregate+Filter plan as the classic "
+    "HAVING form the oracle runs. Money in exact integer cents.",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,4)) * 100 AS BIGINT))
+            AS BIGINT) AS cents
+FROM orders
+WHERE o_orderstatus <> 'P'
+GROUP BY o_orderpriority
+HAVING COUNT(*) > 10
+ORDER BY o_orderpriority
+""",
+)
+def sql_pipe_lateral_having(spark, sf_dir):
+    t(spark, sf_dir, "orders").createOrReplaceTempView("cascade_pipe_orders")
+    return spark.sql(
+        """
+FROM cascade_pipe_orders
+|> WHERE o_orderstatus <> 'P'
+|> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,4)) * 100 AS BIGINT))
+                  AS BIGINT) AS cents
+   GROUP BY o_orderpriority
+|> WHERE n_orders > 10
+|> ORDER BY o_orderpriority
+"""
+    )

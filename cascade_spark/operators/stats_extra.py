@@ -1455,3 +1455,106 @@ def stats_cramers_v(spark, sf_dir):
         "chi2_micro",
         _isqrt(v2).alias("v_bp"),
     )
+
+
+@register(
+    "stats_mann_kendall_trend",
+    "stats",
+    doc="Mann-Kendall trend test per event type over the daily-count "
+    "spine: S = sum of sign(n_j - n_i) over all day pairs i<j, the "
+    "tie-corrected tau-b denominator sqrt(n0*(n0-T)) (days are "
+    "distinct so only the count side carries ties), and tau in "
+    "truncated basis points via integer isqrt — Spark DIV and DuckDB "
+    "// both truncate toward zero, so a negative tau agrees "
+    "(stats_spearman_rho's pinned parity). The pairwise join runs on "
+    "the AGGREGATED per-day spine — bounded by the time span (30 "
+    "days -> 435 pairs/type), never by raw row count, which is what "
+    "makes the O(d^2) shape safe at 100 TB.",
+    oracle=f"""
+WITH daily AS (
+    SELECT event_type, DATE_TRUNC('day', ts) AS d,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+),
+pairs AS (
+    SELECT a.event_type,
+           CAST(SUM(CASE WHEN b.n > a.n THEN 1
+                         WHEN b.n < a.n THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+    FROM daily a JOIN daily b
+      ON a.event_type = b.event_type AND a.d < b.d
+    GROUP BY a.event_type
+),
+ties AS (
+    SELECT event_type,
+           CAST(SUM(g * (g - 1) / 2) AS BIGINT) AS t_ties,
+           CAST(SUM(g) AS BIGINT) AS n_days
+    FROM (SELECT event_type, n, CAST(COUNT(*) AS BIGINT) AS g
+          FROM daily GROUP BY 1, 2)
+    GROUP BY event_type
+),
+joined AS (
+    SELECT p.event_type, t.n_days, p.s_stat,
+           CAST(t.n_days * (t.n_days - 1) / 2 AS BIGINT) AS n0,
+           t.t_ties
+    FROM pairs p JOIN ties t ON t.event_type = p.event_type
+)
+SELECT event_type, n_days, s_stat, n0, t_ties,
+       CAST(s_stat * 10000 // {_sql_isqrt('(n0 * (n0 - t_ties))')}
+            AS BIGINT) AS tau_b_bp
+FROM joined
+ORDER BY event_type
+""",
+)
+def stats_mann_kendall_trend(spark, sf_dir):
+    from cascade_spark.operators.analytics_extra import _isqrt
+
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = daily.select(
+        F.col("event_type").alias("et"), F.col("d").alias("da"), F.col("n").alias("na")
+    )
+    b = daily.select(
+        F.col("event_type").alias("et"), F.col("d").alias("db"), F.col("n").alias("nb")
+    )
+    pairs = (
+        a.join(b, "et")
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("et")
+        .agg(
+            F.sum(
+                F.when(F.col("nb") > F.col("na"), 1)
+                .when(F.col("nb") < F.col("na"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    ties = (
+        daily.groupBy("event_type", "n")
+        .agg(F.count(F.lit(1)).cast("long").alias("g"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.expr("g * (g - 1) / 2")).cast("long").alias("t_ties"),
+            F.sum("g").cast("long").alias("n_days"),
+        )
+    )
+    n0 = (F.col("n_days") * (F.col("n_days") - 1) / 2).cast("long")
+    joined = pairs.join(
+        ties, pairs.et == ties.event_type
+    ).select("event_type", "n_days", "s_stat", n0.alias("n0"), "t_ties")
+    den = _isqrt(F.col("n0") * (F.col("n0") - F.col("t_ties")))
+    return (
+        joined.withColumn("_den", den)
+        .select(
+            "event_type",
+            "n_days",
+            "s_stat",
+            "n0",
+            "t_ties",
+            F.expr("s_stat * 10000 DIV _den").cast("long").alias("tau_b_bp"),
+        )
+        .orderBy("event_type")
+    )

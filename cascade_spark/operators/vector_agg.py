@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from cascade_spark.plans.registry import register
 from cascade_spark.operators._util import bigint, t
+from cascade_spark.operators.similarity import Q_SCALE
 
 Q = 10_000  # quantization scale: 4 fractional digits
 
@@ -193,3 +194,68 @@ def similarity_centroid_cosine_matrix(spark, sf_dir):
         F.col("label_b").cast("long").alias("label_b"),
         F.round(cos, 6).alias("centroid_cosine"),
     ).orderBy("label_a", "label_b")
+
+
+@register(
+    "embedding_quantization_error_audit",
+    "similarity",
+    doc="int8 scalar-quantization reconstruction-error audit — the "
+    "acceptance gate before switching retrieval to the 4x-smaller "
+    "quantized index (similarity_quantized_topk's scale path): per "
+    "label, the count, mean and max per-vector quantization residual. "
+    "Residual r_i = x_i*200 - floor(x_i*200) in [0,1) is floor-scaled "
+    "to EXACT micro-unit integers per component, summed per vector "
+    "with a left-to-right integer fold (F.aggregate — no IEEE "
+    "summation-order hazard), then rolled up per label with integer "
+    "mean. Map-only until the tiny per-label aggregate.",
+    oracle=f"""
+WITH per_comp AS (
+    SELECT vec_id, label,
+           CAST(FLOOR((CAST(embedding[i] AS DOUBLE) * {Q_SCALE}
+                       - FLOOR(CAST(embedding[i] AS DOUBLE) * {Q_SCALE}))
+                      * 1000000) AS BIGINT) AS r_micro
+    FROM embeddings,
+         LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS i)
+),
+per_vec AS (
+    SELECT vec_id, label, CAST(SUM(r_micro) AS BIGINT) AS err_micro
+    FROM per_comp GROUP BY 1, 2
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(err_micro) // COUNT(*) AS BIGINT) AS mean_err_micro,
+       CAST(MAX(err_micro) AS BIGINT) AS max_err_micro
+FROM per_vec
+GROUP BY label
+ORDER BY label
+""",
+)
+def embedding_quantization_error_audit(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    r_micro = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(
+            (
+                x.cast("double") * Q_SCALE
+                - F.floor(x.cast("double") * Q_SCALE)
+            )
+            * 1000000
+        ),
+    )
+    per_vec = e.select(
+        F.col("label").cast("long").alias("label"),
+        F.aggregate(
+            r_micro, F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("err_micro"),
+    )
+    agg = per_vec.groupBy("label").agg(
+        bigint(F.count(F.lit(1))).alias("n_vecs"),
+        bigint(F.sum("err_micro")).alias("s"),
+        bigint(F.max("err_micro")).alias("max_err_micro"),
+    )
+    return agg.select(
+        "label",
+        "n_vecs",
+        F.expr("s DIV n_vecs").cast("long").alias("mean_err_micro"),
+        "max_err_micro",
+    ).orderBy("label")

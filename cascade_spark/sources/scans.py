@@ -581,3 +581,190 @@ def sink_rebalanced_write(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+_BLOOM_CACHE: dict = {}
+
+
+def bloom_filter_output(spark, sf_dir: str) -> str:
+    """Write lineitem with a parquet bloom filter on l_orderkey (memoized
+    per sf_dir; inputs are read-only so the layout is immutable)."""
+    if sf_dir not in _BLOOM_CACHE:
+        out = tempfile.mkdtemp(prefix="cascade_bloom_") + "/lineitem"
+        (
+            t(spark, sf_dir, "lineitem")
+            .repartition(4, "l_orderkey")
+            .write.mode("overwrite")
+            .option("parquet.bloom.filter.enabled#l_orderkey", "true")
+            .option("parquet.bloom.filter.expected.ndv#l_orderkey", "200000")
+            # parquet-mr silently DROPS the bloom when a chunk stays fully
+            # dictionary-encoded (the dictionary already gives exact
+            # membership); disable dictionary on the key column so the
+            # bloom actually lands at every scale factor
+            .option("parquet.enable.dictionary#l_orderkey", "false")
+            .parquet(out)
+        )
+        _BLOOM_CACHE[sf_dir] = out
+    return _BLOOM_CACHE[sf_dir]
+
+
+@register(
+    "scan_parquet_bloom_filter",
+    "sources",
+    doc="Parquet bloom-filter write + point-lookup scan: lineitem lands "
+    "with a bloom filter on l_orderkey "
+    "(parquet.bloom.filter.enabled#col), then an IN-list point lookup "
+    "reads it back. Row-group min/max stats can only prune SORTED "
+    "keys; a bloom filter prunes row groups for ARBITRARY point "
+    "predicates on high-cardinality columns — at 100 TB this is the "
+    "difference between touching every row group that straddles the "
+    "key range and touching only the groups that can contain the "
+    "keys. The filter's presence in the footer is pinned by a test "
+    "(tests/test_round7_ops.py); the query hash-checks the lookup "
+    "result itself, which must be byte-identical with or without the "
+    "bloom (blooms may only skip, never change results).",
+    oracle="""
+SELECT l_orderkey,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,4)) * 100 AS BIGINT))
+            AS BIGINT) AS cents
+FROM lineitem
+WHERE l_orderkey IN (7, 77, 777, 1407, 2944)
+GROUP BY l_orderkey
+ORDER BY l_orderkey
+""",
+)
+def scan_parquet_bloom_filter(spark, sf_dir):
+    out = bloom_filter_output(spark, sf_dir)
+    back = spark.read.parquet(out)
+    return (
+        back.filter(F.col("l_orderkey").isin(7, 77, 777, 1407, 2944))
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum((F.col("l_extendedprice").cast("decimal(12,4)") * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+@register(
+    "scan_recursive_glob_filter",
+    "sources",
+    doc="recursiveFileLookup + pathGlobFilter scan options: a nested "
+    "directory layout (urgent/ at depth 1, other/deep/ at depth 2) "
+    "holding parquet data plus same-schema CSV decoy files dropped "
+    "into the SAME directories. The recursive read with "
+    "pathGlobFilter='*.parquet' must walk every level, take only the "
+    "parquet files, and reconstruct exactly the orders table — the "
+    "hash check proves the decoys contributed zero rows. This is the "
+    "mechanism for scanning data-lake drop zones where writers mix "
+    "formats in one tree; at 100 TB the glob is evaluated per-file "
+    "at listing time (driver-side metadata only), never by opening "
+    "files.",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,4)) * 100 AS BIGINT))
+            AS BIGINT) AS cents
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def scan_recursive_glob_filter(spark, sf_dir):
+    base = tempfile.mkdtemp(prefix="cascade_glob_") + "/nested"
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT")
+    rest = o.filter(F.col("o_orderpriority") != "1-URGENT")
+    urgent.coalesce(2).write.mode("overwrite").parquet(f"{base}/urgent")
+    rest.coalesce(4).write.mode("overwrite").parquet(f"{base}/other/deep")
+    # same-schema CSV decoys INTO the same directories
+    urgent.limit(50).coalesce(1).write.mode("append").csv(f"{base}/urgent")
+    rest.limit(50).coalesce(1).write.mode("append").csv(f"{base}/other/deep")
+    back = (
+        spark.read.option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(base)
+    )
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum((F.col("o_totalprice").cast("decimal(12,4)") * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+MAX_RECORDS_PER_FILE = 512
+
+
+@register(
+    "sink_file_size_targeting",
+    "sources",
+    doc="maxRecordsPerFile write rolling: lineitem lands "
+    "Hive-partitioned by ship month with files capped at "
+    f"{MAX_RECORDS_PER_FILE} records — the writer rolls a new file "
+    "when the cap is reached, so every partition directory holds "
+    "ceil(n/cap) files of exactly cap rows plus one remainder. The "
+    "audit reads the layout back and verifies the roll arithmetic "
+    "per month (n_files, full files, smallest file) — deterministic "
+    "because repartition(ship_month) gives each month ONE writing "
+    "task (dynamic-partition sort => sequential rolls). This is the "
+    "file-size-targeting knob that keeps 100 TB outputs out of both "
+    "the tiny-file regime (NameNode/listing pressure) and the "
+    "giant-file regime (no read parallelism); the plan-level twin "
+    "is sink_rebalanced_write's AQE rebalance.",
+    oracle=f"""
+SELECT STRFTIME(l_shipdate, '%Y-%m') AS ship_month,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST((COUNT(*) + {MAX_RECORDS_PER_FILE} - 1) // {MAX_RECORDS_PER_FILE}
+            AS BIGINT) AS n_files,
+       CAST(CASE WHEN COUNT(*) % {MAX_RECORDS_PER_FILE} = 0
+                 THEN COUNT(*) // {MAX_RECORDS_PER_FILE}
+                 ELSE COUNT(*) // {MAX_RECORDS_PER_FILE} END
+            AS BIGINT) AS n_full_files,
+       CAST(CASE WHEN COUNT(*) % {MAX_RECORDS_PER_FILE} = 0
+                 THEN {MAX_RECORDS_PER_FILE}
+                 ELSE COUNT(*) % {MAX_RECORDS_PER_FILE} END
+            AS BIGINT) AS min_file_rows
+FROM lineitem
+GROUP BY 1
+ORDER BY ship_month
+""",
+)
+def sink_file_size_targeting(spark, sf_dir):
+    out = tempfile.mkdtemp(prefix="cascade_sizetgt_") + "/lineitem"
+    li = t(spark, sf_dir, "lineitem").withColumn(
+        "ship_month", F.date_format("l_shipdate", "yyyy-MM")
+    )
+    (
+        li.repartition("ship_month")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", str(MAX_RECORDS_PER_FILE))
+        .partitionBy("ship_month")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).withColumn("_f", F.input_file_name())
+    per_file = back.groupBy("ship_month", "_f").agg(
+        F.count(F.lit(1)).cast("long").alias("fr")
+    )
+    return (
+        per_file.groupBy("ship_month")
+        .agg(
+            F.sum("fr").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.count_if(F.col("fr") == MAX_RECORDS_PER_FILE)
+            .cast("long")
+            .alias("n_full_files"),
+            F.min("fr").cast("long").alias("min_file_rows"),
+        )
+        .orderBy("ship_month")
+    )

@@ -1,0 +1,269 @@
+"""Round-7 operator tests — engine-side invariants the DuckDB oracle
+cannot see (file footers, partition pruning, plan shapes, sketch
+regimes, state-store layout)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cascade_spark.plans.registry import load_all
+
+
+def test_bloom_filter_present_in_footer(spark, sf_dir):
+    """The bloom-filter write must actually land bloom filters in the
+    parquet column metadata — the oracle only checks data equality."""
+    from cascade_spark.sources.scans import bloom_filter_output
+
+    out = bloom_filter_output(spark, sf_dir)
+    files = glob.glob(os.path.join(out, "*.parquet"))
+    assert files
+    # pyarrow's metadata API doesn't expose bloom offsets in this
+    # container; read the footer through parquet-mr (Spark's own reader)
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    saw_bloom = False
+    for f in files:
+        infile = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            jvm.org.apache.hadoop.fs.Path(f), conf
+        )
+        reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(infile)
+        try:
+            blocks = reader.getRowGroups()
+            for bi in range(blocks.size()):
+                cols = blocks.get(bi).getColumns()
+                for ci in range(cols.size()):
+                    cm = cols.get(ci)
+                    if "l_orderkey" in str(cm.getPath()):
+                        if cm.getBloomFilterOffset() > 0:
+                            assert reader.readBloomFilter(cm) is not None
+                            saw_bloom = True
+        finally:
+            reader.close()
+    assert saw_bloom, "no bloom filter found on l_orderkey in any row group"
+
+
+def test_clustered_layout_one_file_per_month_and_pruning(spark, sf_dir):
+    """Month-clustered layout: one data file per ship_month directory,
+    and a month predicate must prune to exactly that directory
+    (PartitionFilters, not a full scan)."""
+    from cascade_spark.operators.maintenance import clustered_output
+
+    out = clustered_output(spark, sf_dir)
+    dirs = [d for d in glob.glob(os.path.join(out, "ship_month=*")) if os.path.isdir(d)]
+    assert dirs
+    for d in dirs:
+        files = glob.glob(os.path.join(d, "*.parquet"))
+        assert len(files) == 1, f"{d} has {len(files)} files, want 1"
+    back = spark.read.parquet(out)
+    one_month = back.filter(F.col("ship_month") == "1996-05")
+    plan = one_month._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # the pruned scan must read exactly the one month
+    exp = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(F.date_format("l_shipdate", "yyyy-MM") == "1996-05")
+        .count()
+    )
+    assert one_month.count() == exp
+
+
+def test_sql_variables_fold_to_pushed_filter(spark, sf_dir):
+    """Session variables must fold to literals at analysis time so the
+    price predicate reaches the parquet scan as a pushed filter."""
+    df = load_all()["sql_session_variables"].builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "150000" in plan and "PushedFilters" in plan
+
+
+def test_approx_top_k_exact_regime_matches_exact_counts(spark, sf_dir):
+    """With maxItemsTracked >> cardinality the sketch must be exact for
+    EVERY key, not only the returned top-4."""
+    from cascade_spark.tables import load
+
+    ev = load(spark, sf_dir, "events")
+    k = ev.select("event_type").distinct().count()
+    sk = (
+        ev.select(F.expr(f"approx_top_k(event_type, {k}, 1024)").alias("t"))
+        .select(F.explode("t").alias("e"))
+        .select(F.col("e.item").alias("item"), F.col("e.count").alias("cnt"))
+    )
+    got = {r["item"]: r["cnt"] for r in sk.collect()}
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == exact
+
+
+def test_state_store_read_matches_batch_groups(spark, sf_dir):
+    """The statestore relation must hold exactly one row per (hour,
+    type) group — complete mode never evicts."""
+    from cascade_spark.tables import load
+
+    df = load_all()["stream_state_store_read"].builder(spark, sf_dir)
+    ev = load(spark, sf_dir, "events")
+    n_groups = (
+        ev.select(F.date_trunc("hour", "ts").alias("h"), "event_type")
+        .distinct()
+        .count()
+    )
+    assert df.count() == n_groups
+
+
+def test_progress_audit_has_exactly_four_data_batches(spark, sf_dir):
+    rows = load_all()["stream_progress_audit"].builder(spark, sf_dir).collect()
+    assert [r["batch_id"] for r in rows] == [0, 1, 2, 3]
+    # marker batches carry exactly one row each
+    by_id = {r["batch_id"]: r["num_input_rows"] for r in rows}
+    assert by_id[1] == 1 and by_id[3] == 1
+
+
+def test_tvf_lateral_returns_topk_per_segment(spark, sf_dir):
+    """The LATERAL TVF must emit 2 rows for EVERY segment (the ORDER
+    BY/LIMIT-in-body formulation collapses to one segment in Spark 4.1
+    — the trap the query doc pins; rank-filter body is the fix)."""
+    from cascade_spark.tables import load
+
+    df = load_all()["sql_table_valued_udf"].builder(spark, sf_dir)
+    seg_counts = {
+        r["c_mktsegment"]: r["n"]
+        for r in df.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_segments = (
+        load(spark, sf_dir, "customer").select("c_mktsegment").distinct().count()
+    )
+    assert len(seg_counts) == n_segments
+    assert all(v == 2 for v in seg_counts.values())
+
+
+def test_mips_bound_dominates_dot(spark, sf_dir):
+    """Cauchy-Schwarz with integer isqrt: qdot <= isqrt(qn2*xn2) always
+    (qdot is an integer <= the true sqrt)."""
+    rows = load_all()["similarity_mips_norm_bound"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["qdot"] <= r["bound"], r
+
+
+def test_quantization_error_within_component_bound(spark, sf_dir):
+    """Per-vector residual sum < dim * 10^6 (each component residual is
+    in [0, 1) micro-scaled)."""
+    rows = (
+        load_all()["embedding_quantization_error_audit"]
+        .builder(spark, sf_dir)
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert 0 <= r["max_err_micro"] < 64 * 1_000_000
+
+
+def test_cramers_v_in_unit_interval(spark, sf_dir):
+    row = load_all()["stats_cramers_v"].builder(spark, sf_dir).collect()[0]
+    assert 0 <= row["v_bp"] <= 10_000
+    assert row["r_levels"] >= 2 and row["c_levels"] >= 2
+
+
+def test_welch_t_sign_matches_mean_difference(spark, sf_dir):
+    """t's sign must agree with the exact cents-mean difference."""
+    from cascade_spark.tables import load
+
+    ev = load(spark, sf_dir, "events")
+    means = {
+        r["event_type"]: r["m"]
+        for r in ev.groupBy("event_type")
+        .agg(F.avg(F.col("value").cast("decimal(12,4)") * 100).alias("m"))
+        .collect()
+    }
+    rows = load_all()["stats_welch_ttest"].builder(spark, sf_dir).collect()
+    assert len(rows) == 10
+    for r in rows:
+        diff = float(means[r["type_a"]] - means[r["type_b"]])
+        if r["t_stat"] != 0:
+            assert (r["t_stat"] > 0) == (diff > 0), r
+
+
+def test_rocksdb_provider_restores_conf(spark, sf_dir):
+    key = "spark.sql.streaming.stateStore.providerClass"
+    before = spark.conf.get(key, None)
+    load_all()["stream_rocksdb_state_store"].builder(spark, sf_dir).count()
+    assert spark.conf.get(key, None) == before
+
+
+def test_dataset_diff_partitions_are_exhaustive(spark, sf_dir):
+    """added+removed+changed+unchanged must account for the full outer
+    join of both releases."""
+    from cascade_spark.tables import load
+
+    rows = load_all()["pipeline_dataset_diff"].builder(spark, sf_dir).collect()
+    total = sum(r["n"] for r in rows)
+    docs = load(spark, sf_dir, "documents")
+    v1 = docs.filter(F.col("doc_id") % 10 != 0).select("doc_id")
+    v2 = docs.filter(F.col("doc_id") % 7 != 0).select("doc_id")
+    expected = v1.union(v2).distinct().count()
+    assert total == expected
+
+
+def test_pipe_having_filters_by_output_name(spark, sf_dir):
+    rows = load_all()["sql_pipe_lateral_having"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_orders"] > 10
+
+
+def test_file_size_targeting_roll_arithmetic(spark, sf_dir):
+    """Every month: n_files == ceil(n_rows/cap), and the remainder file
+    is the only one below cap."""
+    from cascade_spark.sources.scans import MAX_RECORDS_PER_FILE as CAP
+
+    rows = load_all()["sink_file_size_targeting"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_files"] == -(-r["n_rows"] // CAP), r
+        assert r["min_file_rows"] <= CAP
+        if r["n_rows"] % CAP == 0:
+            assert r["n_full_files"] == r["n_files"]
+        else:
+            assert r["n_full_files"] == r["n_files"] - 1
+
+
+def test_range_query_membership_rule(spark, sf_dir):
+    from cascade_spark.operators.similarity import RANGE_T_BP
+
+    rows = load_all()["similarity_range_query"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["qdot"] > 0
+        assert r["cos_bp"] >= RANGE_T_BP, r
+
+
+def test_minhash_1bit_estimator_bounds(spark, sf_dir):
+    """Equal hashes agree in their low bit, so bit_agree >= matches;
+    both estimates live in [0, 10000] bp."""
+    rows = load_all()["dedup_minhash_1bit"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["bit_agree"] >= r["matches"], r
+        assert 0 <= r["est_1bit_bp"] <= 10_000
+        assert 0 <= r["est_full_bp"] <= 10_000
+
+
+def test_mann_kendall_stat_bounds(spark, sf_dir):
+    rows = load_all()["stats_mann_kendall_trend"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert abs(r["s_stat"]) <= r["n0"]
+        assert abs(r["tau_b_bp"]) <= 10_000
+        assert r["n0"] == r["n_days"] * (r["n_days"] - 1) // 2
+
+
+def test_number_format_roundtrip_all_ok(spark, sf_dir):
+    rows = (
+        load_all()["fn_number_format_roundtrip"].builder(spark, sf_dir).collect()
+    )
+    assert rows
+    assert all(r["roundtrip_ok"] == 1 for r in rows)
