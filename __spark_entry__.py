@@ -34,6 +34,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # oracle-gated in pytest (tests/test_oracle.py) regardless of sampling.
 _NEW_THIS_ROUND: list[str] = [
     # -- (1) new this round --
+    "graph_degree_histogram",
+    "stats_mann_whitney_u",
+    "subquery_not_in_null_trap",
+    "text_feature_hashing",
+    "agg_histogram_equi_depth",
+    "pipeline_epoch_shuffle_audit",
+    "multimodal_image_equalize",
+    "multimodal_wav_downsample",
+    "join_dynamic_partition_pruning",
+    "stats_theil_sen_trend",
+    "fn_luhn_check",
     "sql_pipe_lateral_having",
     "fn_number_format_roundtrip",
     "similarity_range_query",

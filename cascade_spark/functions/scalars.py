@@ -419,3 +419,55 @@ def fn_number_format_roundtrip(spark, sf_dir):
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "fn_luhn_check",
+    "functions",
+    doc="luhn_check (Spark 3.5+ built-in): mod-10 checksum validation "
+    "for card-shaped identifiers — the screening predicate a PII "
+    "scrub pipeline runs BEFORE treating a 13-19 digit run as a "
+    "payment-card number (pipeline_pii_scrub's regex family finds "
+    "candidates; Luhn separates real card numbers from arbitrary "
+    "digit runs, cutting false-positive redactions ~10x). Candidates "
+    "are deterministic 11-digit strings derived from order keys; the "
+    "oracle reimplements the Luhn double-every-second-digit rule in "
+    "SQL, so the built-in is verified digit-for-digit.",
+    oracle="""
+WITH cand AS (
+    SELECT o_orderkey,
+           LPAD(CAST((o_orderkey * 7919) % 100000000000 AS VARCHAR),
+                11, '0') AS s
+    FROM orders WHERE o_orderkey % 97 = 0
+),
+digits AS (
+    SELECT o_orderkey, s, i,
+           CAST(SUBSTR(s, LENGTH(s) - i + 1, 1) AS BIGINT) AS d
+    FROM cand, UNNEST(GENERATE_SERIES(1, 11)) AS t(i)
+),
+scored AS (
+    SELECT o_orderkey, s,
+           SUM(CASE WHEN i % 2 = 0
+                    THEN CASE WHEN 2 * d > 9 THEN 2 * d - 9 ELSE 2 * d END
+                    ELSE d END) AS total
+    FROM digits GROUP BY 1, 2
+)
+SELECT o_orderkey, s AS card_str,
+       CAST(CASE WHEN total % 10 = 0 THEN 1 ELSE 0 END AS BIGINT) AS luhn_ok
+FROM scored
+ORDER BY o_orderkey
+""",
+)
+def fn_luhn_check(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 97 == 0)
+    cand = o.select(
+        "o_orderkey",
+        F.lpad(
+            ((F.col("o_orderkey") * 7919) % 100000000000).cast("string"), 11, "0"
+        ).alias("card_str"),
+    )
+    return cand.select(
+        "o_orderkey",
+        "card_str",
+        F.expr("luhn_check(card_str)").cast("long").alias("luhn_ok"),
+    ).orderBy("o_orderkey")

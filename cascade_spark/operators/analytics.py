@@ -465,3 +465,52 @@ def subquery_relational_division(spark, sf_dir):
         .select("user_id", "n_types", "n_events")
         .orderBy("user_id")
     )
+
+
+@register(
+    "subquery_not_in_null_trap",
+    "subqueries",
+    doc="NOT IN vs NOT EXISTS under NULLs — the three-valued-logic "
+    "trap, demonstrated as data: the probe set is customer keys with "
+    "every 50th NULLed out. ANSI NOT IN returns UNKNOWN (drops the "
+    "row) for every outer row once the subquery contains a single "
+    "NULL, so n_not_in = 0; NOT EXISTS with an equality correlation "
+    "is null-rejecting and returns the true anti-join count. Both "
+    "engines implement the same ANSI semantics, so the whole "
+    "contrast hash-checks. Plan-wise the NOT EXISTS side is the one "
+    "that scales: it compiles to a left-anti hash join, while "
+    "NOT IN needs a null-aware anti join (broadcast-only in Spark).",
+    oracle="""
+WITH probe AS (
+    SELECT CASE WHEN c_custkey % 50 = 0 THEN NULL ELSE c_custkey END AS k
+    FROM customer WHERE c_custkey <= 500
+)
+SELECT CAST((SELECT COUNT(*) FROM orders
+             WHERE o_custkey NOT IN (SELECT k FROM probe)) AS BIGINT)
+           AS n_not_in,
+       CAST((SELECT COUNT(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM probe p WHERE p.k = o.o_custkey))
+            AS BIGINT) AS n_not_exists,
+       CAST((SELECT COUNT(*) FROM probe WHERE k IS NULL) AS BIGINT)
+           AS n_probe_nulls
+""",
+)
+def subquery_not_in_null_trap(spark, sf_dir):
+    t(spark, sf_dir, "customer").createOrReplaceTempView("cascade_nin_customer")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("cascade_nin_orders")
+    return spark.sql(
+        """
+WITH probe AS (
+    SELECT CASE WHEN c_custkey % 50 = 0 THEN NULL ELSE c_custkey END AS k
+    FROM cascade_nin_customer WHERE c_custkey <= 500
+)
+SELECT CAST((SELECT COUNT(*) FROM cascade_nin_orders
+             WHERE o_custkey NOT IN (SELECT k FROM probe)) AS BIGINT)
+           AS n_not_in,
+       CAST((SELECT COUNT(*) FROM cascade_nin_orders o
+             WHERE NOT EXISTS (SELECT 1 FROM probe p WHERE p.k = o.o_custkey))
+            AS BIGINT) AS n_not_exists,
+       CAST((SELECT COUNT(*) FROM probe WHERE k IS NULL) AS BIGINT)
+           AS n_probe_nulls
+"""
+    )

@@ -1092,3 +1092,124 @@ def pipeline_dataset_diff(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .orderBy("source", "status")
     )
+
+
+N_EPOCHS = 3
+
+
+@register(
+    "pipeline_epoch_shuffle_audit",
+    "pipeline",
+    doc="Deterministic epoch reshuffle — every training epoch orders "
+    "the corpus by md5(epoch || ':' || doc_id), so the permutation "
+    "is reproducible from (seed=epoch, doc_id) alone: any worker can "
+    "compute any epoch's order with no stored shuffle state, the "
+    "property a 100 TB data loader needs for resumable epochs. "
+    "Per-epoch ranks come from the two-phase range-partition prefix "
+    "sum (never a single-task global window); the audit emits each "
+    "epoch's permutation checksum (BIT_XOR over rank-salted ids) and "
+    "the mean absolute rank displacement to the next epoch — "
+    "near-N/3 displacement is what 'well shuffled' looks like; a "
+    "broken reshuffle (epoch-invariant order) would show 0.",
+    oracle=f"""
+WITH docs AS (SELECT doc_id FROM documents),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM docs),
+frame AS (
+    SELECT e.e, d.doc_id,
+           MD5(CAST(e.e AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)) AS key
+    FROM docs d CROSS JOIN
+         (SELECT UNNEST(GENERATE_SERIES(1, {N_EPOCHS})) AS e) e
+),
+ranked AS (
+    SELECT e, doc_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY e ORDER BY key) AS BIGINT) AS r
+    FROM frame
+),
+pos AS (
+    SELECT doc_id,
+           MAX(CASE WHEN e = 1 THEN r END) AS r1,
+           MAX(CASE WHEN e = 2 THEN r END) AS r2,
+           MAX(CASE WHEN e = 3 THEN r END) AS r3
+    FROM ranked GROUP BY doc_id
+),
+chk AS (
+    SELECT e, BIT_XOR(r * 2654435761 + doc_id) AS perm_checksum
+    FROM ranked GROUP BY e
+),
+disp AS (
+    SELECT 1 AS e, CAST(SUM(ABS(r1 - r2)) AS BIGINT) AS sum_disp FROM pos
+    UNION ALL
+    SELECT 2 AS e, CAST(SUM(ABS(r2 - r3)) AS BIGINT) FROM pos
+    UNION ALL
+    SELECT 3 AS e, CAST(NULL AS BIGINT)
+)
+SELECT CAST(chk.e AS BIGINT) AS epoch,
+       CAST(chk.perm_checksum AS BIGINT) AS perm_checksum,
+       disp.sum_disp AS sum_disp_to_next,
+       CAST(disp.sum_disp // n.total AS BIGINT) AS mean_disp_to_next
+FROM chk JOIN disp ON disp.e = chk.e CROSS JOIN n
+ORDER BY epoch
+""",
+)
+def pipeline_epoch_shuffle_audit(spark, sf_dir):
+    from cascade_spark.operators.ingest import assign_prefix_sum
+
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    epochs = spark.range(1, N_EPOCHS + 1).select(F.col("id").alias("e"))
+    frame = d.crossJoin(F.broadcast(epochs)).select(
+        "e",
+        "doc_id",
+        F.md5(
+            F.concat_ws(":", F.col("e").cast("string"), F.col("doc_id").cast("string"))
+        ).alias("key"),
+        F.lit(1).alias("one"),
+    )
+    n = d.agg(F.count(F.lit(1)).cast("long").alias("total"))
+    ranked = assign_prefix_sum(frame, ["e", "key"], "one").crossJoin(
+        F.broadcast(n)
+    ).select(
+        "e",
+        "doc_id",
+        (F.col("prefix_sum") + 1 - (F.col("e") - 1) * F.col("total"))
+        .cast("long")
+        .alias("r"),
+    )
+    pos = ranked.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("e") == k, F.col("r"))).alias(f"r{k}")
+            for k in range(1, N_EPOCHS + 1)
+        ]
+    )
+    chk = ranked.groupBy("e").agg(
+        F.expr("bit_xor(r * 2654435761 + doc_id)").alias("perm_checksum")
+    )
+    disp = (
+        pos.agg(
+            F.sum(F.abs(F.col("r1") - F.col("r2"))).cast("long").alias("d1"),
+            F.sum(F.abs(F.col("r2") - F.col("r3"))).cast("long").alias("d2"),
+        )
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.lit(1).alias("e"), F.col("d1").alias("sum_disp")),
+                    F.struct(F.lit(2).alias("e"), F.col("d2").alias("sum_disp")),
+                    F.struct(
+                        F.lit(3).alias("e"),
+                        F.lit(None).cast("long").alias("sum_disp"),
+                    ),
+                )
+            ).alias("s")
+        )
+        .select(F.col("s.e").alias("e"), F.col("s.sum_disp").alias("sum_disp"))
+    )
+    return (
+        chk.join(disp, "e")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("e").cast("long").alias("epoch"),
+            F.col("perm_checksum").cast("long").alias("perm_checksum"),
+            F.col("sum_disp").alias("sum_disp_to_next"),
+            F.expr("sum_disp DIV total").cast("long").alias("mean_disp_to_next"),
+        )
+        .orderBy("epoch")
+    )

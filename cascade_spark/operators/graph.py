@@ -617,3 +617,52 @@ LIMIT {NJ_TOP}
 from cascade_spark.plans.registry import REGISTRY as _REG  # noqa: E402
 
 _REG["graph_neighborhood_jaccard"].oracle = _nj_oracle()
+
+
+@register(
+    "graph_degree_histogram",
+    "graph",
+    doc="Log2-bucketed degree distribution of the capped co-activity "
+    "graph — the observability query behind MAX_DEGREE (every "
+    "declared cap ships an audit): per power-of-two degree bucket, "
+    "node count and exact min/max degree. floor(log2(d)) is safe "
+    "cross-engine because log2 of an int64 is exact at bucket "
+    "boundaries (powers of two) in IEEE double. Reads the SHARED "
+    "persisted edge frame (amortized with the triangle/link-pred "
+    "family); the histogram is two tiny aggregations over the edge "
+    "list — at 100 TB this is the query you run BEFORE choosing "
+    "MAX_DEGREE, since the tail of this histogram is exactly the "
+    "wedge-explosion risk Σd(v)^2.",
+    oracle=f"""
+WITH {_sql_coactivity_edges()},
+deg AS (
+    SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT ua AS u FROM e UNION ALL SELECT ub AS u FROM e
+    ) GROUP BY u
+)
+SELECT CAST(FLOOR(LOG2(d)) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(MIN(d) AS BIGINT) AS min_deg,
+       CAST(MAX(d) AS BIGINT) AS max_deg
+FROM deg
+GROUP BY 1
+ORDER BY bucket
+""",
+)
+def graph_degree_histogram(spark, sf_dir):
+    e = _coactivity_edges(spark, sf_dir)
+    deg = (
+        e.select(F.col("ua").alias("u"))
+        .unionByName(e.select(F.col("ub").alias("u")))
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    return (
+        deg.groupBy(F.floor(F.log2("d")).cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.min("d").cast("long").alias("min_deg"),
+            F.max("d").cast("long").alias("max_deg"),
+        )
+        .orderBy("bucket")
+    )

@@ -168,3 +168,88 @@ def agg_approx_top_k(spark, sf_dir):
         )
         .orderBy(F.desc("cnt"), "item")
     )
+
+
+EQD_BUCKETS = 8
+
+
+@register(
+    "agg_histogram_equi_depth",
+    "aggregations",
+    doc="Equi-depth (quantile) histogram of lineitem price cents, "
+    f"{EQD_BUCKETS} buckets — the histogram optimizers keep for "
+    "selectivity estimation (equal row mass per bucket; "
+    "agg_histogram_width_bucket is the equal-width twin). Boundaries "
+    "are EXACT discrete quantiles: b_k = min cents with cumulative "
+    f"count >= ceil(k*N/{EQD_BUCKETS}), computed on the "
+    "distinct-cents spine whose running total comes from the "
+    "two-phase range-partition prefix sum (ingest.assign_prefix_sum) "
+    "— no single-task global window at any scale. Per-bucket row "
+    "counts are differences of the boundary rows' cumulative counts "
+    "(an 8-row window), so the whole query is one spine aggregation "
+    "+ one broadcast threshold join.",
+    oracle=f"""
+WITH h AS (
+    SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,4)) * 100 AS BIGINT) AS c,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem GROUP BY 1
+),
+cum AS (
+    SELECT c, cnt,
+           SUM(cnt) OVER (ORDER BY c
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ci
+    FROM h
+),
+n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM h),
+ks AS (SELECT UNNEST(GENERATE_SERIES(1, {EQD_BUCKETS})) AS k),
+bounds AS (
+    SELECT ks.k, MIN(cum.c) AS hi_cents
+    FROM ks, n, cum
+    WHERE cum.ci >= (ks.k * n.total + {EQD_BUCKETS} - 1) // {EQD_BUCKETS}
+    GROUP BY ks.k
+),
+bcum AS (
+    SELECT b.k, b.hi_cents, cum.ci
+    FROM bounds b JOIN cum ON cum.c = b.hi_cents
+)
+SELECT k AS bucket,
+       CAST(hi_cents AS BIGINT) AS hi_cents,
+       CAST(ci - COALESCE(LAG(ci) OVER (ORDER BY k), 0) AS BIGINT) AS n_rows
+FROM bcum
+ORDER BY bucket
+""",
+)
+def agg_histogram_equi_depth(spark, sf_dir):
+    from pyspark.sql import Window
+    from cascade_spark.operators.ingest import assign_prefix_sum
+
+    li = t(spark, sf_dir, "lineitem")
+    h = li.groupBy(
+        (F.col("l_extendedprice").cast("decimal(12,4)") * 100)
+        .cast("long")
+        .alias("c")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    cum = assign_prefix_sum(h, ["c"], "cnt").select(
+        "c", "cnt", (F.col("prefix_sum") + F.col("cnt")).alias("ci")
+    )
+    n = h.agg(F.sum("cnt").cast("long").alias("total"))
+    ks = spark.range(1, EQD_BUCKETS + 1).select(F.col("id").alias("k"))
+    bounds = (
+        cum.crossJoin(F.broadcast(ks))
+        .crossJoin(F.broadcast(n))
+        .filter(
+            F.col("ci")
+            >= F.expr(f"(k * total + {EQD_BUCKETS} - 1) DIV {EQD_BUCKETS}")
+        )
+        .groupBy("k")
+        .agg(F.min("c").alias("hi_cents"))
+    )
+    bcum = bounds.join(cum, bounds.hi_cents == cum.c).select("k", "hi_cents", "ci")
+    w = Window.orderBy("k")
+    return bcum.select(
+        F.col("k").cast("long").alias("bucket"),
+        F.col("hi_cents").cast("long").alias("hi_cents"),
+        (F.col("ci") - F.coalesce(F.lag("ci").over(w), F.lit(0)))
+        .cast("long")
+        .alias("n_rows"),
+    ).orderBy("bucket")

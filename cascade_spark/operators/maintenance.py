@@ -336,3 +336,61 @@ def maintenance_minmax_pruning_audit(spark, sf_dir):
         )
         .orderBy("ship_month")
     )
+
+
+@register(
+    "join_dynamic_partition_pruning",
+    "joins",
+    doc="Dynamic partition pruning: the month-clustered lineitem "
+    "layout (clustered_output — Hive-partitioned on ship_month) "
+    "joined on its PARTITION column to a filtered month dimension "
+    "(1996-Q2). The optimizer injects a dynamicpruning subquery into "
+    "the fact scan's PartitionFilters, so only the 3 matching month "
+    "directories are listed/read — at 100 TB the difference between "
+    "scanning 3/83 partitions and all of them, decided at RUNTIME "
+    "from the dim side (static pruning can't see through the join). "
+    "Plan pinned by tests/test_round7_ops.py; result hash-checked "
+    "(pruning may only skip, never change results).",
+    oracle="""
+SELECT STRFTIME(l_shipdate, '%Y-%m') AS ship_month,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,4)) * 100 AS BIGINT))
+            AS BIGINT) AS cents
+FROM lineitem
+WHERE STRFTIME(l_shipdate, '%Y-%m') IN ('1996-04', '1996-05', '1996-06')
+GROUP BY 1
+ORDER BY ship_month
+""",
+)
+def join_dynamic_partition_pruning(spark, sf_dir):
+    out = clustered_output(spark, sf_dir)
+    fact = spark.read.parquet(out)
+    # month dimension with a quarter attribute, derived from orders (a
+    # different table), filtered on the dim side only
+    dim = (
+        t(spark, sf_dir, "orders")
+        .select(F.date_format("o_orderdate", "yyyy-MM").alias("m"))
+        .distinct()
+        .withColumn(
+            "quarter",
+            F.concat(
+                F.substring("m", 1, 4),
+                F.lit("-Q"),
+                (((F.substring("m", 6, 2).cast("int") - 1) / 3).cast("int") + 1).cast(
+                    "string"
+                ),
+            ),
+        )
+    )
+    return (
+        fact.join(dim, fact.ship_month == dim.m)
+        .filter(F.col("quarter") == "1996-Q2")
+        .groupBy("ship_month")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum((F.col("l_extendedprice").cast("decimal(12,4)") * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+        .orderBy("ship_month")
+    )

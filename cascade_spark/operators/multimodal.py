@@ -1049,3 +1049,167 @@ def multimodal_wav_silence_trim(spark, sf_dir):
         "last_loud long, n_kept long, n_trimmed long, trimmed_us long"
     )
     return ids.mapInPandas(synth_and_trim, schema=schema).orderBy("doc_id")
+
+
+@register(
+    "multimodal_image_equalize",
+    "multimodal",
+    doc="REAL histogram equalization on the P6 decoder's pixels: "
+    "per image, numpy bincount -> cumulative distribution -> the "
+    "classic integer remap eq(v) = (cdf(v) - cdf_min) * 255 // "
+    "(n - cdf_min) (all-equal images map to 0 by declaration), "
+    "applied inside mapInPandas. The oracle replays pixel synthesis, "
+    "histogram, CDF and remap entirely in SQL, so the numpy "
+    "equalization path is hash-checked value-for-value. Map-only "
+    "like every decoder stage: per-image state is a 256-bin "
+    "histogram, no shuffle — the 100 TB shape for any per-asset "
+    "photometric transform.",
+    oracle="""
+WITH px AS (
+    SELECT d.doc_id, (d.doc_id * 31 + s.i) % 256 AS v
+    FROM documents d,
+         UNNEST(GENERATE_SERIES(0,
+             3 * (4 + d.doc_id % 13) * (3 + d.doc_id % 7) - 1)) AS s(i)
+),
+hist AS (SELECT doc_id, v, CAST(COUNT(*) AS BIGINT) AS c FROM px GROUP BY 1, 2),
+cdf AS (
+    SELECT doc_id, v, c,
+           SUM(c) OVER (PARTITION BY doc_id ORDER BY v) AS cd
+    FROM hist
+),
+st AS (SELECT doc_id, MIN(cd) AS cdf_min, MAX(cd) AS n FROM cdf GROUP BY doc_id),
+mapped AS (
+    SELECT c.doc_id, c.c,
+           CASE WHEN s.n = s.cdf_min THEN 0
+                ELSE (c.cd - s.cdf_min) * 255 // (s.n - s.cdf_min) END AS ev
+    FROM cdf c JOIN st s ON s.doc_id = c.doc_id
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_px,
+       CAST(SUM(ev * c) AS BIGINT) AS eq_sum,
+       CAST(MIN(ev) AS BIGINT) AS eq_min,
+       CAST(MAX(ev) AS BIGINT) AS eq_max
+FROM mapped
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def multimodal_image_equalize(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select("doc_id")
+
+    def equalize(batches):
+        import numpy as np
+        import pandas as pd
+
+        for b in batches:
+            rows = []
+            for doc_id in b["doc_id"]:
+                blob = synth_ppm(int(doc_id))
+                _, _, _, _, _ = decode_ppm(blob)  # validates the payload
+                nl3 = blob.index(b"\n", blob.index(b"\n", blob.index(b"\n") + 1) + 1)
+                px = np.frombuffer(blob, dtype=np.uint8, offset=nl3 + 1)
+                hist = np.bincount(px, minlength=256).astype("int64")
+                cdf = np.cumsum(hist)
+                n = int(cdf[-1])
+                cdf_min = int(cdf[hist.nonzero()[0][0]])
+                if n == cdf_min:
+                    ev = np.zeros(256, dtype="int64")
+                else:
+                    ev = (cdf - cdf_min) * 255 // (n - cdf_min)
+                eq = ev[px]
+                rows.append(
+                    (
+                        int(doc_id),
+                        n,
+                        int(eq.sum(dtype="int64")),
+                        int(eq.min()),
+                        int(eq.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_px", "eq_sum", "eq_min", "eq_max"]
+            )
+
+    return d.mapInPandas(
+        equalize,
+        "doc_id long, n_px long, eq_sum long, eq_min long, eq_max long",
+    ).orderBy("doc_id")
+
+
+WAV_DECIM = 4
+
+
+@register(
+    "multimodal_wav_downsample",
+    "multimodal",
+    doc="REAL audio downsample audit: the RIFF/PCM16 parser's samples "
+    f"decimated by {WAV_DECIM} (keep every {WAV_DECIM}th sample — "
+    "naive decimation, declared as such; an anti-aliasing FIR is the "
+    "production variant and changes only the numpy kernel). Reports "
+    "the retained sample count, the exact int64 energy (sum of "
+    "squares) before and after, and the output sample rate. The "
+    "oracle recomputes all four from the synthesis formula in SQL. "
+    "Map-only mapInPandas; the decimated energy ratio is the "
+    "acceptance check before swapping a corpus to the smaller rate.",
+    oracle=f"""
+WITH s AS (
+    SELECT d.doc_id,
+           (8000 + (d.doc_id % 3) * 4000) AS rate,
+           s.i,
+           (d.doc_id * 7 + s.i) % 65536 - 32768 AS v
+    FROM documents d,
+         UNNEST(GENERATE_SERIES(0, 64 + d.doc_id % 129 - 1)) AS s(i)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(COUNT(*) FILTER (WHERE i % {WAV_DECIM} = 0) AS BIGINT) AS n_kept,
+       CAST(MAX(rate) // {WAV_DECIM} AS BIGINT) AS out_rate,
+       CAST(SUM(v * v) AS BIGINT) AS energy_full,
+       CAST(SUM(CASE WHEN i % {WAV_DECIM} = 0 THEN v * v ELSE 0 END)
+            AS BIGINT) AS energy_kept
+FROM s
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def multimodal_wav_downsample(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select("doc_id")
+
+    def downsample(batches):
+        import numpy as np
+        import pandas as pd
+
+        for b in batches:
+            rows = []
+            for doc_id in b["doc_id"]:
+                blob = synth_wav(int(doc_id))
+                _, rate, samples = parse_wav(blob)
+                s64 = samples.astype("int64")
+                kept = s64[::WAV_DECIM]
+                rows.append(
+                    (
+                        int(doc_id),
+                        int(s64.size),
+                        int(kept.size),
+                        rate // WAV_DECIM,
+                        int((s64 * s64).sum()),
+                        int((kept * kept).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_samples",
+                    "n_kept",
+                    "out_rate",
+                    "energy_full",
+                    "energy_kept",
+                ],
+            )
+
+    return d.mapInPandas(
+        downsample,
+        "doc_id long, n_samples long, n_kept long, out_rate long, "
+        "energy_full long, energy_kept long",
+    ).orderBy("doc_id")

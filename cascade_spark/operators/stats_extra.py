@@ -1558,3 +1558,206 @@ def stats_mann_kendall_trend(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "stats_mann_whitney_u",
+    "stats",
+    doc="Mann-Whitney U (Wilcoxon rank-sum) between every pair of "
+    "event types, exactly: per-pair pooled midranks come from the "
+    "(pair, cents)-aggregated spine — ranks double-scaled to stay "
+    "integer under .5 midranks (midrank_x2 = 2*cum_before + cnt + 1, "
+    "the stats_spearman_rho trick), U1_x2 = R1_x2 - n1(n1+1), and "
+    "the rank-biserial AUC effect size U1/(n1*n2) in truncated bp. "
+    "The per-pair window runs over the DISTINCT-cents spine of that "
+    "pair (bounded by value cardinality, not row count) and raw "
+    "events are aggregated to (type, cents) counts BEFORE the 4x "
+    "pair fan-out, so the shuffled volume is histogram-sized at any "
+    "scale.",
+    oracle="""
+WITH h AS (
+    SELECT event_type AS et,
+           CAST(CAST(value AS DECIMAL(12,4)) * 100 AS BIGINT) AS c,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+),
+types AS (SELECT DISTINCT et FROM h),
+pairs AS (
+    SELECT a.et AS ta, b.et AS tb
+    FROM types a JOIN types b ON a.et < b.et
+),
+spine AS (
+    SELECT p.ta, p.tb, h.c,
+           CAST(SUM(CASE WHEN h.et = p.ta THEN h.n ELSE 0 END) AS BIGINT) AS na,
+           CAST(SUM(CASE WHEN h.et = p.tb THEN h.n ELSE 0 END) AS BIGINT) AS nb
+    FROM pairs p JOIN h ON h.et IN (p.ta, p.tb)
+    GROUP BY 1, 2, 3
+),
+ranked AS (
+    SELECT ta, tb, c, na, nb,
+           2 * COALESCE(SUM(na + nb) OVER (
+               PARTITION BY ta, tb ORDER BY c
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + (na + nb) + 1 AS midrank_x2
+    FROM spine
+),
+agg AS (
+    SELECT ta AS type_a, tb AS type_b,
+           CAST(SUM(na) AS BIGINT) AS n_a,
+           CAST(SUM(nb) AS BIGINT) AS n_b,
+           CAST(SUM(na * midrank_x2) AS BIGINT) AS r1_x2
+    FROM ranked GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_a, n_b,
+       CAST(r1_x2 - n_a * (n_a + 1) AS BIGINT) AS u1_x2,
+       CAST((r1_x2 - n_a * (n_a + 1)) * 10000 // (2 * n_a * n_b)
+            AS BIGINT) AS auc_bp
+FROM agg
+ORDER BY type_a, type_b
+""",
+)
+def stats_mann_whitney_u(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    h = ev.groupBy(
+        F.col("event_type").alias("et"),
+        (F.col("value").cast("decimal(12,4)") * 100).cast("long").alias("c"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    types = h.select("et").distinct()
+    pairs = (
+        types.alias("a")
+        .join(types.alias("b"), F.col("a.et") < F.col("b.et"))
+        .select(F.col("a.et").alias("ta"), F.col("b.et").alias("tb"))
+    )
+    spine = (
+        h.join(F.broadcast(pairs), (h.et == F.col("ta")) | (h.et == F.col("tb")))
+        .groupBy("ta", "tb", "c")
+        .agg(
+            F.sum(F.when(F.col("et") == F.col("ta"), F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("na"),
+            F.sum(F.when(F.col("et") == F.col("tb"), F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("nb"),
+        )
+    )
+    w = (
+        Window.partitionBy("ta", "tb")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = spine.withColumn(
+        "midrank_x2",
+        2 * F.coalesce(F.sum(F.col("na") + F.col("nb")).over(w), F.lit(0))
+        + (F.col("na") + F.col("nb"))
+        + 1,
+    )
+    agg = ranked.groupBy(
+        F.col("ta").alias("type_a"), F.col("tb").alias("type_b")
+    ).agg(
+        F.sum("na").cast("long").alias("n_a"),
+        F.sum("nb").cast("long").alias("n_b"),
+        F.sum(F.col("na") * F.col("midrank_x2")).cast("long").alias("r1_x2"),
+    )
+    u1 = F.col("r1_x2") - F.col("n_a") * (F.col("n_a") + 1)
+    return agg.select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        u1.cast("long").alias("u1_x2"),
+        F.expr("(r1_x2 - n_a * (n_a + 1)) * 10000 DIV (2 * n_a * n_b)")
+        .cast("long")
+        .alias("auc_bp"),
+    ).orderBy("type_a", "type_b")
+
+
+@register(
+    "stats_theil_sen_trend",
+    "stats",
+    doc="Theil-Sen robust trend per event type: the MEDIAN of all "
+    "pairwise daily-count slopes — outlier days move the estimate "
+    "far less than least-squares (agg_trend_regression is the L2 "
+    "twin). Slopes are truncated basis points (dn*10000 DIV dd, "
+    "toward-zero parity in both engines); the median over the "
+    "doubled-rank trick (sum of the two middle order statistics, "
+    "exact for even and odd counts without interpolation IEEE). The "
+    "O(d^2) pair join runs on the AGGREGATED per-day spine "
+    "(30 days -> 435 slopes per type), bounded by time span at any "
+    "corpus scale.",
+    oracle="""
+WITH daily AS (
+    SELECT event_type, CAST(DATE_TRUNC('day', ts) AS DATE) AS d,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+),
+slopes AS (
+    SELECT a.event_type,
+           (b.n - a.n) * 10000 // DATE_DIFF('day', a.d, b.d) AS slope_bp
+    FROM daily a JOIN daily b
+      ON a.event_type = b.event_type AND a.d < b.d
+),
+ranked AS (
+    SELECT event_type, slope_bp,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY slope_bp) AS rk,
+           COUNT(*) OVER (PARTITION BY event_type) AS m
+    FROM slopes
+)
+SELECT event_type,
+       CAST(MAX(m) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN rk IN ((m + 1) // 2, (m + 2) // 2)
+                     THEN slope_bp ELSE 0 END)
+            * CASE WHEN (MAX(m) + 1) // 2 = (MAX(m) + 2) // 2
+                   THEN 2 ELSE 1 END
+            AS BIGINT) AS median_slope_x2_bp
+FROM ranked
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def stats_theil_sen_trend(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = daily.select(
+        F.col("event_type").alias("et"), F.col("d").alias("da"), F.col("n").alias("na")
+    )
+    b = daily.select(
+        F.col("event_type").alias("et"), F.col("d").alias("db"), F.col("n").alias("nb")
+    )
+    slopes = (
+        a.join(b, "et")
+        .filter(F.col("da") < F.col("db"))
+        .select(
+            "et",
+            F.expr("(nb - na) * 10000 DIV datediff(db, da)").alias("slope_bp"),
+        )
+    )
+    w = Window.partitionBy("et").orderBy("slope_bp")
+    ranked = slopes.select(
+        "et",
+        "slope_bp",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("et")).alias("m"),
+    )
+    lo = F.expr("(m + 1) DIV 2")
+    hi = F.expr("(m + 2) DIV 2")
+    return (
+        ranked.groupBy(F.col("et").alias("event_type"))
+        .agg(
+            F.max("m").cast("long").alias("n_pairs"),
+            (
+                F.sum(
+                    F.when(
+                        (F.col("rk") == lo) | (F.col("rk") == hi),
+                        F.col("slope_bp"),
+                    ).otherwise(0)
+                )
+                * F.max(F.when(lo == hi, 2).otherwise(1))
+            )
+            .cast("long")
+            .alias("median_slope_x2_bp"),
+        )
+        .orderBy("event_type")
+    )

@@ -655,3 +655,58 @@ def text_char_ngram_profile(spark, sf_dir):
         F.row_number().over(rk).cast("long").alias("rk"),
     )
     return ranked.filter(F.col("rk") <= 5).orderBy("lang", "rk")
+
+
+FH_BUCKETS = 256
+
+
+@register(
+    "text_feature_hashing",
+    "text",
+    doc="Feature hashing (the 'hashing trick'): every token maps to "
+    f"bucket = md5-derived-int % {FH_BUCKETS}, giving a FIXED-width "
+    "feature space with no vocabulary build, no dictionary shuffle, "
+    "and no driver-side fit — the property that makes it the default "
+    "featurizer at 100 TB (MLlib's HashingTF is this op; the "
+    "md5-derived hash keeps it oracle-checkable where xxhash64 would "
+    "not be). Top-15 buckets by occurrence mass, each with its "
+    "distinct-token count — collisions made observable, since the "
+    "collision rate is the accuracy cost the fixed width buys.",
+    oracle=f"""
+WITH tok AS (
+    SELECT UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents
+),
+b AS (
+    SELECT ('0x' || SUBSTR(MD5(w), 1, 8))::BIGINT % {FH_BUCKETS} AS bucket, w
+    FROM tok WHERE w <> ''
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(DISTINCT w) AS BIGINT) AS n_distinct_tokens
+FROM b
+GROUP BY bucket
+ORDER BY n_occurrences DESC, bucket
+LIMIT 15
+""",
+)
+def text_feature_hashing(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split("text", " ")).alias("w")).filter(
+        F.col("w") != ""
+    )
+    b = tok.select(
+        (
+            F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
+            % FH_BUCKETS
+        ).alias("bucket"),
+        "w",
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.countDistinct("w").cast("long").alias("n_distinct_tokens"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "bucket")
+        .limit(15)
+    )

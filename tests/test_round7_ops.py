@@ -267,3 +267,81 @@ def test_number_format_roundtrip_all_ok(spark, sf_dir):
     )
     assert rows
     assert all(r["roundtrip_ok"] == 1 for r in rows)
+
+
+def test_dynamic_partition_pruning_in_plan(spark, sf_dir):
+    """The fact scan must carry a dynamicpruning expression in its
+    partition filters — static pruning can't see through the join."""
+    df = load_all()["join_dynamic_partition_pruning"].builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+
+
+def test_equi_depth_buckets_balanced(spark, sf_dir):
+    """Equi-depth property: every bucket holds between floor(N/8) - W
+    and ceil(N/8) + W rows where W is the largest single-value mass
+    (discrete data can't split a repeated value across buckets)."""
+    from cascade_spark.operators.histogram_sketch import EQD_BUCKETS
+    from cascade_spark.tables import load
+    from pyspark.sql import functions as F2
+
+    rows = load_all()["agg_histogram_equi_depth"].builder(spark, sf_dir).collect()
+    assert len(rows) == EQD_BUCKETS
+    li = load(spark, sf_dir, "lineitem")
+    n = li.count()
+    w = (
+        li.groupBy((F2.col("l_extendedprice").cast("decimal(12,4)") * 100).cast("long"))
+        .count()
+        .agg(F2.max("count"))
+        .collect()[0][0]
+    )
+    assert sum(r["n_rows"] for r in rows) == n
+    for r in rows:
+        assert n // EQD_BUCKETS - w <= r["n_rows"] <= -(-n // EQD_BUCKETS) + w, r
+
+
+def test_mann_whitney_u_symmetry(spark, sf_dir):
+    """U1 + U2 = n1*n2 (doubled: u1_x2 in [0, 2*n1*n2]); AUC in bp."""
+    rows = load_all()["stats_mann_whitney_u"].builder(spark, sf_dir).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert 0 <= r["u1_x2"] <= 2 * r["n_a"] * r["n_b"], r
+        assert 0 <= r["auc_bp"] <= 10_000
+
+
+def test_epoch_shuffle_reshuffles(spark, sf_dir):
+    """Distinct checksums per epoch and nonzero displacement — a broken
+    (epoch-invariant) shuffle would show equal checksums and 0."""
+    rows = load_all()["pipeline_epoch_shuffle_audit"].builder(spark, sf_dir).collect()
+    assert len(rows) == 3
+    checks = [r["perm_checksum"] for r in rows]
+    assert len(set(checks)) == 3
+    for r in rows:
+        if r["epoch"] < 3:
+            assert r["mean_disp_to_next"] > 0
+
+
+def test_luhn_known_vectors(spark):
+    """Pin the built-in against the canonical Luhn test vector."""
+    row = spark.sql(
+        "SELECT luhn_check('79927398713') AS good, luhn_check('79927398710') AS bad"
+    ).collect()[0]
+    assert row["good"] is True and row["bad"] is False
+
+
+def test_image_equalize_stretches_range(spark, sf_dir):
+    """Equalization must map the brightest present level to 255 and the
+    darkest to 0 whenever an image has >1 distinct level."""
+    rows = load_all()["multimodal_image_equalize"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows[:50]:
+        assert r["eq_min"] == 0
+        if r["n_px"] > 256:  # synthesis guarantees all 256 levels present
+            assert r["eq_max"] == 255
+
+
+def test_not_in_null_trap_contrast(spark, sf_dir):
+    row = load_all()["subquery_not_in_null_trap"].builder(spark, sf_dir).collect()[0]
+    assert row["n_probe_nulls"] > 0
+    assert row["n_not_in"] == 0
+    assert row["n_not_exists"] > 0
