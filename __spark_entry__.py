@@ -34,6 +34,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # oracle-gated in pytest (tests/test_oracle.py) regardless of sampling.
 _NEW_THIS_ROUND: list[str] = [
     # -- (1) new this round --
+    "scan_jdbc_roundtrip",
+    "scan_jdbc_pushdown",
     "graph_degree_histogram",
     "stats_mann_whitney_u",
     "subquery_not_in_null_trap",

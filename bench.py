@@ -68,6 +68,9 @@ def main() -> None:
 
     bloom_filter_output(spark, SF_DIR)
     clustered_output(spark, SF_DIR)
+    from cascade_spark.sources.lakehouse import jdbc_orders_url
+
+    jdbc_orders_url(spark, SF_DIR)
     # bus topic + partitioned registry staging is producer-side table prep
     # (the reference's load-gen), not read-path operator work
     from cascade_spark.sources.cascade_bus import stage_bus_topic

@@ -345,3 +345,29 @@ def test_not_in_null_trap_contrast(spark, sf_dir):
     assert row["n_probe_nulls"] > 0
     assert row["n_not_in"] == 0
     assert row["n_not_exists"] > 0
+
+
+def test_jdbc_pushdown_reaches_remote_sql(spark, sf_dir):
+    """Predicate and projection must land in the JDBCRelation scan."""
+    df = load_all()["scan_jdbc_pushdown"].builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "JDBCRelation" in plan
+    assert "GreaterThan(o_totalprice" in plan
+
+
+def test_jdbc_partitioned_read_fans_out(spark, sf_dir):
+    """The partitioned JDBC read must produce the declared number of
+    range partitions (one bounded SELECT each)."""
+    from cascade_spark.sources.lakehouse import (
+        JDBC_PARTITIONS,
+        jdbc_orders_url,
+        read_jdbc,
+    )
+
+    url = jdbc_orders_url(spark, sf_dir)
+    back = read_jdbc(
+        spark, url, "ORDERS_RT",
+        partitionColumn="o_orderkey", lowerBound=1,
+        upperBound=100000, numPartitions=JDBC_PARTITIONS,
+    )
+    assert back.rdd.getNumPartitions() == JDBC_PARTITIONS
