@@ -34,6 +34,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # oracle-gated in pytest (tests/test_oracle.py) regardless of sampling.
 _NEW_THIS_ROUND: list[str] = [
     # -- (1) new this round --
+    "scan_parquet_codec_matrix",
+    "fn_try_sum_overflow",
+    "window_named_window_clause",
+    "pipeline_shard_rendezvous",
     "scan_jdbc_roundtrip",
     "scan_jdbc_pushdown",
     "graph_degree_histogram",

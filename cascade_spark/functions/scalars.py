@@ -471,3 +471,67 @@ def fn_luhn_check(spark, sf_dir):
         "card_str",
         F.expr("luhn_check(card_str)").cast("long").alias("luhn_ok"),
     ).orderBy("o_orderkey")
+
+
+OVF_SCALE = 4_000_000_000_000_000_000  # ~2^61.8: two of these overflow int64
+
+
+@register(
+    "fn_try_sum_overflow",
+    "functions",
+    doc="try_sum / try_avg overflow semantics: ANSI sum aborts the "
+    "query on int64 overflow, try_sum returns NULL for exactly the "
+    "overflowing group and real sums elsewhere — the per-group "
+    "degradation a 100 TB aggregation wants (one hot group must not "
+    "kill the job). Groups are order statuses; status 'F' rows carry "
+    f"a {OVF_SCALE}-scale value so any group with >=3 such rows "
+    "overflows. The oracle computes the same sums in HUGEINT "
+    "(DuckDB's silent int128 promotion) and replays the overflow "
+    "rule as a CASE against the int64 bounds — so Spark's NULL "
+    "placement is verified against exact wide arithmetic.",
+    oracle=f"""
+WITH v AS (
+    SELECT o_orderstatus,
+           CASE WHEN o_orderstatus = 'F' THEN CAST({OVF_SCALE} AS HUGEINT)
+                ELSE CAST(o_orderkey AS HUGEINT) END AS x
+    FROM orders WHERE o_orderkey % 11 = 0
+),
+agg AS (
+    SELECT o_orderstatus, SUM(x) AS wide_sum,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM v GROUP BY o_orderstatus
+)
+SELECT o_orderstatus,
+       n,
+       CAST(CASE WHEN wide_sum BETWEEN -9223372036854775808
+                                   AND 9223372036854775807
+                 THEN wide_sum END AS BIGINT) AS try_total,
+       CAST(CASE WHEN wide_sum BETWEEN -9223372036854775808
+                                   AND 9223372036854775807
+                 THEN 0 ELSE 1 END AS BIGINT) AS overflowed
+FROM agg
+ORDER BY o_orderstatus
+""",
+)
+def fn_try_sum_overflow(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 11 == 0)
+    v = o.select(
+        "o_orderstatus",
+        F.when(F.col("o_orderstatus") == "F", F.lit(OVF_SCALE).cast("long"))
+        .otherwise(F.col("o_orderkey").cast("long"))
+        .alias("x"),
+    )
+    return (
+        v.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.try_sum("x").cast("long").alias("try_total"),
+        )
+        .select(
+            "o_orderstatus",
+            "n",
+            "try_total",
+            F.isnull("try_total").cast("long").alias("overflowed"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -1213,3 +1213,94 @@ def pipeline_epoch_shuffle_audit(spark, sf_dir):
         )
         .orderBy("epoch")
     )
+
+
+N_SHARDS = 8
+
+
+@register(
+    "pipeline_shard_rendezvous",
+    "pipeline",
+    doc="Rendezvous (highest-random-weight) shard assignment: every "
+    f"doc scores all {N_SHARDS} shards with md5(doc_id:shard) and "
+    "lands on the argmax (max_by / arg_max in both engines; md5 "
+    "collisions make ties impossible in practice). The audit removes "
+    "shard 7 and reassigns: the HRW property — ONLY the removed "
+    "shard's docs move, everyone else's argmax over the survivors is "
+    "unchanged — is verified as data (n_docs_7shards = n_docs_8shards "
+    "+ inbound from the dead shard, per survivor). This is the "
+    "consistent-placement scheme a 100 TB doc store needs: mod-N "
+    "hashing moves (N-1)/N of ALL docs on resize, rendezvous moves "
+    "exactly 1/N. Map-only scoring (an 8-element array per row), one "
+    "tiny per-shard aggregate.",
+    oracle=f"""
+WITH scored AS (
+    SELECT d.doc_id, s.s,
+           ('0x' || SUBSTR(MD5(CAST(d.doc_id AS VARCHAR) || ':' ||
+                               CAST(s.s AS VARCHAR)), 1, 15))::BIGINT AS score
+    FROM documents d,
+         (SELECT UNNEST(GENERATE_SERIES(0, {N_SHARDS - 1})) AS s) s
+),
+a8 AS (SELECT doc_id, ARG_MAX(s, score) AS shard8 FROM scored GROUP BY doc_id),
+a7 AS (SELECT doc_id, ARG_MAX(s, score) AS shard7
+       FROM scored WHERE s < {N_SHARDS - 1} GROUP BY doc_id),
+j AS (SELECT a8.doc_id, a8.shard8, a7.shard7
+      FROM a8 JOIN a7 ON a7.doc_id = a8.doc_id)
+SELECT CAST(sh.s AS BIGINT) AS shard,
+       CAST(COUNT(*) FILTER (WHERE j.shard8 = sh.s) AS BIGINT) AS n_docs_8shards,
+       CAST(COUNT(*) FILTER (WHERE j.shard7 = sh.s) AS BIGINT) AS n_docs_7shards,
+       CAST(COUNT(*) FILTER (WHERE j.shard7 = sh.s AND j.shard8 = {N_SHARDS - 1})
+            AS BIGINT) AS n_inbound
+FROM j, (SELECT UNNEST(GENERATE_SERIES(0, {N_SHARDS - 1})) AS s) sh
+GROUP BY sh.s
+ORDER BY shard
+""",
+)
+def pipeline_shard_rendezvous(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    shard_scores = F.array(
+        *[
+            F.struct(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.lit(str(s)))),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                )
+                .cast("long")
+                .alias("score"),
+                F.lit(s).alias("s"),
+            )
+            for s in range(N_SHARDS)
+        ]
+    )
+    assigned = d.withColumn("_ss", shard_scores).select(
+        "doc_id",
+        F.array_max("_ss")["s"].alias("shard8"),
+        F.array_max(
+            F.filter("_ss", lambda x: x["s"] < N_SHARDS - 1)
+        )["s"].alias("shard7"),
+    )
+    shards = spark.range(N_SHARDS).select(F.col("id").alias("shard"))
+    return (
+        assigned.crossJoin(F.broadcast(shards))
+        .groupBy("shard")
+        .agg(
+            F.count_if(F.col("shard8") == F.col("shard"))
+            .cast("long")
+            .alias("n_docs_8shards"),
+            F.count_if(F.col("shard7") == F.col("shard"))
+            .cast("long")
+            .alias("n_docs_7shards"),
+            F.count_if(
+                (F.col("shard7") == F.col("shard"))
+                & (F.col("shard8") == N_SHARDS - 1)
+            )
+            .cast("long")
+            .alias("n_inbound"),
+        )
+        .orderBy("shard")
+    )

@@ -1010,3 +1010,50 @@ FROM cascade_pipe_orders
 |> ORDER BY o_orderpriority
 """
     )
+
+
+@register(
+    "window_named_window_clause",
+    "sql",
+    doc="Named WINDOW clause: window specifications (customer "
+    "partition, date+key order; plus its framed twin) declared once "
+    "in a WINDOW clause and shared by four "
+    "ranking/offset/frame functions — the SQL-level dedup of window "
+    "definitions. Catalyst collapses same-spec window functions into "
+    "ONE WindowExec (single sort, single pass), so naming the window "
+    "is also the plan-hygiene idiom: accidental spec drift between "
+    "OVER clauses forks the sort. Oracle uses the identical WINDOW "
+    "clause (ANSI, both engines).",
+    oracle="""
+SELECT o_orderkey,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+       CAST(LAG(o_orderkey) OVER w AS BIGINT) AS prev_key,
+       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,4)) * 100 AS BIGINT))
+            OVER w2 AS BIGINT) AS run_cents,
+       CAST(COUNT(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS n_cust
+FROM orders
+WHERE o_custkey % 100 = 0
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY o_custkey, rn
+""",
+)
+def window_named_window_clause(spark, sf_dir):
+    t(spark, sf_dir, "orders").createOrReplaceTempView("cascade_winclause_orders")
+    return spark.sql(
+        """
+SELECT o_orderkey,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+       CAST(LAG(o_orderkey) OVER w AS BIGINT) AS prev_key,
+       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,4)) * 100 AS BIGINT))
+            OVER w2 AS BIGINT) AS run_cents,
+       CAST(COUNT(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS n_cust
+FROM cascade_winclause_orders
+WHERE o_custkey % 100 = 0
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY o_custkey, rn
+"""
+    )

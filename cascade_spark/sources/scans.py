@@ -768,3 +768,74 @@ def sink_file_size_targeting(spark, sf_dir):
         )
         .orderBy("ship_month")
     )
+
+
+PARQUET_VARIANTS = (
+    ("snappy", "v1"),
+    ("zstd", "v1"),
+    ("zstd", "v2"),
+    ("gzip", "v1"),
+)
+
+
+@register(
+    "scan_parquet_codec_matrix",
+    "sources",
+    doc="Parquet codec / writer-version matrix: the same lineitem "
+    "subset written under snappy+v1, zstd+v1, zstd+v2 (data page v2) "
+    "and gzip+v1, each read back and reduced to an identical "
+    "(n_rows, key checksum, cents sum) fingerprint — codec and page "
+    "version are PHYSICAL knobs and must be invisible to every "
+    "reader (the 100 TB storage-cost lever: zstd typically halves "
+    "the footprint vs snappy at similar scan speed; size ordering is "
+    "pinned by tests/test_round7_ops.py since byte sizes aren't "
+    "oracle-checkable). One row per variant, all four fingerprints "
+    "equal by construction.",
+    oracle="""
+SELECT v.variant,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(BIT_XOR(l_orderkey * 31 + l_linenumber) AS BIGINT) AS key_checksum,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,4)) * 100 AS BIGINT))
+            AS BIGINT) AS cents
+FROM lineitem,
+     (SELECT UNNEST(['gzip_v1', 'snappy_v1', 'zstd_v1', 'zstd_v2']) AS variant) v
+WHERE l_orderkey % 5 = 0
+GROUP BY v.variant
+ORDER BY v.variant
+""",
+)
+def scan_parquet_codec_matrix(spark, sf_dir):
+    base = tempfile.mkdtemp(prefix="cascade_codec_")
+    src = t(spark, sf_dir, "lineitem").filter("l_orderkey % 5 = 0").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    outs = []
+    for codec, ver in PARQUET_VARIANTS:
+        out = f"{base}/{codec}_{ver}"
+        (
+            src.coalesce(4)
+            .write.option("compression", codec)
+            .option("parquet.writer.version", ver)
+            .parquet(out)
+        )
+        outs.append((f"{codec}_{ver}", out))
+    frames = []
+    for variant, out in outs:
+        back = spark.read.parquet(out)
+        frames.append(
+            back.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.expr("bit_xor(l_orderkey * 31 + l_linenumber)")
+                .cast("long")
+                .alias("key_checksum"),
+                F.sum(
+                    (F.col("l_extendedprice").cast("decimal(12,4)") * 100).cast("long")
+                )
+                .cast("long")
+                .alias("cents"),
+            ).select(F.lit(variant).alias("variant"), "n_rows", "key_checksum", "cents")
+        )
+    res = frames[0]
+    for fr in frames[1:]:
+        res = res.unionByName(fr)
+    return res.orderBy("variant")

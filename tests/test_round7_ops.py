@@ -371,3 +371,65 @@ def test_jdbc_partitioned_read_fans_out(spark, sf_dir):
         upperBound=100000, numPartitions=JDBC_PARTITIONS,
     )
     assert back.rdd.getNumPartitions() == JDBC_PARTITIONS
+
+
+def test_codec_matrix_sizes_ordered(spark, sf_dir):
+    """Compressed variants must actually compress: every codec variant
+    smaller than an uncompressed control write of the same data."""
+    import tempfile
+
+    from cascade_spark.tables import load
+
+    src = (
+        load(spark, sf_dir, "lineitem")
+        .filter("l_orderkey % 5 = 0")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .coalesce(4)
+    )
+    base = tempfile.mkdtemp(prefix="codec_sz_")
+    sizes = {}
+    for codec in ("none", "snappy", "zstd"):
+        out = f"{base}/{codec}"
+        src.write.option("compression", codec).parquet(out)
+        sizes[codec] = sum(
+            os.path.getsize(os.path.join(out, f))
+            for f in os.listdir(out)
+            if f.endswith(".parquet")
+        )
+    assert sizes["snappy"] < sizes["none"]
+    assert sizes["zstd"] < sizes["none"]
+
+
+def test_try_sum_overflow_isolated_to_hot_group(spark, sf_dir):
+    rows = load_all()["fn_try_sum_overflow"].builder(spark, sf_dir).collect()
+    by = {r["o_orderstatus"]: r for r in rows}
+    assert by["F"]["overflowed"] == 1 and by["F"]["try_total"] is None
+    for st, r in by.items():
+        if st != "F":
+            assert r["overflowed"] == 0 and r["try_total"] is not None
+
+
+def test_rendezvous_minimal_movement(spark, sf_dir):
+    """HRW property: survivors only GAIN docs (n_7 = n_8 + inbound);
+    the removed shard empties; total docs conserved."""
+    from cascade_spark.operators.curation import N_SHARDS
+
+    rows = load_all()["pipeline_shard_rendezvous"].builder(spark, sf_dir).collect()
+    assert len(rows) == N_SHARDS
+    by = {r["shard"]: r for r in rows}
+    assert by[N_SHARDS - 1]["n_docs_7shards"] == 0
+    total8 = sum(r["n_docs_8shards"] for r in rows)
+    total7 = sum(r["n_docs_7shards"] for r in rows)
+    assert total8 == total7
+    for s, r in by.items():
+        if s < N_SHARDS - 1:
+            assert r["n_docs_7shards"] == r["n_docs_8shards"] + r["n_inbound"], r
+
+
+def test_named_window_single_window_exec(spark, sf_dir):
+    """The three same-spec window functions must share WindowExec nodes:
+    at most 2 Window operators (shared spec + the distinct n_cust spec)."""
+    df = load_all()["window_named_window_clause"].builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_window_ops = plan.count("Window ")
+    assert 1 <= n_window_ops <= 2, plan[:2000]
