@@ -34,6 +34,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # oracle-gated in pytest (tests/test_oracle.py) regardless of sampling.
 _NEW_THIS_ROUND: list[str] = [
     # -- (1) new this round --
+    "similarity_lsh_multiprobe",
+    "stream_rate_micro_batch",
+    "sql_default_columns",
     "scan_parquet_codec_matrix",
     "fn_try_sum_overflow",
     "window_named_window_clause",

@@ -825,3 +825,120 @@ def similarity_range_query(spark, sf_dir):
         )
         .orderBy(F.col("cos_bp").desc(), "vec_id")
     )
+
+
+_PROBE_MASKS = (0, 1, 2, 4, 8, 16, 32)  # Hamming <= 1 over the 6-bit code
+
+
+@register(
+    "similarity_lsh_multiprobe",
+    "similarity",
+    doc="Multi-probe LSH (Lv et al. 2007): instead of more hash "
+    "tables, probe the query bucket AND its 6 Hamming-distance-1 "
+    "neighbors (code XOR in {0,1,2,4,8,16,32}) — near-misses where "
+    "one hyperplane sign flipped land in adjacent buckets, so "
+    "probing them recovers most of the recall a second table would "
+    "buy at 1/7th the index memory. Exact cosine is scored only over "
+    "the probed candidates; each hit carries its probe distance and "
+    "the candidate-count contrast (multi vs single bucket) is a "
+    "column, making the recall/IO trade observable. Same md5-derived "
+    "planes as similarity_ann_lsh -> fully oracle-checked.",
+    oracle=f"""
+WITH signs AS ({_SQL_SIGNS}),
+proj AS (
+    SELECT e.vec_id, s.p,
+           SUM(CAST(e.embedding[s.i] AS DOUBLE) * s.s) AS dot
+    FROM embeddings e JOIN signs s ON TRUE
+    GROUP BY e.vec_id, s.p
+),
+codes AS (
+    SELECT vec_id,
+           SUM(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS bucket
+    FROM proj GROUP BY vec_id
+),
+qb AS (SELECT bucket FROM codes WHERE vec_id = {QUERY_VEC_ID}),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+cand AS (
+    SELECT c.vec_id,
+           CASE WHEN xor(c.bucket, qb.bucket) = 0 THEN 0 ELSE 1 END AS probe_dist
+    FROM codes c, qb
+    WHERE xor(c.bucket, qb.bucket) IN (0, 1, 2, 4, 8, 16, 32)
+      AND c.vec_id <> {QUERY_VEC_ID}
+),
+nc AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cand_multi,
+           CAST(COUNT(*) FILTER (WHERE probe_dist = 0) AS BIGINT) AS n_cand_single
+    FROM cand
+),
+sims AS (
+    SELECT e.vec_id, c.probe_dist,
+           ROUND(SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))
+                 / (SQRT(SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+                    * SQRT(SUM(CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))), 6)
+               AS cos_sim
+    FROM embeddings e JOIN cand c USING (vec_id), q,
+         LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(e.embedding))) AS i)
+    GROUP BY e.vec_id, c.probe_dist
+)
+SELECT s.vec_id, s.cos_sim, CAST(s.probe_dist AS BIGINT) AS probe_dist,
+       nc.n_cand_multi, nc.n_cand_single
+FROM sims s, nc
+ORDER BY s.cos_sim DESC, s.vec_id LIMIT {TOP_K}
+""",
+)
+def similarity_lsh_multiprobe(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    signs = _plane_signs(spark)
+    elems = e.select("vec_id", F.posexplode("embedding").alias("pos", "x")).withColumn(
+        "i", F.col("pos") + 1
+    )
+    proj = (
+        elems.join(F.broadcast(signs), "i")
+        .groupBy("vec_id", "p")
+        .agg(F.sum(F.col("x").cast("double") * F.col("s")).alias("dot"))
+    )
+    codes = proj.groupBy("vec_id").agg(
+        F.sum(
+            F.when(F.col("dot") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), p)")).otherwise(0)
+        ).alias("bucket")
+    )
+    qb = codes.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("bucket").alias("qbucket")
+    )
+    xor = F.expr("bucket ^ qbucket")
+    cand = (
+        codes.crossJoin(F.broadcast(qb))
+        .filter(xor.isin(*_PROBE_MASKS) & (F.col("vec_id") != QUERY_VEC_ID))
+        .select(
+            "vec_id", F.when(xor == 0, 0).otherwise(1).alias("probe_dist")
+        )
+    )
+    nc = cand.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cand_multi"),
+        F.count_if(F.col("probe_dist") == 0).cast("long").alias("n_cand_single"),
+    )
+    query = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("_qv")
+    )
+    scored = (
+        e.join(cand, "vec_id")
+        .crossJoin(F.broadcast(query))
+        .select(
+            "vec_id",
+            F.round(
+                _dot(F.col("embedding"), F.col("_qv"))
+                / (
+                    F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+                    * F.sqrt(_dot(F.col("_qv"), F.col("_qv")))
+                ),
+                6,
+            ).alias("cos_sim"),
+            F.col("probe_dist").cast("long").alias("probe_dist"),
+        )
+    )
+    return (
+        scored.crossJoin(F.broadcast(nc))
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(TOP_K)
+        .select("vec_id", "cos_sim", "probe_dist", "n_cand_multi", "n_cand_single")
+    )

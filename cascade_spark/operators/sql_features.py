@@ -1057,3 +1057,64 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
 ORDER BY o_custkey, rn
 """
     )
+
+
+@register(
+    "sql_default_columns",
+    "sql",
+    doc="Column DEFAULT values (Spark 3.4+ DDL): a managed table "
+    "declares defaults for status and score; rows arrive through "
+    "three insert shapes — explicit DEFAULT keyword, a partial "
+    "column list (missing columns take defaults), and INSERT ... "
+    "SELECT providing only the key column. The read-back is "
+    "hash-checked against an oracle that replays the default rule "
+    "as CASE logic over the same source rows — the schema-evolution "
+    "primitive that lets a 100 TB table add a column without "
+    "rewriting history.",
+    oracle="""
+WITH src AS (
+    SELECT o_orderkey FROM orders WHERE o_orderkey % 501 = 0
+)
+SELECT o_orderkey AS id,
+       'backfill' AS status,
+       CAST(100 AS BIGINT) AS score
+FROM src
+UNION ALL
+SELECT 1000000001, 'new', 100
+UNION ALL
+SELECT 1000000002, 'done', 5
+ORDER BY id
+""",
+)
+def sql_default_columns(spark, sf_dir):
+    import tempfile
+
+    t(spark, sf_dir, "orders").createOrReplaceTempView("cascade_def_orders")
+    spark.sql("DROP TABLE IF EXISTS cascade_default_cols")
+    # external per-process location — the in-memory catalog is
+    # session-scoped, so a stable warehouse path would collide across
+    # processes (catalog_managed_table_dml's rationale)
+    loc = tempfile.mkdtemp(prefix="cascade_defcols_")
+    spark.sql(
+        f"""
+CREATE TABLE cascade_default_cols (
+    id BIGINT,
+    status STRING DEFAULT 'new',
+    score BIGINT DEFAULT 100
+) USING parquet LOCATION '{loc}/t'
+"""
+    )
+    spark.sql(
+        "INSERT INTO cascade_default_cols VALUES "
+        "(1000000001, DEFAULT, DEFAULT), (1000000002, 'done', 5)"
+    )
+    spark.sql(
+        """
+INSERT INTO cascade_default_cols (id, status)
+SELECT o_orderkey, 'backfill' FROM cascade_def_orders
+WHERE o_orderkey % 501 = 0
+"""
+    )
+    return spark.sql(
+        "SELECT id, status, score FROM cascade_default_cols ORDER BY id"
+    )

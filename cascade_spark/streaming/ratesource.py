@@ -57,3 +57,68 @@ def stream_rate_source(spark, sf_dir):
         .cast("long")
         .alias("number"),
     ).orderBy("value")
+
+
+RMB_ROWS = 96
+RMB_START_MS = 1_700_000_000_000
+RMB_ADVANCE_MS = 1_000
+
+
+@register(
+    "stream_rate_micro_batch",
+    "streaming",
+    doc="rate-micro-batch source — the DETERMINISTIC load generator "
+    "(plain rate emits rows by wall-clock; rate-micro-batch pins an "
+    "exact rowsPerBatch and a synthetic timestamp per batch, so the "
+    "stream's content is a pure function of its options). One "
+    f"availableNow batch of {RMB_ROWS} rows starting at a pinned "
+    "epoch; the windowed rollup groups value%8 lanes with exact "
+    "sums and the pinned timestamp rendered as a string. The oracle "
+    "regenerates the identical stream from GENERATE_SERIES. This is "
+    "the reference's event-generation analog (R6) under "
+    "reproducible-replay requirements.",
+    oracle=f"""
+WITH rows_ AS (
+    SELECT i AS v,
+           EPOCH_MS({RMB_START_MS}) AS ts
+    FROM (SELECT UNNEST(GENERATE_SERIES(0, {RMB_ROWS - 1})) AS i)
+)
+SELECT CAST(v % 8 AS BIGINT) AS lane,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(v) AS BIGINT) AS sum_v,
+       STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS batch_ts
+FROM rows_
+GROUP BY 1
+ORDER BY lane
+""",
+)
+def stream_rate_micro_batch(spark, sf_dir):
+    import uuid
+
+    name = "rmb_" + uuid.uuid4().hex[:8]
+    df = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", RMB_ROWS)
+        .option("startTimestamp", RMB_START_MS)
+        .option("advanceMillisPerBatch", RMB_ADVANCE_MS)
+        .load()
+    )
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return (
+        spark.table(name)
+        .groupBy((F.col("value") % 8).cast("long").alias("lane"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("value").cast("long").alias("sum_v"),
+            F.date_format(F.min("timestamp"), "yyyy-MM-dd HH:mm:ss").alias(
+                "batch_ts"
+            ),
+        )
+        .orderBy("lane")
+    )

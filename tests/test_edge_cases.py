@@ -24,14 +24,17 @@ def test_consume_beyond_end_returns_empty(spark, sf_dir, tmp_path):
 
 
 def test_lakehouse_stubs_raise_cleanly(spark):
+    """Jar-gated backends raise a clear NotImplementedError; JDBC is
+    REAL (embedded Derby) as of round 7, so it loads instead of raising
+    — exercised end-to-end by scan_jdbc_roundtrip/scan_jdbc_pushdown."""
     from cascade_spark.sources import lakehouse
 
     with pytest.raises(NotImplementedError):
         lakehouse.read_delta(spark, "/nonexistent")
     with pytest.raises(NotImplementedError):
         lakehouse.read_iceberg(spark, "db.tbl")
-    with pytest.raises(NotImplementedError):
-        lakehouse.read_jdbc(spark, "jdbc:postgresql://x/y", "t")
+    url = lakehouse.jdbc_orders_url(spark, "/root/testdata/sf0.001")
+    assert lakehouse.read_jdbc(spark, url, "ORDERS_RT").count() > 0
 
 
 def test_console_sink_runs(spark, sf_dir):

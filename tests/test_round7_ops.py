@@ -433,3 +433,30 @@ def test_named_window_single_window_exec(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     n_window_ops = plan.count("Window ")
     assert 1 <= n_window_ops <= 2, plan[:2000]
+
+
+def test_multiprobe_supersets_single_bucket(spark, sf_dir):
+    """Multi-probe must never see FEWER candidates than the single
+    bucket, and every returned row's probe distance is 0 or 1."""
+    rows = load_all()["similarity_lsh_multiprobe"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_cand_multi"] >= r["n_cand_single"]
+        assert r["probe_dist"] in (0, 1)
+
+
+def test_rate_micro_batch_exact_content(spark, sf_dir):
+    from cascade_spark.streaming.ratesource import RMB_ROWS
+
+    rows = load_all()["stream_rate_micro_batch"].builder(spark, sf_dir).collect()
+    assert sum(r["n"] for r in rows) == RMB_ROWS
+    assert len({r["batch_ts"] for r in rows}) == 1
+
+
+def test_default_columns_fill_rule(spark, sf_dir):
+    rows = load_all()["sql_default_columns"].builder(spark, sf_dir).collect()
+    by_id = {r["id"]: r for r in rows}
+    assert by_id[1000000001]["status"] == "new" and by_id[1000000001]["score"] == 100
+    assert by_id[1000000002]["score"] == 5
+    backfills = [r for r in rows if r["id"] < 1000000000]
+    assert backfills and all(r["score"] == 100 for r in backfills)
