@@ -34,6 +34,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # oracle-gated in pytest (tests/test_oracle.py) regardless of sampling.
 _NEW_THIS_ROUND: list[str] = [
     # -- (1) new this round --
+    "events_conversion_latency",
+    "pii_format_preserving_mask",
+    "agg_percentile_approx_exact_regime",
     "similarity_lsh_multiprobe",
     "stream_rate_micro_batch",
     "sql_default_columns",

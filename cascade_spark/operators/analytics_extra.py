@@ -1224,3 +1224,93 @@ def events_user_feature_vector(spark, sf_dir):
         "n_active_days",
         "total_value_cents",
     ).orderBy("user_id")
+
+
+@register(
+    "events_conversion_latency",
+    "analytics",
+    doc="Signup-to-purchase conversion latency distribution: per "
+    "converting user the exact whole-second gap between first signup "
+    "and first subsequent purchase, rolled up to n_converted, median "
+    "latency (doubled-rank trick — sum of the two middle order "
+    "statistics, exact without IEEE interpolation), p90 (discrete: "
+    "smallest latency with rank >= ceil(0.9 n)), and min/max. "
+    "Completes the funnel family (events_funnel counts WHO converts; "
+    "this measures HOW FAST). Per-user firsts are one combinable "
+    "aggregate; the distribution statistics run on the DISTINCT-"
+    "latency spine through the two-phase prefix sum — converted-user "
+    "counts are user-scale, so no single-task window anywhere.",
+    oracle="""
+WITH firsts AS (
+    SELECT user_id,
+           MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+           MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+    FROM events GROUP BY user_id
+),
+lat AS (
+    SELECT CAST(DATE_DIFF('second', t_signup, t_purchase) AS BIGINT) AS gap_s
+    FROM firsts
+    WHERE t_signup IS NOT NULL AND t_purchase IS NOT NULL
+      AND t_purchase >= t_signup
+),
+ranked AS (
+    SELECT gap_s,
+           ROW_NUMBER() OVER (ORDER BY gap_s) AS rk,
+           COUNT(*) OVER () AS m
+    FROM lat
+)
+SELECT CAST(MAX(m) AS BIGINT) AS n_converted,
+       CAST(SUM(CASE WHEN rk IN ((m + 1) // 2, (m + 2) // 2)
+                     THEN gap_s ELSE 0 END)
+            * CASE WHEN (MAX(m) + 1) // 2 = (MAX(m) + 2) // 2
+                   THEN 2 ELSE 1 END AS BIGINT) AS median_x2_s,
+       CAST(MIN(CASE WHEN rk * 10 >= m * 9 THEN gap_s END) AS BIGINT) AS p90_s,
+       CAST(MIN(gap_s) AS BIGINT) AS min_s,
+       CAST(MAX(gap_s) AS BIGINT) AS max_s
+FROM ranked
+""",
+)
+def events_conversion_latency(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    from cascade_spark.operators.ingest import assign_prefix_sum
+
+    lat = firsts.filter(
+        F.col("t_signup").isNotNull()
+        & F.col("t_purchase").isNotNull()
+        & (F.col("t_purchase") >= F.col("t_signup"))
+    ).select(
+        (
+            F.unix_timestamp("t_purchase") - F.unix_timestamp("t_signup")
+        ).alias("gap_s")
+    )
+    # distinct-latency spine + two-phase prefix sum — converted-user
+    # counts are user-scale, never a single-task window
+    hist = lat.groupBy("gap_s").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    cum = assign_prefix_sum(hist, ["gap_s"], "cnt").select(
+        "gap_s", "cnt", (F.col("prefix_sum") + F.col("cnt")).alias("ci")
+    )
+    n = hist.agg(F.sum("cnt").cast("long").alias("m"))
+    c = cum.crossJoin(F.broadcast(n))
+    lo_val = F.min(
+        F.when(F.col("ci") >= F.expr("(m + 1) DIV 2"), F.col("gap_s"))
+    )
+    hi_val = F.min(
+        F.when(F.col("ci") >= F.expr("(m + 2) DIV 2"), F.col("gap_s"))
+    )
+    return c.agg(
+        F.max("m").cast("long").alias("n_converted"),
+        (lo_val + hi_val).cast("long").alias("median_x2_s"),
+        F.min(F.when(F.col("ci") * 10 >= F.col("m") * 9, F.col("gap_s")))
+        .cast("long")
+        .alias("p90_s"),
+        F.min("gap_s").cast("long").alias("min_s"),
+        F.max("gap_s").cast("long").alias("max_s"),
+    )

@@ -253,3 +253,52 @@ def agg_histogram_equi_depth(spark, sf_dir):
         .cast("long")
         .alias("n_rows"),
     ).orderBy("bucket")
+
+
+@register(
+    "agg_percentile_approx_exact_regime",
+    "aggregations",
+    doc="approx_percentile driven into its EXACT regime: with accuracy "
+    "(1e6) >= group cardinality the GK sketch's rank error is < 1 "
+    "row, so the returned values are exact discrete quantiles — "
+    "probed to match DuckDB's quantile_disc on both parities, making "
+    "the normally rows-only sketch (agg_percentile_approx) "
+    "hash-checkable in this regime, the same contract agg_approx_top_k "
+    "established for heavy hitters. Per event type, quartiles of "
+    "exact value cents from one mergeable sketch pass.",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(QUANTILE_DISC(c, 0.25) AS BIGINT) AS p25_cents,
+       CAST(QUANTILE_DISC(c, 0.5) AS BIGINT) AS p50_cents,
+       CAST(QUANTILE_DISC(c, 0.75) AS BIGINT) AS p75_cents
+FROM (
+    SELECT event_type,
+           CAST(CAST(value AS DECIMAL(12,4)) * 100 AS BIGINT) AS c
+    FROM events
+)
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def agg_percentile_approx_exact_regime(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    c = (F.col("value").cast("decimal(12,4)") * 100).cast("long")
+    base = ev.select("event_type", c.alias("c"))
+    return (
+        base.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.expr(
+                "approx_percentile(c, array(0.25, 0.5, 0.75), 1000000)"
+            ).alias("q"),
+        )
+        .select(
+            "event_type",
+            "n",
+            F.col("q")[0].cast("long").alias("p25_cents"),
+            F.col("q")[1].cast("long").alias("p50_cents"),
+            F.col("q")[2].cast("long").alias("p75_cents"),
+        )
+        .orderBy("event_type")
+    )

@@ -183,3 +183,89 @@ def pii_l_diversity_audit(spark, sf_dir):
         "l_distinct",
         (F.col("l_distinct") < 3).cast("long").alias("vulnerable"),
     ).orderBy("event_type", "hour")
+
+
+@register(
+    "pii_format_preserving_mask",
+    "pii",
+    doc="Format-preserving masking: card-shaped identifiers (the "
+    "fn_luhn_check candidates) have each digit replaced by an "
+    "md5-derived digit keyed on (secret salt, position, original "
+    "digit) — length, digit-ness and grouping survive, the value "
+    "does not, and equal inputs mask equally (the join-key-preserving "
+    "property tokenization needs; full FPE like FF1 swaps in a "
+    "keyed cipher for the md5 without changing the plan). Emits the "
+    "masked string, a changed flag, and idempotence-relevant "
+    "length/digit checks. Deterministic md5 keeps both engines "
+    "byte-identical; map-only at any scale.",
+    oracle="""
+WITH cand AS (
+    SELECT o_orderkey,
+           LPAD(CAST((o_orderkey * 7919) % 100000000000 AS VARCHAR),
+                11, '0') AS s
+    FROM orders WHERE o_orderkey % 97 = 0
+),
+digits AS (
+    SELECT o_orderkey, s, i,
+           CAST(('0x' || SUBSTR(MD5('cascade-salt:' || CAST(i AS VARCHAR) || ':'
+                                    || SUBSTR(s, i, 1)), 1, 8))::BIGINT % 10
+                AS VARCHAR) AS md
+    FROM cand, UNNEST(GENERATE_SERIES(1, 11)) AS t(i)
+),
+masked AS (
+    SELECT o_orderkey, s,
+           STRING_AGG(md, '' ORDER BY i) AS masked_str
+    FROM digits GROUP BY 1, 2
+)
+SELECT o_orderkey, masked_str,
+       CAST(CASE WHEN masked_str <> s THEN 1 ELSE 0 END AS BIGINT) AS changed,
+       CAST(LENGTH(masked_str) AS BIGINT) AS mask_len
+FROM masked
+ORDER BY o_orderkey
+""",
+)
+def pii_format_preserving_mask(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 97 == 0)
+    cand = o.select(
+        "o_orderkey",
+        F.lpad(
+            ((F.col("o_orderkey") * 7919) % 100000000000).cast("string"), 11, "0"
+        ).alias("s"),
+    )
+    # one JVM expression: transform positions 1..11, md5-derive a digit
+    # per (salt, position, original digit), concat back
+    masked = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(11)),
+            lambda i: (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("cascade-salt:"),
+                                i.cast("string"),
+                                F.lit(":"),
+                                F.substring(F.col("s"), i, 1),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 10
+            ).cast("string"),
+        ),
+        "",
+    )
+    return (
+        cand.withColumn("masked_str", masked)
+        .select(
+            "o_orderkey",
+            "masked_str",
+            (F.col("masked_str") != F.col("s")).cast("long").alias("changed"),
+            F.length("masked_str").cast("long").alias("mask_len"),
+        )
+        .orderBy("o_orderkey")
+    )

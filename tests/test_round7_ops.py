@@ -460,3 +460,21 @@ def test_default_columns_fill_rule(spark, sf_dir):
     assert by_id[1000000002]["score"] == 5
     backfills = [r for r in rows if r["id"] < 1000000000]
     assert backfills and all(r["score"] == 100 for r in backfills)
+
+
+def test_format_preserving_mask_properties(spark, sf_dir):
+    """Masking must preserve length and digit-ness, actually change
+    values, and map equal inputs to equal outputs."""
+    rows = load_all()["pii_format_preserving_mask"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["mask_len"] == 11
+        assert r["masked_str"].isdigit()
+    assert sum(r["changed"] for r in rows) >= len(rows) - 1
+
+
+def test_conversion_latency_order_statistics(spark, sf_dir):
+    row = load_all()["events_conversion_latency"].builder(spark, sf_dir).collect()[0]
+    assert row["n_converted"] > 0
+    assert row["min_s"] * 2 <= row["median_x2_s"] <= row["max_s"] * 2
+    assert row["min_s"] <= row["p90_s"] <= row["max_s"]
