@@ -710,3 +710,105 @@ def text_feature_hashing(spark, sf_dir):
         .orderBy(F.col("n_occurrences").desc(), "bucket")
         .limit(15)
     )
+
+
+@register(
+    "text_source_similarity_hashed",
+    "text",
+    doc="Source-level similarity matrix from hashed features: each "
+    f"source's documents fold into a {FH_BUCKETS}-dim hashed "
+    "bag-of-words vector (text_feature_hashing's fixed-width space — "
+    "no vocabulary build), then every source pair gets an exact "
+    "integer cosine in truncated bp (bucket-aligned join for the "
+    "dot, isqrt norms). This is the corpus-mixture diagnostic run "
+    "before weighting sources (near-duplicate sources waste mixture "
+    "budget); at 100 TB the per-source vector is a 256-row aggregate "
+    "regardless of corpus size, so the pair matrix costs "
+    "|sources|^2 * 256, independent of document count. Top-15 pairs.",
+    oracle=f"""
+WITH tok AS (
+    SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents
+),
+b AS (
+    SELECT source,
+           ('0x' || SUBSTR(MD5(w), 1, 8))::BIGINT % {FH_BUCKETS} AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM tok WHERE w <> ''
+    GROUP BY 1, 2
+),
+norms AS (
+    SELECT source, CAST(SUM(cnt * cnt) AS BIGINT) AS n2 FROM b GROUP BY source
+),
+dots AS (
+    SELECT a.source AS src_a, c.source AS src_b,
+           CAST(SUM(a.cnt * c.cnt) AS BIGINT) AS dot
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.source < c.source
+    GROUP BY 1, 2
+)
+SELECT d.src_a, d.src_b,
+       CAST(d.dot * 10000 //
+            (CASE WHEN (CAST(FLOOR(SQRT(CAST(na.n2 * nb.n2 AS DOUBLE))) AS BIGINT) + 1)
+                       * (CAST(FLOOR(SQRT(CAST(na.n2 * nb.n2 AS DOUBLE))) AS BIGINT) + 1)
+                       <= na.n2 * nb.n2
+                  THEN CAST(FLOOR(SQRT(CAST(na.n2 * nb.n2 AS DOUBLE))) AS BIGINT) + 1
+                  WHEN CAST(FLOOR(SQRT(CAST(na.n2 * nb.n2 AS DOUBLE))) AS BIGINT)
+                       * CAST(FLOOR(SQRT(CAST(na.n2 * nb.n2 AS DOUBLE))) AS BIGINT)
+                       > na.n2 * nb.n2
+                  THEN CAST(FLOOR(SQRT(CAST(na.n2 * nb.n2 AS DOUBLE))) AS BIGINT) - 1
+                  ELSE CAST(FLOOR(SQRT(CAST(na.n2 * nb.n2 AS DOUBLE))) AS BIGINT)
+             END) AS BIGINT) AS cos_bp
+FROM dots d
+JOIN norms na ON na.source = d.src_a
+JOIN norms nb ON nb.source = d.src_b
+ORDER BY cos_bp DESC, d.src_a, d.src_b
+LIMIT 15
+""",
+)
+def text_source_similarity_hashed(spark, sf_dir):
+    from cascade_spark.operators.analytics_extra import _isqrt
+
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    b = tok.groupBy(
+        "source",
+        (
+            F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
+            % FH_BUCKETS
+        ).alias("bucket"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    norms = b.groupBy("source").agg(
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("n2")
+    )
+    a = b.select(
+        F.col("source").alias("src_a"), "bucket", F.col("cnt").alias("ca")
+    )
+    c = b.select(
+        F.col("source").alias("src_b"), "bucket", F.col("cnt").alias("cb")
+    )
+    dots = (
+        a.join(c, "bucket")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("long").alias("dot"))
+    )
+    na = norms.select(F.col("source").alias("src_a"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("source").alias("src_b"), F.col("n2").alias("nb2"))
+    return (
+        dots.join(F.broadcast(na), "src_a")
+        .join(F.broadcast(nb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            _isqrt(F.col("na2") * F.col("nb2")).alias("_den"),
+            "dot",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            F.expr("dot * 10000 DIV _den").cast("long").alias("cos_bp"),
+        )
+        .orderBy(F.col("cos_bp").desc(), "src_a", "src_b")
+        .limit(15)
+    )

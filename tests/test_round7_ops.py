@@ -478,3 +478,13 @@ def test_conversion_latency_order_statistics(spark, sf_dir):
     assert row["n_converted"] > 0
     assert row["min_s"] * 2 <= row["median_x2_s"] <= row["max_s"] * 2
     assert row["min_s"] <= row["p90_s"] <= row["max_s"]
+
+
+def test_source_similarity_symmetric_bounds(spark, sf_dir):
+    rows = (
+        load_all()["text_source_similarity_hashed"].builder(spark, sf_dir).collect()
+    )
+    assert rows
+    for r in rows:
+        assert 0 <= r["cos_bp"] <= 10_000
+        assert r["src_a"] < r["src_b"]
