@@ -48,7 +48,7 @@ _NEW_THIS_ROUND: list[str] = [
     "scan_jdbc_roundtrip",
     "scan_jdbc_pushdown",
     "graph_degree_histogram",
-    "stats_mann_whitney_u",
+    "stats_mwu_pairwise_matrix",
     "subquery_not_in_null_trap",
     "text_feature_hashing",
     "agg_histogram_equi_depth",
@@ -62,7 +62,6 @@ _NEW_THIS_ROUND: list[str] = [
     "fn_number_format_roundtrip",
     "similarity_range_query",
     "stats_mann_kendall_trend",
-    "scan_recursive_glob_filter",
     "sink_file_size_targeting",
     "dedup_minhash_1bit",
     "scan_parquet_bloom_filter",

@@ -1561,10 +1561,11 @@ def stats_mann_kendall_trend(spark, sf_dir):
 
 
 @register(
-    "stats_mann_whitney_u",
+    "stats_mwu_pairwise_matrix",
     "stats",
-    doc="Mann-Whitney U (Wilcoxon rank-sum) between every pair of "
-    "event types, exactly: per-pair pooled midranks come from the "
+    doc="Mann-Whitney U between EVERY pair of event types (the all-pairs "
+    "matrix; stats_mannwhitney_u is the single-pair click-vs-purchase "
+    "sibling), exactly: per-pair pooled midranks come from the "
     "(pair, cents)-aggregated spine — ranks double-scaled to stay "
     "integer under .5 midranks (midrank_x2 = 2*cum_before + cnt + 1, "
     "the stats_spearman_rho trick), U1_x2 = R1_x2 - n1(n1+1), and "
@@ -1616,7 +1617,7 @@ FROM agg
 ORDER BY type_a, type_b
 """,
 )
-def stats_mann_whitney_u(spark, sf_dir):
+def stats_mwu_pairwise_matrix(spark, sf_dir):
     ev = t(spark, sf_dir, "events")
     h = ev.groupBy(
         F.col("event_type").alias("et"),

@@ -650,59 +650,6 @@ def scan_parquet_bloom_filter(spark, sf_dir):
     )
 
 
-@register(
-    "scan_recursive_glob_filter",
-    "sources",
-    doc="recursiveFileLookup + pathGlobFilter scan options: a nested "
-    "directory layout (urgent/ at depth 1, other/deep/ at depth 2) "
-    "holding parquet data plus same-schema CSV decoy files dropped "
-    "into the SAME directories. The recursive read with "
-    "pathGlobFilter='*.parquet' must walk every level, take only the "
-    "parquet files, and reconstruct exactly the orders table — the "
-    "hash check proves the decoys contributed zero rows. This is the "
-    "mechanism for scanning data-lake drop zones where writers mix "
-    "formats in one tree; at 100 TB the glob is evaluated per-file "
-    "at listing time (driver-side metadata only), never by opening "
-    "files.",
-    oracle="""
-SELECT o_orderpriority,
-       CAST(COUNT(*) AS BIGINT) AS n_orders,
-       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,4)) * 100 AS BIGINT))
-            AS BIGINT) AS cents
-FROM orders
-GROUP BY o_orderpriority
-ORDER BY o_orderpriority
-""",
-)
-def scan_recursive_glob_filter(spark, sf_dir):
-    base = tempfile.mkdtemp(prefix="cascade_glob_") + "/nested"
-    o = t(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderpriority", "o_totalprice"
-    )
-    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT")
-    rest = o.filter(F.col("o_orderpriority") != "1-URGENT")
-    urgent.coalesce(2).write.mode("overwrite").parquet(f"{base}/urgent")
-    rest.coalesce(4).write.mode("overwrite").parquet(f"{base}/other/deep")
-    # same-schema CSV decoys INTO the same directories
-    urgent.limit(50).coalesce(1).write.mode("append").csv(f"{base}/urgent")
-    rest.limit(50).coalesce(1).write.mode("append").csv(f"{base}/other/deep")
-    back = (
-        spark.read.option("recursiveFileLookup", "true")
-        .option("pathGlobFilter", "*.parquet")
-        .parquet(base)
-    )
-    return (
-        back.groupBy("o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_orders"),
-            F.sum((F.col("o_totalprice").cast("decimal(12,4)") * 100).cast("long"))
-            .cast("long")
-            .alias("cents"),
-        )
-        .orderBy("o_orderpriority")
-    )
-
-
 MAX_RECORDS_PER_FILE = 512
 
 

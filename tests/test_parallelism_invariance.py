@@ -37,7 +37,7 @@ QUERIES = [
     # round-7 representatives
     "agg_histogram_equi_depth",  # two-phase prefix-sum boundaries
     "pipeline_epoch_shuffle_audit",  # per-epoch ranks from the prefix sum
-    "stats_mann_whitney_u",      # pooled midranks over the pair spine
+    "stats_mwu_pairwise_matrix",      # pooled midranks over the pair spine
     "pipeline_shard_rendezvous", # arg-max over md5 score arrays
     "similarity_range_query",    # integer membership rule + isqrt
     "stats_theil_sen_trend",     # doubled-median over pair slopes

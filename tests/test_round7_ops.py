@@ -302,7 +302,7 @@ def test_equi_depth_buckets_balanced(spark, sf_dir):
 
 def test_mann_whitney_u_symmetry(spark, sf_dir):
     """U1 + U2 = n1*n2 (doubled: u1_x2 in [0, 2*n1*n2]); AUC in bp."""
-    rows = load_all()["stats_mann_whitney_u"].builder(spark, sf_dir).collect()
+    rows = load_all()["stats_mwu_pairwise_matrix"].builder(spark, sf_dir).collect()
     assert len(rows) == 10
     for r in rows:
         assert 0 <= r["u1_x2"] <= 2 * r["n_a"] * r["n_b"], r
