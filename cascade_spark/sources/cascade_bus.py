@@ -1016,3 +1016,93 @@ def bus_consumer_lag(spark, sf_dir):
         committed.alias("committed_offset"),
         (F.col("end_offset") - committed).cast("long").alias("lag"),
     ).orderBy("partition")
+
+
+@register(
+    "bus_orphan_segment_audit",
+    "sources",
+    doc="Orphan-segment audit — the log-cleanup companion of "
+    "bus_index_dump (R16 family): a topic's DATA directory can hold "
+    "segment files the committed index never references (aborted "
+    "batch attempts, torn copies — the sink's atomic index replace "
+    "makes them invisible to readers but they still burn storage). "
+    "The audit stages a private sink topic, injects three "
+    "uncommitted files into segments/, and reconciles: committed "
+    "rows/partitions come from the connector READ path (which must "
+    "see none of the junk — that equality is the exactly-once "
+    "contract observable as data), committed segment counts from the "
+    "index, disk inventory from the listing. At 100 TB this "
+    "index-vs-listing diff IS the storage-reclamation job (Kafka log "
+    "cleanup, Iceberg orphan-file removal); here it is one metadata "
+    "pass, no data read.",
+    oracle="""
+SELECT CAST(4 AS BIGINT) AS n_partitions,
+       CAST(4 AS BIGINT) AS n_committed_segments,
+       CAST(COUNT(*) AS BIGINT) AS n_committed_rows,
+       CAST(7 AS BIGINT) AS n_disk_files,
+       CAST(3 AS BIGINT) AS n_orphans
+FROM events
+""",
+)
+def bus_orphan_segment_audit(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from cascade_spark.tables import load
+
+    register_bus(spark)
+    key = ("orphan_sink", sf_dir)
+    if key not in _SINK_CACHE:
+        target = os.path.join(
+            tempfile.mkdtemp(prefix="cascade_bus_orphan_"), "events"
+        )
+        ev = load(spark, sf_dir, "events").select(
+            F.pmod(F.col("event_id"), F.lit(4)).cast("int").alias("partition"),
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+        (
+            ev.repartition(4, "partition")
+            .sortWithinPartitions("event_id")
+            .write.format("cascade_bus")
+            .option("path", target)
+            .option("numPartitions", "4")
+            .mode("append")
+            .save()
+        )
+        # inject orphans: two aborted-looking segment copies + one torn tmp
+        seg_dir = os.path.join(target, "segments")
+        committed = sorted(os.listdir(seg_dir))
+        for i in range(2):
+            shutil.copy(
+                os.path.join(seg_dir, committed[0]),
+                os.path.join(seg_dir, f"orphan-{i}.parquet"),
+            )
+        with open(os.path.join(seg_dir, ".seg-torn.tmp"), "wb") as fh:
+            fh.write(b"\x00" * 16)
+        _SINK_CACHE[key] = target
+    target = _SINK_CACHE[key]
+    committed_read = (
+        spark.read.format("cascade_bus").option("path", target).load()
+    )
+    stats = committed_read.agg(
+        F.countDistinct("partition").cast("long").alias("n_partitions"),
+        F.count(F.lit(1)).cast("long").alias("n_committed_rows"),
+    )
+    idx = _load_index(target)
+    referenced = {
+        seg["file"] for segs in idx["segments"].values() for seg in segs
+    }
+    n_segments = sum(len(v) for v in idx["segments"].values())
+    disk = sorted(os.listdir(os.path.join(target, "segments")))
+    n_orphans = len([f for f in disk if f not in referenced])
+    return stats.select(
+        "n_partitions",
+        F.lit(n_segments).cast("long").alias("n_committed_segments"),
+        "n_committed_rows",
+        F.lit(len(disk)).cast("long").alias("n_disk_files"),
+        F.lit(n_orphans).cast("long").alias("n_orphans"),
+    )

@@ -264,3 +264,90 @@ def stream_rocksdb_state_store(spark, sf_dir):
         else:
             spark.conf.set(conf_key, prev)
     return out.orderBy("window_start", "event_type")
+
+
+def _run_changelog_agg(spark, sf_dir) -> str:
+    """Complete-mode hour×type count over the deterministic late-replay
+    staging (4 pinned batches), explicit checkpoint; memoized — the
+    checkpoint is immutable once the query finishes."""
+    key = (sf_dir, "state_changelog_chk")
+    if key in _STAGE_CACHE:
+        return _STAGE_CACHE[key]
+    indir, schema, _cut, _hi = stage_late_input(spark, sf_dir)
+    chk = os.path.join(tempfile.mkdtemp(prefix="cascade_chlog_"), "chk")
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(indir)
+    )
+    agg = src.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), _TS).alias("window_start"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    with state_partitions(spark, 8):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("cascade_chlog_sink")
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    _STAGE_CACHE[key] = chk
+    return chk
+
+
+@register(
+    "stream_state_changelog",
+    "streaming",
+    doc="State CHANGE FEED (Spark 4 statestore source with "
+    "readChangeFeed): which keys each micro-batch touched, read from "
+    "the committed checkpoint as a relation. The deterministic "
+    "late-replay staging pins batch composition (batch 0 = newer "
+    "half, 1 = pusher marker, 2 = older half, 3 = flush marker), so "
+    "the per-batch update-key count is an exact function of the data "
+    "— batch k updates exactly the distinct (hour, type) groups "
+    "receiving input in batch k (complete mode writes only touched "
+    "keys; nothing evicts, so every change is an 'update'). This is "
+    "the CDC view of operator state a 100 TB pipeline uses to audit "
+    "what a backfill actually rewrote, without replaying it.",
+    oracle="""
+WITH b AS (
+  SELECT EPOCH_US(MIN(ts)) AS lo, EPOCH_US(MAX(ts)) AS hi FROM events
+),
+c AS (SELECT lo + (hi - lo) // 2 AS cut_us FROM b)
+SELECT CAST(batch_id AS BIGINT) AS batch_id,
+       'update' AS change_type,
+       CAST(n AS BIGINT) AS n_keys_changed
+FROM (
+  SELECT 0 AS batch_id,
+         (SELECT COUNT(DISTINCT (DATE_TRUNC('hour', ts), event_type))
+          FROM events, c WHERE EPOCH_US(ts) >= c.cut_us) AS n
+  UNION ALL SELECT 1, 1
+  UNION ALL
+  SELECT 2,
+         (SELECT COUNT(DISTINCT (DATE_TRUNC('hour', ts), event_type))
+          FROM events, c WHERE EPOCH_US(ts) < c.cut_us)
+  UNION ALL SELECT 3, 1
+)
+ORDER BY batch_id
+""",
+)
+def stream_state_changelog(spark, sf_dir):
+    chk = _run_changelog_agg(spark, sf_dir)
+    feed = (
+        spark.read.format("statestore")
+        .option("path", chk)
+        .option("readChangeFeed", "true")
+        .option("changeStartBatchId", 0)
+        .load()
+    )
+    return (
+        feed.groupBy(
+            F.col("batch_id").cast("long").alias("batch_id"),
+            F.col("change_type").cast("string").alias("change_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_keys_changed"))
+        .orderBy("batch_id", "change_type")
+    )

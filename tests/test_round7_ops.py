@@ -488,3 +488,21 @@ def test_source_similarity_symmetric_bounds(spark, sf_dir):
     for r in rows:
         assert 0 <= r["cos_bp"] <= 10_000
         assert r["src_a"] < r["src_b"]
+
+
+def test_state_changelog_only_updates(spark, sf_dir):
+    """Complete mode never evicts: every change row is an 'update', and
+    the four pinned batches each touch at least one key."""
+    rows = load_all()["stream_state_changelog"].builder(spark, sf_dir).collect()
+    assert [r["batch_id"] for r in rows] == [0, 1, 2, 3]
+    assert all(r["change_type"] == "update" for r in rows)
+    assert rows[1]["n_keys_changed"] == 1 and rows[3]["n_keys_changed"] == 1
+
+
+def test_orphan_audit_read_path_ignores_junk(spark, sf_dir):
+    from cascade_spark.tables import load
+
+    row = load_all()["bus_orphan_segment_audit"].builder(spark, sf_dir).collect()[0]
+    assert row["n_orphans"] == 3
+    assert row["n_disk_files"] == row["n_committed_segments"] + row["n_orphans"]
+    assert row["n_committed_rows"] == load(spark, sf_dir, "events").count()
