@@ -567,3 +567,80 @@ def events_seasonal_adjusted_anomaly(spark, sf_dir):
         (sign * mag).alias("dev_bp"),
         F.when(mag >= SEASONAL_DEV_FLAG_BP, 1).otherwise(0).cast("long").alias("flagged"),
     ).orderBy("day")
+
+
+BURN_SHORT_H = 1
+BURN_LONG_H = 6
+BURN_THRESHOLD_BP = 2200  # alert when both windows exceed 22% error rate
+
+
+@register(
+    "events_slo_burn_rate",
+    "analytics",
+    doc="Multi-window SLO burn-rate alerting (the SRE workbook "
+    "pattern): per hour, the error rate over the short (1h) and long "
+    f"(trailing {BURN_LONG_H}h) windows in exact floor bp, alerting "
+    "only when BOTH exceed the threshold — the long window suppresses "
+    "blips, the short window ends the alert promptly once the burn "
+    "stops. Counts aggregate to the hourly spine first (map-side "
+    "combinable); the trailing window is a range frame over the "
+    "AGGREGATED spine, bounded by the time span, never by event "
+    "volume. Emits only alerting hours.",
+    oracle=f"""
+WITH hourly AS (
+    SELECT DATE_TRUNC('hour', ts) AS h,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS errs,
+           CAST(COUNT(*) AS BIGINT) AS total
+    FROM events GROUP BY 1
+),
+rates AS (
+    SELECT h, errs, total,
+           CAST(SUM(errs) OVER w AS BIGINT) AS errs_l,
+           CAST(SUM(total) OVER w AS BIGINT) AS total_l
+    FROM hourly
+    WINDOW w AS (ORDER BY h RANGE BETWEEN INTERVAL {BURN_LONG_H - 1} HOURS
+                 PRECEDING AND CURRENT ROW)
+)
+SELECT STRFTIME(h, '%Y-%m-%d %H:%M:%S') AS hour_start,
+       CAST(errs * 10000 // total AS BIGINT) AS short_bp,
+       CAST(errs_l * 10000 // total_l AS BIGINT) AS long_bp,
+       errs, total
+FROM rates
+WHERE errs * 10000 >= {BURN_THRESHOLD_BP} * total
+  AND errs_l * 10000 >= {BURN_THRESHOLD_BP} * total_l
+ORDER BY hour_start
+""",
+)
+def events_slo_burn_rate(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count_if(F.col("event_type") == "error").cast("long").alias("errs"),
+        F.count(F.lit(1)).cast("long").alias("total"),
+    )
+    w = (
+        Window.orderBy(F.unix_timestamp("h"))
+        .rangeBetween(-(BURN_LONG_H - 1) * 3600, 0)
+    )
+    rates = hourly.select(
+        "h",
+        "errs",
+        "total",
+        F.sum("errs").over(w).cast("long").alias("errs_l"),
+        F.sum("total").over(w).cast("long").alias("total_l"),
+    )
+    return (
+        rates.filter(
+            (F.col("errs") * 10000 >= BURN_THRESHOLD_BP * F.col("total"))
+            & (F.col("errs_l") * 10000 >= BURN_THRESHOLD_BP * F.col("total_l"))
+        )
+        .select(
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            F.expr("errs * 10000 DIV total").cast("long").alias("short_bp"),
+            F.expr("errs_l * 10000 DIV total_l").cast("long").alias("long_bp"),
+            "errs",
+            "total",
+        )
+        .orderBy("hour_start")
+    )

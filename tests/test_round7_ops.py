@@ -506,3 +506,13 @@ def test_orphan_audit_read_path_ignores_junk(spark, sf_dir):
     assert row["n_orphans"] == 3
     assert row["n_disk_files"] == row["n_committed_segments"] + row["n_orphans"]
     assert row["n_committed_rows"] == load(spark, sf_dir, "events").count()
+
+
+def test_slo_burn_requires_both_windows(spark, sf_dir):
+    from cascade_spark.operators.timeseries import BURN_THRESHOLD_BP
+
+    rows = load_all()["events_slo_burn_rate"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["short_bp"] >= BURN_THRESHOLD_BP
+        assert r["long_bp"] >= BURN_THRESHOLD_BP
