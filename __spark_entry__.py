@@ -34,6 +34,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # oracle-gated in pytest (tests/test_oracle.py) regardless of sampling.
 _NEW_THIS_ROUND: list[str] = [
     # -- (1) new this round --
+    "rollup_bitmap_distinct_incremental",
     "events_slo_burn_rate",
     "stream_state_changelog",
     "bus_orphan_segment_audit",

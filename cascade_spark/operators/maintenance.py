@@ -394,3 +394,89 @@ def join_dynamic_partition_pruning(spark, sf_dir):
         )
         .orderBy("ship_month")
     )
+
+
+@register(
+    "rollup_bitmap_distinct_incremental",
+    "maintenance",
+    doc="Incremental EXACT distinct-count refresh via stored bitmaps — "
+    "the companion rollup_incremental_refresh cannot cover: "
+    "COUNT(DISTINCT) is not algebraically mergeable from counts, but "
+    "it IS from bitmaps. The maintained state is per-(type, "
+    "bitmap_bucket) user bitmaps (bitmap_construct_agg), PERSISTED "
+    "to parquet as binary and read back — the stored-rollup shape. "
+    "The refresh bitmap_or_agg-merges the stored history bitmaps "
+    "with the delta slice's bitmaps, so new-day maintenance touches "
+    "bucket-level bitmaps plus the delta rows, never raw history. "
+    "Emits per type the history distinct, merged total distinct, and "
+    "the delta-only new users (total - history) — all exact, oracle "
+    "= full COUNT(DISTINCT) recompute over each time slice. At 100 "
+    "TB this is the exact-dashboard pattern that replaces a daily "
+    "full re-shuffle of every user id ever seen.",
+    oracle="""
+WITH b AS (
+    SELECT EPOCH_US(MIN(ts))
+           + (EPOCH_US(MAX(ts)) - EPOCH_US(MIN(ts))) * 2 // 3 AS cut_us
+    FROM events
+)
+SELECT event_type,
+       CAST((SELECT COUNT(DISTINCT user_id) FROM events e2, b
+             WHERE e2.event_type = e.event_type
+               AND EPOCH_US(e2.ts) < b.cut_us) AS BIGINT) AS n_history,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_total,
+       CAST(COUNT(DISTINCT user_id)
+            - (SELECT COUNT(DISTINCT user_id) FROM events e2, b
+               WHERE e2.event_type = e.event_type
+                 AND EPOCH_US(e2.ts) < b.cut_us)
+            AS BIGINT) AS n_new_users
+FROM events e
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def rollup_bitmap_distinct_incremental(spark, sf_dir):
+    import tempfile
+
+    ev = t(spark, sf_dir, "events")
+    lo_us, hi_us = ev.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).collect()[0]
+    cut_us = lo_us + (hi_us - lo_us) * 2 // 3
+
+    def bitmaps(df):
+        return df.groupBy(
+            "event_type",
+            F.bitmap_bucket_number("user_id").alias("b"),
+        ).agg(
+            F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm")
+        )
+
+    # maintained state: history bitmaps persisted as binary parquet
+    store = tempfile.mkdtemp(prefix="cascade_bmroll_") + "/state"
+    bitmaps(ev.filter(F.unix_micros("ts") < cut_us)).write.mode(
+        "overwrite"
+    ).parquet(store)
+    stored = spark.read.parquet(store)
+    history = stored.groupBy("event_type").agg(
+        F.sum(F.bitmap_count("bm")).cast("long").alias("n_history")
+    )
+    delta_bm = bitmaps(ev.filter(F.unix_micros("ts") >= cut_us))
+    merged = (
+        stored.unionByName(delta_bm)
+        .groupBy("event_type", "b")
+        .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+        .groupBy("event_type")
+        .agg(F.sum(F.bitmap_count("bm")).cast("long").alias("n_total"))
+    )
+    return (
+        merged.join(history, "event_type")
+        .select(
+            "event_type",
+            "n_history",
+            "n_total",
+            (F.col("n_total") - F.col("n_history")).cast("long").alias(
+                "n_new_users"
+            ),
+        )
+        .orderBy("event_type")
+    )

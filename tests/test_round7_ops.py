@@ -516,3 +516,20 @@ def test_slo_burn_requires_both_windows(spark, sf_dir):
     for r in rows:
         assert r["short_bp"] >= BURN_THRESHOLD_BP
         assert r["long_bp"] >= BURN_THRESHOLD_BP
+
+
+def test_bitmap_incremental_conservation(spark, sf_dir):
+    """Merged distinct >= history distinct per type; new users
+    non-negative and total never exceeds the user universe."""
+    from cascade_spark.tables import load
+
+    rows = (
+        load_all()["rollup_bitmap_distinct_incremental"]
+        .builder(spark, sf_dir)
+        .collect()
+    )
+    assert rows
+    universe = load(spark, sf_dir, "events").select("user_id").distinct().count()
+    for r in rows:
+        assert 0 <= r["n_new_users"] == r["n_total"] - r["n_history"]
+        assert r["n_total"] <= universe
