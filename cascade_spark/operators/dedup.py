@@ -442,14 +442,26 @@ def _cc_local(pair_rows):
     return [(n, find(n)) for n in sorted(nodes)]
 
 
-def _cc_labels_distributed(edges, labels):
+# Min-label propagation needs O(graph diameter) rounds. Near-dup
+# clusters are quasi-cliques (2-4 hops), so 32 is generous — but a
+# pathological chain-shaped component MUST NOT silently return
+# unconverged labels (wrong components, no error), so the loop verifies
+# convergence and raises past the cap instead of breaking.
+CC_MAX_ITERS = 32
+
+
+def _cc_labels_distributed(edges, labels, max_iters=None):
     """Min-label propagation over (src, nbr) edges — one co-partitioned
     join + min-aggregate per iteration, O(graph diameter) iterations
     (near-dup clusters are quasi-cliques: 2-4 hops). persist() keeps
-    each iteration from recomputing lineage."""
+    each iteration from recomputing lineage. Raises RuntimeError if the
+    labels have not converged within max_iters — unconverged labels are
+    WRONG components and must never be returned silently."""
     from pyspark import StorageLevel
 
-    for _ in range(32):
+    cap = CC_MAX_ITERS if max_iters is None else max_iters
+    changed = 1
+    for _ in range(cap):
         nbr_comp = labels.select(
             F.col("node").alias("nbr"), F.col("comp").alias("nbr_comp")
         )
@@ -465,13 +477,27 @@ def _cc_labels_distributed(edges, labels):
         )
         proposed = proposed.persist(StorageLevel.MEMORY_AND_DISK)
         changed = proposed.filter(F.col("new_comp") < F.col("comp")).limit(1).count()
-        new_labels = proposed.select("node", F.col("new_comp").alias("comp")).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
+        # localCheckpoint TRUNCATES lineage: each round's plan references
+        # `labels` twice (directly + through `pulled`), so without
+        # truncation the logical plan doubles per iteration — fine at
+        # near-dup diameters (2-4 hops) but a guaranteed 2 GiB
+        # plan-string blowup on chain-shaped components long before the
+        # iteration cap. Checkpointing keeps every round O(1) plan size.
+        new_labels = proposed.select(
+            "node", F.col("new_comp").alias("comp")
+        ).localCheckpoint()
+        proposed.unpersist()
         labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected-components min-label propagation did not "
+            f"converge within {cap} iterations — component diameter "
+            f"exceeds the cap; raise CC_MAX_ITERS (labels would be "
+            f"wrong, refusing to return them)"
+        )
     return labels
 
 
@@ -1371,7 +1397,7 @@ def profile_shingle_df(spark, sf_dir):
     "J_1bit = 2*A/H - 1, floored at 0. The query scores the SHARED "
     "LSH candidate pairs (amortized: reuses _PAIR_CACHE/_SIG_CACHE) "
     "with both the full-signature estimate and the 1-bit estimate in "
-    "exact integer basis points ((2A-16)*625 and matches*625), so "
+    "exact integer basis points (matches*625 and (2A-16)*625), so "
     "the compression error is directly observable per pair. At 100 "
     "TB, 1-bit signatures are what makes an in-memory dedup index of "
     "10^11 docs feasible; candidate generation still uses the full "

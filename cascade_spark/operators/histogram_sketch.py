@@ -157,8 +157,13 @@ LIMIT 4
 )
 def agg_approx_top_k(spark, sf_dir):
     ev = t(spark, sf_dir, "events")
+    # Ask the sketch for ALL tracked items (k = maxItemsTracked), then
+    # apply the (cnt DESC, item) sort + LIMIT ourselves: which of two
+    # COUNT-TIED items sits at the k-boundary is unspecified inside the
+    # sketch even in the exact regime, so the deterministic tie-break
+    # must happen after extraction, mirroring the oracle's ORDER/LIMIT.
     sk = ev.select(
-        F.expr("approx_top_k(event_type, 4, 1024)").alias("topk")
+        F.expr("approx_top_k(event_type, 1024, 1024)").alias("topk")
     )
     return (
         sk.select(F.explode("topk").alias("e"))
@@ -167,6 +172,7 @@ def agg_approx_top_k(spark, sf_dir):
             F.col("e.count").cast("long").alias("cnt"),
         )
         .orderBy(F.desc("cnt"), "item")
+        .limit(4)
     )
 
 

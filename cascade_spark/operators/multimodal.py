@@ -40,21 +40,17 @@ _SCHEMA = "doc_id long, byte_len long, width long, height long, n_frames long, s
 def decode_image_stub(blob: bytes) -> tuple[int, int, int, str]:
     """Stub decoder: (width, height, n_frames, status).
 
-    Real implementation would be e.g. PIL.Image.open(io.BytesIO(blob));
-    the container ships no media libraries, so we fall back to a
-    deterministic fake derived from the blob's md5 (matching the SQL
-    oracle). The fake keeps the contract: pure function blob → metadata.
+    ALWAYS the deterministic md5-derived fake (matching the SQL oracle)
+    — a real PIL path belongs in a separate rows-only query, never here:
+    the oracle replays this exact recurrence, so the query's contract is
+    the fake regardless of which media libraries the container ships.
+    The stub keeps the contract: pure function blob → metadata.
     """
-    try:
-        import PIL.Image  # noqa: F401
-
-        raise NotImplementedError("real image decode not wired in this container")
-    except ImportError:
-        h = hashlib.md5(blob).hexdigest()
-        width = int(h[0:4], 16) % 1920
-        height = int(h[4:8], 16) % 1080
-        n_frames = int(h[8:10], 16) % 16 + 1
-        return width, height, n_frames, "fake-decoded"
+    h = hashlib.md5(blob).hexdigest()
+    width = int(h[0:4], 16) % 1920
+    height = int(h[4:8], 16) % 1080
+    n_frames = int(h[8:10], 16) % 16 + 1
+    return width, height, n_frames, "fake-decoded"
 
 
 @register(

@@ -631,7 +631,10 @@ def text_char_ngram_profile(spark, sf_dir):
     from pyspark.sql import Window
 
     d = widen(t(spark, sf_dir, "documents"))
-    grams = d.select(
+    # Guard: sequence(1, 0) in Spark defaults to step -1 and yields [1, 0]
+    # (spurious grams on len<2 text), while DuckDB's GENERATE_SERIES(1, 0)
+    # is empty — filter short docs so both engines see the same gram set.
+    grams = d.filter(F.length("text") >= 2).select(
         "lang",
         F.explode(
             F.expr(

@@ -109,7 +109,15 @@ def stream_rate_micro_batch(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # awaitTermination(timeout) returns False on timeout with the query
+    # still running — aggregating the memory table then would read a
+    # possibly-incomplete batch (wrong answer, not an error). Fail loud.
+    if not q.awaitTermination(120):
+        q.stop()
+        raise RuntimeError(
+            "stream_rate_micro_batch: availableNow batch did not "
+            "terminate within 120s"
+        )
     return (
         spark.table(name)
         .groupBy((F.col("value") % 8).cast("long").alias("lane"))
