@@ -143,12 +143,20 @@ def main() -> None:
     # sinks, shared checkpoints, one-shot compaction): their second run
     # would skip the very work being measured, not just the noise.
     _NO_RETIME_PREFIXES = ("stream_", "bus_", "maintenance_compact", "scan_schema")
+    # ...EXCEPT streaming queries that rebuild everything per call: the
+    # two applyInPandasWithState queries start a FRESH query (uuid name,
+    # fresh checkpoint) over pre-staged input every run, so a re-run
+    # repeats 100% of the measured work. Excluding them locked host
+    # scheduler stalls into the record permanently (r7 showed 11.3/12.6 s
+    # where isolated runs measure 2.9/7.6 s warm — see SCALE.md).
+    _RETIME_OK = {"stream_stateful_counter", "stream_stateful_session_timeout"}
     first_pass: dict[str, float] = {}
     retime = sorted(
         (
             n
             for n, v in timings.items()
-            if v > 0 and not n.startswith(_NO_RETIME_PREFIXES)
+            if v > 0
+            and (n in _RETIME_OK or not n.startswith(_NO_RETIME_PREFIXES))
         ),
         key=lambda n: -timings[n],
     )[:12]

@@ -264,53 +264,307 @@ def similarity_ivf_kmeans(spark, sf_dir):
     return scored.orderBy(F.col("cos_sim").desc(), "vec_id").limit(TOP_K)
 
 
+# --- Banded sign-LSH blocking (the 100 TB candidate generator) --------
+#
+# SD_BANDS bands × SD_ROWS hyperplanes/band, md5-derived planes like
+# similarity_ann_lsh's. Projections run on the QUANTIZED vectors
+# (q = floor(x*200), int8-range), so every dot product — and hence every
+# bucket code — is exact integer arithmetic, bit-identical in Spark and
+# DuckDB: the blocking itself is hash-checkable, not just the scoring.
+# Candidate pairs = pairs sharing ≥1 (band, code) bucket; the bucket
+# join is a hash-partitioned equi-join on the bucket key, never an
+# all-pairs product. Recall is the banded-LSH curve 1-(1-p^R)^B — the
+# declared approximation, observable via profile_lsh_bucket_pairs and
+# the recall test in tests/test_round8_ops.py; at corpus scale R rises
+# with log(n) to keep buckets O(1).
+Q_SCALE = 200  # |x| < 0.6 in the fixture embeddings → |q| < 120 fits int8
+SD_BANDS, SD_ROWS = 8, 6
+SD_PLANES = SD_BANDS * SD_ROWS
+
+_EMB_PAIR_CACHE: dict = {}
+
+_SQL_BANDED_CTES = f"""
+signs AS (
+    SELECT p, i,
+           CASE WHEN ('0x' || SUBSTR(MD5(p || ':' || i), 1, 8))::BIGINT & 1 = 1
+                THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS s
+    FROM (SELECT UNNEST(GENERATE_SERIES(0, {SD_PLANES - 1})) AS p)
+    CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(1, 64)) AS i)
+),
+qe AS (
+    SELECT vec_id, label,
+           ARRAY(SELECT CAST(FLOOR(CAST(x AS DOUBLE) * {Q_SCALE}) AS BIGINT)
+                 FROM UNNEST(embedding) AS t(x)) AS qv
+    FROM embeddings
+),
+proj AS (
+    SELECT e.vec_id, s.p, SUM(e.qv[s.i] * s.s) AS dot
+    FROM qe e JOIN signs s ON TRUE
+    GROUP BY e.vec_id, s.p
+),
+codes AS (
+    SELECT vec_id, CAST(p // {SD_ROWS} AS BIGINT) AS band,
+           SUM(CASE WHEN dot > 0
+                    THEN CAST(1 AS BIGINT) << (p % {SD_ROWS})
+                    ELSE 0 END) AS code
+    FROM proj GROUP BY 1, 2
+),
+cand AS (
+    SELECT a.vec_id AS v1, b.vec_id AS v2,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+    FROM codes a JOIN codes b
+      ON a.band = b.band AND a.code = b.code AND a.vec_id < b.vec_id
+    GROUP BY 1, 2
+)"""
+
+
+def _banded_sign_frame(spark):
+    """±1 (as long) for SD_PLANES×64 md5-derived hyperplanes — same
+    derivation as _plane_signs, integer-typed so quantized projections
+    stay exact."""
+    planes = spark.range(SD_PLANES).select(F.col("id").cast("int").alias("p"))
+    dims = spark.range(64).select((F.col("id") + 1).cast("int").alias("i"))
+    return planes.crossJoin(dims).select(
+        "p",
+        "i",
+        F.when(
+            F.conv(F.substring(F.md5(F.concat_ws(":", "p", "i")), 1, 8), 16, 10)
+            .cast("long")
+            .bitwiseAND(1)
+            == 1,
+            F.lit(1),
+        )
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("s"),
+    )
+
+
+def _banded_codes(spark, e) -> DataFrame:
+    """(vec_id, band, code) — integer-exact sign-LSH codes over the
+    quantized embeddings. posexplode + broadcast sign join + two
+    map-side-combinable groupBys, the similarity_ann_lsh pattern."""
+    elems = e.select("vec_id", F.posexplode("embedding").alias("pos", "x")).select(
+        "vec_id",
+        (F.col("pos") + 1).alias("i"),
+        F.floor(F.col("x").cast("double") * Q_SCALE).cast("long").alias("qx"),
+    )
+    proj = (
+        elems.join(F.broadcast(_banded_sign_frame(spark)), "i")
+        .groupBy("vec_id", "p")
+        .agg(F.sum(F.col("qx") * F.col("s")).alias("dot"))
+    )
+    return proj.groupBy(
+        "vec_id", F.floor(F.col("p") / SD_ROWS).cast("long").alias("band")
+    ).agg(
+        F.sum(
+            F.when(
+                F.col("dot") > 0,
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), p % {SD_ROWS})"),
+            ).otherwise(0)
+        ).alias("code")
+    )
+
+
+def _lsh_candidate_pairs(spark, sf_dir) -> DataFrame:
+    """(v1, v2, n_shared_bands) candidate pairs from the banded bucket
+    join — persisted once per (session, sf_dir) and shared by the
+    near-dup, semantic-dedup, and audit queries (in production this IS
+    the maintained candidate index of the embedding corpus)."""
+    from cascade_spark.operators.dedup import _cached_frame
+
+    def build():
+        codes = _banded_codes(spark, t(spark, sf_dir, "embeddings"))
+        a = codes.select(F.col("vec_id").alias("v1"), "band", "code")
+        b = codes.select(
+            F.col("vec_id").alias("v2"),
+            F.col("band").alias("band2"),
+            F.col("code").alias("code2"),
+        )
+        return (
+            a.join(
+                b,
+                (F.col("band") == F.col("band2"))
+                & (F.col("code") == F.col("code2"))
+                & (F.col("v1") < F.col("v2")),
+            )
+            .groupBy("v1", "v2")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_shared_bands"))
+        )
+
+    return _cached_frame(_EMB_PAIR_CACHE, spark, sf_dir, build)
+
+
 @register(
     "embedding_neardup_blocked",
     "similarity",
-    doc="Embedding-cosine near-dup pairs, label-blocked (coarse IVF "
-    "partition): same-label self-join only — at 100 TB the blocking key "
-    "caps the pair space; cos ≥ 0.2 via rounded values.",
-    oracle="""
-WITH pairs AS (
-    SELECT a.vec_id AS v1, b.vec_id AS v2, a.label,
-           a.embedding AS ea, b.embedding AS eb
-    FROM embeddings a JOIN embeddings b
-      ON a.label = b.label AND a.vec_id < b.vec_id
-),
+    doc="Embedding-cosine near-dup pairs, blocked on banded sign-LSH "
+    "buckets (8 bands × 6 md5-derived hyperplanes on the quantized "
+    "vectors): candidates = pairs sharing ≥1 (band, code) bucket — a "
+    "hash-partitioned equi-join on the bucket key, never an all-pairs "
+    "product (the round-7 label-blocked version was O(n²/|labels|); "
+    "this is the 100 TB shape, same candidate generator the semantic "
+    "dedup rides). Exact rounded cosine is the residual check; "
+    "n_shared_bands makes the LSH structure observable per pair.",
+    oracle=f"""
+WITH {_SQL_BANDED_CTES},
 scored AS (
-    SELECT v1, v2, label,
-           ROUND(SUM(CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE))
-                 / (SQRT(SUM(CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE)))
-                    * SQRT(SUM(CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)))), 6)
+    SELECT c.v1, c.v2, c.n_shared_bands,
+           ROUND(SUM(CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE))
+                 / (SQRT(SUM(CAST(ea.embedding[i] AS DOUBLE) * CAST(ea.embedding[i] AS DOUBLE)))
+                    * SQRT(SUM(CAST(eb.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))), 6)
                AS cos_sim
-    FROM pairs, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(ea))) AS i)
-    GROUP BY v1, v2, label
+    FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.v1
+    JOIN embeddings eb ON eb.vec_id = c.v2,
+         LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(ea.embedding))) AS i)
+    GROUP BY 1, 2, 3
 )
-SELECT v1, v2, CAST(label AS BIGINT) AS label, cos_sim
+SELECT v1, v2, n_shared_bands, cos_sim
 FROM scored WHERE cos_sim >= 0.2
 ORDER BY v1, v2
 """,
-    bench=False,  # O(pairs·dim) — correctness-tier only; the scale path is similarity_ann_lsh
 )
 def embedding_neardup_blocked(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings")
-    a = e.select(
-        F.col("vec_id").alias("v1"), F.col("label"), F.col("embedding").alias("ea")
-    )
-    b = e.select(
-        F.col("vec_id").alias("v2"), F.col("label").alias("lb"), F.col("embedding").alias("eb")
-    )
-    pairs = a.join(b, (F.col("label") == F.col("lb")) & (F.col("v1") < F.col("v2")))
+    cand = _lsh_candidate_pairs(spark, sf_dir)
+    a = e.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("eb"))
     return (
-        pairs.select(
-            "v1", "v2", F.col("label").cast("long").alias("label"), _cos("ea", "eb").alias("cos_sim")
-        )
+        cand.join(a, "v1")
+        .join(b, "v2")
+        .select("v1", "v2", "n_shared_bands", _cos("ea", "eb").alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.2)
         .orderBy("v1", "v2")
     )
 
 
-Q_SCALE = 200  # |x| < 0.6 in the fixture embeddings → |q| < 120 fits int8
+@register(
+    "profile_lsh_bucket_pairs",
+    "similarity",
+    doc="Observability for the banded sign-LSH blocking (every declared "
+    "cap ships an audit): per band — bucket count, largest bucket, and "
+    "the candidate-pair mass Σ n·(n-1)/2 that band contributes before "
+    "cross-band dedup. THE number to watch at 100 TB: if max_bucket "
+    "grows super-linearly the band needs more rows (R ~ log n); the "
+    "pair mass is the exact pre-dedup join fan-out of "
+    "embedding_neardup_blocked / similarity_semantic_dedup.",
+    oracle=f"""
+WITH {_SQL_BANDED_CTES},
+sizes AS (
+    SELECT band, code, CAST(COUNT(*) AS BIGINT) AS n
+    FROM codes GROUP BY 1, 2
+)
+SELECT band,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(MAX(n) AS BIGINT) AS max_bucket,
+       CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS cand_pairs
+FROM sizes GROUP BY band ORDER BY band
+""",
+)
+def profile_lsh_bucket_pairs(spark, sf_dir):
+    codes = _banded_codes(spark, t(spark, sf_dir, "embeddings"))
+    sizes = codes.groupBy("band", "code").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return (
+        sizes.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.max("n").cast("long").alias("max_bucket"),
+            F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("long").alias("cand_pairs"),
+        )
+        .orderBy("band")
+    )
+
+
+@register(
+    "embedding_lsh_recall_audit",
+    "similarity",
+    doc="Recall calibration for the banded sign-LSH blocking — the "
+    "dedup_lsh_recall_audit twin on the embedding side: ground-truth "
+    "similar pairs from the EXACT quantized integer cosine (cos >= "
+    "t/10 iff qd>0 and 100*qd^2 >= t^2*|qa|^2*|qb|^2 — int64-safe, no "
+    "float tolerance), banded at 0.2/0.3/0.4, against the pairs the "
+    "bucket join surfaces; per band: truth count, caught count, recall "
+    "in floor bp. Ground truth is all-pairs BY DESIGN (the calibration "
+    "is what justifies trusting the buckets at 100 TB, where truth can "
+    "only be sampled); the candidate side reads the shared persisted "
+    "pair index. Expect the banded-LSH curve: recall rises with cosine.",
+    oracle=f"""
+WITH {_SQL_BANDED_CTES},
+pp AS (
+    SELECT a.vec_id AS v1, b.vec_id AS v2,
+           CAST(list_inner_product(CAST(a.qv AS DOUBLE[]), CAST(b.qv AS DOUBLE[])) AS BIGINT) AS qd,
+           CAST(list_inner_product(CAST(a.qv AS DOUBLE[]), CAST(a.qv AS DOUBLE[])) AS BIGINT) AS na,
+           CAST(list_inner_product(CAST(b.qv AS DOUBLE[]), CAST(b.qv AS DOUBLE[])) AS BIGINT) AS nb
+    FROM qe a JOIN qe b ON a.vec_id < b.vec_id
+),
+truth AS (
+    SELECT v1, v2,
+           CASE WHEN 100*qd*qd >= 16*na*nb THEN 40
+                WHEN 100*qd*qd >= 9*na*nb THEN 30
+                ELSE 20 END AS band_lo_pct
+    FROM pp WHERE qd > 0 AND 100*qd*qd >= 4*na*nb
+)
+SELECT CAST(t.band_lo_pct AS BIGINT) AS band_lo_pct,
+       CAST(COUNT(*) AS BIGINT) AS n_true,
+       CAST(COUNT(c.v1) AS BIGINT) AS n_caught,
+       CAST(10000 * COUNT(c.v1) // COUNT(*) AS BIGINT) AS recall_bp
+FROM truth t LEFT JOIN cand c ON c.v1 = t.v1 AND c.v2 = t.v2
+GROUP BY t.band_lo_pct ORDER BY band_lo_pct
+""",
+)
+def embedding_lsh_recall_audit(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+
+    def _quant(col):
+        return F.transform(col, lambda x: F.floor(x.cast("double") * Q_SCALE))
+
+    def _idot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    q = e.select("vec_id", _quant(F.col("embedding")).alias("qv"))
+    a = q.select(F.col("vec_id").alias("v1"), F.col("qv").alias("qa"))
+    b = q.select(F.col("vec_id").alias("v2"), F.col("qv").alias("qb"))
+    pp = a.join(b, F.col("v1") < F.col("v2")).select(
+        "v1",
+        "v2",
+        _idot(F.col("qa"), F.col("qb")).alias("qd"),
+        _idot(F.col("qa"), F.col("qa")).alias("na"),
+        _idot(F.col("qb"), F.col("qb")).alias("nb"),
+    )
+    qd2 = F.lit(100) * F.col("qd") * F.col("qd")
+    truth = pp.filter(
+        (F.col("qd") > 0) & (qd2 >= F.lit(4) * F.col("na") * F.col("nb"))
+    ).select(
+        "v1",
+        "v2",
+        F.when(qd2 >= F.lit(16) * F.col("na") * F.col("nb"), F.lit(40))
+        .when(qd2 >= F.lit(9) * F.col("na") * F.col("nb"), F.lit(30))
+        .otherwise(F.lit(20))
+        .cast("long")
+        .alias("band_lo_pct"),
+    )
+    cand = _lsh_candidate_pairs(spark, sf_dir).select(
+        "v1", "v2", F.lit(1).alias("_hit")
+    )
+    return (
+        truth.join(cand, ["v1", "v2"], "left")
+        .groupBy("band_lo_pct")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_true"),
+            F.count("_hit").cast("long").alias("n_caught"),
+            F.floor(F.lit(10000) * F.count("_hit") / F.count(F.lit(1)))
+            .cast("long")
+            .alias("recall_bp"),
+        )
+        .orderBy("band_lo_pct")
+    )
 
 
 @register(
@@ -502,34 +756,31 @@ SEMDEDUP_T_NUM, SEMDEDUP_T_DEN = 2, 5  # cosine threshold 0.4 as a rational
 @register(
     "similarity_semantic_dedup",
     "similarity",
-    doc="SemDeDup-style semantic dedup: label-blocked embedding pairs "
+    doc="SemDeDup-style semantic dedup: banded sign-LSH candidate pairs "
+    "(shared _lsh_candidate_pairs index — a bucket-key equi-join, never "
+    "all-pairs; the round-7 version label-blocked at O(n²/|labels|)) "
     "whose QUANTIZED cosine exceeds 0.4 become edges, components become "
     "semantic-duplicate clusters (keep the min-id representative). The "
     "threshold test is exact integer arithmetic — with q = floor(x*200) "
     f"int8 values, cos >= {SEMDEDUP_T_NUM}/{SEMDEDUP_T_DEN} iff qdot>0 "
     f"and {SEMDEDUP_T_DEN * SEMDEDUP_T_DEN}*qdot² >= "
     f"{SEMDEDUP_T_NUM * SEMDEDUP_T_NUM}*|qa|²*|qb|² — no float "
-    "tolerance anywhere, so clusters hash-check against the recursive-"
-    "closure oracle. Label blocking caps the pair space (the coarse "
-    "IVF cell); the transitive closure follows the dedup_connected_"
+    "tolerance anywhere, and the LSH codes are integer-exact too, so "
+    "clusters hash-check against the recursive-closure oracle which "
+    "re-blocks identically. Closure follows the dedup_connected_"
     "components discipline (local union-find under the edge gate, "
-    "min-label propagation above).",
+    "min-label propagation above, convergence-checked).",
     oracle=f"""
-WITH RECURSIVE q AS (
-    SELECT vec_id, label,
-           ARRAY(SELECT FLOOR(CAST(x AS DOUBLE) * {Q_SCALE})
-                 FROM UNNEST(embedding) AS t(x)) AS qv
-    FROM embeddings
-),
+WITH RECURSIVE {_SQL_BANDED_CTES},
 p AS MATERIALIZED (
-    SELECT a.vec_id AS v1, b.vec_id AS v2,
+    SELECT c.v1, c.v2,
            (SELECT CAST(SUM(a.qv[i] * b.qv[i]) AS BIGINT)
             FROM UNNEST(GENERATE_SERIES(1, LEN(a.qv))) AS s(i)) AS qd,
            (SELECT CAST(SUM(a.qv[i] * a.qv[i]) AS BIGINT)
             FROM UNNEST(GENERATE_SERIES(1, LEN(a.qv))) AS s(i)) AS na,
            (SELECT CAST(SUM(b.qv[i] * b.qv[i]) AS BIGINT)
             FROM UNNEST(GENERATE_SERIES(1, LEN(b.qv))) AS s(i)) AS nb
-    FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id
+    FROM cand c JOIN qe a ON a.vec_id = c.v1 JOIN qe b ON b.vec_id = c.v2
 ),
 pairs AS MATERIALIZED (
     SELECT v1, v2 FROM p
@@ -553,8 +804,6 @@ SELECT CAST(comp AS BIGINT) AS cluster_id,
        CAST(MAX(node) AS BIGINT) AS max_vec
 FROM comp GROUP BY comp ORDER BY cluster_id
 """,
-    bench=False,  # O(in-label pairs · dim) like embedding_neardup_blocked;
-    # the 100 TB path swaps the label block for LSH buckets
 )
 def similarity_semantic_dedup(spark, sf_dir):
     from cascade_spark.operators.dedup import (
@@ -575,12 +824,11 @@ def similarity_semantic_dedup(spark, sf_dir):
             lambda acc, v: acc + v,
         )
 
-    q = e.select("vec_id", "label", _quant(F.col("embedding")).alias("qv"))
-    a = q.select(F.col("vec_id").alias("v1"), "label", F.col("qv").alias("qa"))
-    b = q.select(
-        F.col("vec_id").alias("v2"), F.col("label").alias("lb"), F.col("qv").alias("qb")
-    )
-    p = a.join(b, (F.col("label") == F.col("lb")) & (F.col("v1") < F.col("v2"))).select(
+    q = e.select("vec_id", _quant(F.col("embedding")).alias("qv"))
+    cand = _lsh_candidate_pairs(spark, sf_dir)
+    a = q.select(F.col("vec_id").alias("v1"), F.col("qv").alias("qa"))
+    b = q.select(F.col("vec_id").alias("v2"), F.col("qv").alias("qb"))
+    p = cand.join(a, "v1").join(b, "v2").select(
         "v1",
         "v2",
         _dot(F.col("qa"), F.col("qb")).alias("qd"),

@@ -1762,3 +1762,128 @@ def stats_theil_sen_trend(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "stats_kruskal_wallis",
+    "analytics",
+    doc="Kruskal-Wallis k-group rank test — the k-sample extension of "
+    "stats_mannwhitney_u: are the five event types' DAILY VOLUMES drawn "
+    "from one distribution? The sample is the full (type x day) grid "
+    "(absent cells count 0, so every group has exactly n_days "
+    "observations — the equal-n regime that keeps the H formula one "
+    "exact rational). Doubled tie-correct midranks ride the same "
+    "distinct-value prefix-sum spine as MWU/KS (2*midrank = 2*cum_before "
+    "+ ct + 1; never a per-row global rank), H = 3*(S - D*N*(N+1)^2) / "
+    "(D*N*(N+1)) with S = sum of squared doubled rank sums, and the "
+    "tie-corrected H' multiplies by (N^3-N)/(N^3-N-sum(t^3-t)). Both "
+    "reported in floor bp via decimal(38,0) (HUGEINT on the oracle "
+    "side). The spine is bounded by k*n_days — spans, not rows — so the "
+    "whole test costs one groupBy at any corpus size.",
+    oracle="""
+WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+types AS (SELECT DISTINCT event_type FROM events),
+daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS v
+    FROM events GROUP BY 1, 2
+),
+cell AS (
+    SELECT t.event_type, d.day, COALESCE(x.v, 0) AS v
+    FROM types t CROSS JOIN days d
+    LEFT JOIN daily x ON x.event_type = t.event_type AND x.day = d.day
+),
+pv AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS ct FROM cell GROUP BY v),
+cum AS (
+    SELECT v, ct,
+           CAST(COALESCE(SUM(ct) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS cb
+    FROM pv
+),
+gr AS (
+    SELECT c.event_type, CAST(SUM(2 * m.cb + m.ct + 1) AS BIGINT) AS two_r
+    FROM cell c JOIN cum m ON m.v = c.v
+    GROUP BY c.event_type
+),
+scal AS (
+    SELECT CAST((SELECT COUNT(*) FROM types) AS BIGINT) AS k,
+           CAST((SELECT COUNT(*) FROM days) AS BIGINT) AS d,
+           (SELECT CAST(SUM(ct) AS BIGINT) FROM pv) AS n,
+           (SELECT CAST(SUM(ct*ct*ct - ct) AS BIGINT) FROM pv) AS tie_mass,
+           (SELECT SUM(CAST(two_r AS HUGEINT) * two_r) FROM gr) AS s
+)
+SELECT k AS n_groups, d AS n_days, n AS n_total, tie_mass,
+       CAST((10000 * 3 * (s - CAST(d AS HUGEINT) * n * (n+1) * (n+1)))
+            // (CAST(d AS HUGEINT) * n * (n+1)) AS BIGINT) AS h_bp,
+       CAST(COALESCE(
+           (10000 * 3 * (CAST(n AS HUGEINT)*n*n - n)
+                    * (s - CAST(d AS HUGEINT) * n * (n+1) * (n+1)))
+           // NULLIF(CAST(d AS HUGEINT) * n * (n+1)
+                     * (CAST(n AS HUGEINT)*n*n - n - tie_mass), 0),
+           0) AS BIGINT) AS h_tie_bp
+FROM scal
+""",
+)
+def stats_kruskal_wallis(spark, sf_dir):
+    from cascade_spark.operators.ingest import assign_prefix_sum
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day")
+    )
+    days = ev.select("day").distinct()
+    types = ev.select("event_type").distinct()
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("v")
+    )
+    cell = (
+        types.crossJoin(F.broadcast(days))
+        .join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type", "day", F.coalesce("v", F.lit(0)).cast("long").alias("v")
+        )
+    )
+    pv = cell.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("ct"))
+    cum = assign_prefix_sum(pv, ["v"], "ct").select(
+        "v", "ct", F.col("prefix_sum").alias("cb")
+    )
+    gr = (
+        cell.join(cum, "v")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.lit(2) * F.col("cb") + F.col("ct") + 1)
+            .cast("long")
+            .alias("two_r")
+        )
+    )
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    s = gr.agg(
+        F.sum(dec(F.col("two_r")) * F.col("two_r")).cast("decimal(38,0)").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    scal = pv.agg(
+        F.sum("ct").cast("long").alias("n"),
+        F.sum(F.col("ct") * F.col("ct") * F.col("ct") - F.col("ct"))
+        .cast("long")
+        .alias("tie_mass"),
+    )
+    d = days.agg(F.count(F.lit(1)).cast("long").alias("d"))
+    one = s.crossJoin(F.broadcast(scal)).crossJoin(F.broadcast(d))
+    n = F.col("n")
+    num_core = F.col("s") - dec(F.col("d")) * n * (n + 1) * (n + 1)
+    den_plain = dec(F.col("d")) * n * (n + 1)
+    ncube = dec(n) * n * n - n
+    tie_den = den_plain * (ncube - F.col("tie_mass"))
+    return one.select(
+        F.col("k").alias("n_groups"),
+        F.col("d").alias("n_days"),
+        n.alias("n_total"),
+        "tie_mass",
+        F.floor(F.lit(30000) * num_core / den_plain).cast("long").alias("h_bp"),
+        F.when(tie_den == 0, F.lit(0))
+        .otherwise(F.floor(F.lit(30000) * ncube * num_core / tie_den))
+        .cast("long")
+        .alias("h_tie_bp"),
+    )

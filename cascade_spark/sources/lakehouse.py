@@ -128,6 +128,35 @@ if lakehouse_probe()["delta"]:
         return spark.read.format("delta").load(out).orderBy("r_regionkey")
 
 
+if lakehouse_probe()["avro"]:
+    from pyspark.sql import functions as F
+
+    from cascade_spark.plans.registry import register
+    from cascade_spark.tables import load as _load_t
+
+    @register(
+        "scan_avro_roundtrip",
+        "sources",
+        doc="Avro write+read roundtrip over the nation table — "
+        "registered only where the spark-avro datasource jar is on the "
+        "classpath (probe-gated like scan_delta_roundtrip; this "
+        "container ships core avro jars but not the datasource, so the "
+        "query registers on real deployments and the skip-marked test "
+        "documents the gap here). Oracle = the parquet source itself: "
+        "a roundtrip may never change data.",
+        oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    )
+    def scan_avro_roundtrip(spark, sf_dir):
+        import tempfile
+
+        out = tempfile.mkdtemp(prefix="avro_rt_")
+        src = _load_t(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name", "n_regionkey"
+        )
+        src.write.format("avro").mode("overwrite").save(out)
+        return spark.read.format("avro").load(out).orderBy("n_nationkey")
+
+
 from pyspark.sql import functions as F  # noqa: E402
 
 from cascade_spark.plans.registry import register  # noqa: E402

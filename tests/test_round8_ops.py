@@ -88,3 +88,118 @@ def test_cc_distributed_converges_and_matches_local(spark):
     }
     want = dict(_cc_local([(i, i + 1) for i in range(n - 1)]))
     assert got == want == {i: 0 for i in range(n)}
+
+
+# --- Banded sign-LSH blocking (round-8 rework of the embedding-dedup
+# pair: label block -> bucket block) --------------------------------
+
+
+def test_lsh_candidate_space_is_capped(spark, sf_dir):
+    """The bucket join must generate a strict subset of the pair space —
+    the whole point of replacing the label block. At the fixture's
+    near-random embeddings the 8x6 banded code keeps candidates well
+    under 20% of n(n-1)/2."""
+    from cascade_spark.operators.similarity import _lsh_candidate_pairs
+    from cascade_spark.tables import load
+
+    n = load(spark, sf_dir, "embeddings").count()
+    cand = _lsh_candidate_pairs(spark, sf_dir)
+    n_cand = cand.count()
+    assert 0 < n_cand < 0.2 * n * (n - 1) / 2
+    # pair key discipline: v1 < v2, no duplicates
+    assert cand.filter("v1 >= v2").count() == 0
+    assert cand.select("v1", "v2").distinct().count() == n_cand
+
+
+def test_lsh_recall_floor_at_dedup_threshold(spark, sf_dir):
+    """Deterministic recall of the banded LSH candidate set against the
+    brute-force truth at the semantic-dedup threshold (cos >= 0.4).
+    The fixture's max cosine is ~0.48 — the far tail of the banded-LSH
+    curve (1-(1-p^6)^8 with p = 1-acos(c)/pi gives ~0.46 at c=0.45 and
+    ~0.98 at the c=0.9 true-duplicate regime this blocks for). The md5
+    planes make the measurement exact, not flaky: assert the observed
+    floor with headroom."""
+    import duckdb
+
+    from cascade_spark.operators.similarity import _lsh_candidate_pairs
+
+    got = {(r["v1"], r["v2"]) for r in _lsh_candidate_pairs(spark, sf_dir).collect()}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
+    )
+    truth = con.execute(
+        """
+WITH pairs AS (SELECT a.vec_id v1, b.vec_id v2, a.embedding ea, b.embedding eb
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+SELECT v1, v2 FROM pairs,
+     LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(ea))) AS i)
+GROUP BY v1, v2
+HAVING SUM(CAST(ea[i] AS DOUBLE)*CAST(eb[i] AS DOUBLE))
+       / (SQRT(SUM(CAST(ea[i] AS DOUBLE)*CAST(ea[i] AS DOUBLE)))
+          * SQRT(SUM(CAST(eb[i] AS DOUBLE)*CAST(eb[i] AS DOUBLE)))) >= 0.4
+"""
+    ).fetchall()
+    t_set = {(v1, v2) for v1, v2 in truth}
+    assert t_set, "fixture should have cos>=0.4 pairs"
+    recall = len(t_set & got) / len(t_set)
+    assert recall >= 0.35, f"banded-LSH recall collapsed: {recall:.3f}"
+
+
+def test_avro_roundtrip_registration_follows_probe(spark):
+    """scan_avro_roundtrip registers exactly where the spark-avro
+    DATASOURCE jar exists (this container ships core avro jars but not
+    the datasource — the probe documents that). Where present, the
+    query must also be green end-to-end."""
+    from cascade_spark.sources.lakehouse import lakehouse_probe
+
+    probe = lakehouse_probe()
+    if not probe["avro"]:
+        assert "scan_avro_roundtrip" not in load_all()
+        pytest.skip("spark-avro datasource jar absent in this container")
+    q = load_all()["scan_avro_roundtrip"]
+    rows = q.builder(spark, "/root/testdata/sf0.001").collect()
+    assert rows and rows[0]["n_nationkey"] == 0
+
+
+@pytest.mark.parametrize("n_parts", [3, 5])
+def test_jdbc_partition_bounds_cover_exactly_once(spark, sf_dir, n_parts):
+    """Property: Spark's JDBC range partitioning (lowerBound/upperBound/
+    numPartitions) must read every Derby row exactly once at any
+    partition count — the classic boundary off-by-one class. Ground
+    truth is the o_orderkey % 7 = 0 staging subset; per-partition counts
+    must sum to it with no overlap (sum == distinct count == truth)."""
+    from cascade_spark.operators._util import t as _t
+    from cascade_spark.sources.lakehouse import jdbc_orders_url, read_jdbc
+    from pyspark.sql import functions as F
+
+    url = jdbc_orders_url(spark, sf_dir)
+    truth = _t(spark, sf_dir, "orders").filter("o_orderkey % 7 = 0")
+    n_truth = truth.count()
+    hi = truth.agg(F.max("o_orderkey")).collect()[0][0]
+    back = read_jdbc(
+        spark,
+        url,
+        "ORDERS_RT",
+        partitionColumn="o_orderkey",
+        lowerBound=1,
+        upperBound=int(hi) + 1,
+        numPartitions=n_parts,
+    )
+    assert back.rdd.getNumPartitions() == n_parts
+    per_part = back.rdd.mapPartitions(lambda it: [sum(1 for _ in it)]).collect()
+    assert sum(per_part) == n_truth
+    assert back.select("o_orderkey").distinct().count() == n_truth
+
+
+def test_lsh_audit_pair_mass_bounds_candidates(spark, sf_dir):
+    """profile_lsh_bucket_pairs' per-band pair mass must upper-bound the
+    deduped candidate count (a pair can collide in several bands) and
+    every band must partition all vectors across its buckets."""
+    from cascade_spark.operators.similarity import SD_BANDS, _lsh_candidate_pairs
+
+    rows = load_all()["profile_lsh_bucket_pairs"].builder(spark, sf_dir).collect()
+    assert [r["band"] for r in rows] == list(range(SD_BANDS))
+    mass = sum(r["cand_pairs"] for r in rows)
+    n_cand = _lsh_candidate_pairs(spark, sf_dir).count()
+    assert mass >= n_cand > 0
