@@ -666,3 +666,78 @@ def graph_degree_histogram(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+BFS_MAX_HOPS = 3
+BFS_N_SEEDS = 3
+
+
+@register(
+    "graph_bfs_hops",
+    "analytics",
+    doc=f"Multi-source bounded BFS over the degree-capped co-activity "
+    f"graph: from the {BFS_N_SEEDS} smallest node ids, min hop distance "
+    f"within {BFS_MAX_HOPS} hops, reported as a per-hop reach histogram "
+    "(hop, nodes first reached at that hop, min node id). The Spark "
+    "side is the Pregel shape: K rounds of frontier-join + min-dist "
+    "aggregate over the shared persisted edge frame — per-round cost "
+    "is one shuffle on the frontier, state is a |V|-sized (node, dist) "
+    "frame, lineage stays K-shallow. The oracle is a recursive CTE "
+    "with UNION (not UNION ALL) so visited (node, dist) pairs dedup "
+    "instead of enumerating paths. Distances are integers — exact, "
+    "hash-checked.",
+    oracle=f"""
+WITH RECURSIVE {{edges}},
+und AS (SELECT ua AS s, ub AS d FROM e UNION ALL SELECT ub AS s, ua AS d FROM e),
+seeds AS (
+    SELECT node FROM (
+        SELECT ua AS node FROM e UNION SELECT ub AS node FROM e
+    ) ORDER BY node LIMIT {BFS_N_SEEDS}
+),
+walk(node, dist) AS (
+    SELECT node, 0 FROM seeds
+    UNION
+    SELECT u.d, w.dist + 1 FROM walk w JOIN und u ON u.s = w.node
+    WHERE w.dist < {BFS_MAX_HOPS}
+),
+best AS (SELECT node, MIN(dist) AS dist FROM walk GROUP BY node)
+SELECT CAST(dist AS BIGINT) AS hop,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(MIN(node) AS BIGINT) AS min_node
+FROM best GROUP BY dist ORDER BY hop
+""".format(edges=_sql_coactivity_edges()),
+)
+def graph_bfs_hops(spark, sf_dir):
+    e = _coactivity_edges(spark, sf_dir)
+    und = e.select(F.col("ua").alias("s"), F.col("ub").alias("d")).unionByName(
+        e.select(F.col("ub").alias("s"), F.col("ua").alias("d"))
+    )
+    nodes = e.select(F.col("ua").alias("node")).unionByName(
+        e.select(F.col("ub").alias("node"))
+    ).distinct()
+    seeds = nodes.orderBy("node").limit(BFS_N_SEEDS)
+    dist = seeds.withColumn("dist", F.lit(0))
+    for hop in range(1, BFS_MAX_HOPS + 1):
+        frontier = dist.filter(F.col("dist") == hop - 1).select(
+            F.col("node").alias("s")
+        )
+        nxt = (
+            frontier.join(und, "s")
+            .select(F.col("d").alias("node"))
+            .distinct()
+            .withColumn("dist", F.lit(hop))
+        )
+        dist = (
+            dist.unionByName(nxt)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    return (
+        dist.groupBy(F.col("dist").cast("long").alias("hop"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.min("node").cast("long").alias("min_node"),
+        )
+        .orderBy("hop")
+    )

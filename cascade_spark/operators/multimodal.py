@@ -1209,3 +1209,84 @@ def multimodal_wav_downsample(spark, sf_dir):
         "doc_id long, n_samples long, n_kept long, out_rate long, "
         "energy_full long, energy_kept long",
     ).orderBy("doc_id")
+
+
+TILE = 2  # tile edge in pixels
+
+
+@register(
+    "multimodal_image_crop_tile",
+    "multimodal",
+    doc=f"Vision-training tiling on the REAL P6 decode path: each "
+    f"synthesized PPM is decoded (bytes-only parser), reshaped to "
+    f"(h, w, 3) and cut into {TILE}x{TILE} tiles — the patchification "
+    "step of a ViT-style pipeline. Output per doc: tile grid dims, "
+    "pixels covered by full tiles (edge remainder dropped — the crop), "
+    "exact int64 sum over the cropped region and over tile (0,0). The "
+    "oracle replays the synthesis recurrence with the same byte-index "
+    "geometry (i -> channel i%3, pixel i//3 -> (row p//w, col p%w)), "
+    "so reshape, crop arithmetic, and tile addressing are all "
+    "hash-checked. Map-only mapInPandas; blobs never shuffle.",
+    oracle=f"""
+WITH tiles AS (
+    SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h,
+           (4 + doc_id % 13) // {TILE} AS tx,
+           (3 + doc_id % 7) // {TILE} AS ty
+    FROM documents
+)
+SELECT t.doc_id,
+       CAST(t.tx AS BIGINT) AS tiles_x,
+       CAST(t.ty AS BIGINT) AS tiles_y,
+       CAST(3 * ({TILE} * t.tx) * ({TILE} * t.ty) AS BIGINT) AS cropped_px,
+       (SELECT CAST(SUM(CASE WHEN (i // 3) % t.w < {TILE} * t.tx
+                              AND (i // 3) // t.w < {TILE} * t.ty
+                             THEN (t.doc_id * 31 + i) % 256 END) AS BIGINT)
+        FROM UNNEST(GENERATE_SERIES(0, 3 * t.w * t.h - 1)) AS s(i)) AS cropped_sum,
+       (SELECT CAST(SUM(CASE WHEN (i // 3) % t.w < {TILE}
+                              AND (i // 3) // t.w < {TILE}
+                             THEN (t.doc_id * 31 + i) % 256 END) AS BIGINT)
+        FROM UNNEST(GENERATE_SERIES(0, 3 * t.w * t.h - 1)) AS s(i)) AS tile00_sum
+FROM tiles t ORDER BY t.doc_id
+""",
+)
+def multimodal_image_crop_tile(spark, sf_dir):
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents")
+    ids = d.repartition(8).select("doc_id")
+
+    def tile_batches(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h, _, _, _ = decode_ppm(synth_ppm(doc_id))
+                px = np.frombuffer(
+                    synth_ppm(doc_id), dtype=np.uint8,
+                    offset=len(f"P6\n{w} {h}\n255\n"),
+                ).reshape(h, w, 3)
+                tx, ty = w // TILE, h // TILE
+                cropped = px[: TILE * ty, : TILE * tx, :]
+                rows.append(
+                    (
+                        doc_id, tx, ty,
+                        int(cropped.size),
+                        int(cropped.sum(dtype="int64")),
+                        int(px[:TILE, :TILE, :].sum(dtype="int64")),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "tiles_x", "tiles_y",
+                    "cropped_px", "cropped_sum", "tile00_sum",
+                ],
+            )
+
+    schema = (
+        "doc_id long, tiles_x long, tiles_y long, "
+        "cropped_px long, cropped_sum long, tile00_sum long"
+    )
+    return ids.mapInPandas(tile_batches, schema=schema).orderBy("doc_id")

@@ -259,3 +259,84 @@ def embedding_quantization_error_audit(spark, sf_dir):
         F.expr("s DIV n_vecs").cast("long").alias("mean_err_micro"),
         "max_err_micro",
     ).orderBy("label")
+
+
+PCA_ITERS = 3
+PCA_SCALE = 1024  # direction vector renormalized to max |component| = 1024
+
+
+def _pca_iter_sql(k: int) -> str:
+    """One unrolled power-iteration round as oracle CTEs (v{k-1} -> v{k})."""
+    return f"""
+y{k} AS (SELECT e.vec_id, CAST(SUM(e.a * v{k-1}.v) AS BIGINT) AS y
+         FROM e JOIN v{k-1} ON v{k-1}.i = e.i GROUP BY e.vec_id),
+z{k} AS (SELECT e.i, CAST(SUM(e.a * y{k}.y) AS BIGINT) AS z
+         FROM e JOIN y{k} ON y{k}.vec_id = e.vec_id GROUP BY e.i),
+m{k} AS (SELECT MAX(ABS(z)) AS m FROM z{k}),
+v{k} AS (SELECT z{k}.i, CAST((z{k}.z * {PCA_SCALE}) // m{k}.m AS BIGINT) AS v
+         FROM z{k}, m{k})"""
+
+
+@register(
+    "embedding_pca_power_iteration",
+    "similarity",
+    doc=f"Top principal direction of the quantized embedding matrix by "
+    f"{PCA_ITERS} rounds of power iteration on AᵀA — the Spark shape of "
+    "distributed PCA (the covariance matvec as two join+aggregate "
+    "passes: y = A·v is a shuffle on vec_id, z = Aᵀ·y a shuffle on the "
+    "64-value dim key; the direction vector is a 64-row frame, "
+    "broadcast-joined each round, so per-round cost is two linear "
+    "passes over the element triples at any corpus size). EXACT "
+    "integer arithmetic end-to-end: elements are the int8-range "
+    f"quantized values, each round renormalizes to max|v| = {PCA_SCALE} "
+    "by truncating division (Spark DIV ≡ DuckDB // on negatives), so "
+    "every intermediate is a bounded integer and the final direction "
+    "hash-checks against the unrolled-CTE oracle. Start vector: all "
+    "ones (deterministic; sign is pinned by the shared arithmetic).",
+    oracle=f"""
+WITH e AS (
+    SELECT vec_id, i,
+           CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {Q_SCALE}) AS BIGINT) AS a
+    FROM embeddings,
+         LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS i)
+),
+v0 AS (SELECT UNNEST(GENERATE_SERIES(1, 64)) AS i, CAST(1 AS BIGINT) AS v),
+{",".join(_pca_iter_sql(k) for k in range(1, PCA_ITERS + 1))}
+SELECT CAST(i AS BIGINT) AS dim, v AS v_scaled FROM v{PCA_ITERS} ORDER BY dim
+""",
+)
+def embedding_pca_power_iteration(spark, sf_dir):
+    from pyspark import StorageLevel
+
+    emb = t(spark, sf_dir, "embeddings")
+    e = (
+        emb.select("vec_id", F.posexplode("embedding").alias("pos", "x"))
+        .select(
+            "vec_id",
+            (F.col("pos") + 1).alias("i"),
+            F.floor(F.col("x").cast("double") * Q_SCALE).cast("long").alias("a"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    v = spark.range(1, 65).select(
+        F.col("id").cast("int").alias("i"), F.lit(1).cast("long").alias("v")
+    )
+    for _ in range(PCA_ITERS):
+        y = (
+            e.join(F.broadcast(v), "i")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("a") * F.col("v")).cast("long").alias("y"))
+        )
+        z = (
+            e.join(y, "vec_id")
+            .groupBy("i")
+            .agg(F.sum(F.col("a") * F.col("y")).cast("long").alias("z"))
+        )
+        m = z.agg(F.max(F.abs(F.col("z"))).alias("m"))
+        v = z.crossJoin(F.broadcast(m)).select(
+            "i",
+            F.expr(f"CAST((z * {PCA_SCALE}) DIV m AS LONG)").alias("v"),
+        )
+    return v.select(
+        F.col("i").cast("long").alias("dim"), F.col("v").alias("v_scaled")
+    ).orderBy("dim")

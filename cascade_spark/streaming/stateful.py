@@ -293,3 +293,87 @@ def stream_stateful_session_timeout(spark, sf_dir):
         )
         .orderBy("user_id", "session_start")
     )
+
+
+_TOPK_OUT = "event_type string, top1_cents long, top2_cents long, top3_cents long"
+_TOPK_STATE = "t1 long, t2 long, t3 long"
+
+
+def _topk_update(key, pdfs, state: GroupState):
+    import pandas as pd
+
+    held = [v for v in (state.get if state.exists else ()) if v is not None]
+    for pdf in pdfs:
+        held.extend(int(c) for c in pdf["cents"])
+        held = sorted(held, reverse=True)[:3]
+    padded = (held + [None, None, None])[:3]
+    state.update(tuple(padded))
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "top1_cents": [padded[0]],
+            "top2_cents": [padded[1]],
+            "top3_cents": [padded[2]],
+        }
+    )
+
+
+@register(
+    "stream_stateful_topk",
+    "streaming",
+    doc="applyInPandasWithState per-key top-k: GroupState holds each "
+    "event type's 3 largest value-cents as a fixed-width tuple, merged "
+    "with every micro-batch's contribution (state is O(k) per key — "
+    "the bounded-memory leaderboard shape, vs the unbounded raw-event "
+    "buffer a naive window would keep). Each position of the top-k is "
+    "MONOTONE non-decreasing across batches, so the final answer is "
+    "the per-position max over update-mode emissions — the same "
+    "last-emission recovery rule stream_stateful_counter uses. Cents "
+    "are computed JVM-side via the exact decimal path BEFORE the "
+    "Python worker, so the state only ever holds exact integers.",
+    oracle="""
+WITH c AS (
+    SELECT event_type,
+           CAST(CAST(value AS DECIMAL(12,4)) * 100 AS BIGINT) AS c
+    FROM events
+),
+r AS (
+    SELECT event_type, c,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c DESC) AS rn
+    FROM c
+)
+SELECT event_type,
+       MAX(CASE WHEN rn = 1 THEN c END) AS top1_cents,
+       MAX(CASE WHEN rn = 2 THEN c END) AS top2_cents,
+       MAX(CASE WHEN rn = 3 THEN c END) AS top3_cents
+FROM r GROUP BY event_type ORDER BY event_type
+""",
+)
+def stream_stateful_topk(spark, sf_dir):
+    indir, schema, _, _ = stage_stream_input(spark, sf_dir, n_files=4)
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(indir)
+        .select(
+            "event_type",
+            (F.col("value").cast("decimal(12,4)") * 100).cast("long").alias("cents"),
+        )
+    )
+    updates = src.groupBy("event_type").applyInPandasWithState(
+        _topk_update,
+        outputStructType=_TOPK_OUT,
+        stateStructType=_TOPK_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = run_to_memory(updates, "update")
+    return (
+        out.groupBy("event_type")
+        .agg(
+            F.max("top1_cents").cast("long").alias("top1_cents"),
+            F.max("top2_cents").cast("long").alias("top2_cents"),
+            F.max("top3_cents").cast("long").alias("top3_cents"),
+        )
+        .orderBy("event_type")
+    )
