@@ -1887,3 +1887,145 @@ def stats_kruskal_wallis(spark, sf_dir):
         .cast("long")
         .alias("h_tie_bp"),
     )
+
+
+@register(
+    "stats_brown_forsythe",
+    "analytics",
+    doc="Brown-Forsythe variance-equality test across the five event "
+    "types' DAILY volumes (the robust Levene variant: deviations from "
+    "the group MEDIAN, not mean — one hot day can't fake homogeneity). "
+    "Same (type x day) zero-filled grid as stats_kruskal_wallis, so "
+    "every group has exactly n_days observations and the one-way "
+    "ANOVA F over |deviations| collapses to one exact rational: "
+    "F = (N-k)*(k*ΣSj² - S²) / ((k-1)*(N*Σz² - k*ΣSj²)) with z the "
+    "DOUBLED |2v - median2| deviations (doubled medians stay integers "
+    "at even group sizes; the 2x scale cancels in the ratio). Medians "
+    "come from per-group windows over the D-row spine (bounded by the "
+    "time span, never rows). Reported in floor bp via HUGEINT/decimal.",
+    oracle="""
+WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+types AS (SELECT DISTINCT event_type FROM events),
+daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS v
+    FROM events GROUP BY 1, 2
+),
+cell AS (
+    SELECT t.event_type, d.day, COALESCE(x.v, 0) AS v
+    FROM types t CROSS JOIN days d
+    LEFT JOIN daily x ON x.event_type = t.event_type AND x.day = d.day
+),
+dd AS (SELECT CAST(COUNT(*) AS BIGINT) AS d FROM days),
+rn AS (
+    SELECT event_type, v,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rk
+    FROM cell
+),
+med AS (
+    SELECT rn.event_type,
+           CAST(SUM(CASE WHEN rn.rk IN ((dd.d+1)//2, (dd.d+2)//2)
+                         THEN rn.v END)
+                * (CASE WHEN (dd.d+1)//2 = (dd.d+2)//2 THEN 2 ELSE 1 END)
+                AS BIGINT) AS med2
+    FROM rn, dd GROUP BY rn.event_type, dd.d
+),
+z AS (
+    SELECT c.event_type, ABS(2 * c.v - m.med2) AS z
+    FROM cell c JOIN med m USING (event_type)
+),
+gs AS (
+    SELECT event_type, CAST(SUM(z) AS BIGINT) AS sj,
+           CAST(SUM(z * z) AS BIGINT) AS zj2
+    FROM z GROUP BY event_type
+),
+tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(SUM(sj) AS BIGINT) AS s,
+           SUM(CAST(sj AS HUGEINT) * sj) AS ssj2,
+           CAST(SUM(zj2) AS BIGINT) AS z2
+    FROM gs
+)
+SELECT tot.k AS n_groups, dd.d AS n_days,
+       CAST(tot.k * dd.d AS BIGINT) AS n_total,
+       tot.s AS total_abs_dev2,
+       CAST(COALESCE(
+           (10000 * (tot.k * dd.d - tot.k)
+                  * (tot.k * tot.ssj2 - CAST(tot.s AS HUGEINT) * tot.s))
+           // NULLIF((tot.k - 1)
+                  * (CAST(tot.k * dd.d AS HUGEINT) * tot.z2 - tot.k * tot.ssj2), 0),
+           0) AS BIGINT) AS f_bp
+FROM tot, dd
+""",
+)
+def stats_brown_forsythe(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day")
+    )
+    days = ev.select("day").distinct()
+    types = ev.select("event_type").distinct()
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("v")
+    )
+    cell = (
+        types.crossJoin(F.broadcast(days))
+        .join(daily, ["event_type", "day"], "left")
+        .select("event_type", F.coalesce("v", F.lit(0)).cast("long").alias("v"))
+    )
+    dd = days.agg(F.count(F.lit(1)).cast("long").alias("d"))
+    w = Window.partitionBy("event_type").orderBy("v")
+    rn = cell.select("event_type", "v", F.row_number().over(w).alias("rk"))
+    lo = F.expr("(d + 1) DIV 2")
+    hi = F.expr("(d + 2) DIV 2")
+    med = (
+        rn.crossJoin(F.broadcast(dd))
+        .groupBy("event_type")
+        .agg(
+            (
+                F.sum(
+                    F.when((F.col("rk") == lo) | (F.col("rk") == hi), F.col("v"))
+                    .otherwise(0)
+                )
+                * F.max(F.when(lo == hi, 2).otherwise(1))
+            )
+            .cast("long")
+            .alias("med2")
+        )
+    )
+    z = cell.join(med, "event_type").select(
+        "event_type", F.abs(F.lit(2) * F.col("v") - F.col("med2")).alias("z")
+    )
+    gs = z.groupBy("event_type").agg(
+        F.sum("z").cast("long").alias("sj"),
+        F.sum(F.col("z") * F.col("z")).cast("long").alias("zj2"),
+    )
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    tot = gs.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("sj").cast("long").alias("s"),
+        F.sum(dec(F.col("sj")) * F.col("sj")).cast("decimal(38,0)").alias("ssj2"),
+        F.sum("zj2").cast("long").alias("z2"),
+    )
+    one = tot.crossJoin(F.broadcast(dd))
+    n = F.col("k") * F.col("d")
+    num = (
+        F.lit(10000)
+        * (n - F.col("k"))
+        * (F.col("k") * F.col("ssj2") - dec(F.col("s")) * F.col("s"))
+    )
+    den = (F.col("k") - 1) * (dec(n) * F.col("z2") - F.col("k") * F.col("ssj2"))
+    return one.select(
+        F.col("k").alias("n_groups"),
+        F.col("d").alias("n_days"),
+        n.cast("long").alias("n_total"),
+        F.col("s").alias("total_abs_dev2"),
+        # F >= 0, so floor == DuckDB's truncating // here
+        F.when(den == 0, F.lit(0))
+        .otherwise(F.floor(num / den))
+        .cast("long")
+        .alias("f_bp"),
+    )

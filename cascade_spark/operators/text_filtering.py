@@ -335,3 +335,172 @@ def text_prefix_boilerplate(spark, sf_dir):
         .filter(F.col("n_docs") >= 2)
         .orderBy(F.desc("n_docs"), "prefix")
     )
+
+
+@register(
+    "pipeline_ccnet_ppl_buckets",
+    "pipeline",
+    doc="CCNet's head/middle/tail corpus split on the bigram-LM "
+    "commonality score (text_lm_commonality's signal, floored to "
+    "integer bp so the global order is exact): docs ranked by (score "
+    "desc, doc_id) and cut into doc-count terciles — head is what "
+    "CCNet keeps, tail is what it drops, middle is the judgment call. "
+    "The rank comes from the two-phase prefix-sum (range repartition + "
+    "per-partition row numbers + broadcast bases), NEVER a single-task "
+    "global window over the corpus-sized score frame. Per bucket: doc "
+    "count, bigram mass, score range — the table you read before "
+    "choosing the cut.",
+    oracle="""
+WITH g AS (
+    SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+    FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
+         LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(w) - 1)) AS i)
+),
+c AS (SELECT w1, w2, COUNT(*) AS cnt FROM g GROUP BY w1, w2),
+scored AS (
+    SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS nb,
+           CAST(SUM(c.cnt) AS BIGINT) AS s
+    FROM g JOIN c ON g.w1 = c.w1 AND g.w2 = c.w2
+    GROUP BY g.doc_id
+),
+q AS (SELECT doc_id, nb, CAST(10000 * s // nb AS BIGINT) AS score_bp FROM scored),
+r AS (
+    SELECT doc_id, nb, score_bp,
+           ROW_NUMBER() OVER (ORDER BY score_bp DESC, doc_id) AS rk,
+           COUNT(*) OVER () AS n
+    FROM q
+),
+b AS (
+    SELECT CASE WHEN rk * 3 <= n THEN 'head'
+                WHEN rk * 3 <= 2 * n THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           nb, score_bp
+    FROM r
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nb) AS BIGINT) AS total_bigrams,
+       CAST(MIN(score_bp) AS BIGINT) AS min_score_bp,
+       CAST(MAX(score_bp) AS BIGINT) AS max_score_bp
+FROM b GROUP BY bucket ORDER BY bucket
+""",
+)
+def pipeline_ccnet_ppl_buckets(spark, sf_dir):
+    from cascade_spark.operators._util import _intdiv
+    from cascade_spark.operators.ingest import assign_prefix_sum
+
+    d = widen(t(spark, sf_dir, "documents"))
+    w = d.select("doc_id", F.posexplode(F.split("text", " ")).alias("p", "w1"))
+    win_doc = Window.partitionBy("doc_id").orderBy("p")
+    g = w.select(
+        "doc_id", "w1", F.lead("w1", 1).over(win_doc).alias("w2")
+    ).filter(F.col("w2").isNotNull())
+    c = g.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    scored = (
+        g.join(c, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("nb"),
+            F.sum("cnt").cast("long").alias("s"),
+        )
+    )
+    q = scored.select(
+        "doc_id",
+        "nb",
+        _intdiv(F.lit(10000) * F.col("s"), F.col("nb")).alias("score_bp"),
+    ).withColumn("_one", F.lit(1).cast("long")).withColumn(
+        "_neg", -F.col("score_bp")
+    )
+    ranked = assign_prefix_sum(q, ["_neg", "doc_id"], "_one").select(
+        "nb", "score_bp", (F.col("prefix_sum") + 1).alias("rk")
+    )
+    n = q.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    b = ranked.crossJoin(F.broadcast(n)).select(
+        F.when(F.col("rk") * 3 <= F.col("n"), "head")
+        .when(F.col("rk") * 3 <= 2 * F.col("n"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+        "nb",
+        "score_bp",
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("nb").cast("long").alias("total_bigrams"),
+            F.min("score_bp").cast("long").alias("min_score_bp"),
+            F.max("score_bp").cast("long").alias("max_score_bp"),
+        )
+        .orderBy("bucket")
+    )
+
+
+QSWEEP_THRESHOLDS = [-200, -100, 0, 100, 200]
+
+
+@register(
+    "pipeline_quality_threshold_sweep",
+    "pipeline",
+    doc="Filter-calibration sweep over the hashed linear quality "
+    f"classifier: for each candidate threshold in {QSWEEP_THRESHOLDS}, "
+    "how many docs and how much token mass survive score > T — the "
+    "table you read to pick the quality cut BEFORE burning a 100 TB "
+    "filter pass. One scoring aggregate (same map-side-combinable "
+    "shape as pipeline_quality_classifier) feeds every threshold via "
+    "conditional sums over a broadcast threshold spine: the corpus is "
+    "scanned ONCE regardless of how many thresholds are swept.",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents
+),
+feat AS (
+    SELECT doc_id,
+           ('0x' || SUBSTR(MD5(w), 1, 8))::BIGINT % {QC_SLOTS} AS slot
+    FROM tok WHERE w <> ''
+),
+scored AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM((slot * {QC_MULT}) % {QC_WRANGE} - {QC_WRANGE // 2}) AS BIGINT)
+               AS score
+    FROM feat GROUP BY doc_id
+),
+thr AS (SELECT UNNEST({QSWEEP_THRESHOLDS}) AS t)
+SELECT CAST(thr.t AS BIGINT) AS threshold,
+       CAST(SUM(CASE WHEN s.score > thr.t THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN s.score > thr.t THEN s.n_tokens ELSE 0 END) AS BIGINT)
+           AS kept_tokens,
+       CAST(10000 * SUM(CASE WHEN s.score > thr.t THEN 1 ELSE 0 END)
+            // COUNT(*) AS BIGINT) AS keep_bp
+FROM scored s CROSS JOIN thr
+GROUP BY thr.t ORDER BY threshold
+""",
+)
+def pipeline_quality_threshold_sweep(spark, sf_dir):
+    from cascade_spark.operators._util import _intdiv
+
+    d = widen(t(spark, sf_dir, "documents"))
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    slot = F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long") % QC_SLOTS
+    weight = (slot * QC_MULT) % QC_WRANGE - QC_WRANGE // 2
+    scored = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(weight).cast("long").alias("score"),
+    )
+    thr = spark.createDataFrame(
+        [(int(x),) for x in QSWEEP_THRESHOLDS], "t long"
+    )
+    kept = F.when(F.col("score") > F.col("t"), 1).otherwise(0)
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .groupBy(F.col("t").alias("threshold"))
+        .agg(
+            F.sum(kept).cast("long").alias("n_kept"),
+            F.sum(kept * F.col("n_tokens")).cast("long").alias("kept_tokens"),
+            _intdiv(
+                F.lit(10000) * F.sum(kept), F.count(F.lit(1))
+            ).alias("keep_bp"),
+        )
+        .orderBy("threshold")
+    )
