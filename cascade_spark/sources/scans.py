@@ -786,3 +786,77 @@ def scan_parquet_codec_matrix(spark, sf_dir):
     for fr in frames[1:]:
         res = res.unionByName(fr)
     return res.orderBy("variant")
+
+
+_GZ_CACHE: dict[str, str] = {}
+
+
+def gzip_csv_output(spark, sf_dir: str) -> str:
+    """Stage the events projection as exactly 3 gzip CSV files, one per
+    user_id%3 class (three targeted writes — deterministic file
+    contents, unlike round-robin repartition). Memoized per sf_dir:
+    producer-side table prep, like bucketed_tables."""
+    if sf_dir not in _GZ_CACHE:
+        from cascade_spark.tables import load
+
+        out = tempfile.mkdtemp(prefix="cascade_gz_") + "/events_gz"
+        ev = load(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type"
+        )
+        for k in range(3):
+            (
+                ev.filter(F.col("user_id") % 3 == k)
+                .coalesce(1)
+                .write.mode("append")
+                .option("compression", "gzip")
+                .option("header", True)
+                .csv(out)
+            )
+        _GZ_CACHE[sf_dir] = out
+    return _GZ_CACHE[sf_dir]
+
+
+@register(
+    "scan_text_gzip_nonsplittable",
+    "sources",
+    doc="Gzip CSV scan — the NON-SPLITTABLE codec path every 100 TB "
+    "text corpus trips over (a .gz shard is one task no matter how big: "
+    "the decompressor has no mid-stream entry points, so shard size = "
+    "task size = straggler risk; zstd/bzip2-seekable or many small "
+    "shards is the fix). Three single-class gzip files round-trip the "
+    "events projection; the query groups by input file and verifies "
+    "each file holds exactly one user_id%3 class with exact counts — "
+    "binding file boundaries to data. The partition-per-file behavior "
+    "itself is pinned engine-side in tests/test_round8_ops.py (tiny "
+    "maxPartitionBytes: plain CSV splits, gzip cannot).",
+    oracle="""
+SELECT CAST(user_id % 3 AS BIGINT) AS grp,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT user_id % 3) AS BIGINT) AS n_classes_in_file,
+       CAST(SUM(event_id) AS BIGINT) AS sum_event_id
+FROM events
+GROUP BY user_id % 3
+ORDER BY grp
+""",
+)
+def scan_text_gzip_nonsplittable(spark, sf_dir):
+    out = gzip_csv_output(spark, sf_dir)
+    back = (
+        spark.read.option("header", True)
+        .schema("event_id long, user_id long, event_type string")
+        .csv(out)
+    )
+    per_file = (
+        back.groupBy(F.input_file_name().alias("_f"))
+        .agg(
+            F.min(F.col("user_id") % 3).cast("long").alias("grp"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct(F.col("user_id") % 3)
+            .cast("long")
+            .alias("n_classes_in_file"),
+            F.sum("event_id").cast("long").alias("sum_event_id"),
+        )
+    )
+    return per_file.select(
+        "grp", "n_rows", "n_classes_in_file", "sum_event_id"
+    ).orderBy("grp")

@@ -696,3 +696,89 @@ def stream_update_mode_changelog(spark, sf_dir):
         )
         .orderBy("window_start", "event_type")
     )
+
+
+@register(
+    "stream_scd2_dim_join",
+    "streaming",
+    doc="Temporal dimension join on a stream: events join an "
+    "SCD2-versioned customer dim ON key AND event-time within the "
+    "version's [valid_from, valid_to) — each event sees the dim AS OF "
+    "its own timestamp, the lookup MERGE-history tables exist for. "
+    "The dim is static (broadcast at scale), so the range condition "
+    "rides a stream-static join with NO streaming state; versioning is "
+    "deterministic (keys %3 get a v2 opening at min(ts)+15d — the "
+    "event span's midpoint — so both halves of the stream exercise "
+    "different versions). Exact cents, hash-checked.",
+    oracle="""
+WITH b AS (SELECT CAST(MIN(ts) AS DATE) + 15 AS cutd FROM events),
+dim AS (
+    SELECT c_custkey, c_mktsegment, 1 AS version,
+           CAST('1900-01-01' AS DATE) AS vfrom,
+           CASE WHEN c_custkey % 3 = 0 THEN (SELECT cutd FROM b)
+                ELSE CAST('9999-01-01' AS DATE) END AS vto
+    FROM customer
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, 2, (SELECT cutd FROM b),
+           CAST('9999-01-01' AS DATE)
+    FROM customer WHERE c_custkey % 3 = 0
+),
+j AS (
+    SELECT d.c_mktsegment, d.version,
+           CAST(CAST(e.value AS DECIMAL(12,4)) * 100 AS BIGINT) AS cents
+    FROM events e JOIN dim d
+      ON e.user_id = d.c_custkey
+     AND CAST(e.ts AS DATE) >= d.vfrom AND CAST(e.ts AS DATE) < d.vto
+)
+SELECT c_mktsegment, CAST(version AS BIGINT) AS version,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS cents
+FROM j GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def stream_scd2_dim_join(spark, sf_dir):
+    indir, schema, _, _ = stage_stream_input(spark, sf_dir)
+    cutd = (
+        load(spark, sf_dir, "events")
+        .agg(F.date_add(F.to_date(F.min("ts")), 15).alias("cutd"))
+        .collect()[0]["cutd"]
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    v1 = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit(1).alias("version"),
+        F.to_date(F.lit("1900-01-01")).alias("vfrom"),
+        F.when(F.col("c_custkey") % 3 == 0, F.lit(cutd))
+        .otherwise(F.to_date(F.lit("9999-01-01")))
+        .alias("vto"),
+    )
+    v2 = cust.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit(2).alias("version"),
+        F.lit(cutd).alias("vfrom"),
+        F.to_date(F.lit("9999-01-01")).alias("vto"),
+    )
+    dim = v1.unionByName(v2)
+    src = spark.readStream.schema(schema).parquet(indir)
+    joined = src.join(
+        dim,
+        (src.user_id == dim.c_custkey)
+        & (F.to_date(src.ts) >= dim.vfrom)
+        & (F.to_date(src.ts) < dim.vto),
+        "inner",
+    )
+    agg = joined.groupBy("c_mktsegment", "version").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum((F.col("value").cast("decimal(12,4)") * 100).cast("long"))
+        .cast("long")
+        .alias("cents"),
+    )
+    out = run_to_memory(agg, "complete")
+    return out.select(
+        "c_mktsegment",
+        F.col("version").cast("long").alias("version"),
+        "n_events",
+        "cents",
+    ).orderBy("c_mktsegment", "version")

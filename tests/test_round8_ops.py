@@ -192,6 +192,34 @@ def test_jdbc_partition_bounds_cover_exactly_once(spark, sf_dir, n_parts):
     assert back.select("o_orderkey").distinct().count() == n_truth
 
 
+def test_gzip_is_not_splittable_but_plain_csv_is(spark, sf_dir, tmp_path):
+    """The scale lesson scan_text_gzip_nonsplittable declares: under a
+    tiny maxPartitionBytes, a plain CSV copy of the same data fans out
+    into many read partitions while the gzip files stay at one task per
+    file (no mid-stream decompressor entry points)."""
+    from cascade_spark.sources.scans import gzip_csv_output
+
+    gz = gzip_csv_output(spark, sf_dir)
+    schema = "event_id long, user_id long, event_type string"
+    plain = str(tmp_path / "plain_csv")
+    spark.read.option("header", True).schema(schema).csv(gz).coalesce(
+        1
+    ).write.option("header", True).csv(plain)
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 * 1024))
+    try:
+        n_gz = (
+            spark.read.option("header", True).schema(schema).csv(gz)
+        ).rdd.getNumPartitions()
+        n_plain = (
+            spark.read.option("header", True).schema(schema).csv(plain)
+        ).rdd.getNumPartitions()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+    assert n_gz == 3, f"gzip files must be one task each, got {n_gz}"
+    assert n_plain > n_gz, f"plain CSV should split: {n_plain} vs {n_gz}"
+
+
 def test_lsh_audit_pair_mass_bounds_candidates(spark, sf_dir):
     """profile_lsh_bucket_pairs' per-band pair mass must upper-bound the
     deduped candidate count (a pair can collide in several bands) and
