@@ -2029,3 +2029,157 @@ def stats_brown_forsythe(spark, sf_dir):
         .cast("long")
         .alias("f_bp"),
     )
+
+
+PERM_B = 16  # randomization replicates
+
+
+@register(
+    "stats_permutation_test",
+    "analytics",
+    doc=f"Randomization test for the weekend-vs-weekday daily revenue "
+    f"gap: {PERM_B} md5-derived relabelings of the day spine (the "
+    "deterministic-hash stand-in for RNG shuffles, same convention as "
+    "stats_bootstrap_mean_ci), each replicate's |mean difference| "
+    "compared against the observed one EXACTLY by cross-multiplication "
+    "(|Δ_b|·D_obs >= |Δ_obs|·D_b with Δ = s1·n0 - s0·n1, D = n1·n0 — "
+    "no division until the final p), p = (1 + #exceeding)/(B+1) in "
+    "floor bp. The day spine is bounded by the time span, so all "
+    f"{PERM_B} replicates ride one broadcast cross join.",
+    oracle=f"""
+WITH daily AS (
+    SELECT o_orderdate AS d,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4)) * 100) AS BIGINT) AS cents,
+           CASE WHEN ISODOW(o_orderdate) >= 6 THEN 1 ELSE 0 END AS g
+    FROM orders GROUP BY 1
+),
+idx AS (
+    SELECT cents, g,
+           ROW_NUMBER() OVER (ORDER BY d) - 1 AS i
+    FROM daily
+),
+obs AS (
+    SELECT CAST(SUM(CASE WHEN g = 1 THEN cents ELSE 0 END) AS HUGEINT) AS s1,
+           CAST(SUM(CASE WHEN g = 0 THEN cents ELSE 0 END) AS HUGEINT) AS s0,
+           CAST(SUM(g) AS BIGINT) AS n1,
+           CAST(COUNT(*) - SUM(g) AS BIGINT) AS n0,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM idx
+),
+reps AS (
+    SELECT b.b,
+           CAST(SUM(CASE WHEN ('0x' || SUBSTR(MD5(b.b || ':' || i.i), 1, 8))::BIGINT & 1 = 1
+                         THEN i.cents ELSE 0 END) AS HUGEINT) AS s1,
+           CAST(SUM(CASE WHEN ('0x' || SUBSTR(MD5(b.b || ':' || i.i), 1, 8))::BIGINT & 1 = 0
+                         THEN i.cents ELSE 0 END) AS HUGEINT) AS s0,
+           CAST(SUM(CASE WHEN ('0x' || SUBSTR(MD5(b.b || ':' || i.i), 1, 8))::BIGINT & 1 = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           CAST(SUM(CASE WHEN ('0x' || SUBSTR(MD5(b.b || ':' || i.i), 1, 8))::BIGINT & 1 = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n0
+    FROM (SELECT UNNEST(GENERATE_SERIES(0, {PERM_B - 1})) AS b) b
+    CROSS JOIN idx i
+    GROUP BY b.b
+),
+cmp AS (
+    SELECT r.b,
+           CASE WHEN r.n1 = 0 OR r.n0 = 0 THEN 0
+                WHEN ABS(r.s1 * r.n0 - r.s0 * r.n1) * (o.n1 * o.n0)
+                     >= ABS(o.s1 * o.n0 - o.s0 * o.n1) * (r.n1 * r.n0)
+                THEN 1 ELSE 0 END AS ge
+    FROM reps r, obs o
+)
+SELECT o.n AS n_days, o.n1 AS n_weekend, o.n0 AS n_weekday,
+       CAST(ABS(o.s1 * o.n0 - o.s0 * o.n1) AS BIGINT) AS obs_delta_num,
+       CAST((SELECT SUM(ge) FROM cmp) AS BIGINT) AS n_exceeding,
+       CAST(10000 * (1 + (SELECT SUM(ge) FROM cmp)) // ({PERM_B} + 1) AS BIGINT)
+           AS p_bp
+FROM obs o
+""",
+)
+def stats_permutation_test(spark, sf_dir):
+    from cascade_spark.operators._util import _intdiv
+    from cascade_spark.operators.ingest import assign_offsets
+
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        (F.sum(dec("o_totalprice")) * 100).cast("long").alias("cents")
+    ).withColumn(
+        "g", F.when(F.expr("weekday(d)") >= 5, 1).otherwise(0).cast("long")
+    )
+    idx = assign_offsets(daily, ["d"]).select(
+        "cents", "g", F.col("offset").alias("i")
+    )
+
+    def dec38(c):
+        return c.cast("decimal(38,0)")
+
+    obs = idx.agg(
+        dec38(F.sum(F.when(F.col("g") == 1, F.col("cents")).otherwise(0))).alias("s1"),
+        dec38(F.sum(F.when(F.col("g") == 0, F.col("cents")).otherwise(0))).alias("s0"),
+        F.sum("g").cast("long").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("g")).cast("long").alias("n0"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    b = spark.range(PERM_B).select(F.col("id").cast("long").alias("b"))
+    bit = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("b").cast("string"), F.lit(":"), F.col("i").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .bitwiseAND(1)
+    )
+    reps = (
+        b.crossJoin(idx)
+        .select("b", "cents", bit.alias("bit"))
+        .groupBy("b")
+        .agg(
+            dec38(F.sum(F.when(F.col("bit") == 1, F.col("cents")).otherwise(0))).alias("s1"),
+            dec38(F.sum(F.when(F.col("bit") == 0, F.col("cents")).otherwise(0))).alias("s0"),
+            F.sum(F.when(F.col("bit") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+            F.sum(F.when(F.col("bit") == 0, 1).otherwise(0)).cast("long").alias("n0"),
+        )
+    )
+    ob = F.broadcast(
+        obs.select(
+            F.col("s1").alias("os1"),
+            F.col("s0").alias("os0"),
+            F.col("n1").alias("on1"),
+            F.col("n0").alias("on0"),
+            F.col("n").alias("on"),
+        )
+    )
+    cmp = reps.crossJoin(ob).select(
+        F.when(
+            (F.col("n1") == 0) | (F.col("n0") == 0), 0
+        )
+        .when(
+            F.abs(F.col("s1") * F.col("n0") - F.col("s0") * F.col("n1"))
+            * (F.col("on1") * F.col("on0"))
+            >= F.abs(F.col("os1") * F.col("on0") - F.col("os0") * F.col("on1"))
+            * (F.col("n1") * F.col("n0")),
+            1,
+        )
+        .otherwise(0)
+        .alias("ge")
+    )
+    ge = cmp.agg(F.sum("ge").cast("long").alias("n_exceeding"))
+    return (
+        obs.crossJoin(F.broadcast(ge)).select(
+            F.col("n").alias("n_days"),
+            F.col("n1").alias("n_weekend"),
+            F.col("n0").alias("n_weekday"),
+            F.abs(F.col("s1") * F.col("n0") - F.col("s0") * F.col("n1"))
+            .cast("long")
+            .alias("obs_delta_num"),
+            "n_exceeding",
+            _intdiv(
+                F.lit(10000) * (1 + F.col("n_exceeding")), F.lit(PERM_B + 1)
+            ).alias("p_bp"),
+        )
+    )

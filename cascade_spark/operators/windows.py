@@ -273,3 +273,71 @@ def window_running_distinct(spark, sf_dir):
         F.date_format("day", "yyyy-MM-dd").alias("day"),
         F.sum("n_new").over(w).cast("long").alias("distinct_types_to_date"),
     ).orderBy("user_id", "day")
+
+
+RM_FRAME = 7  # rolling frame: current row + 6 preceding
+
+
+@register(
+    "window_rolling_median",
+    "windows",
+    doc=f"Per-user rolling EXACT median of the last {RM_FRAME} event "
+    "values (cents): collect_list over a bounded ROWS frame + "
+    "array_sort + element_at — the discrete lower median, all JVM-side "
+    "array functions (no Python, no global sort; the frame is O(k) per "
+    "row so state is bounded regardless of history length — the shape "
+    "a rolling-quantile monitor uses at stream scale). Ordered by "
+    "(ts, event_id) so the frame contents are total-order "
+    "deterministic. DuckDB mirrors with QUANTILE_DISC over the same "
+    "frame.",
+    oracle=f"""
+WITH c AS (
+    SELECT user_id, ts, event_id,
+           CAST(CAST(value AS DECIMAL(12,4)) * 100 AS BIGINT) AS cents
+    FROM events
+),
+r AS (
+    SELECT user_id, ts, event_id, cents,
+           CAST(QUANTILE_DISC(cents, 0.5) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN {RM_FRAME - 1} PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS med,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM c
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(rn AS BIGINT) AS rn,
+       cents, med
+FROM r
+WHERE user_id % 100 = 0
+ORDER BY user_id, rn
+""",
+)
+def window_rolling_median(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    c = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("value").cast("decimal(12,4)") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(RM_FRAME - 1), 0)
+    )
+    wn = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    arr = F.array_sort(F.collect_list("cents").over(w))
+    # discrete LOWER median of k elements = element (k+1)//2 (1-based) —
+    # matches DuckDB's QUANTILE_DISC(0.5) on both parities
+    med = F.element_at(arr, ((F.size(arr) + 1) / 2).cast("int"))
+    return (
+        c.select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.row_number().over(wn).cast("long").alias("rn"),
+            "cents",
+            med.cast("long").alias("med"),
+        )
+        .filter(F.col("user_id") % 100 == 0)
+        .orderBy("user_id", "rn")
+    )

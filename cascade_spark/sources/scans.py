@@ -860,3 +860,49 @@ def scan_text_gzip_nonsplittable(spark, sf_dir):
     return per_file.select(
         "grp", "n_rows", "n_classes_in_file", "sum_event_id"
     ).orderBy("grp")
+
+
+@register(
+    "scan_parquet_metadata_columns",
+    "sources",
+    doc="The _metadata hidden column family on file scans (Spark's "
+    "per-row file provenance: file_path / file_name / file_size / "
+    "row_index) — what incremental pipelines use to build record-level "
+    "lineage without a separate manifest join. Nation is staged as ONE "
+    "sorted parquet file so row_index is deterministic (= write-order "
+    "rank = n_nationkey for the contiguous 0..24 keys); the query "
+    "proves the engine-provided row_index matches the data-derived "
+    "rank and that all rows carry exactly one file identity. The "
+    "oracle recomputes the rank relationally — same answer, different "
+    "provenance machinery.",
+    oracle="""
+SELECT n_nationkey,
+       CAST(ROW_NUMBER() OVER (ORDER BY n_nationkey) - 1 AS BIGINT) AS row_index,
+       CAST(1 AS BIGINT) AS n_files
+FROM nation
+ORDER BY n_nationkey
+""",
+)
+def scan_parquet_metadata_columns(spark, sf_dir):
+    from cascade_spark.tables import load
+
+    out = tempfile.mkdtemp(prefix="cascade_meta_") + "/nation"
+    (
+        load(spark, sf_dir, "nation")
+        .select("n_nationkey")
+        .coalesce(1)
+        .sortWithinPartitions("n_nationkey")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).select(
+        "n_nationkey",
+        F.col("_metadata.row_index").cast("long").alias("row_index"),
+        F.col("_metadata.file_path").alias("_fp"),
+    )
+    nf = back.agg(F.countDistinct("_fp").cast("long").alias("n_files"))
+    return (
+        back.crossJoin(F.broadcast(nf))
+        .select("n_nationkey", "row_index", "n_files")
+        .orderBy("n_nationkey")
+    )
