@@ -696,3 +696,71 @@ def udtf_polymorphic_analyze(spark, sf_dir):
         ORDER BY d.doc_id
         """
     )
+
+
+@F.pandas_udf(T.LongType())
+def _pdw_cents_sum(v: pd.Series) -> int:
+    # exact: int64 cents, pandas sum is integer arithmetic
+    return int(v.sum())
+
+
+@register(
+    "udf_pandas_window_agg",
+    "functions",
+    doc="GROUPED_AGG pandas UDF evaluated OVER a bounded window frame — "
+    "the fourth pandas-UDF execution shape (scalar / grouped-map / "
+    "grouped-agg / windowed-agg): each frame's cents Series crosses to "
+    "Python via Arrow and the custom aggregate runs per frame, the "
+    "escape hatch for rolling metrics no built-in expresses (rolling "
+    "quantile sketches, custom decay). Here the aggregate is an exact "
+    "integer sum so the DuckDB SUM OVER the identical frame "
+    "hash-checks the frame semantics themselves (bounds, ordering, "
+    "partitioning). Sampled to user_id%100=0 like "
+    "window_rolling_median.",
+    oracle="""
+WITH c AS (
+    SELECT user_id, ts, event_id,
+           CAST(CAST(value AS DECIMAL(12,4)) * 100 AS BIGINT) AS cents
+    FROM events
+),
+r AS (
+    SELECT user_id, ts, event_id, cents,
+           CAST(SUM(cents) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS roll_cents,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM c
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(rn AS BIGINT) AS rn, cents, roll_cents
+FROM r WHERE user_id % 100 = 0
+ORDER BY user_id, rn
+""",
+)
+def udf_pandas_window_agg(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    c = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("value").cast("decimal(12,4)") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    wn = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        c.select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.row_number().over(wn).cast("long").alias("rn"),
+            "cents",
+            _pdw_cents_sum("cents").over(w).alias("roll_cents"),
+        )
+        .filter(F.col("user_id") % 100 == 0)
+        .orderBy("user_id", "rn")
+    )

@@ -2183,3 +2183,68 @@ def stats_permutation_test(spark, sf_dir):
             ).alias("p_bp"),
         )
     )
+
+
+@register(
+    "stats_jackknife_variance",
+    "analytics",
+    doc="Leave-one-out (jackknife) variance of the daily-revenue mean — "
+    "the deterministic resampling estimator (no RNG at all, unlike the "
+    "bootstrap/permutation twins): with S = Σx and replicate means "
+    "θ_i = (S - x_i)/(n-1), the jackknife variance collapses "
+    "algebraically to Σ(S - n·x_i)² / (n³(n-1)) — ONE exact rational "
+    "over quantities from a single aggregate pass, no per-replicate "
+    "recomputation (the naive form re-reads the data n times; at a "
+    "100 TB fact that difference is the whole game). Variance in floor "
+    "cents², SE as exact integer floor-sqrt (isqrt discipline).",
+    oracle="""
+WITH daily AS (
+    SELECT o_orderdate AS d,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4)) * 100) AS BIGINT) AS x
+    FROM orders GROUP BY 1
+),
+s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx
+    FROM daily
+),
+dev AS (
+    SELECT SUM((CAST(s.sx AS HUGEINT) - CAST(s.n AS HUGEINT) * d.x)
+               * (CAST(s.sx AS HUGEINT) - CAST(s.n AS HUGEINT) * d.x)) AS ss
+    FROM daily d, s
+)
+SELECT s.n AS n_days, s.sx AS total_cents,
+       CAST(dev.ss // (CAST(s.n AS HUGEINT) * s.n * s.n * (s.n - 1)) AS BIGINT)
+           AS var_jack_cents2,
+       CAST(FLOOR(SQRT(CAST(dev.ss // (CAST(s.n AS HUGEINT) * s.n * s.n * (s.n - 1))
+                       AS DOUBLE))) AS BIGINT) AS se_jack_cents
+FROM s, dev
+""",
+)
+def stats_jackknife_variance(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        (F.sum(dec("o_totalprice")) * 100).cast("long").alias("x")
+    )
+    s = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+    )
+
+    def d38(c):
+        return c.cast("decimal(38,0)")
+
+    devterm = d38(F.col("sx")) - d38(F.col("n")) * F.col("x")
+    dev = daily.crossJoin(F.broadcast(s)).agg(
+        F.sum(devterm * devterm).cast("decimal(38,0)").alias("ss"),
+        F.max("n").cast("long").alias("n"),
+        F.max("sx").cast("long").alias("sx"),
+    )
+    var_ = F.floor(
+        F.col("ss") / (d38(F.col("n")) * F.col("n") * F.col("n") * (F.col("n") - 1))
+    ).cast("long")
+    return dev.select(
+        F.col("n").alias("n_days"),
+        F.col("sx").alias("total_cents"),
+        var_.alias("var_jack_cents2"),
+        F.floor(F.sqrt(var_.cast("double"))).cast("long").alias("se_jack_cents"),
+    )

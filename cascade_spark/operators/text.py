@@ -815,3 +815,127 @@ def text_source_similarity_hashed(spark, sf_dir):
         .orderBy(F.col("cos_bp").desc(), "src_a", "src_b")
         .limit(15)
     )
+
+
+@register(
+    "text_langid_prf_audit",
+    "text",
+    doc="Model-eval-as-data for the marker-word language classifier "
+    "(text_lang_id is the confusion matrix; this is the per-class "
+    "scorecard a pipeline gates on): per language — TP / FP / FN and "
+    "precision / recall / F1, every rate an EXACT floor-bp rational "
+    "(f1_bp = 2*tp*10^4 // (2*tp + fp + fn) — no float division "
+    "anywhere). One classify pass + two tiny aggregates; at 100 TB "
+    "the per-class table stays |languages|-sized.",
+    oracle=f"""
+WITH hits AS (
+    SELECT doc_id, lang,
+           {_sql_hits('en')} AS h_en,
+           {_sql_hits('de')} AS h_de,
+           {_sql_hits('fr')} AS h_fr,
+           {_sql_hits('es')} AS h_es
+    FROM documents
+),
+pred AS (
+    SELECT doc_id, lang,
+           CASE
+             WHEN h_en = 0 AND h_de = 0 AND h_fr = 0 AND h_es = 0 THEN 'unknown'
+             WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
+             WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'
+             WHEN h_fr >= h_es THEN 'fr'
+             ELSE 'es'
+           END AS pred_lang
+    FROM hits
+),
+classes AS (SELECT DISTINCT lang FROM documents),
+prf AS (
+    SELECT c.lang,
+           CAST((SELECT COUNT(*) FROM pred p
+                 WHERE p.pred_lang = c.lang AND p.lang = c.lang) AS BIGINT) AS tp,
+           CAST((SELECT COUNT(*) FROM pred p
+                 WHERE p.pred_lang = c.lang AND p.lang <> c.lang) AS BIGINT) AS fp,
+           CAST((SELECT COUNT(*) FROM pred p
+                 WHERE p.pred_lang <> c.lang AND p.lang = c.lang) AS BIGINT) AS fn
+    FROM classes c
+)
+SELECT lang, tp, fp, fn,
+       CAST(COALESCE(10000 * tp // NULLIF(tp + fp, 0), 0) AS BIGINT) AS precision_bp,
+       CAST(COALESCE(10000 * tp // NULLIF(tp + fn, 0), 0) AS BIGINT) AS recall_bp,
+       CAST(COALESCE(2 * 10000 * tp // NULLIF(2 * tp + fp + fn, 0), 0) AS BIGINT) AS f1_bp
+FROM prf ORDER BY lang
+""",
+)
+def text_langid_prf_audit(spark, sf_dir):
+    from cascade_spark.operators._util import _intdiv
+
+    d = widen(t(spark, sf_dir, "documents"))
+    words = F.split(F.col("text"), " ")
+
+    def hits(lang):
+        arr = F.array([F.lit(w) for w in LANG_MARKERS[lang]])
+        return F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
+
+    h = d.select(
+        "doc_id",
+        "lang",
+        hits("en").alias("h_en"),
+        hits("de").alias("h_de"),
+        hits("fr").alias("h_fr"),
+        hits("es").alias("h_es"),
+    )
+    pred = h.select(
+        "lang",
+        F.when(
+            (F.col("h_en") == 0) & (F.col("h_de") == 0)
+            & (F.col("h_fr") == 0) & (F.col("h_es") == 0),
+            "unknown",
+        )
+        .when(
+            (F.col("h_en") >= F.col("h_de"))
+            & (F.col("h_en") >= F.col("h_fr"))
+            & (F.col("h_en") >= F.col("h_es")),
+            "en",
+        )
+        .when((F.col("h_de") >= F.col("h_fr")) & (F.col("h_de") >= F.col("h_es")), "de")
+        .when(F.col("h_fr") >= F.col("h_es"), "fr")
+        .otherwise("es")
+        .alias("pred_lang"),
+    )
+    classes = d.select("lang").distinct().select(F.col("lang").alias("cls"))
+    per = (
+        classes.crossJoin(pred)
+        .groupBy("cls")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("pred_lang") == F.col("cls")) & (F.col("lang") == F.col("cls")), 1
+                ).otherwise(0)
+            ).cast("long").alias("tp"),
+            F.sum(
+                F.when(
+                    (F.col("pred_lang") == F.col("cls")) & (F.col("lang") != F.col("cls")), 1
+                ).otherwise(0)
+            ).cast("long").alias("fp"),
+            F.sum(
+                F.when(
+                    (F.col("pred_lang") != F.col("cls")) & (F.col("lang") == F.col("cls")), 1
+                ).otherwise(0)
+            ).cast("long").alias("fn"),
+        )
+    )
+
+    def ratio(num, den):
+        return F.when(den == 0, F.lit(0)).otherwise(_intdiv(num, den)).cast("long")
+
+    return per.select(
+        F.col("cls").alias("lang"),
+        "tp",
+        "fp",
+        "fn",
+        ratio(F.lit(10000) * F.col("tp"), F.col("tp") + F.col("fp")).alias("precision_bp"),
+        ratio(F.lit(10000) * F.col("tp"), F.col("tp") + F.col("fn")).alias("recall_bp"),
+        ratio(
+            F.lit(2) * 10000 * F.col("tp"),
+            F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn"),
+        ).alias("f1_bp"),
+    ).orderBy("lang")

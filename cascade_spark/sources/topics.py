@@ -119,3 +119,100 @@ def catalog_multi_topic_counts(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_events"))
         .orderBy("topic", "partition")
     )
+
+
+CG_CONSUMERS = 3
+
+
+@register(
+    "bus_consumer_group_assignment",
+    "sources",
+    doc=f"Consumer-group partition assignment over the persistent topic "
+    f"registry, {CG_CONSUMERS} consumers x both Kafka assignors: RANGE "
+    "(per topic: n = P div G, r = P mod G, consumer i takes n + (i<r) "
+    "contiguous partitions — the locality-preserving default) and "
+    "ROUND-ROBIN (global (topic, partition) order striped i mod G — "
+    "the balance-preserving alternative). Output per (strategy, "
+    "consumer): partitions owned and rows consumed — the skew table "
+    "that decides which assignor a 100 TB consumer fleet runs. "
+    "Assignment is computed relationally over the partition spine "
+    "(|topics|x|partitions| rows); row counts ride the pruned "
+    "partitioned layout. Realizes the reference coordinator's "
+    "consumer-registry intent (src/coordinator/main.rs:43-45).",
+    oracle=f"""
+WITH base AS (
+    SELECT 'events' AS topic, event_id % 4 AS part FROM events
+    UNION ALL
+    SELECT 'clicks', event_id % 4 FROM events WHERE event_type = 'click'
+),
+pc AS (SELECT topic, part, CAST(COUNT(*) AS BIGINT) AS n FROM base GROUP BY 1, 2),
+idx AS (
+    SELECT topic, part, n,
+           ROW_NUMBER() OVER (PARTITION BY topic ORDER BY part) - 1 AS pi,
+           ROW_NUMBER() OVER (ORDER BY topic, part) - 1 AS gi,
+           COUNT(*) OVER (PARTITION BY topic) AS p
+    FROM pc
+),
+assigned AS (
+    SELECT 'range' AS strategy,
+           CASE WHEN pi < (p // {CG_CONSUMERS}) + CASE WHEN p % {CG_CONSUMERS} > 0 THEN 1 ELSE 0 END
+                THEN 0
+                WHEN pi < 2 * (p // {CG_CONSUMERS})
+                          + CASE WHEN p % {CG_CONSUMERS} > 0 THEN 1 ELSE 0 END
+                          + CASE WHEN p % {CG_CONSUMERS} > 1 THEN 1 ELSE 0 END
+                THEN 1 ELSE 2 END AS consumer,
+           n
+    FROM idx
+    UNION ALL
+    SELECT 'roundrobin', CAST(gi % {CG_CONSUMERS} AS INT), n FROM idx
+)
+SELECT strategy, CAST(consumer AS BIGINT) AS consumer,
+       CAST(COUNT(*) AS BIGINT) AS n_partitions,
+       CAST(SUM(n) AS BIGINT) AS n_rows
+FROM assigned GROUP BY 1, 2 ORDER BY strategy, consumer
+""",
+)
+def bus_consumer_group_assignment(spark, sf_dir):
+    from pyspark.sql import Window
+
+    table, _ = stage_topic_registry(spark, sf_dir)
+    pc = (
+        spark.table(table)
+        .groupBy("topic", F.col("partition").alias("part"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    wt = Window.partitionBy("topic").orderBy("part")
+    wg = Window.orderBy("topic", "part")
+    idx = pc.select(
+        "topic",
+        "part",
+        "n",
+        (F.row_number().over(wt) - 1).alias("pi"),
+        (F.row_number().over(wg) - 1).alias("gi"),
+        F.count(F.lit(1)).over(Window.partitionBy("topic")).alias("p"),
+    )
+    g = CG_CONSUMERS
+    base = F.col("p") - (F.col("p") % g)  # g * (p // g), avoids int div ambiguity
+    n_floor = (base / g).cast("long")
+    r = F.col("p") % g
+    b1 = n_floor + F.when(r > 0, 1).otherwise(0)
+    b2 = 2 * n_floor + F.when(r > 0, 1).otherwise(0) + F.when(r > 1, 1).otherwise(0)
+    rng = idx.select(
+        F.lit("range").alias("strategy"),
+        F.when(F.col("pi") < b1, 0).when(F.col("pi") < b2, 1).otherwise(2).alias("consumer"),
+        "n",
+    )
+    rr = idx.select(
+        F.lit("roundrobin").alias("strategy"),
+        (F.col("gi") % g).alias("consumer"),
+        "n",
+    )
+    return (
+        rng.unionByName(rr)
+        .groupBy("strategy", F.col("consumer").cast("long").alias("consumer"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_partitions"),
+            F.sum("n").cast("long").alias("n_rows"),
+        )
+        .orderBy("strategy", "consumer")
+    )
