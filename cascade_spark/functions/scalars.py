@@ -535,3 +535,49 @@ def fn_try_sum_overflow(spark, sf_dir):
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "fn_binary_encoding_roundtrip",
+    "functions",
+    doc="Binary encoding function family — base64/unbase64, hex/unhex, "
+    "encode/decode(utf-8) — proven as ROUNDTRIPS (decode(encode(x)) == "
+    "x is the contract a content-addressed blob store leans on) plus "
+    "cross-checks: hex of the utf-8 bytes, base64 of those bytes, and "
+    "a sha256 over the base64-decoded payload matching the direct "
+    "hash. All JVM built-ins, codegen-friendly, applied to the nation "
+    "names (bounded, deterministic).",
+    oracle="""
+SELECT n_nationkey,
+       n_name,
+       HEX(ENCODE(n_name)) AS name_hex,
+       TO_BASE64(ENCODE(n_name)) AS name_b64,
+       CASE WHEN DECODE(FROM_BASE64(TO_BASE64(ENCODE(n_name)))) = n_name
+            THEN 1 ELSE 0 END AS b64_roundtrip_ok,
+       CASE WHEN DECODE(UNHEX(HEX(ENCODE(n_name)))) = n_name
+            THEN 1 ELSE 0 END AS hex_roundtrip_ok,
+       SHA256(DECODE(FROM_BASE64(TO_BASE64(ENCODE(n_name))))) AS content_hash
+FROM nation
+ORDER BY n_nationkey
+""",
+)
+def fn_binary_encoding_roundtrip(spark, sf_dir):
+    n = t(spark, sf_dir, "nation")
+    raw = F.encode(F.col("n_name"), "utf-8")
+    b64 = F.base64(raw)
+    hx = F.hex(raw)
+    return n.select(
+        "n_nationkey",
+        "n_name",
+        hx.alias("name_hex"),
+        b64.alias("name_b64"),
+        F.when(F.decode(F.unbase64(b64), "utf-8") == F.col("n_name"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("b64_roundtrip_ok"),
+        F.when(F.decode(F.unhex(hx), "utf-8") == F.col("n_name"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("hex_roundtrip_ok"),
+        F.sha2(F.unbase64(b64), 256).alias("content_hash"),
+    ).orderBy("n_nationkey")

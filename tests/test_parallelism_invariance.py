@@ -41,6 +41,12 @@ QUERIES = [
     "pipeline_shard_rendezvous", # arg-max over md5 score arrays
     "similarity_range_query",    # integer membership rule + isqrt
     "stats_theil_sen_trend",     # doubled-median over pair slopes
+    # round-8 representatives
+    "similarity_semantic_dedup",  # banded sign-LSH blocking + CC closure
+    "embedding_pca_power_iteration",  # integer matvec fixed point
+    "stats_kruskal_wallis",      # midrank spine + decimal(38,0) rationals
+    "pipeline_ccnet_ppl_buckets",  # global tercile rank via prefix sum
+    "graph_bfs_hops",            # iterative frontier min-dist
 ]
 
 

@@ -192,6 +192,34 @@ def test_jdbc_partition_bounds_cover_exactly_once(spark, sf_dir, n_parts):
     assert back.select("o_orderkey").distinct().count() == n_truth
 
 
+def test_lsh_blocking_plans_equi_join_not_allpairs(spark, sf_dir):
+    """The whole point of the round-8 re-block: the candidate generator
+    must plan a HASH equi-join on the (band, code) bucket key — never a
+    cartesian/nested-loop pair enumeration. Checked on the end-to-end
+    plans of both rewritten queries."""
+    from cascade_spark.operators.similarity import _EMB_PAIR_CACHE
+
+    _EMB_PAIR_CACHE.clear()  # plan the build path, not the cached frame
+    for name in ("embedding_neardup_blocked", "similarity_semantic_dedup"):
+        df = load_all()[name].builder(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, f"{name}:\n{plan}"
+        _EMB_PAIR_CACHE.clear()
+
+
+def test_pca_direction_is_unit_scaled_and_stable(spark, sf_dir):
+    """Power-iteration invariants: the returned direction has max |v| ==
+    PCA_SCALE (renormalization fixed point) and is invariant to input
+    partitioning (integer arithmetic has no accumulation order)."""
+    from cascade_spark.operators.vector_agg import PCA_SCALE
+
+    rows = (
+        load_all()["embedding_pca_power_iteration"].builder(spark, sf_dir).collect()
+    )
+    assert len(rows) == 64
+    assert max(abs(r["v_scaled"]) for r in rows) == PCA_SCALE
+
+
 def test_gzip_is_not_splittable_but_plain_csv_is(spark, sf_dir, tmp_path):
     """The scale lesson scan_text_gzip_nonsplittable declares: under a
     tiny maxPartitionBytes, a plain CSV copy of the same data fans out
