@@ -1304,3 +1304,164 @@ def pipeline_shard_rendezvous(spark, sf_dir):
         )
         .orderBy("shard")
     )
+
+
+@register(
+    "pipeline_preference_pairs",
+    "pipeline",
+    doc="DPO/RLHF preference-pair construction: within each (lang, "
+    "source) prompt group, the highest-scoring doc becomes CHOSEN and "
+    "the lowest REJECTED (score = exact integer length-penalized "
+    "stopword signal: 100*n_stopword_hits - n_chars — any integer "
+    "quality proxy slots in), ties broken by doc_id so the pair set is "
+    "total-order deterministic. One aggregate with max_by/min_by — no "
+    "self-join, no window over the corpus; groups with <2 docs are "
+    "dropped (no self-pairs). The gap column is the preference margin "
+    "a DPO trainer would weight by.",
+    oracle=f"""
+WITH scored AS (
+    SELECT doc_id, lang, source,
+           100 * {_sql_hits('en')} + 100 * {_sql_hits('de')}
+         + 100 * {_sql_hits('fr')} + 100 * {_sql_hits('es')}
+         - LEN(text) AS score
+    FROM documents
+),
+g AS (
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ARG_MAX(doc_id, score * 10000000 - doc_id) AS chosen_doc,
+           CAST(MAX(score) AS BIGINT) AS chosen_score,
+           ARG_MIN(doc_id, score * 10000000 + doc_id) AS rejected_doc,
+           CAST(MIN(score) AS BIGINT) AS rejected_score
+    FROM scored GROUP BY lang, source
+)
+SELECT lang, source, n_docs,
+       CAST(chosen_doc AS BIGINT) AS chosen_doc,
+       chosen_score,
+       CAST(rejected_doc AS BIGINT) AS rejected_doc,
+       rejected_score,
+       chosen_score - rejected_score AS margin
+FROM g WHERE n_docs >= 2
+ORDER BY lang, source
+""",
+)
+def pipeline_preference_pairs(spark, sf_dir):
+    from cascade_spark.operators.text import LANG_MARKERS as _LM
+
+    d = widen(t(spark, sf_dir, "documents"))
+    words = F.split(F.col("text"), " ")
+
+    def hits(lang):
+        arr = F.array([F.lit(w) for w in _LM[lang]])
+        return F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
+
+    score = (
+        F.lit(100) * (hits("en") + hits("de") + hits("fr") + hits("es"))
+        - F.length("text")
+    ).cast("long")
+    s = d.select("doc_id", "lang", "source", score.alias("score"))
+    # composite integer keys (DuckDB arg_max/min take scalar keys):
+    # maximize score with smaller-doc_id tiebreak -> key score*C - doc_id;
+    # minimize score with smaller-doc_id tiebreak -> key score*C + doc_id
+    c = F.lit(10_000_000)
+    g = s.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.max_by("doc_id", F.col("score") * c - F.col("doc_id"))
+        .cast("long")
+        .alias("chosen_doc"),
+        F.max("score").cast("long").alias("chosen_score"),
+        F.min_by("doc_id", F.col("score") * c + F.col("doc_id"))
+        .cast("long")
+        .alias("rejected_doc"),
+        F.min("score").cast("long").alias("rejected_score"),
+    )
+    return (
+        g.filter(F.col("n_docs") >= 2)
+        .select(
+            "lang", "source", "n_docs", "chosen_doc", "chosen_score",
+            "rejected_doc", "rejected_score",
+            (F.col("chosen_score") - F.col("rejected_score")).alias("margin"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+MASK_MOD = 5  # ~20% of word positions masked
+
+
+@register(
+    "pipeline_span_corruption",
+    "pipeline",
+    doc="T5-style span-corruption prep: word position i of doc d is "
+    f"masked iff md5(d:i) %% {MASK_MOD} == 0 (the deterministic-hash "
+    "convention replacing RNG — reproducible across epochs and "
+    "engines), corrupted text replaces masked words with <X>, targets "
+    "collect the masked words in order. All string surgery is JVM "
+    "higher-order functions (transform-with-index + array_compact + "
+    "array_join) — no Python, no explode-reassemble shuffle; the "
+    "oracle rebuilds both strings with ordered STRING_AGG. Output "
+    "pins exact mask counts, ratio bp, and both strings' prefixes.",
+    oracle=f"""
+WITH w AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
+tok AS (
+    SELECT doc_id, i, ws[i] AS w,
+           CASE WHEN ('0x' || SUBSTR(MD5(doc_id || ':' || i), 1, 8))::BIGINT
+                     % {MASK_MOD} = 0 THEN 1 ELSE 0 END AS m
+    FROM w, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(ws))) AS i)
+),
+agg AS (
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(m) AS BIGINT) AS n_masked,
+           STRING_AGG(CASE WHEN m = 1 THEN '<X>' ELSE w END, ' ' ORDER BY i)
+               AS corrupted,
+           STRING_AGG(CASE WHEN m = 1 THEN w END, ' ' ORDER BY i) AS targets
+    FROM tok GROUP BY doc_id
+)
+SELECT doc_id, n_words, n_masked,
+       CAST(10000 * n_masked // n_words AS BIGINT) AS mask_ratio_bp,
+       SUBSTR(corrupted, 1, 64) AS corrupted_prefix,
+       COALESCE(SUBSTR(targets, 1, 64), '') AS targets_prefix
+FROM agg ORDER BY doc_id
+""",
+)
+def pipeline_span_corruption(spark, sf_dir):
+    from cascade_spark.operators._util import _intdiv
+
+    d = widen(t(spark, sf_dir, "documents"))
+    ws = F.split("text", " ")
+
+    def masked(i):  # i is the 0-based lambda index; md5 key is 1-based
+        key = F.concat(
+            F.col("doc_id").cast("string"), F.lit(":"), (i + 1).cast("string")
+        )
+        return (
+            F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % MASK_MOD
+            == 0
+        )
+
+    corrupted_arr = F.transform(
+        ws, lambda w, i: F.when(masked(i), F.lit("<X>")).otherwise(w)
+    )
+    target_arr = F.array_compact(
+        F.transform(ws, lambda w, i: F.when(masked(i), w))
+    )
+    out = d.select(
+        "doc_id",
+        F.size(ws).cast("long").alias("n_words"),
+        F.size(target_arr).cast("long").alias("n_masked"),
+        F.array_join(corrupted_arr, " ").alias("corrupted"),
+        F.array_join(target_arr, " ").alias("targets"),
+    )
+    return out.select(
+        "doc_id",
+        "n_words",
+        "n_masked",
+        _intdiv(F.lit(10000) * F.col("n_masked"), F.col("n_words")).alias(
+            "mask_ratio_bp"
+        ),
+        F.substring("corrupted", 1, 64).alias("corrupted_prefix"),
+        F.coalesce(F.substring("targets", 1, 64), F.lit("")).alias(
+            "targets_prefix"
+        ),
+    ).orderBy("doc_id")
