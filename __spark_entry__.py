@@ -25,14 +25,78 @@ def entry(spark: SparkSession) -> DataFrame:
     return load_all()["agg_grouped_q1"].builder(spark, "/root/testdata/sf0.001")
 
 
-# Driver-sample ordering for ROUND 7 (the driver's CORRECTNESS sampling
+# Driver-sample ordering for ROUND 8 (the driver's CORRECTNESS sampling
 # is partial, ~50 of the registry, taken from the front of queries()):
-# (1) queries added this round, (2) round-6 additions — the r06 driver
-# sample was never recorded (no CORRECTNESS_r06.json in the repo), so
-# they remain driver-unchecked and are re-surfaced, then (3) a rotation
-# slice of queries never sampled in rounds 1-5. The full registry stays
-# oracle-gated in pytest (tests/test_oracle.py) regardless of sampling.
+# (1) queries added this round (including the two re-blocked embedding
+# dedup queries whose semantics changed), then (2) a rotation slice of
+# queries with NO green driver row in any CORRECTNESS_r0*.json —
+# burning down the never-sampled tail per the round-7 verdict. The full
+# registry stays oracle-gated in pytest (tests/test_oracle.py).
 _NEW_THIS_ROUND: list[str] = [
+    # -- (1) new or semantics-changed this round --
+    "embedding_neardup_blocked",
+    "similarity_semantic_dedup",
+    "profile_lsh_bucket_pairs",
+    "embedding_lsh_recall_audit",
+    "stats_kruskal_wallis",
+    "graph_bfs_hops",
+    "stream_stateful_topk",
+    "multimodal_image_crop_tile",
+    "embedding_pca_power_iteration",
+    "pipeline_ccnet_ppl_buckets",
+    "pipeline_quality_threshold_sweep",
+    "stats_brown_forsythe",
+    "stream_scd2_dim_join",
+    "scan_text_gzip_nonsplittable",
+    "window_rolling_median",
+    "stats_permutation_test",
+    "events_diff_in_differences",
+    "scan_parquet_metadata_columns",
+    "text_langid_prf_audit",
+    "stats_jackknife_variance",
+    "bus_consumer_group_assignment",
+    "udf_pandas_window_agg",
+    "fn_binary_encoding_roundtrip",
+    "pipeline_preference_pairs",
+    "pipeline_span_corruption",
+    "agg_approx_top_k",  # k-boundary tie fix this round
+    "text_char_ngram_profile",  # short-doc guard this round
+    "stream_rate_micro_batch",  # awaitTermination guard this round
+    "multimodal_decode",  # PIL probe removal this round
+    # -- (2) never-sampled rotation (no CORRECTNESS_r0* green row) --
+    "agg_bool_flags",
+    "agg_collated_group",
+    "agg_correlation",
+    "agg_deciles_disc",
+    "agg_filtered_conditional",
+    "agg_group_by_all",
+    "agg_grouping_id",
+    "agg_median_mode",
+    "agg_string_concat_ordered",
+    "agg_trend_regression",
+    "analytics_abc_pareto",
+    "analytics_frequent_itemsets",
+    "analytics_rfm_segmentation",
+    "analytics_yoy_growth",
+    "bus_consumer_lag",
+    "bus_index_dump",
+    "bus_sink_batch_write",
+    "bus_sink_stream_roundtrip",
+    "bus_source_batch_scan",
+    "bus_source_offset_seek",
+    "bus_stream_windowed_agg",
+    "catalog_global_temp_view",
+    "catalog_managed_table_dml",
+    "catalog_multi_topic_counts",
+    "dedup_dupspan_ngrams",
+    "dedup_keep_best",
+    "embedding_centroid_per_label",
+    "embedding_norm_audit",
+    "events_activity_streaks",
+    "events_anomaly_mad",
+]
+
+_ROUND7_LIST: list[str] = [
     # -- (1) new this round --
     "rollup_bitmap_distinct_incremental",
     "events_slo_burn_rate",
@@ -139,6 +203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     reg = load_all()
     ordered = {n: reg[n].builder for n in _NEW_THIS_ROUND if n in reg}
+    ordered.update((n, reg[n].builder) for n in _ROUND7_LIST if n in reg and n not in ordered)
     ordered.update((n, q.builder) for n, q in reg.items() if n not in ordered)
     return ordered
 
