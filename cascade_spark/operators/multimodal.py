@@ -1290,3 +1290,67 @@ def multimodal_image_crop_tile(spark, sf_dir):
         "cropped_px long, cropped_sum long, tile00_sum long"
     )
     return ids.mapInPandas(tile_batches, schema=schema).orderBy("doc_id")
+
+
+@register(
+    "multimodal_wav_zero_crossings",
+    "multimodal",
+    doc="Zero-crossing rate on the REAL RIFF/PCM16 decode path — the "
+    "classic O(n) voiced/unvoiced + noisiness feature (high ZCR = "
+    "noise/fricatives, low = tones/voiced speech): sign changes "
+    "between consecutive samples, counted as exact integers on the "
+    "parsed int16 array inside mapInPandas. The oracle replays the "
+    "synthesis recurrence s_i = (doc_id*7+i)%65536-32768 and counts "
+    "the same sign flips in SQL, so chunk walking, sample decode, and "
+    "the feature math are all hash-checked. Map-only; one pass per "
+    "blob at any corpus size.",
+    oracle="""
+WITH p AS (
+    SELECT doc_id,
+           64 + doc_id % 129 AS n_samples,
+           8000 + (doc_id % 3) * 4000 AS rate
+    FROM documents
+),
+zc AS (
+    SELECT p.doc_id, p.n_samples, p.rate,
+           (SELECT CAST(SUM(CASE WHEN
+                ((p.doc_id * 7 + i - 1) % 65536 - 32768 < 0)
+                <> ((p.doc_id * 7 + i) % 65536 - 32768 < 0)
+                THEN 1 ELSE 0 END) AS BIGINT)
+            FROM UNNEST(GENERATE_SERIES(1, p.n_samples - 1)) AS s(i)) AS n_zc
+    FROM p
+)
+SELECT doc_id, CAST(n_samples AS BIGINT) AS n_samples,
+       CAST(rate AS BIGINT) AS sample_rate, n_zc,
+       CAST(10000 * n_zc // (n_samples - 1) AS BIGINT) AS zcr_bp
+FROM zc ORDER BY doc_id
+""",
+)
+def multimodal_wav_zero_crossings(spark, sf_dir):
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents")
+    ids = d.repartition(8).select("doc_id")
+
+    def zc_batches(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                _, rate, s = parse_wav(synth_wav(doc_id))
+                neg = s.astype("int32") < 0
+                n_zc = int(np.sum(neg[:-1] != neg[1:]))
+                rows.append(
+                    (doc_id, len(s), rate, n_zc, 10000 * n_zc // (len(s) - 1))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_samples", "sample_rate", "n_zc", "zcr_bp"],
+            )
+
+    schema = (
+        "doc_id long, n_samples long, sample_rate long, n_zc long, zcr_bp long"
+    )
+    return ids.mapInPandas(zc_batches, schema=schema).orderBy("doc_id")

@@ -939,3 +939,74 @@ def text_langid_prf_audit(spark, sf_dir):
             F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn"),
         ).alias("f1_bp"),
     ).orderBy("lang")
+
+
+@register(
+    "text_bigram_novelty",
+    "text",
+    doc="Memorization/novelty audit: per doc, the share of its bigram "
+    "OCCURRENCES that exist ONLY in this doc (corpus count == within-"
+    "doc count — nothing elsewhere repeats them). High novelty = "
+    "original text; near-zero = boilerplate or a duplicate that "
+    "slipped past dedup — the cheap memorization-risk screen run "
+    "before training. One corpus bigram count (map-side combinable) + "
+    "one vocabulary-bounded equi-join, same plan family as "
+    "text_lm_commonality; novelty in exact floor bp.",
+    oracle="""
+WITH g AS (
+    SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+    FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
+         LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(w) - 1)) AS i)
+),
+dc AS (
+    SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS in_doc
+    FROM g GROUP BY 1, 2, 3
+),
+c AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt FROM g GROUP BY 1, 2),
+scored AS (
+    SELECT dc.doc_id,
+           CAST(SUM(dc.in_doc) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CASE WHEN c.cnt = dc.in_doc THEN dc.in_doc ELSE 0 END)
+                AS BIGINT) AS n_novel
+    FROM dc JOIN c ON dc.w1 = c.w1 AND dc.w2 = c.w2
+    GROUP BY dc.doc_id
+)
+SELECT doc_id, n_bigrams, n_novel,
+       CAST(10000 * n_novel // n_bigrams AS BIGINT) AS novelty_bp
+FROM scored ORDER BY doc_id
+""",
+)
+def text_bigram_novelty(spark, sf_dir):
+    from pyspark.sql import Window
+    from cascade_spark.operators._util import _intdiv
+
+    d = widen(t(spark, sf_dir, "documents"))
+    w = d.select("doc_id", F.posexplode(F.split("text", " ")).alias("p", "w1"))
+    win_doc = Window.partitionBy("doc_id").orderBy("p")
+    g = w.select(
+        "doc_id", "w1", F.lead("w1", 1).over(win_doc).alias("w2")
+    ).filter(F.col("w2").isNotNull())
+    dc = g.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("in_doc")
+    )
+    c = g.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    scored = (
+        dc.join(c, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("in_doc").cast("long").alias("n_bigrams"),
+            F.sum(
+                F.when(F.col("cnt") == F.col("in_doc"), F.col("in_doc")).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        "n_novel",
+        _intdiv(F.lit(10000) * F.col("n_novel"), F.col("n_bigrams")).alias(
+            "novelty_bp"
+        ),
+    ).orderBy("doc_id")
