@@ -741,3 +741,72 @@ def graph_bfs_hops(spark, sf_dir):
         )
         .orderBy("hop")
     )
+
+
+@register(
+    "graph_degree_assortativity",
+    "analytics",
+    doc="Degree assortativity of the capped co-activity graph — do "
+    "well-connected users co-occur with other hubs (r>0, social-style) "
+    "or with leaves (r<0, hub-and-spoke)? Pearson over the directed "
+    "edge-endpoint degree pairs (each undirected edge counted both "
+    "ways, the standard convention) collapses to ONE ratio of exact "
+    "integer moments: r = (n·Σxy − Sx²)/(n·Σxx − Sx²) — by symmetry "
+    "Sx=Sy, Sxx=Syy, so no square roots at all; reported in truncated "
+    "bp via HUGEINT/decimal(38,0) with DIV ≡ // parity on negatives. "
+    "Cost: one degree aggregate + one edge join at any scale.",
+    oracle=f"""
+WITH {{edges}},
+und AS (SELECT ua AS s, ub AS d FROM e UNION ALL SELECT ub AS s, ua AS d FROM e),
+deg AS (SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS dg FROM und GROUP BY s),
+pairs AS (
+    SELECT da.dg AS x, db.dg AS y
+    FROM und u JOIN deg da ON da.node = u.s JOIN deg db ON db.node = u.d
+),
+m AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS HUGEINT) AS sx,
+           CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+           CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+    FROM pairs
+)
+SELECT n AS n_endpoint_pairs,
+       CAST(sx AS BIGINT) AS sum_degree,
+       CAST(COALESCE((10000 * (n * sxy - sx * sx))
+                     // NULLIF(n * sxx - sx * sx, 0), 0) AS BIGINT)
+           AS assortativity_bp
+FROM m
+""".format(edges=_sql_coactivity_edges()),
+)
+def graph_degree_assortativity(spark, sf_dir):
+    e = _coactivity_edges(spark, sf_dir)
+    und = e.select(F.col("ua").alias("s"), F.col("ub").alias("d")).unionByName(
+        e.select(F.col("ub").alias("s"), F.col("ua").alias("d"))
+    )
+    deg = und.groupBy(F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("dg")
+    )
+    pairs = (
+        und.join(deg.select(F.col("node").alias("s"), F.col("dg").alias("x")), "s")
+        .join(deg.select(F.col("node").alias("d"), F.col("dg").alias("y")), "d")
+        .select("x", "y")
+    )
+
+    def d38(c):
+        return c.cast("decimal(38,0)")
+
+    m = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(d38(F.col("x")) * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(d38(F.col("x")) * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+    )
+    num = F.lit(10000) * (d38(F.col("n")) * F.col("sxy") - d38(F.col("sx")) * F.col("sx"))
+    den = d38(F.col("n")) * F.col("sxx") - d38(F.col("sx")) * F.col("sx")
+    q = num / den
+    trunc = F.when(num * den >= 0, F.floor(q)).otherwise(-F.floor(-q))
+    return m.select(
+        F.col("n").alias("n_endpoint_pairs"),
+        F.col("sx").alias("sum_degree"),
+        F.when(den == 0, F.lit(0)).otherwise(trunc).cast("long").alias("assortativity_bp"),
+    )

@@ -2248,3 +2248,112 @@ def stats_jackknife_variance(spark, sf_dir):
         var_.alias("var_jack_cents2"),
         F.floor(F.sqrt(var_.cast("double"))).cast("long").alias("se_jack_cents"),
     )
+
+
+PSI_BUCKETS = 10
+
+
+@register(
+    "events_feature_drift_psi",
+    "analytics",
+    doc=f"Population Stability Index drift monitor: the value-cents "
+    f"distribution of the period's FIRST half (reference) vs SECOND "
+    f"half (current), over {PSI_BUCKETS} equal-width cent buckets "
+    "anchored on the reference min/max (the deployed-model convention: "
+    "bins are frozen with the reference). Per bucket: reference and "
+    "current shares in exact floor bp and the PSI contribution "
+    "(p-q)*ln(p/q) — ROUND(...,6) of a single scalar expression per "
+    "row built from exact integer counts, so there is no float "
+    "ACCUMULATION anywhere; the total is left to the reader (sum of "
+    "the contributions column). Laplace-smoothed counts (+1) keep "
+    "empty buckets finite, mirrored in both engines.",
+    oracle=f"""
+WITH b AS (SELECT CAST(MIN(ts) AS DATE) + 15 AS cutd FROM events),
+c AS (
+    SELECT CAST(CAST(value AS DECIMAL(12,4)) * 100 AS BIGINT) AS cents,
+           CASE WHEN CAST(ts AS DATE) < (SELECT cutd FROM b) THEN 0 ELSE 1 END AS half
+    FROM events
+),
+ref AS (
+    SELECT MIN(cents) AS lo, MAX(cents) AS hi FROM c WHERE half = 0
+),
+bucketed AS (
+    SELECT half,
+           LEAST({PSI_BUCKETS - 1}, GREATEST(0,
+               ({PSI_BUCKETS} * (cents - ref.lo)) // NULLIF(ref.hi - ref.lo, 0)
+           )) AS bkt
+    FROM c, ref
+),
+cnt AS (
+    SELECT bkt,
+           CAST(1 + SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+           CAST(1 + SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+    FROM bucketed GROUP BY bkt
+),
+tot AS (
+    SELECT CAST(SUM(n_ref) AS BIGINT) AS t_ref,
+           CAST(SUM(n_cur) AS BIGINT) AS t_cur
+    FROM cnt
+)
+SELECT CAST(bkt AS BIGINT) AS bucket,
+       n_ref, n_cur,
+       CAST(10000 * n_ref // t_ref AS BIGINT) AS ref_share_bp,
+       CAST(10000 * n_cur // t_cur AS BIGINT) AS cur_share_bp,
+       ROUND((CAST(n_ref AS DOUBLE) / t_ref - CAST(n_cur AS DOUBLE) / t_cur)
+             * LN((CAST(n_ref AS DOUBLE) / t_ref) / (CAST(n_cur AS DOUBLE) / t_cur)),
+             6) AS psi_contrib
+FROM cnt, tot ORDER BY bucket
+""",
+)
+def events_feature_drift_psi(spark, sf_dir):
+    from cascade_spark.operators._util import _intdiv
+
+    ev = t(spark, sf_dir, "events")
+    cutd = ev.agg(F.date_add(F.to_date(F.min("ts")), 15).alias("c")).collect()[0]["c"]
+    c = ev.select(
+        (F.col("value").cast("decimal(12,4)") * 100).cast("long").alias("cents"),
+        F.when(F.to_date("ts") < F.lit(cutd), 0).otherwise(1).alias("half"),
+    )
+    ref = c.filter(F.col("half") == 0).agg(
+        F.min("cents").alias("lo"), F.max("cents").alias("hi")
+    )
+    # integer bucket index with the same truncating division as the
+    # oracle's / on positive BIGINTs
+    raw = (F.lit(PSI_BUCKETS) * (F.col("cents") - F.col("lo"))) / (
+        F.col("hi") - F.col("lo")
+    )
+    bkt = F.least(
+        F.lit(PSI_BUCKETS - 1),
+        F.greatest(F.lit(0), F.floor(raw).cast("long")),
+    )
+    bucketed = c.crossJoin(F.broadcast(ref)).select("half", bkt.alias("bkt"))
+    cnt = bucketed.groupBy("bkt").agg(
+        (1 + F.sum(F.when(F.col("half") == 0, 1).otherwise(0)))
+        .cast("long")
+        .alias("n_ref"),
+        (1 + F.sum(F.when(F.col("half") == 1, 1).otherwise(0)))
+        .cast("long")
+        .alias("n_cur"),
+    )
+    tot = cnt.agg(
+        F.sum("n_ref").cast("long").alias("t_ref"),
+        F.sum("n_cur").cast("long").alias("t_cur"),
+    )
+    p = F.col("n_ref").cast("double") / F.col("t_ref")
+    q = F.col("n_cur").cast("double") / F.col("t_cur")
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("bkt").cast("long").alias("bucket"),
+            "n_ref",
+            "n_cur",
+            _intdiv(F.lit(10000) * F.col("n_ref"), F.col("t_ref")).alias(
+                "ref_share_bp"
+            ),
+            _intdiv(F.lit(10000) * F.col("n_cur"), F.col("t_cur")).alias(
+                "cur_share_bp"
+            ),
+            F.round((p - q) * F.log(p / q), 6).alias("psi_contrib"),
+        )
+        .orderBy("bucket")
+    )
