@@ -59,6 +59,10 @@ _NEW_THIS_ROUND: list[str] = [
     "fn_binary_encoding_roundtrip",
     "pipeline_preference_pairs",
     "pipeline_span_corruption",
+    "text_bigram_novelty",
+    "multimodal_wav_zero_crossings",
+    "events_feature_drift_psi",
+    "graph_degree_assortativity",
     "agg_approx_top_k",  # k-boundary tie fix this round
     "text_char_ngram_profile",  # short-doc guard this round
     "stream_rate_micro_batch",  # awaitTermination guard this round
