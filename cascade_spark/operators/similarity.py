@@ -428,12 +428,36 @@ ORDER BY v1, v2
 def embedding_neardup_blocked(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings")
     cand = _lsh_candidate_pairs(spark, sf_dir)
-    a = e.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("ea"))
-    b = e.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("eb"))
+    # per-VECTOR norms computed once (n rows), not per PAIR (n² worst
+    # case): the pair stage then evaluates a single dot-product fold —
+    # 3x less HOF work on the fat side of the join. sqrt of the same
+    # double sum the oracle computes per pair — bit-identical result.
+    withn = e.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    a = withn.select(
+        F.col("vec_id").alias("v1"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = withn.select(
+        F.col("vec_id").alias("v2"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
     return (
         cand.join(a, "v1")
         .join(b, "v2")
-        .select("v1", "v2", "n_shared_bands", _cos("ea", "eb").alias("cos_sim"))
+        .select(
+            "v1",
+            "v2",
+            "n_shared_bands",
+            F.round(
+                _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("cos_sim"),
+        )
         .filter(F.col("cos_sim") >= 0.2)
         .orderBy("v1", "v2")
     )
@@ -528,15 +552,23 @@ def embedding_lsh_recall_audit(spark, sf_dir):
             lambda acc, v: acc + v,
         )
 
-    q = e.select("vec_id", _quant(F.col("embedding")).alias("qv"))
-    a = q.select(F.col("vec_id").alias("v1"), F.col("qv").alias("qa"))
-    b = q.select(F.col("vec_id").alias("v2"), F.col("qv").alias("qb"))
+    # self-norms once per vector — the all-pairs truth then folds only
+    # the cross dot (1 HOF per pair instead of 3)
+    q = e.select("vec_id", _quant(F.col("embedding")).alias("qv")).select(
+        "vec_id", "qv", _idot(F.col("qv"), F.col("qv")).alias("nq")
+    )
+    a = q.select(
+        F.col("vec_id").alias("v1"), F.col("qv").alias("qa"), F.col("nq").alias("na")
+    )
+    b = q.select(
+        F.col("vec_id").alias("v2"), F.col("qv").alias("qb"), F.col("nq").alias("nb")
+    )
     pp = a.join(b, F.col("v1") < F.col("v2")).select(
         "v1",
         "v2",
         _idot(F.col("qa"), F.col("qb")).alias("qd"),
-        _idot(F.col("qa"), F.col("qa")).alias("na"),
-        _idot(F.col("qb"), F.col("qb")).alias("nb"),
+        "na",
+        "nb",
     )
     qd2 = F.lit(100) * F.col("qd") * F.col("qd")
     truth = pp.filter(
@@ -824,16 +856,24 @@ def similarity_semantic_dedup(spark, sf_dir):
             lambda acc, v: acc + v,
         )
 
-    q = e.select("vec_id", _quant(F.col("embedding")).alias("qv"))
+    # per-vector quantized self-norms computed ONCE (n rows) — the pair
+    # stage folds only the cross dot product (3x less HOF work per pair)
+    q = e.select("vec_id", _quant(F.col("embedding")).alias("qv")).select(
+        "vec_id", "qv", _dot(F.col("qv"), F.col("qv")).alias("nq")
+    )
     cand = _lsh_candidate_pairs(spark, sf_dir)
-    a = q.select(F.col("vec_id").alias("v1"), F.col("qv").alias("qa"))
-    b = q.select(F.col("vec_id").alias("v2"), F.col("qv").alias("qb"))
+    a = q.select(
+        F.col("vec_id").alias("v1"), F.col("qv").alias("qa"), F.col("nq").alias("na")
+    )
+    b = q.select(
+        F.col("vec_id").alias("v2"), F.col("qv").alias("qb"), F.col("nq").alias("nb")
+    )
     p = cand.join(a, "v1").join(b, "v2").select(
         "v1",
         "v2",
         _dot(F.col("qa"), F.col("qb")).alias("qd"),
-        _dot(F.col("qa"), F.col("qa")).alias("na"),
-        _dot(F.col("qb"), F.col("qb")).alias("nb"),
+        "na",
+        "nb",
     )
     t2 = SEMDEDUP_T_DEN * SEMDEDUP_T_DEN
     n2 = SEMDEDUP_T_NUM * SEMDEDUP_T_NUM
