@@ -99,6 +99,14 @@ QUERIES = [
     "stats_quantile_bands_exact", "scan_xml_roundtrip",
     "sink_rebalanced_write", "sql_identifier_clause",
     "udtf_polymorphic_analyze", "profile_shingle_df", "stats_spearman_rho",
+    # round-8 batch (grid/cutoff-building stats and staged-sink queries
+    # excluded: they collect min(ts) or write fixture dirs)
+    "text_bigram_novelty", "pipeline_span_corruption",
+    "pipeline_preference_pairs", "pipeline_quality_threshold_sweep",
+    "window_rolling_median", "text_langid_prf_audit",
+    "multimodal_image_crop_tile", "multimodal_wav_zero_crossings",
+    "fn_binary_encoding_roundtrip", "scan_parquet_metadata_columns",
+    "udf_pandas_window_agg", "pipeline_ccnet_ppl_buckets",
 ]
 
 
