@@ -34,6 +34,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # registry stays oracle-gated in pytest (tests/test_oracle.py).
 _NEW_THIS_ROUND: list[str] = [
     # -- (1) new or semantics-changed this round --
+    # round-8 waves 4-5
+    "graph_label_propagation",
+    "text_rake_keywords",
+    "stats_runs_test",
+    "stats_capture_recapture",
+    "stats_good_turing",
+    "stats_anova_oneway",
+    "stats_effect_sizes",
+    "pipeline_passage_dedup",
+    "embedding_matryoshka_energy",
+    "similarity_reciprocal_rank_fusion",
+    "events_max_drawdown",
+    # earlier round-8 waves
     "embedding_neardup_blocked",
     "similarity_semantic_dedup",
     "profile_lsh_bucket_pairs",

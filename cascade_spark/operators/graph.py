@@ -810,3 +810,81 @@ def graph_degree_assortativity(spark, sf_dir):
         F.col("sx").alias("sum_degree"),
         F.when(den == 0, F.lit(0)).otherwise(trunc).cast("long").alias("assortativity_bp"),
     )
+
+
+LPA_ROUNDS = 2
+
+
+@register(
+    "graph_label_propagation",
+    "graph",
+    doc="Community detection via synchronous label propagation "
+    f"(Raghavan et al. 2007), {LPA_ROUNDS} fixed rounds over the "
+    "degree-capped co-activity graph: every node starts as its own "
+    "label; each round it adopts its neighbors' most frequent label "
+    "with the fully deterministic (count DESC, label ASC) tie rule "
+    "(the rule that makes sync-LPA hash-checkable — reference LPA "
+    "breaks ties randomly, which can never cross engines). Output is "
+    "the community-size histogram. Each round is one join on the "
+    "symmetric edge list + one (node, label) count + one per-node "
+    "argmax window — all partitioned by node id, so a round costs two "
+    "shuffles at any graph size and lineage stays "
+    f"{LPA_ROUNDS}-rounds shallow.",
+    oracle=f"""
+WITH {_sql_coactivity_edges()},
+adj AS (SELECT ua AS u, ub AS v FROM e UNION ALL SELECT ub, ua FROM e),
+l0 AS (SELECT DISTINCT u, u AS lab FROM adj),
+c1 AS (
+    SELECT a.u, l.lab, COUNT(*) AS c
+    FROM adj a JOIN l0 l ON l.u = a.v
+    GROUP BY a.u, l.lab
+),
+l1 AS (
+    SELECT u, lab FROM (
+        SELECT u, lab, ROW_NUMBER() OVER (PARTITION BY u ORDER BY c DESC, lab) AS rn
+        FROM c1
+    ) WHERE rn = 1
+),
+c2 AS (
+    SELECT a.u, l.lab, COUNT(*) AS c
+    FROM adj a JOIN l1 l ON l.u = a.v
+    GROUP BY a.u, l.lab
+),
+l2 AS (
+    SELECT u, lab FROM (
+        SELECT u, lab, ROW_NUMBER() OVER (PARTITION BY u ORDER BY c DESC, lab) AS rn
+        FROM c2
+    ) WHERE rn = 1
+)
+SELECT CAST(lab AS BIGINT) AS community,
+       CAST(COUNT(*) AS BIGINT) AS n_members
+FROM l2
+GROUP BY lab
+ORDER BY n_members DESC, community
+""",
+)
+def graph_label_propagation(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = _coactivity_edges(spark, sf_dir)
+    adj = e.select(F.col("ua").alias("u"), F.col("ub").alias("v")).unionByName(
+        e.select(F.col("ub").alias("u"), F.col("ua").alias("v"))
+    )
+    labels = adj.select("u").distinct().select("u", F.col("u").alias("lab"))
+    for _ in range(LPA_ROUNDS):
+        neigh = adj.join(
+            labels.select(F.col("u").alias("v"), "lab"), "v"
+        )
+        counts = neigh.groupBy("u", "lab").agg(F.count(F.lit(1)).alias("c"))
+        w = Window.partitionBy("u").orderBy(F.col("c").desc(), F.col("lab"))
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("u", "lab")
+        )
+    return (
+        labels.groupBy("lab")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+        .select(F.col("lab").cast("long").alias("community"), "n_members")
+        .orderBy(F.col("n_members").desc(), "community")
+    )

@@ -1230,3 +1230,181 @@ def similarity_lsh_multiprobe(spark, sf_dir):
         .limit(TOP_K)
         .select("vec_id", "cos_sim", "probe_dist", "n_cand_multi", "n_cand_single")
     )
+
+
+RRF_K = 60  # standard RRF damping constant
+RRF_TOP = 10
+RRF_SCALE = 1_000_000_000  # ppb so the integer reciprocal keeps precision
+
+
+@register(
+    "similarity_reciprocal_rank_fusion",
+    "similarity",
+    doc="Hybrid retrieval via reciprocal-rank fusion (Cormack et al. "
+    "2009): the corpus is ranked twice against query item 0 — "
+    "semantically (integer-exact quantized cosine over embeddings, "
+    "vec_id aligned with doc_id) and lexically (distinct-word Jaccard "
+    "against doc 0) — and the two rankings fuse with "
+    f"score = sum 1/({RRF_K}+rank), computed as {RRF_SCALE} DIV "
+    f"({RRF_K}+rank) so the whole query is integer arithmetic end to "
+    "end (no IEEE division anywhere). Ties broken by id; top "
+    f"{RRF_TOP} returned. Scale note: each ranking is a global "
+    "row_number over scored candidates — at 100 TB both sides first "
+    "cut to a per-partition top-K' (K' = K + damping window) before "
+    "the single-reducer rank, exactly like sort_topk_global; the "
+    "fusion join is then K'xK' tiny.",
+    oracle=f"""
+WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+quant AS (
+    SELECT e.vec_id,
+           CAST(SUM(FLOOR(CAST(e.embedding[i] AS DOUBLE) * {Q_SCALE})
+                    * FLOOR(CAST(qv.q[i] AS DOUBLE) * {Q_SCALE})) AS BIGINT) AS qdot,
+           CAST(SUM(FLOOR(CAST(e.embedding[i] AS DOUBLE) * {Q_SCALE})
+                    * FLOOR(CAST(e.embedding[i] AS DOUBLE) * {Q_SCALE})) AS BIGINT) AS xn2,
+           CAST(SUM(FLOOR(CAST(qv.q[i] AS DOUBLE) * {Q_SCALE})
+                    * FLOOR(CAST(qv.q[i] AS DOUBLE) * {Q_SCALE})) AS BIGINT) AS qn2
+    FROM embeddings e, qv,
+         LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(e.embedding))) AS i)
+    WHERE e.vec_id <> {QUERY_VEC_ID}
+    GROUP BY e.vec_id
+),
+normed AS (
+    SELECT vec_id, qdot,
+           (CASE WHEN (CAST(FLOOR(SQRT(CAST(xn2 * qn2 AS DOUBLE))) AS BIGINT) + 1)
+                      * (CAST(FLOOR(SQRT(CAST(xn2 * qn2 AS DOUBLE))) AS BIGINT) + 1)
+                      <= xn2 * qn2
+                 THEN CAST(FLOOR(SQRT(CAST(xn2 * qn2 AS DOUBLE))) AS BIGINT) + 1
+                 WHEN CAST(FLOOR(SQRT(CAST(xn2 * qn2 AS DOUBLE))) AS BIGINT)
+                      * CAST(FLOOR(SQRT(CAST(xn2 * qn2 AS DOUBLE))) AS BIGINT)
+                      > xn2 * qn2
+                 THEN CAST(FLOOR(SQRT(CAST(xn2 * qn2 AS DOUBLE))) AS BIGINT) - 1
+                 ELSE CAST(FLOOR(SQRT(CAST(xn2 * qn2 AS DOUBLE))) AS BIGINT)
+            END) AS nrm
+    FROM quant
+),
+sem AS (
+    SELECT vec_id AS id,
+           ROW_NUMBER() OVER (ORDER BY CAST(qdot * 10000 // nrm AS BIGINT) DESC, vec_id)
+             AS r_sem
+    FROM normed
+),
+wd AS (SELECT DISTINCT doc_id, w
+       FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents)),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nw FROM wd GROUP BY doc_id),
+q0 AS (SELECT w FROM wd WHERE doc_id = {QUERY_VEC_ID}),
+inter AS (
+    SELECT wd.doc_id, CAST(COUNT(*) AS BIGINT) AS ni
+    FROM wd JOIN q0 USING (w) WHERE wd.doc_id <> {QUERY_VEC_ID}
+    GROUP BY wd.doc_id
+),
+lexs AS (
+    SELECT s.doc_id,
+           CAST(COALESCE(i.ni, 0) * 10000
+                // (s.nw + (SELECT nw FROM sizes WHERE doc_id = {QUERY_VEC_ID})
+                    - COALESCE(i.ni, 0)) AS BIGINT) AS jac_bp
+    FROM sizes s LEFT JOIN inter i USING (doc_id)
+    WHERE s.doc_id <> {QUERY_VEC_ID}
+),
+lex AS (
+    SELECT doc_id AS id,
+           ROW_NUMBER() OVER (ORDER BY jac_bp DESC, doc_id) AS r_lex
+    FROM lexs
+)
+SELECT sem.id,
+       CAST(sem.r_sem AS BIGINT) AS r_sem,
+       CAST(lex.r_lex AS BIGINT) AS r_lex,
+       CAST({RRF_SCALE} // ({RRF_K} + sem.r_sem)
+            + {RRF_SCALE} // ({RRF_K} + lex.r_lex) AS BIGINT) AS rrf_ppb
+FROM sem JOIN lex USING (id)
+ORDER BY rrf_ppb DESC, id
+LIMIT {RRF_TOP}
+""",
+)
+def similarity_reciprocal_rank_fusion(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from cascade_spark.operators.analytics_extra import _isqrt
+
+    e = t(spark, sf_dir, "embeddings")
+    d = t(spark, sf_dir, "documents")
+
+    def _quant(col):
+        return F.transform(col, lambda x: F.floor(x.cast("double") * Q_SCALE))
+
+    def _idot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    query = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        _quant(F.col("embedding")).alias("_qq")
+    )
+    scored = (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(query))
+        .select(
+            "vec_id",
+            _idot(_quant(F.col("embedding")), F.col("_qq")).alias("qdot"),
+            _idot(_quant(F.col("embedding")), _quant(F.col("embedding"))).alias("xn2"),
+            _idot(F.col("_qq"), F.col("_qq")).alias("qn2"),
+        )
+        .select(
+            "vec_id", "qdot", _isqrt(F.col("xn2") * F.col("qn2")).alias("nrm")
+        )
+        .select("vec_id", F.expr("qdot * 10000 DIV nrm").cast("long").alias("cos_bp"))
+    )
+    sem = scored.select(
+        F.col("vec_id").alias("id"),
+        F.row_number()
+        .over(Window.orderBy(F.col("cos_bp").desc(), "vec_id"))
+        .alias("r_sem"),
+    )
+
+    wd = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).dropDuplicates(["doc_id", "w"])
+    sizes = wd.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("nw"))
+    q0 = wd.filter(F.col("doc_id") == QUERY_VEC_ID).select("w")
+    n0 = sizes.filter(F.col("doc_id") == QUERY_VEC_ID).select(
+        F.col("nw").alias("n0")
+    )
+    inter = (
+        wd.filter(F.col("doc_id") != QUERY_VEC_ID)
+        .join(F.broadcast(q0), "w")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("ni"))
+    )
+    lexs = (
+        sizes.filter(F.col("doc_id") != QUERY_VEC_ID)
+        .join(inter, "doc_id", "left")
+        .crossJoin(F.broadcast(n0))
+        .select(
+            "doc_id",
+            F.expr("coalesce(ni, 0) * 10000 DIV (nw + n0 - coalesce(ni, 0))")
+            .cast("long")
+            .alias("jac_bp"),
+        )
+    )
+    lex = lexs.select(
+        F.col("doc_id").alias("id"),
+        F.row_number()
+        .over(Window.orderBy(F.col("jac_bp").desc(), "doc_id"))
+        .alias("r_lex"),
+    )
+    return (
+        sem.join(lex, "id")
+        .select(
+            "id",
+            F.col("r_sem").cast("long").alias("r_sem"),
+            F.col("r_lex").cast("long").alias("r_lex"),
+            F.expr(
+                f"{RRF_SCALE} DIV ({RRF_K} + r_sem) + {RRF_SCALE} DIV ({RRF_K} + r_lex)"
+            )
+            .cast("long")
+            .alias("rrf_ppb"),
+        )
+        .orderBy(F.col("rrf_ppb").desc(), "id")
+        .limit(RRF_TOP)
+    )

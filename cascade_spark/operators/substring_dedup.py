@@ -149,3 +149,88 @@ def text_repetition_top2gram(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+PASSAGE_N = 8  # words per non-overlapping passage
+
+
+@register(
+    "pipeline_passage_dedup",
+    "pipeline",
+    doc="Cross-document repeated-passage REMOVAL (the transform, where "
+    "dedup_dupspan_ngrams is the audit): each document is chunked into "
+    f"non-overlapping {PASSAGE_N}-word passages, passages whose hash "
+    "appears in >=2 distinct documents are dropped (the "
+    "RefinedWeb/CCNet line-dedup recipe re-expressed over the "
+    "fixture's single-line docs), and the survivors are reassembled in "
+    "order. Per doc: passage counts, retained word count, and the md5 "
+    "of the reassembled text (small fixed-width proof of the rebuilt "
+    "doc, so the oracle checks the full transform without shipping "
+    "text). Same asymptotics as the span audit: one combinable "
+    "gram-frequency groupBy + one gram-partitioned join; reassembly "
+    "is a per-doc sort of ~n/8 passages, never a global order.",
+    oracle=f"""
+WITH w AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
+p AS (
+    SELECT doc_id, i AS pos,
+           ARRAY_TO_STRING(ws[i*{PASSAGE_N}+1 : i*{PASSAGE_N}+{PASSAGE_N}], ' ') AS passage
+    FROM w, LATERAL (SELECT UNNEST(GENERATE_SERIES(0,
+             CAST(CEIL(LEN(ws) / {PASSAGE_N}.0) AS BIGINT) - 1)) AS i)
+),
+h AS (SELECT doc_id, pos, passage, MD5(passage) AS gh FROM p),
+f AS (SELECT gh, COUNT(DISTINCT doc_id) AS nd FROM h GROUP BY gh),
+kept AS (SELECT h.doc_id, h.pos, h.passage FROM h JOIN f USING (gh) WHERE f.nd = 1),
+agg AS (
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(LEN(STRING_SPLIT(passage, ' '))) AS BIGINT) AS n_kept_words,
+           MD5(STRING_AGG(passage, ' ' ORDER BY pos)) AS kept_md5
+    FROM kept GROUP BY doc_id
+),
+tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_passages FROM h GROUP BY doc_id)
+SELECT t.doc_id, t.n_passages,
+       COALESCE(a.n_kept, 0) AS n_kept,
+       COALESCE(a.n_kept_words, 0) AS n_kept_words,
+       COALESCE(a.kept_md5, MD5('')) AS kept_md5
+FROM tot t LEFT JOIN agg a USING (doc_id)
+ORDER BY t.doc_id
+""",
+)
+def pipeline_passage_dedup(spark, sf_dir):
+    d = widen(t(spark, sf_dir, "documents"))
+    n = PASSAGE_N
+    h = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, CAST(ceil(size(split(text, ' ')) / {n}.0) AS INT) - 1),"
+                f" i -> array_join(slice(split(text, ' '), i * {n} + 1, {n}), ' '))"
+            )
+        ).alias("pos", "passage"),
+    ).withColumn("gh", F.md5("passage"))
+    freq = h.groupBy("gh").agg(F.count_distinct("doc_id").alias("nd"))
+    kept = h.join(freq, "gh").filter(F.col("nd") == 1)
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum(F.size(F.split("passage", " "))).cast("long").alias("n_kept_words"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, passage))), x -> x.passage)"
+                ),
+            )
+        ).alias("kept_md5"),
+    )
+    tot = h.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_passages"))
+    return (
+        tot.join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_passages",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("n_kept_words", F.lit(0)).cast("long").alias("n_kept_words"),
+            F.coalesce("kept_md5", F.md5(F.lit(""))).alias("kept_md5"),
+        )
+        .orderBy("doc_id")
+    )

@@ -504,3 +504,120 @@ def pipeline_quality_threshold_sweep(spark, sf_dir):
         )
         .orderBy("threshold")
     )
+
+
+RAKE_TOP = 15
+RAKE_BP = 10_000
+
+
+@register(
+    "text_rake_keywords",
+    "text",
+    doc="RAKE keyword extraction (Rose et al. 2010) over the corpus: "
+    "candidate phrases are maximal stopword-free word runs (run ids "
+    "from a per-doc running stopword count — one window, no UDF), "
+    "each word scores deg(w)/freq(w) with deg = sum of lengths of the "
+    "phrases containing it, and a phrase scores the sum of its words' "
+    "scores. All arithmetic is integer floor-bp, so the ranking "
+    "hash-checks. Returns the top "
+    f"{RAKE_TOP} phrase types by (score, phrase) with occurrence "
+    "counts. Scale: tokenize + run-grouping are map-side per doc; the "
+    "word-stat and phrase-score aggregates shuffle vocabulary-sized "
+    "frames, never the corpus.",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id, i AS p, w[i] AS w,
+           CASE WHEN LIST_CONTAINS({_sql_array(STOPWORDS)}, w[i]) THEN 1 ELSE 0 END AS is_stop
+    FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
+         LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(w))) AS i)
+),
+runs AS (
+    SELECT doc_id, p, w, grp FROM (
+        SELECT doc_id, p, w, is_stop,
+               SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY p
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        FROM tok
+    ) WHERE is_stop = 0
+),
+phrases AS (
+    SELECT doc_id, grp,
+           STRING_AGG(w, ' ' ORDER BY p) AS phrase,
+           CAST(COUNT(*) AS BIGINT) AS plen
+    FROM runs GROUP BY doc_id, grp
+),
+occur AS (
+    SELECT r.w, ph.plen
+    FROM runs r JOIN phrases ph ON ph.doc_id = r.doc_id AND ph.grp = r.grp
+),
+wstat AS (
+    SELECT w,
+           CAST(COUNT(*) AS BIGINT) AS freq,
+           CAST(SUM(plen) AS BIGINT) AS deg
+    FROM occur GROUP BY w
+),
+wscore AS (SELECT w, CAST(deg * {RAKE_BP} // freq AS BIGINT) AS s FROM wstat),
+pscore AS (
+    SELECT ph.phrase, CAST(SUM(ws.s) AS BIGINT) AS score
+    FROM runs r
+    JOIN phrases ph ON ph.doc_id = r.doc_id AND ph.grp = r.grp
+    JOIN wscore ws ON ws.w = r.w
+    GROUP BY ph.doc_id, ph.grp, ph.phrase
+)
+SELECT phrase,
+       CAST(MAX(score) AS BIGINT) AS score_bp,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM pscore
+GROUP BY phrase
+ORDER BY score_bp DESC, phrase
+LIMIT {RAKE_TOP}
+""",
+)
+def text_rake_keywords(spark, sf_dir):
+    d = widen(t(spark, sf_dir, "documents"))
+    stop_arr = F.array([F.lit(w) for w in STOPWORDS])
+    tok = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("p0", "w")
+    ).select(
+        "doc_id",
+        (F.col("p0") + 1).alias("p"),
+        "w",
+        F.when(F.array_contains(stop_arr, F.col("w")), 1).otherwise(0).alias("is_stop"),
+    )
+    wgrp = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    runs = tok.withColumn("grp", F.sum("is_stop").over(wgrp)).filter(
+        F.col("is_stop") == 0
+    ).select("doc_id", "p", "w", "grp")
+    phrases = runs.groupBy("doc_id", "grp").agg(
+        F.concat_ws(
+            " ",
+            F.expr("transform(array_sort(collect_list(struct(p, w))), x -> x.w)"),
+        ).alias("phrase"),
+        F.count(F.lit(1)).cast("long").alias("plen"),
+    )
+    occur = runs.join(phrases, ["doc_id", "grp"]).select("w", "plen")
+    wstat = occur.groupBy("w").agg(
+        bigint(F.count(F.lit(1))).alias("freq"),
+        bigint(F.sum("plen")).alias("deg"),
+    )
+    wscore = wstat.select(
+        "w", F.expr(f"deg * {RAKE_BP} DIV freq").cast("long").alias("s")
+    )
+    pscore = (
+        runs.join(phrases, ["doc_id", "grp"])
+        .join(wscore, "w")
+        .groupBy("doc_id", "grp", "phrase")
+        .agg(bigint(F.sum("s")).alias("score"))
+    )
+    return (
+        pscore.groupBy("phrase")
+        .agg(
+            bigint(F.max("score")).alias("score_bp"),
+            bigint(F.count(F.lit(1))).alias("n_occurrences"),
+        )
+        .orderBy(F.col("score_bp").desc(), "phrase")
+        .limit(RAKE_TOP)
+    )

@@ -644,3 +644,93 @@ def events_slo_burn_rate(spark, sf_dir):
         )
         .orderBy("hour_start")
     )
+
+
+@register(
+    "events_max_drawdown",
+    "events",
+    doc="Per-user maximum drawdown of the cumulative event value — the "
+    "peak-to-trough analytic (finance's risk metric, equally useful "
+    "for any cumulative KPI): running balance in exact integer cents, "
+    "running max over the same (ts, event_id) total order, drawdown = "
+    "peak - balance, then each user's worst point with deterministic "
+    "tie-break (earliest event). Windows partition by user_id, so the "
+    "plan is one hash-partitioned sort per user at any scale — no "
+    "global window. Top 25 users by drawdown, then user_id.",
+    oracle="""
+WITH c AS (
+    SELECT user_id, event_id,
+           CAST(ROUND(value * 100) AS BIGINT) AS cents,
+           ts
+    FROM events
+),
+b AS (
+    SELECT user_id, event_id, ts,
+           SUM(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bal
+    FROM c
+),
+r AS (
+    SELECT user_id, event_id, bal,
+           MAX(bal) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+    FROM b
+),
+dd AS (
+    SELECT user_id, event_id,
+           CAST(peak AS BIGINT) AS peak_cents,
+           CAST(peak - bal AS BIGINT) AS drawdown_cents,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY peak - bal DESC, event_id) AS rn
+    FROM r
+)
+SELECT user_id, drawdown_cents, peak_cents, event_id AS trough_event_id
+FROM dd WHERE rn = 1
+ORDER BY drawdown_cents DESC, user_id
+LIMIT 25
+""",
+)
+def events_max_drawdown(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    r = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum("cents").over(w).alias("bal"),
+    ).withColumn("peak", F.max("bal").over(w))
+    dd = r.select(
+        "user_id",
+        "event_id",
+        F.col("peak").cast("long").alias("peak_cents"),
+        (F.col("peak") - F.col("bal")).cast("long").alias("drawdown_cents"),
+        F.row_number()
+        .over(
+            Window.partitionBy("user_id").orderBy(
+                (F.col("peak") - F.col("bal")).desc(), "event_id"
+            )
+        )
+        .alias("rn"),
+    )
+    return (
+        dd.filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "drawdown_cents",
+            "peak_cents",
+            F.col("event_id").alias("trough_event_id"),
+        )
+        .orderBy(F.col("drawdown_cents").desc(), "user_id")
+        .limit(25)
+    )

@@ -340,3 +340,100 @@ def embedding_pca_power_iteration(spark, sf_dir):
     return v.select(
         F.col("i").cast("long").alias("dim"), F.col("v").alias("v_scaled")
     ).orderBy("dim")
+
+
+MATRYOSHKA_KS = (8, 16, 32)
+
+
+@register(
+    "embedding_matryoshka_energy",
+    "similarity",
+    doc="Matryoshka-representation audit (Kusupati et al. 2022): how "
+    "much of each vector's squared energy lives in its first k "
+    f"dimensions, for k in {MATRYOSHKA_KS}. Per-vector share_bp = "
+    "(sum_{i<=k} q_i^2 * 10000) DIV sum_i q_i^2 over the "
+    "truncation-quantized components (exact integers, no IEEE "
+    "boundary), then per (k, label): count, min/avg/max share. Answers "
+    "whether prefix-truncated vectors are safe for the coarse stage of "
+    "retrieval (share ~ k/64 means NO Matryoshka structure — energy is "
+    "spread uniformly, so truncation costs recall proportionally). "
+    "Map-only per-vector arithmetic + one tiny groupBy on (k, label): "
+    "at 100 TB the shuffle carries 3·|labels| rows.",
+    oracle=f"""
+WITH q AS (
+    SELECT e.vec_id, e.label, k.k,
+           SUM(CASE WHEN u.i <= k.k
+                    THEN CAST(TRUNC(CAST(e.embedding[u.i] AS DOUBLE) * {Q}.0) AS BIGINT)
+                         * CAST(TRUNC(CAST(e.embedding[u.i] AS DOUBLE) * {Q}.0) AS BIGINT)
+                    ELSE 0 END) AS qsqk,
+           SUM(CAST(TRUNC(CAST(e.embedding[u.i] AS DOUBLE) * {Q}.0) AS BIGINT)
+               * CAST(TRUNC(CAST(e.embedding[u.i] AS DOUBLE) * {Q}.0) AS BIGINT)) AS qsq
+    FROM embeddings e,
+         LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(e.embedding))) AS i) u,
+         (VALUES {", ".join(f"({k})" for k in MATRYOSHKA_KS)}) k(k)
+    GROUP BY e.vec_id, e.label, k.k
+),
+s AS (
+    SELECT vec_id, label, k,
+           CASE WHEN qsq > 0 THEN CAST(qsqk * 10000 // qsq AS BIGINT) ELSE 0 END AS share_bp
+    FROM q
+)
+SELECT CAST(k AS BIGINT) AS k, label,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(MIN(share_bp) AS BIGINT) AS min_share_bp,
+       CAST(SUM(share_bp) // COUNT(*) AS BIGINT) AS avg_share_bp,
+       CAST(MAX(share_bp) AS BIGINT) AS max_share_bp
+FROM s
+GROUP BY k, label
+ORDER BY k, label
+""",
+)
+def embedding_matryoshka_energy(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    qarr = F.transform(
+        "embedding", lambda x: (x.cast("double") * F.lit(float(Q))).cast("long")
+    )
+
+    def sumsq(col):
+        return F.aggregate(
+            col, F.lit(0).cast("long"), lambda acc, x: acc + x * x
+        )
+
+    base = e.select(
+        "vec_id",
+        "label",
+        F.explode(F.array([F.lit(k) for k in MATRYOSHKA_KS])).alias("k"),
+        qarr.alias("qa"),
+    ).select(
+        "vec_id",
+        "label",
+        "k",
+        sumsq(F.slice("qa", F.lit(1), F.col("k"))).alias("qsqk"),
+        sumsq(F.col("qa")).alias("qsq"),
+    )
+    s = base.select(
+        "k",
+        "label",
+        F.when(F.col("qsq") > 0, F.expr("qsqk * 10000 DIV qsq"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("share_bp"),
+    )
+    return (
+        s.groupBy("k", "label")
+        .agg(
+            bigint(F.count(F.lit(1))).alias("n_vectors"),
+            bigint(F.min("share_bp")).alias("min_share_bp"),
+            F.expr("SUM(share_bp) DIV COUNT(*)").cast("long").alias("avg_share_bp"),
+            bigint(F.max("share_bp")).alias("max_share_bp"),
+        )
+        .select(
+            F.col("k").cast("long").alias("k"),
+            "label",
+            "n_vectors",
+            "min_share_bp",
+            "avg_share_bp",
+            "max_share_bp",
+        )
+        .orderBy("k", "label")
+    )

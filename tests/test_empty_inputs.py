@@ -107,6 +107,13 @@ QUERIES = [
     "multimodal_image_crop_tile", "multimodal_wav_zero_crossings",
     "fn_binary_encoding_roundtrip", "scan_parquet_metadata_columns",
     "udf_pandas_window_agg", "pipeline_ccnet_ppl_buckets",
+    # round-8 wave-4 (grid-spine stats excluded as above: they emit a
+    # scalar row of NULL ratios on an empty grid, which is the correct
+    # "no data" report but not an empty frame)
+    "stats_good_turing", "pipeline_passage_dedup",
+    "embedding_matryoshka_energy", "similarity_reciprocal_rank_fusion",
+    "events_max_drawdown", "graph_label_propagation",
+    "text_rake_keywords", "stats_runs_test",
 ]
 
 

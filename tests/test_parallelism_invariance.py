@@ -47,6 +47,10 @@ QUERIES = [
     "stats_kruskal_wallis",      # midrank spine + decimal(38,0) rationals
     "pipeline_ccnet_ppl_buckets",  # global tercile rank via prefix sum
     "graph_bfs_hops",            # iterative frontier min-dist
+    # round-8 wave-4 representatives
+    "pipeline_passage_dedup",    # gram-frequency join + per-doc reassembly
+    "stats_good_turing",         # cascaded freq-of-freqs groupBys
+    "similarity_reciprocal_rank_fusion",  # two global rank windows fused
 ]
 
 
