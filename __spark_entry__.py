@@ -34,7 +34,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # registry stays oracle-gated in pytest (tests/test_oracle.py).
 _NEW_THIS_ROUND: list[str] = [
     # -- (1) new or semantics-changed this round --
-    # round-8 waves 4-5
+    # round-8 waves 4-6
+    "stream_neardup_gate",
     "graph_label_propagation",
     "text_rake_keywords",
     "stats_runs_test",

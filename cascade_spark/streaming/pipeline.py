@@ -782,3 +782,172 @@ def stream_scd2_dim_join(spark, sf_dir):
         "n_events",
         "cents",
     ).orderBy("c_mktsegment", "version")
+
+
+_DOC_STAGE_CACHE: dict = {}
+
+
+def stage_docs_stream_input(spark, sf_dir, n_files: int = 4):
+    """Stage the INCOMING document slice (doc_id % 5 == 0, >= 3 words)
+    as a multi-file streaming input directory — the arrival side of the
+    streaming near-dup gate. Cached per sf_dir like stage_stream_input."""
+    if sf_dir in _DOC_STAGE_CACHE:
+        return _DOC_STAGE_CACHE[sf_dir]
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter("doc_id % 5 = 0 AND size(split(text, ' ')) >= 3")
+        .select("doc_id", "text")
+    )
+    tmp = tempfile.mkdtemp(prefix="cascade_docs_stream_")
+    indir = os.path.join(tmp, "in")
+    d.repartitionByRange(n_files, "doc_id").write.mode("append").parquet(indir)
+    schema = spark.read.parquet(indir).schema
+    _DOC_STAGE_CACHE[sf_dir] = (indir, schema)
+    return indir, schema
+
+
+def _streaming_band_keys(df: DataFrame) -> DataFrame:
+    """(doc_id, band, bh) via MAP-ONLY array higher-order functions —
+    no explode, no groupBy, so it is legal (and stateless) inside a
+    streaming micro-batch. Mirrors dedup._signatures exactly: word
+    3-gram shingles with duplicates kept, one md5-derived 30-bit base
+    hash, 16 affine permutations folded by array_min (MIN is
+    duplicate-insensitive, so non-distinct shingles are safe), band
+    hash = md5 of the 4 comma-joined row minima."""
+    from cascade_spark.operators.dedup import BANDS, MH_A, MH_B, MH_MASK, MH_P, N_HASHES
+
+    rpb = N_HASHES // BANDS
+    sh = (
+        "transform(sequence(1, size(split(text, ' ')) - 2),"
+        " i -> array_join(slice(split(text, ' '), i, 3), ' '))"
+    )
+    base = (
+        f"transform({sh}, s ->"
+        f" CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT) & {MH_MASK})"
+    )
+    mins = {
+        k: f"array_min(transform(_h0, h -> ({MH_A[k]}L * h + {MH_B[k]}L) % {MH_P}L))"
+        for k in range(N_HASHES)
+    }
+    with_sig = df.withColumn("_h0", F.expr(base)).select(
+        "doc_id",
+        *[F.expr(mins[k]).alias(f"h{k}") for k in range(N_HASHES)],
+    )
+    band_rows = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(",", *[F.col(f"h{b * rpb + r}") for r in range(rpb)])
+            ).alias("bh"),
+        )
+        for b in range(BANDS)
+    ]
+    return with_sig.select(
+        "doc_id", F.explode(F.array(*band_rows)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+
+def _neardup_gate_oracle() -> str:
+    from cascade_spark.operators.dedup import _SQL_SIGNATURES, BANDS, N_HASHES
+
+    rpb = N_HASHES // BANDS
+    band_expr = " || ',' || ".join(
+        "CASE band "
+        + " ".join(f"WHEN {b} THEN CAST(h{b * rpb + r} AS VARCHAR)" for b in range(BANDS))
+        + " END"
+        for r in range(rpb)
+    )
+    return f"""
+WITH sig AS ({_SQL_SIGNATURES}),
+bands AS (
+    SELECT doc_id, band, MD5({band_expr}) AS bh
+    FROM sig CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, {BANDS - 1})) AS band)
+),
+eligible AS (SELECT doc_id FROM documents WHERE LEN(STRING_SPLIT(text, ' ')) >= 3),
+inc AS (SELECT b.* FROM bands b JOIN eligible e USING (doc_id) WHERE b.doc_id % 5 = 0),
+cor AS (SELECT b.* FROM bands b JOIN eligible e USING (doc_id) WHERE b.doc_id % 5 <> 0),
+m AS (
+    SELECT DISTINCT i.doc_id, c.doc_id AS cd
+    FROM inc i JOIN cor c ON i.band = c.band AND i.bh = c.bh
+),
+cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM m GROUP BY doc_id)
+SELECT e.doc_id,
+       COALESCE(cnt.n, 0) AS n_corpus_candidates,
+       COALESCE(cnt.n, 0) > 0 AS flagged
+FROM (SELECT doc_id FROM eligible WHERE doc_id % 5 = 0) e
+LEFT JOIN cnt USING (doc_id)
+ORDER BY e.doc_id
+"""
+
+
+@register(
+    "stream_neardup_gate",
+    "streaming",
+    doc="Streaming near-duplicate admission gate — the production "
+    "shape of training-data dedup: documents ARRIVE as a stream and "
+    "are checked against a STATIC corpus MinHash-LSH band index "
+    "before admission. The per-doc signature is computed map-only "
+    "inside the micro-batch (array HOFs — no explode/groupBy, so the "
+    "stream stays stateless), then a stream-static equi-join on the "
+    "(band, bh) bucket key surfaces corpus candidates; the memory "
+    "sink collects per-batch matches and the final per-doc candidate "
+    "count/flag is a batch aggregate over the sink. Same md5-affine "
+    "family as dedup_minhash_lsh (cascade_spark/operators/dedup.py), "
+    "so the gate agrees with the batch pipeline it fronts. At 100 TB "
+    "the static band index is the bucketed/broadcast side and each "
+    "micro-batch joins map-side — no stream state grows at all.",
+    oracle=None,  # built lazily below; see register_neardup_gate_oracle
+)
+def stream_neardup_gate(spark, sf_dir):
+    from cascade_spark.operators.dedup import _signatures, BANDS, N_HASHES
+
+    indir, schema = stage_docs_stream_input(spark, sf_dir)
+    rpb = N_HASHES // BANDS
+
+    # static corpus side: reuse the cached signature frame, band it
+    sig = _signatures(spark, sf_dir).filter("doc_id % 5 <> 0")
+    band_rows = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(",", *[F.col(f"h{b * rpb + r}") for r in range(rpb)])
+            ).alias("bh"),
+        )
+        for b in range(BANDS)
+    ]
+    corpus = sig.select("doc_id", F.explode(F.array(*band_rows)).alias("bb")).select(
+        F.col("doc_id").alias("corpus_doc"),
+        F.col("bb.band").alias("band"),
+        F.col("bb.bh").alias("bh"),
+    )
+
+    src = spark.readStream.schema(schema).parquet(indir)
+    inc = _streaming_band_keys(src)
+    matches = inc.join(corpus, ["band", "bh"]).select("doc_id", "corpus_doc")
+    out = run_to_memory(matches, "append")
+
+    eligible = (
+        load(spark, sf_dir, "documents")
+        .filter("doc_id % 5 = 0 AND size(split(text, ' ')) >= 3")
+        .select("doc_id")
+    )
+    cnt = (
+        out.dropDuplicates(["doc_id", "corpus_doc"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return (
+        eligible.join(cnt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_corpus_candidates"),
+            (F.coalesce("n", F.lit(0)) > 0).alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# attach the oracle after registration (it composes dedup's CTE text)
+from cascade_spark.plans.registry import REGISTRY as _REG  # noqa: E402
+
+_REG["stream_neardup_gate"].oracle = _neardup_gate_oracle()

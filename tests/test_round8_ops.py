@@ -374,3 +374,46 @@ def test_runs_test_counts_are_coherent(spark, sf_dir):
         # E[runs] lives in [1, n_days] (bp-scaled)
         assert 10000 <= r["e_runs_bp"] <= 10000 * r["n_days"]
         assert r["var_runs_bp"] >= 0
+
+
+def test_streaming_signature_path_matches_batch(spark, sf_dir):
+    """The near-dup gate computes MinHash signatures with a map-only
+    array-HOF strategy (legal inside a micro-batch); dedup._signatures
+    uses posexplode + groupBy(min). The two strategies must agree
+    bit-for-bit on every doc, or the gate would disagree with the batch
+    dedup pipeline it fronts."""
+    from pyspark.sql import functions as F
+
+    from cascade_spark.operators.dedup import _signatures, N_HASHES
+    from cascade_spark.streaming.pipeline import _streaming_band_keys
+    from cascade_spark.tables import load
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter("size(split(text, ' ')) >= 3")
+        .select("doc_id", "text")
+        .limit(200)
+    )
+    stream_bands = {
+        (r["doc_id"], r["band"]): r["bh"]
+        for r in _streaming_band_keys(docs).collect()
+    }
+    # rebuild band hashes from the batch signature frame
+    from cascade_spark.operators.dedup import BANDS
+
+    rpb = N_HASHES // BANDS
+    sig = _signatures(spark, sf_dir).join(docs.select("doc_id"), "doc_id")
+    batch_bands = {}
+    for r in sig.collect():
+        for b in range(BANDS):
+            key = ",".join(str(r[f"h{b * rpb + k}"]) for k in range(rpb))
+            import hashlib
+
+            batch_bands[(r["doc_id"], b)] = hashlib.md5(key.encode()).hexdigest()
+    assert stream_bands == batch_bands
+
+
+def test_neardup_gate_flags_have_band_witnesses(spark, sf_dir):
+    rows = load_all()["stream_neardup_gate"].builder(spark, sf_dir).collect()
+    assert rows and all(r["flagged"] == (r["n_corpus_candidates"] > 0) for r in rows)
+    assert all(r["doc_id"] % 5 == 0 for r in rows)
