@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 
 from cascade_spark.operators._util import bigint, t
 from cascade_spark.operators.substring_dedup import _sql_word_ngrams, _word_ngrams
+from cascade_spark.operators.text import _sql_hits
 from cascade_spark.plans.registry import register
 
 BP = 10_000
@@ -510,3 +511,128 @@ def stats_runs_test(spark, sf_dir):
         .cast("long")
         .alias("var_runs_bp"),
     ).orderBy("event_type")
+
+
+@register(
+    "stats_mcnemar",
+    "analytics",
+    doc="McNemar's paired test comparing two language-ID classifiers on "
+    "the SAME documents: A = the marker-word argmax (text_lang_id's "
+    "rule, same deterministic tie order) vs B = the corpus-majority "
+    "prior (always predict the most common labeled language, ties by "
+    "language code). The discordant-pair counts b (A right, B wrong) "
+    "and c (A wrong, B right) drive chi2 = (b-c)^2/(b+c) and the "
+    "continuity-corrected (|b-c|-1)^2/(b+c), both exact floor-bp "
+    "rationals (0 when b+c = 0). The paired design is the right test "
+    "for classifier A/B comparisons on one eval set — marginal "
+    "accuracy tests (two-proportion z) overstate significance because "
+    "the two error sets overlap. One map-only scoring pass + one "
+    "scalar aggregate; the majority prior is a broadcast 1-row frame.",
+    oracle=f"""
+WITH hits AS (
+    SELECT doc_id, lang,
+           {_sql_hits('en')} AS h_en,
+           {_sql_hits('de')} AS h_de,
+           {_sql_hits('fr')} AS h_fr,
+           {_sql_hits('es')} AS h_es
+    FROM documents
+),
+pred AS (
+    SELECT doc_id, lang,
+           CASE
+             WHEN h_en = 0 AND h_de = 0 AND h_fr = 0 AND h_es = 0 THEN 'unknown'
+             WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
+             WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'
+             WHEN h_fr >= h_es THEN 'fr'
+             ELSE 'es'
+           END AS pred_a
+    FROM hits
+),
+major AS (
+    SELECT lang AS pred_b FROM documents
+    GROUP BY lang ORDER BY COUNT(*) DESC, lang LIMIT 1
+),
+flags AS (
+    SELECT CASE WHEN p.pred_a = p.lang THEN 1 ELSE 0 END AS a_ok,
+           CASE WHEN m.pred_b = p.lang THEN 1 ELSE 0 END AS b_ok
+    FROM pred p CROSS JOIN major m
+),
+agg AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN a_ok = 1 AND b_ok = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+           CAST(SUM(CASE WHEN a_ok = 0 AND b_ok = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c
+    FROM flags
+)
+SELECT n, b, c,
+       CAST(CASE WHEN b + c = 0 THEN 0
+            ELSE (b - c) * (b - c) * {BP} // (b + c) END AS BIGINT) AS chi2_bp,
+       CAST(CASE WHEN b + c = 0 THEN 0
+            ELSE (ABS(b - c) - 1) * (ABS(b - c) - 1) * {BP} // (b + c) END AS BIGINT) AS chi2_cc_bp
+FROM agg
+""",
+)
+def stats_mcnemar(spark, sf_dir):
+    from cascade_spark.operators.text import LANG_MARKERS
+
+    d = t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+
+    def hits(lang):
+        arr = F.array([F.lit(w) for w in LANG_MARKERS[lang]])
+        return F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
+
+    pred = d.select(
+        "doc_id",
+        "lang",
+        hits("en").alias("h_en"),
+        hits("de").alias("h_de"),
+        hits("fr").alias("h_fr"),
+        hits("es").alias("h_es"),
+    ).select(
+        "lang",
+        F.expr(
+            "CASE"
+            " WHEN h_en = 0 AND h_de = 0 AND h_fr = 0 AND h_es = 0 THEN 'unknown'"
+            " WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'"
+            " WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'"
+            " WHEN h_fr >= h_es THEN 'fr'"
+            " ELSE 'es' END"
+        ).alias("pred_a"),
+    )
+    major = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "lang")
+        .limit(1)
+        .select(F.col("lang").alias("pred_b"))
+    )
+    flags = pred.crossJoin(F.broadcast(major)).select(
+        F.when(F.col("pred_a") == F.col("lang"), 1).otherwise(0).alias("a_ok"),
+        F.when(F.col("pred_b") == F.col("lang"), 1).otherwise(0).alias("b_ok"),
+    )
+    agg = flags.agg(
+        bigint(F.count(F.lit(1))).alias("n"),
+        bigint(
+            F.sum(F.when((F.col("a_ok") == 1) & (F.col("b_ok") == 0), 1).otherwise(0))
+        ).alias("b"),
+        bigint(
+            F.sum(F.when((F.col("a_ok") == 0) & (F.col("b_ok") == 1), 1).otherwise(0))
+        ).alias("c"),
+    )
+    return agg.select(
+        "n",
+        "b",
+        "c",
+        F.expr(
+            f"CASE WHEN b + c = 0 THEN 0"
+            f" ELSE (b - c) * (b - c) * {BP} DIV (b + c) END"
+        )
+        .cast("long")
+        .alias("chi2_bp"),
+        F.expr(
+            f"CASE WHEN b + c = 0 THEN 0"
+            f" ELSE (ABS(b - c) - 1) * (ABS(b - c) - 1) * {BP} DIV (b + c) END"
+        )
+        .cast("long")
+        .alias("chi2_cc_bp"),
+    )

@@ -417,3 +417,15 @@ def test_neardup_gate_flags_have_band_witnesses(spark, sf_dir):
     rows = load_all()["stream_neardup_gate"].builder(spark, sf_dir).collect()
     assert rows and all(r["flagged"] == (r["n_corpus_candidates"] > 0) for r in rows)
     assert all(r["doc_id"] % 5 == 0 for r in rows)
+
+
+def test_mcnemar_statistic_matches_formula(spark, sf_dir):
+    (r,) = load_all()["stats_mcnemar"].builder(spark, sf_dir).collect()
+    b, c = r["b"], r["c"]
+    assert b >= 0 and c >= 0 and b + c <= r["n"]
+    if b + c:
+        assert r["chi2_bp"] == (b - c) ** 2 * 10000 // (b + c)
+        assert r["chi2_cc_bp"] == (abs(b - c) - 1) ** 2 * 10000 // (b + c)
+        assert r["chi2_cc_bp"] <= r["chi2_bp"]
+    else:
+        assert r["chi2_bp"] == 0 == r["chi2_cc_bp"]
