@@ -35,6 +35,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _NEW_THIS_ROUND: list[str] = [
     # -- (1) new or semantics-changed this round --
     # round-8 waves 4-6
+    "pipeline_bestfit_packing",
     "stats_mcnemar",
     "stream_neardup_gate",
     "graph_label_propagation",

@@ -1465,3 +1465,95 @@ def pipeline_span_corruption(spark, sf_dir):
             "targets_prefix"
         ),
     ).orderBy("doc_id")
+
+
+BFD_CAP = 512  # tokens per context window
+BFD_SHARDS = 8
+
+
+@register(
+    "pipeline_bestfit_packing",
+    "analytics",
+    doc="Best-fit-decreasing context packing (the bin-packing upgrade "
+    "over pipeline_pack_context_windows' sequential cumsum split — the "
+    "'fewer truncations' recipe: docs are never split, each is placed "
+    "whole into the fullest bin that still fits): docs shard "
+    f"deterministically (doc_id % {BFD_SHARDS}), and within a shard an "
+    "applyInPandas group runs FFD — sort by (tokens DESC, doc_id), "
+    "place each doc into the bin with the LEAST remaining capacity "
+    "that fits, else open a new bin. Fully deterministic (no floats, "
+    "fixed tie rules), so results are parallelism-invariant even "
+    "though the packing itself is iterative Python — the shape Spark "
+    "cannot express relationally, hence the Arrow-batched "
+    "applyInPandas escape hatch (rows-only check by design; invariants "
+    "pinned in tests). Per-shard packing summary out. At 100 TB "
+    "shards are the parallelism unit: FFD state is O(bins-per-shard), "
+    "shards stream through executors independently, and shard count "
+    "scales with the cluster, not the corpus.",
+    oracle=None,
+)
+def pipeline_bestfit_packing(spark, sf_dir):
+    import pandas as pd
+
+    toks = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            (F.col("doc_id") % BFD_SHARDS).alias("shard"),
+            F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+        )
+    )
+
+    out_schema = (
+        "shard long, n_docs long, n_bins long, total_tokens long, "
+        "lower_bound long, efficiency_bp long, max_bin_tokens long, "
+        "n_oversize long"
+    )
+
+    def ffd(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["n_tok", "doc_id"], ascending=[False, True])
+        remaining: list[int] = []  # capacity left per bin
+        used: list[int] = []  # tokens per bin
+        oversize = 0
+        for tok in pdf["n_tok"].tolist():
+            tok = int(tok)
+            if tok > BFD_CAP:
+                oversize += 1
+                remaining.append(0)
+                used.append(tok)
+                continue
+            best, best_rem = -1, BFD_CAP + 1
+            for i, rem in enumerate(remaining):
+                if tok <= rem < best_rem:
+                    best, best_rem = i, rem
+            if best < 0:
+                remaining.append(BFD_CAP - tok)
+                used.append(tok)
+            else:
+                remaining[best] -= tok
+                used[best] += tok
+        total = int(pdf["n_tok"].sum()) if len(pdf) else 0
+        n_bins = len(used)
+        shard = int(pdf["shard"].iloc[0]) if len(pdf) else -1
+        return pd.DataFrame(
+            [
+                {
+                    "shard": shard,
+                    "n_docs": len(pdf),
+                    "n_bins": n_bins,
+                    "total_tokens": total,
+                    "lower_bound": -(-total // BFD_CAP),
+                    "efficiency_bp": (total * 10000) // (n_bins * BFD_CAP)
+                    if n_bins
+                    else 0,
+                    "max_bin_tokens": max(used) if used else 0,
+                    "n_oversize": oversize,
+                }
+            ]
+        )
+
+    return (
+        toks.groupBy("shard")
+        .applyInPandas(ffd, schema=out_schema)
+        .orderBy("shard")
+    )

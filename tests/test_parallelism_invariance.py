@@ -51,6 +51,7 @@ QUERIES = [
     "pipeline_passage_dedup",    # gram-frequency join + per-doc reassembly
     "stats_good_turing",         # cascaded freq-of-freqs groupBys
     "similarity_reciprocal_rank_fusion",  # two global rank windows fused
+    "pipeline_bestfit_packing",  # deterministic FFD inside applyInPandas
 ]
 
 

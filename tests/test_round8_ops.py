@@ -429,3 +429,46 @@ def test_mcnemar_statistic_matches_formula(spark, sf_dir):
         assert r["chi2_cc_bp"] <= r["chi2_bp"]
     else:
         assert r["chi2_bp"] == 0 == r["chi2_cc_bp"]
+
+
+def test_bestfit_packing_invariants_and_beats_sequential(spark, sf_dir):
+    """FFD must respect capacity, cover every doc exactly once (token
+    conservation), and never use more bins than the naive sequential
+    next-fit packing computed here from the same shard inputs."""
+    from pyspark.sql import functions as F
+
+    from cascade_spark.operators.curation import BFD_CAP, BFD_SHARDS
+    from cascade_spark.tables import load
+
+    rows = {
+        r["shard"]: r
+        for r in load_all()["pipeline_bestfit_packing"].builder(spark, sf_dir).collect()
+    }
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select(
+            (F.col("doc_id") % BFD_SHARDS).alias("shard"),
+            F.size(F.split("text", " ")).alias("n_tok"),
+            "doc_id",
+        )
+        .collect()
+    )
+    by_shard = {}
+    for r in toks:
+        by_shard.setdefault(r["shard"], []).append((r["n_tok"], r["doc_id"]))
+    assert set(rows) == set(by_shard)
+    for shard, docs in by_shard.items():
+        got = rows[shard]
+        total = sum(t for t, _ in docs)
+        assert got["n_docs"] == len(docs)
+        assert got["total_tokens"] == total  # every doc packed exactly once
+        assert got["max_bin_tokens"] <= max(BFD_CAP, max(t for t, _ in docs))
+        assert got["lower_bound"] == -(-total // BFD_CAP) <= got["n_bins"]
+        # sequential next-fit in doc_id order (the dumbest packer)
+        nf_bins, rem = 0, 0
+        for t, _ in sorted(docs, key=lambda x: x[1]):
+            if t > rem:
+                nf_bins += 1
+                rem = BFD_CAP
+            rem -= t
+        assert got["n_bins"] <= nf_bins
