@@ -34,7 +34,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # registry stays oracle-gated in pytest (tests/test_oracle.py).
 _NEW_THIS_ROUND: list[str] = [
     # -- (1) new or semantics-changed this round --
-    # round-8 waves 4-6
+    # round-8 waves 4-8
+    "text_burstiness",
+    "stats_cochran_q",
     "pipeline_bestfit_packing",
     "stats_mcnemar",
     "stream_neardup_gate",

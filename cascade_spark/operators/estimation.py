@@ -636,3 +636,197 @@ def stats_mcnemar(spark, sf_dir):
         .cast("long")
         .alias("chi2_cc_bp"),
     )
+
+
+BURST_TOP = 15
+
+
+@register(
+    "text_burstiness",
+    "text",
+    doc="Word burstiness (Church & Gale 1995): the variance-to-mean "
+    "ratio of each word's per-document count over ALL documents "
+    "(absent = 0, handled without materializing zeros: with D docs, "
+    "sum x = S and sum x^2 = Q over PRESENT docs already equal the "
+    "zero-filled sums, so VMR = (D*Q - S^2)/(D*S) is one exact "
+    f"rational in floor bp). VMR ~ 1 means Poisson scatter; the top "
+    f"{BURST_TOP} words by VMR are topical/bursty — content words "
+    "cluster in few docs, function words spread evenly. Two "
+    "map-side-combinable groupBys ((doc, word) then word); the spine "
+    "is vocabulary-sized at any corpus size.",
+    oracle=f"""
+WITH dd AS (SELECT CAST(COUNT(*) AS BIGINT) AS d FROM documents),
+pc AS (
+    SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS x
+    FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents)
+    GROUP BY doc_id, w
+),
+ws AS (
+    SELECT w,
+           CAST(SUM(x) AS BIGINT) AS s,
+           CAST(SUM(x * x) AS BIGINT) AS q,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_present
+    FROM pc GROUP BY w
+)
+SELECT w,
+       s AS total_count,
+       n_docs_present,
+       CAST((dd.d * q - s * s) * {BP} // (dd.d * s) AS BIGINT) AS vmr_bp
+FROM ws CROSS JOIN dd
+ORDER BY vmr_bp DESC, w
+LIMIT {BURST_TOP}
+""",
+)
+def text_burstiness(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    dd = d.agg(bigint(F.count(F.lit(1))).alias("d"))
+    pc = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(bigint(F.count(F.lit(1))).alias("x"))
+    )
+    ws = pc.groupBy("w").agg(
+        bigint(F.sum("x")).alias("s"),
+        bigint(F.sum(F.col("x") * F.col("x"))).alias("q"),
+        bigint(F.count(F.lit(1))).alias("n_docs_present"),
+    )
+    return (
+        ws.crossJoin(F.broadcast(dd))
+        .select(
+            "w",
+            F.col("s").alias("total_count"),
+            "n_docs_present",
+            F.expr(f"(d * q - s * s) * {BP} DIV (d * s)").cast("long").alias("vmr_bp"),
+        )
+        .orderBy(F.col("vmr_bp").desc(), "w")
+        .limit(BURST_TOP)
+    )
+
+
+@register(
+    "stats_cochran_q",
+    "analytics",
+    doc="Cochran's Q — the k-classifier extension of stats_mcnemar on "
+    "the same eval set: three lang-ID rules (A = marker argmax, B = "
+    "corpus-majority prior, C = 'en' iff any English marker else "
+    "unknown) scored right/wrong per document; Q = (k-1) * "
+    "(k*sum(Cj^2) - T^2) / (k*T - sum(Ri^2)) with Cj the per-classifier "
+    "correct totals, Ri the per-doc correct counts and T their grand "
+    "total — one exact floor-bp rational (rows where all three agree "
+    "drop out of Q exactly as the theory says; no float anywhere). "
+    "One map-only scoring pass, one scalar aggregate.",
+    oracle=f"""
+WITH hits AS (
+    SELECT doc_id, lang,
+           {_sql_hits('en')} AS h_en,
+           {_sql_hits('de')} AS h_de,
+           {_sql_hits('fr')} AS h_fr,
+           {_sql_hits('es')} AS h_es
+    FROM documents
+),
+major AS (
+    SELECT lang AS mj FROM documents GROUP BY lang
+    ORDER BY COUNT(*) DESC, lang LIMIT 1
+),
+score AS (
+    SELECT
+      CASE WHEN (CASE
+             WHEN h_en = 0 AND h_de = 0 AND h_fr = 0 AND h_es = 0 THEN 'unknown'
+             WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
+             WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'
+             WHEN h_fr >= h_es THEN 'fr'
+             ELSE 'es' END) = lang THEN 1 ELSE 0 END AS a,
+      CASE WHEN m.mj = lang THEN 1 ELSE 0 END AS b,
+      CASE WHEN (CASE WHEN h_en > 0 THEN 'en' ELSE 'unknown' END) = lang
+           THEN 1 ELSE 0 END AS c
+    FROM hits CROSS JOIN major m
+),
+agg AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(a) AS BIGINT) AS ca,
+           CAST(SUM(b) AS BIGINT) AS cb,
+           CAST(SUM(c) AS BIGINT) AS cc,
+           CAST(SUM((a + b + c) * (a + b + c)) AS BIGINT) AS sum_r2
+    FROM score
+)
+SELECT n, ca AS correct_a, cb AS correct_b, cc AS correct_c,
+       CAST(CASE WHEN 3 * (ca + cb + cc) - sum_r2 = 0 THEN 0
+            ELSE 2 * (3 * (ca*ca + cb*cb + cc*cc)
+                      - (ca + cb + cc) * (ca + cb + cc)) * {BP}
+                 // (3 * (ca + cb + cc) - sum_r2) END AS BIGINT) AS q_bp
+FROM agg
+""",
+)
+def stats_cochran_q(spark, sf_dir):
+    from cascade_spark.operators.text import LANG_MARKERS
+
+    d = t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+
+    def hits(lang):
+        arr = F.array([F.lit(w) for w in LANG_MARKERS[lang]])
+        return F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
+
+    h = d.select(
+        "lang",
+        hits("en").alias("h_en"),
+        hits("de").alias("h_de"),
+        hits("fr").alias("h_fr"),
+        hits("es").alias("h_es"),
+    )
+    major = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "lang")
+        .limit(1)
+        .select(F.col("lang").alias("mj"))
+    )
+    score = h.crossJoin(F.broadcast(major)).select(
+        F.when(
+            F.expr(
+                "CASE"
+                " WHEN h_en = 0 AND h_de = 0 AND h_fr = 0 AND h_es = 0 THEN 'unknown'"
+                " WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'"
+                " WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'"
+                " WHEN h_fr >= h_es THEN 'fr'"
+                " ELSE 'es' END"
+            )
+            == F.col("lang"),
+            1,
+        )
+        .otherwise(0)
+        .alias("a"),
+        F.when(F.col("mj") == F.col("lang"), 1).otherwise(0).alias("b"),
+        F.when(
+            F.expr("CASE WHEN h_en > 0 THEN 'en' ELSE 'unknown' END") == F.col("lang"),
+            1,
+        )
+        .otherwise(0)
+        .alias("c"),
+    )
+    agg = score.agg(
+        bigint(F.count(F.lit(1))).alias("n"),
+        bigint(F.sum("a")).alias("ca"),
+        bigint(F.sum("b")).alias("cb"),
+        bigint(F.sum("c")).alias("cc"),
+        bigint(
+            F.sum(
+                (F.col("a") + F.col("b") + F.col("c"))
+                * (F.col("a") + F.col("b") + F.col("c"))
+            )
+        ).alias("sum_r2"),
+    )
+    return agg.select(
+        "n",
+        F.col("ca").alias("correct_a"),
+        F.col("cb").alias("correct_b"),
+        F.col("cc").alias("correct_c"),
+        F.expr(
+            f"CASE WHEN 3 * (ca + cb + cc) - sum_r2 = 0 THEN 0"
+            f" ELSE 2 * (3 * (ca*ca + cb*cb + cc*cc)"
+            f" - (ca + cb + cc) * (ca + cb + cc)) * {BP}"
+            f" DIV (3 * (ca + cb + cc) - sum_r2) END"
+        )
+        .cast("long")
+        .alias("q_bp"),
+    )

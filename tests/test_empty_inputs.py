@@ -113,7 +113,8 @@ QUERIES = [
     "stats_good_turing", "pipeline_passage_dedup",
     "embedding_matryoshka_energy", "similarity_reciprocal_rank_fusion",
     "events_max_drawdown", "graph_label_propagation",
-    "text_rake_keywords", "stats_runs_test",
+    "text_rake_keywords", "stats_runs_test", "text_burstiness",
+    "pipeline_bestfit_packing",
 ]
 
 

@@ -52,6 +52,7 @@ QUERIES = [
     "stats_good_turing",         # cascaded freq-of-freqs groupBys
     "similarity_reciprocal_rank_fusion",  # two global rank windows fused
     "pipeline_bestfit_packing",  # deterministic FFD inside applyInPandas
+    "text_burstiness",           # zero-free zero-filled VMR rational
 ]
 
 

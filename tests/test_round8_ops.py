@@ -472,3 +472,26 @@ def test_bestfit_packing_invariants_and_beats_sequential(spark, sf_dir):
                 rem = BFD_CAP
             rem -= t
         assert got["n_bins"] <= nf_bins
+
+
+def test_burstiness_descending_and_bounded(spark, sf_dir):
+    from cascade_spark.tables import load
+
+    rows = load_all()["text_burstiness"].builder(spark, sf_dir).collect()
+    assert len(rows) == 15
+    d = load(spark, sf_dir, "documents").count()
+    vals = [r["vmr_bp"] for r in rows]
+    assert vals == sorted(vals, reverse=True)
+    for r in rows:
+        assert 0 < r["n_docs_present"] <= d
+        assert r["total_count"] >= r["n_docs_present"]
+        # a word present in every doc with equal counts would have VMR < 1;
+        # the top-15 bursty words must all exceed Poisson scatter
+        assert r["vmr_bp"] > 10000
+
+
+def test_cochran_q_components_are_coherent(spark, sf_dir):
+    (r,) = load_all()["stats_cochran_q"].builder(spark, sf_dir).collect()
+    for c in ("correct_a", "correct_b", "correct_c"):
+        assert 0 <= r[c] <= r["n"]
+    assert r["q_bp"] >= 0
