@@ -34,6 +34,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # registry stays oracle-gated in pytest (tests/test_oracle.py).
 _NEW_THIS_ROUND: list[str] = [
     # -- (1) new or semantics-changed this round --
+    # round-8 wave 9 (inference statistics)
+    "stats_kendall_tau_b",
+    "stats_hodges_lehmann",
+    "stats_mood_median",
+    "stats_friedman",
+    "stats_sign_test",
+    "stats_cohens_kappa",
+    "stats_durbin_watson",
+    "stats_odds_ratio",
     # round-8 waves 4-8
     "text_burstiness",
     "stats_cochran_q",

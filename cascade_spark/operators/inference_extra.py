@@ -1,0 +1,860 @@
+"""Round-8 wave-9 inference statistics — the nonparametric/categorical
+association family that completes the repo's hypothesis-testing surface
+(MWU/KS/Kruskal/Brown-Forsythe/ANOVA test location/spread; these cover
+rank correlation, paired designs, shift estimation and 2x2 tables):
+
+- ``stats_kendall_tau_b``: Kendall tau-b between two event types'
+  daily volumes — rank correlation robust to outliers, with the full
+  tie bookkeeping (concordant/discordant/tie-x/tie-y/tie-both counted
+  exactly over the day-pair space).
+- ``stats_hodges_lehmann``: Hodges–Lehmann shift estimator between two
+  event types' daily volumes — the median of all pairwise differences,
+  the effect-size companion to stats_mannwhitney_u (doubled to stay an
+  exact integer when the pair count is even).
+- ``stats_mood_median``: Mood's median test — counts above the pooled
+  grand median per event type with exact scaled residuals and the
+  mirrored-IEEE chi-square contribution per group (the
+  stats_chisq_independence determinism pattern).
+- ``stats_friedman``: Friedman rank test over the (day-block x
+  event-type-treatment) grid — the repeated-measures Kruskal-Wallis,
+  tie-corrected, as ONE exact rational reported in floor basis points.
+- ``stats_sign_test``: paired sign test between two event types'
+  daily volumes with an EXACT two-sided binomial p-value: the binomial
+  tail sum rides an integer Pascal recurrence (C(n,i) =
+  C(n,i-1)*(n-i+1)/i, exact at every step), n <= n_days keeps every
+  intermediate in int64.
+- ``stats_cohens_kappa``: inter-rater agreement between two heuristic
+  document-quality raters (chars-threshold vs words-threshold) —
+  kappa as one exact integer rational via truncating division.
+- ``stats_durbin_watson``: first-order autocorrelation screen on each
+  event type's daily-volume residuals — DW in floor bp with the mean
+  cleared by integer scaling (d_t = n*x_t - S, scale cancels).
+- ``stats_odds_ratio``: 2x2 (weekend exposure x purchase outcome)
+  odds ratio with the Haldane–Anscombe +1/2 correction kept exact by
+  doubling (2a+1 etc.), plus the relative risk, both floor bp.
+
+Reference scope: the reference engine's query surface is aggregation
+over a consumed event log (src/main.rs consume/aggregate loop); each
+of these is a declared aggregate over the same ``events``/``documents``
+tables.
+
+Determinism: every statistic that is a ratio of integers is computed
+as one exact rational and reported via truncating integer division
+(Spark DIV / DuckDB //, both toward zero, so negative kappa/tau
+agree); the two that need an IEEE sqrt (tau-b) or per-cell chi-square
+(Mood) build the SAME small-integer-derived double expression tree on
+both engines and round to 6 dp — the stats_welch_ttest /
+stats_chisq_independence precedent.
+
+Scale (100 TB): all eight collapse the raw log to bounded spines
+before any quadratic step — the (event_type x day) grid is k*n_days
+cells and the document raters are one map-side-combinable groupBy —
+so every pair/rank stage runs over spans, not rows, and the plans are
+shuffle-once at any corpus size. Day-pair fan-outs are
+O(n_days^2) = O(900) regardless of row count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from cascade_spark.operators._util import bigint, t
+from cascade_spark.plans.registry import register
+
+BP = 10_000
+
+# Shared two-series day spine: daily volumes of two event types with
+# absent (type, day) cells zero-filled — every day that has ANY event
+# appears, so both series have exactly n_days observations (the
+# equal-n regime stats_kruskal_wallis established).
+_XY_SQL = """
+daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS x,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS y
+    FROM events GROUP BY 1
+)
+"""
+
+
+def _xy_daily(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy(F.to_date("ts").alias("day")).agg(
+        bigint(F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))).alias(
+            "x"
+        ),
+        bigint(F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))).alias(
+            "y"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_kendall_tau_b",
+    "analytics",
+    doc="Kendall tau-b rank correlation between click and view daily "
+    "volumes: concordant/discordant/tie counts exact over all "
+    "C(n_days,2) day pairs (a 30x30 self-join on the aggregated day "
+    "spine — pairs over SPANS, never rows), tau-b's sqrt evaluated as "
+    "one mirrored IEEE expression rounded to 6 dp (Welch precedent).",
+    oracle="""
+WITH """ + _XY_SQL + """,
+pairs AS (
+    SELECT a.x - b.x AS dx, a.y - b.y AS dy
+    FROM daily a JOIN daily b ON a.day < b.day
+),
+cnt AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+           CAST(COUNT(*) FILTER (WHERE dx * dy > 0) AS BIGINT) AS nc,
+           CAST(COUNT(*) FILTER (WHERE dx * dy < 0) AS BIGINT) AS nd,
+           CAST(COUNT(*) FILTER (WHERE dx = 0 AND dy != 0) AS BIGINT) AS ties_x,
+           CAST(COUNT(*) FILTER (WHERE dx != 0 AND dy = 0) AS BIGINT) AS ties_y,
+           CAST(COUNT(*) FILTER (WHERE dx = 0 AND dy = 0) AS BIGINT) AS ties_both
+    FROM pairs
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
+       nc, nd, ties_x, ties_y, ties_both,
+       CASE WHEN (n0 - ties_x - ties_both) * (n0 - ties_y - ties_both) = 0
+            THEN 0.0
+            ELSE ROUND(CAST(nc - nd AS DOUBLE)
+                 / SQRT(CAST(n0 - ties_x - ties_both AS DOUBLE)
+                        * CAST(n0 - ties_y - ties_both AS DOUBLE)), 6)
+       END AS tau_b
+FROM cnt
+""",
+)
+def stats_kendall_tau_b(spark, sf_dir):
+    daily = _xy_daily(spark, sf_dir)
+    a = daily.alias("a")
+    b = daily.alias("b")
+    pairs = a.join(F.broadcast(b), F.col("a.day") < F.col("b.day")).select(
+        (F.col("a.x") - F.col("b.x")).alias("dx"),
+        (F.col("a.y") - F.col("b.y")).alias("dy"),
+    )
+    cnt = pairs.agg(
+        bigint(F.count(F.lit(1))).alias("n0"),
+        bigint(F.sum(F.when(F.col("dx") * F.col("dy") > 0, 1).otherwise(0))).alias(
+            "nc"
+        ),
+        bigint(F.sum(F.when(F.col("dx") * F.col("dy") < 0, 1).otherwise(0))).alias(
+            "nd"
+        ),
+        bigint(
+            F.sum(F.when((F.col("dx") == 0) & (F.col("dy") != 0), 1).otherwise(0))
+        ).alias("ties_x"),
+        bigint(
+            F.sum(F.when((F.col("dx") != 0) & (F.col("dy") == 0), 1).otherwise(0))
+        ).alias("ties_y"),
+        bigint(
+            F.sum(F.when((F.col("dx") == 0) & (F.col("dy") == 0), 1).otherwise(0))
+        ).alias("ties_both"),
+    )
+    nday = daily.agg(bigint(F.count(F.lit(1))).alias("n_days"))
+    den_x = F.col("n0") - F.col("ties_x") - F.col("ties_both")
+    den_y = F.col("n0") - F.col("ties_y") - F.col("ties_both")
+    return cnt.crossJoin(F.broadcast(nday)).select(
+        "n_days",
+        "nc",
+        "nd",
+        "ties_x",
+        "ties_y",
+        "ties_both",
+        F.when(den_x * den_y == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                (F.col("nc") - F.col("nd")).cast("double")
+                / F.sqrt(den_x.cast("double") * den_y.cast("double")),
+                6,
+            )
+        )
+        .alias("tau_b"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hodges–Lehmann shift estimator
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_hodges_lehmann",
+    "analytics",
+    doc="Hodges–Lehmann shift estimate between click and view daily "
+    "volumes: the median of all n1*n2 pairwise differences x_i - y_j, "
+    "DOUBLED so the even-count midpoint average stays an exact integer. "
+    "Selection rides the repo's order-statistic spine: differences "
+    "grouped by value, exclusive prefix sum locates the two middle "
+    "positions — never a global per-row sort. Pair space is "
+    "O(n_days^2) on the aggregated spine.",
+    oracle="""
+WITH """ + _XY_SQL + """,
+diffs AS (
+    SELECT a.x - b.y AS v FROM daily a CROSS JOIN daily b
+),
+pv AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS ct FROM diffs GROUP BY v),
+cum AS (
+    SELECT v, ct,
+           CAST(COALESCE(SUM(ct) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS cb
+    FROM pv
+),
+scal AS (SELECT CAST(SUM(ct) AS BIGINT) AS np FROM pv),
+sel AS (
+    SELECT CAST(SUM(v * (CASE WHEN cb < (np + 1) // 2 AND (np + 1) // 2 <= cb + ct
+                              THEN 1 ELSE 0 END
+                       + CASE WHEN cb < (np + 2) // 2 AND (np + 2) // 2 <= cb + ct
+                              THEN 1 ELSE 0 END)) AS BIGINT) AS hl_x2
+    FROM cum, scal
+)
+SELECT scal.np AS n_pairs,
+       (SELECT MIN(v) FROM pv) AS min_diff,
+       (SELECT MAX(v) FROM pv) AS max_diff,
+       sel.hl_x2
+FROM scal, sel
+""",
+)
+def stats_hodges_lehmann(spark, sf_dir):
+    from cascade_spark.operators.ingest import assign_prefix_sum
+
+    daily = _xy_daily(spark, sf_dir)
+    a = daily.select(F.col("x"))
+    b = daily.select(F.col("y"))
+    diffs = a.crossJoin(F.broadcast(b)).select((F.col("x") - F.col("y")).alias("v"))
+    pv = diffs.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("ct"))
+    cum = assign_prefix_sum(pv, ["v"], "ct").select(
+        "v", "ct", F.col("prefix_sum").alias("cb")
+    )
+    scal = pv.agg(F.sum("ct").cast("long").alias("np"))
+    k1 = F.expr("(np + 1) DIV 2")
+    k2 = F.expr("(np + 2) DIV 2")
+    hit = lambda k: F.when((F.col("cb") < k) & (k <= F.col("cb") + F.col("ct")), 1).otherwise(0)  # noqa: E731
+    sel = (
+        cum.crossJoin(F.broadcast(scal))
+        .select((F.col("v") * (hit(k1) + hit(k2))).alias("part"))
+        .agg(F.sum("part").cast("long").alias("hl_x2"))
+    )
+    ext = pv.agg(
+        F.min("v").cast("long").alias("min_diff"),
+        F.max("v").cast("long").alias("max_diff"),
+    )
+    return (
+        scal.crossJoin(F.broadcast(ext))
+        .crossJoin(F.broadcast(sel))
+        .select(F.col("np").alias("n_pairs"), "min_diff", "max_diff", "hl_x2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mood's median test
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_mood_median",
+    "analytics",
+    doc="Mood's median test across the five event types' daily volumes "
+    "(zero-filled grid): pooled grand median located exactly on the "
+    "doubled order-statistic spine, per-type counts strictly above it, "
+    "scaled residuals d = o*N - A*n_t in exact int64, and each type's "
+    "chi-square contribution (above + below cells) as one mirrored "
+    "IEEE expression at 6 dp — the stats_chisq_independence pattern.",
+    oracle="""
+WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+types AS (SELECT DISTINCT event_type FROM events),
+daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS v
+    FROM events GROUP BY 1, 2
+),
+cell AS (
+    SELECT t.event_type, d.day, COALESCE(x.v, 0) AS v
+    FROM types t CROSS JOIN days d
+    LEFT JOIN daily x ON x.event_type = t.event_type AND x.day = d.day
+),
+pv AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS ct FROM cell GROUP BY v),
+cum AS (
+    SELECT v, ct,
+           CAST(COALESCE(SUM(ct) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS cb
+    FROM pv
+),
+scal AS (SELECT CAST(SUM(ct) AS BIGINT) AS n FROM pv),
+med AS (
+    SELECT CAST(SUM(v * (CASE WHEN cb < (n + 1) // 2 AND (n + 1) // 2 <= cb + ct
+                              THEN 1 ELSE 0 END
+                       + CASE WHEN cb < (n + 2) // 2 AND (n + 2) // 2 <= cb + ct
+                              THEN 1 ELSE 0 END)) AS BIGINT) AS m2
+    FROM cum, scal
+),
+grp AS (
+    SELECT cell.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_t,
+           CAST(COUNT(*) FILTER (WHERE 2 * cell.v > med.m2) AS BIGINT) AS above
+    FROM cell, med GROUP BY cell.event_type, med.m2
+),
+tot AS (
+    SELECT CAST(SUM(n_t) AS BIGINT) AS n, CAST(SUM(above) AS BIGINT) AS a_tot
+    FROM grp
+)
+SELECT grp.event_type, grp.n_t, grp.above, med.m2 AS grand_median_x2,
+       grp.above * tot.n - tot.a_tot * grp.n_t AS d,
+       CASE WHEN tot.a_tot = 0 OR tot.a_tot = tot.n THEN 0.0
+            ELSE ROUND(
+        CAST(grp.above * tot.n - tot.a_tot * grp.n_t AS DOUBLE)
+        * CAST(grp.above * tot.n - tot.a_tot * grp.n_t AS DOUBLE)
+        / (CAST(tot.n AS DOUBLE) * CAST(tot.a_tot AS DOUBLE)
+           * CAST(grp.n_t AS DOUBLE) * CAST(tot.n AS DOUBLE))
+        + CAST((grp.n_t - grp.above) * tot.n - (tot.n - tot.a_tot) * grp.n_t
+               AS DOUBLE)
+        * CAST((grp.n_t - grp.above) * tot.n - (tot.n - tot.a_tot) * grp.n_t
+               AS DOUBLE)
+        / (CAST(tot.n AS DOUBLE) * CAST(tot.n - tot.a_tot AS DOUBLE)
+           * CAST(grp.n_t AS DOUBLE) * CAST(tot.n AS DOUBLE)), 6)
+       END AS contrib
+FROM grp, med, tot
+ORDER BY grp.event_type
+""",
+)
+def stats_mood_median(spark, sf_dir):
+    from cascade_spark.operators.ingest import assign_prefix_sum
+
+    ev = t(spark, sf_dir, "events").select("event_type", F.to_date("ts").alias("day"))
+    days = ev.select("day").distinct()
+    types = ev.select("event_type").distinct()
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("v")
+    )
+    cell = (
+        types.crossJoin(F.broadcast(days))
+        .join(daily, ["event_type", "day"], "left")
+        .select("event_type", "day", F.coalesce("v", F.lit(0)).cast("long").alias("v"))
+    )
+    pv = cell.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("ct"))
+    cum = assign_prefix_sum(pv, ["v"], "ct").select(
+        "v", "ct", F.col("prefix_sum").alias("cb")
+    )
+    scal = pv.agg(F.sum("ct").cast("long").alias("n"))
+    k1 = F.expr("(n + 1) DIV 2")
+    k2 = F.expr("(n + 2) DIV 2")
+    hit = lambda k: F.when((F.col("cb") < k) & (k <= F.col("cb") + F.col("ct")), 1).otherwise(0)  # noqa: E731
+    med = (
+        cum.crossJoin(F.broadcast(scal))
+        .select((F.col("v") * (hit(k1) + hit(k2))).alias("part"))
+        .agg(F.sum("part").cast("long").alias("m2"))
+    )
+    grp = (
+        cell.crossJoin(F.broadcast(med))
+        .groupBy("event_type", "m2")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_t"),
+            bigint(
+                F.sum(F.when(F.lit(2) * F.col("v") > F.col("m2"), 1).otherwise(0))
+            ).alias("above"),
+        )
+    )
+    tot = grp.agg(
+        F.sum("n_t").cast("long").alias("n"),
+        F.sum("above").cast("long").alias("a_tot"),
+    )
+    j = grp.crossJoin(F.broadcast(tot))
+    d_a = F.col("above") * F.col("n") - F.col("a_tot") * F.col("n_t")
+    d_b = (F.col("n_t") - F.col("above")) * F.col("n") - (
+        F.col("n") - F.col("a_tot")
+    ) * F.col("n_t")
+    contrib = F.round(
+        d_a.cast("double")
+        * d_a.cast("double")
+        / (
+            F.col("n").cast("double")
+            * F.col("a_tot").cast("double")
+            * F.col("n_t").cast("double")
+            * F.col("n").cast("double")
+        )
+        + d_b.cast("double")
+        * d_b.cast("double")
+        / (
+            F.col("n").cast("double")
+            * (F.col("n") - F.col("a_tot")).cast("double")
+            * F.col("n_t").cast("double")
+            * F.col("n").cast("double")
+        ),
+        6,
+    )
+    return j.select(
+        "event_type",
+        "n_t",
+        "above",
+        F.col("m2").alias("grand_median_x2"),
+        d_a.alias("d"),
+        F.when(
+            (F.col("a_tot") == 0) | (F.col("a_tot") == F.col("n")), F.lit(0.0)
+        )
+        .otherwise(contrib)
+        .alias("contrib"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Friedman test
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_friedman",
+    "analytics",
+    doc="Friedman repeated-measures rank test: each day is a block, the "
+    "five event types are treatments, doubled tie-correct midranks "
+    "within each block (2r = 2*rank + eq - 1 from rank() + an equal-"
+    "count window — windows over k=5 rows per day, bounded by the "
+    "treatment count at any corpus size). Tie-corrected statistic "
+    "Q = (k-1)*sum_j(R2_j - n(k+1))^2 / (sum s^2 - n*k*(k+1)^2) is ONE "
+    "exact rational reported in floor bp; degenerate all-tied blocks "
+    "yield q_bp = 0.",
+    oracle="""
+WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+types AS (SELECT DISTINCT event_type FROM events),
+daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS v
+    FROM events GROUP BY 1, 2
+),
+cell AS (
+    SELECT t.event_type, d.day, COALESCE(x.v, 0) AS v
+    FROM types t CROSS JOIN days d
+    LEFT JOIN daily x ON x.event_type = t.event_type AND x.day = d.day
+),
+ranked AS (
+    SELECT event_type, day,
+           2 * RANK() OVER (PARTITION BY day ORDER BY v)
+             + COUNT(*) OVER (PARTITION BY day, v) - 1 AS s
+    FROM cell
+),
+rsum AS (
+    SELECT event_type, CAST(SUM(s) AS BIGINT) AS r2
+    FROM ranked GROUP BY event_type
+),
+scal AS (
+    SELECT CAST((SELECT COUNT(*) FROM days) AS BIGINT) AS n,
+           CAST((SELECT COUNT(*) FROM types) AS BIGINT) AS k,
+           CAST((SELECT SUM(s * s) FROM ranked) AS BIGINT) AS ss
+),
+num AS (
+    SELECT CAST(SUM((r2 - scal.n * (scal.k + 1))
+                    * (r2 - scal.n * (scal.k + 1))) AS BIGINT) AS n1
+    FROM rsum, scal GROUP BY scal.n, scal.k
+)
+SELECT scal.n AS n_days, scal.k AS n_groups, num.n1,
+       scal.ss - scal.n * scal.k * (scal.k + 1) * (scal.k + 1) AS d1,
+       CASE WHEN scal.ss - scal.n * scal.k * (scal.k + 1) * (scal.k + 1) = 0
+            THEN CAST(0 AS BIGINT)
+            ELSE CAST((10000 * (scal.k - 1) * num.n1)
+                 // (scal.ss - scal.n * scal.k * (scal.k + 1) * (scal.k + 1))
+                 AS BIGINT)
+       END AS q_bp
+FROM scal, num
+""",
+)
+def stats_friedman(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select("event_type", F.to_date("ts").alias("day"))
+    days = ev.select("day").distinct()
+    types = ev.select("event_type").distinct()
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("v")
+    )
+    cell = (
+        types.crossJoin(F.broadcast(days))
+        .join(daily, ["event_type", "day"], "left")
+        .select("event_type", "day", F.coalesce("v", F.lit(0)).cast("long").alias("v"))
+    )
+    ranked = cell.select(
+        "event_type",
+        "day",
+        (
+            F.lit(2) * F.rank().over(Window.partitionBy("day").orderBy("v"))
+            + F.count(F.lit(1)).over(Window.partitionBy("day", "v"))
+            - 1
+        )
+        .cast("long")
+        .alias("s"),
+    )
+    rsum = ranked.groupBy("event_type").agg(F.sum("s").cast("long").alias("r2"))
+    scal = ranked.agg(
+        F.sum(F.col("s") * F.col("s")).cast("long").alias("ss")
+    ).crossJoin(
+        F.broadcast(days.agg(F.count(F.lit(1)).cast("long").alias("n")))
+    ).crossJoin(
+        F.broadcast(types.agg(F.count(F.lit(1)).cast("long").alias("k")))
+    )
+    num = (
+        rsum.crossJoin(F.broadcast(scal))
+        .select(
+            (
+                (F.col("r2") - F.col("n") * (F.col("k") + 1))
+                * (F.col("r2") - F.col("n") * (F.col("k") + 1))
+            ).alias("sq")
+        )
+        .agg(F.sum("sq").cast("long").alias("n1"))
+    )
+    one = scal.crossJoin(F.broadcast(num))
+    d1 = F.col("ss") - F.col("n") * F.col("k") * (F.col("k") + 1) * (F.col("k") + 1)
+    return one.select(
+        F.col("n").alias("n_days"),
+        F.col("k").alias("n_groups"),
+        "n1",
+        d1.alias("d1"),
+        F.when(d1 == 0, F.lit(0))
+        .otherwise(F.expr("(10000 * (k - 1) * n1) DIV (ss - n * k * (k+1) * (k+1))"))
+        .cast("long")
+        .alias("q_bp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# paired sign test with exact binomial p
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_sign_test",
+    "analytics",
+    doc="Paired sign test (click vs view daily volumes): pos/neg/tie "
+    "counts, then the EXACT two-sided binomial p-value — the tail sum "
+    "sum_{i<=min(pos,neg)} C(n,i) via the integer Pascal recurrence "
+    "C(n,i) = C(n,i-1)*(n-i+1)/i (exactly divisible at every step; a "
+    "Spark aggregate() HOF / DuckDB recursive CTE, mirrored). With "
+    "n <= n_days = 30, C(30,15) ~ 1.6e8 and 2^30*10^4 ~ 1.1e13 keep "
+    "every intermediate in int64. p2_bp = min(10^4, 2*tail*10^4 / 2^n).",
+    oracle="""
+WITH RECURSIVE """ + _XY_SQL + """,
+cnt AS (
+    SELECT CAST(COUNT(*) FILTER (WHERE x > y) AS BIGINT) AS pos,
+           CAST(COUNT(*) FILTER (WHERE x < y) AS BIGINT) AS neg,
+           CAST(COUNT(*) FILTER (WHERE x = y) AS BIGINT) AS tie
+    FROM daily
+),
+scal AS (
+    SELECT pos, neg, tie, pos + neg AS n,
+           CASE WHEN pos < neg THEN pos ELSE neg END AS m
+    FROM cnt
+),
+binom(i, c, s) AS (
+    SELECT CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+    UNION ALL
+    SELECT i + 1,
+           (c * (scal.n - i)) // (i + 1),
+           s + CASE WHEN i + 1 <= scal.m
+                    THEN (c * (scal.n - i)) // (i + 1) ELSE 0 END
+    FROM binom, scal WHERE i < scal.n
+),
+tail AS (SELECT MAX(s) AS tail FROM binom, scal WHERE i = scal.n)
+SELECT scal.pos, scal.neg, scal.tie,
+       LEAST(CAST(10000 AS BIGINT),
+             CAST((2 * tail.tail * 10000)
+                  // (CAST(1 AS BIGINT) << scal.n) AS BIGINT)) AS p2_bp
+FROM scal, tail
+""",
+)
+def stats_sign_test(spark, sf_dir):
+    daily = _xy_daily(spark, sf_dir)
+    cnt = daily.agg(
+        bigint(F.sum(F.when(F.col("x") > F.col("y"), 1).otherwise(0))).alias("pos"),
+        bigint(F.sum(F.when(F.col("x") < F.col("y"), 1).otherwise(0))).alias("neg"),
+        bigint(F.sum(F.when(F.col("x") == F.col("y"), 1).otherwise(0))).alias("tie"),
+    )
+    scal = cnt.select(
+        "pos", "neg", "tie", (F.col("pos") + F.col("neg")).alias("n"),
+        F.least("pos", "neg").alias("m"),
+    )
+    # tail = sum_{i=0..m} C(n,i); Pascal recurrence inside an aggregate HOF.
+    tail = F.expr(
+        """
+        CASE WHEN n = 0 THEN CAST(1 AS BIGINT)
+        ELSE aggregate(
+            sequence(CAST(1 AS BIGINT), n),
+            named_struct('c', CAST(1 AS BIGINT), 's', CAST(1 AS BIGINT)),
+            (acc, i) -> named_struct(
+                'c', (acc.c * (n - i + 1)) DIV i,
+                's', acc.s + IF(i <= m, (acc.c * (n - i + 1)) DIV i,
+                                CAST(0 AS BIGINT))),
+            acc -> acc.s)
+        END
+        """
+    )
+    p2 = F.expr(
+        "LEAST(CAST(10000 AS BIGINT),"
+        " (2 * _tail * 10000) DIV shiftleft(CAST(1 AS BIGINT), CAST(n AS INT)))"
+    )
+    return (
+        scal.withColumn("_tail", tail)
+        .withColumn("p2_bp", p2)
+        .select("pos", "neg", "tie", "p2_bp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa
+# ---------------------------------------------------------------------------
+
+KAPPA_CHARS_CUT = 300
+KAPPA_WORDS_CUT = 50
+
+
+@register(
+    "stats_cohens_kappa",
+    "analytics",
+    doc="Cohen's kappa between two heuristic document-quality raters "
+    "(rater A: n_chars >= 300; rater B: whitespace words >= 50) — the "
+    "agreement-beyond-chance audit run when two cheap filters are "
+    "candidates for the same gate. One map-side-combinable groupBy to "
+    "the 2x2 table; kappa = (N*(a+d) - pe) / (N^2 - pe) with "
+    "pe = (a+b)(a+c) + (c+d)(b+d), one exact integer rational in "
+    "truncated bp (Spark DIV / DuckDB // parity on negatives).",
+    oracle=f"""
+WITH rated AS (
+    SELECT CASE WHEN n_chars >= {KAPPA_CHARS_CUT} THEN 1 ELSE 0 END AS ra,
+           CASE WHEN LEN(STRING_SPLIT(text, ' ')) >= {KAPPA_WORDS_CUT}
+                THEN 1 ELSE 0 END AS rb
+    FROM documents
+),
+cells AS (
+    SELECT CAST(COUNT(*) FILTER (WHERE ra = 1 AND rb = 1) AS BIGINT) AS a,
+           CAST(COUNT(*) FILTER (WHERE ra = 1 AND rb = 0) AS BIGINT) AS b,
+           CAST(COUNT(*) FILTER (WHERE ra = 0 AND rb = 1) AS BIGINT) AS c,
+           CAST(COUNT(*) FILTER (WHERE ra = 0 AND rb = 0) AS BIGINT) AS d,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM rated
+)
+SELECT a, b, c, d, n,
+       CASE WHEN n * n = (a+b)*(a+c) + (c+d)*(b+d) THEN CAST(0 AS BIGINT)
+            ELSE CAST((10000 * (n*(a+d) - ((a+b)*(a+c) + (c+d)*(b+d))))
+                 // (n*n - ((a+b)*(a+c) + (c+d)*(b+d))) AS BIGINT)
+       END AS kappa_bp
+FROM cells
+""",
+)
+def stats_cohens_kappa(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    rated = docs.select(
+        F.when(F.col("n_chars") >= KAPPA_CHARS_CUT, 1).otherwise(0).alias("ra"),
+        F.when(
+            F.size(F.split(F.col("text"), " ", -1)) >= KAPPA_WORDS_CUT, 1
+        )
+        .otherwise(0)
+        .alias("rb"),
+    )
+    cells = rated.agg(
+        bigint(F.sum(F.when((F.col("ra") == 1) & (F.col("rb") == 1), 1).otherwise(0))).alias("a"),
+        bigint(F.sum(F.when((F.col("ra") == 1) & (F.col("rb") == 0), 1).otherwise(0))).alias("b"),
+        bigint(F.sum(F.when((F.col("ra") == 0) & (F.col("rb") == 1), 1).otherwise(0))).alias("c"),
+        bigint(F.sum(F.when((F.col("ra") == 0) & (F.col("rb") == 0), 1).otherwise(0))).alias("d"),
+        bigint(F.count(F.lit(1))).alias("n"),
+    )
+    pe = F.expr("(a+b)*(a+c) + (c+d)*(b+d)")
+    return cells.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        "n",
+        F.when(F.col("n") * F.col("n") == pe, F.lit(0))
+        .otherwise(
+            F.expr(
+                "(10000 * (n*(a+d) - ((a+b)*(a+c) + (c+d)*(b+d))))"
+                " DIV (n*n - ((a+b)*(a+c) + (c+d)*(b+d)))"
+            )
+        )
+        .cast("long")
+        .alias("kappa_bp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Durbin–Watson
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_durbin_watson",
+    "analytics",
+    doc="Durbin–Watson first-order autocorrelation statistic on each "
+    "event type's daily-volume residuals: the mean is cleared by "
+    "integer scaling (d_t = n*x_t - S so the 1/n cancels), "
+    "DW = sum (d_t - d_(t-1))^2 / sum d_t^2 is one exact rational per "
+    "type reported in floor bp via decimal(38,0). The lag window is "
+    "partitioned by event_type over n_days rows — bounded spans. "
+    "DW ~ 2 means no autocorrelation; < 2 positive, > 2 negative.",
+    oracle="""
+WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+types AS (SELECT DISTINCT event_type FROM events),
+daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS v
+    FROM events GROUP BY 1, 2
+),
+cell AS (
+    SELECT t.event_type, d.day, COALESCE(x.v, 0) AS v
+    FROM types t CROSS JOIN days d
+    LEFT JOIN daily x ON x.event_type = t.event_type AND x.day = d.day
+),
+st AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS s
+    FROM cell GROUP BY event_type
+),
+resid AS (
+    SELECT c.event_type, c.day, st.n * c.v - st.s AS e
+    FROM cell c JOIN st ON st.event_type = c.event_type
+),
+lagged AS (
+    SELECT event_type, e,
+           LAG(e) OVER (PARTITION BY event_type ORDER BY day) AS ep
+    FROM resid
+),
+agg AS (
+    SELECT event_type,
+           CAST(SUM(CASE WHEN ep IS NULL THEN 0 ELSE (e - ep) * (e - ep) END)
+                AS HUGEINT) AS num,
+           CAST(SUM(e * e) AS HUGEINT) AS den
+    FROM lagged GROUP BY event_type
+)
+SELECT a.event_type, st.n AS n_days,
+       CASE WHEN a.den = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST((10000 * a.num) // a.den AS BIGINT)
+       END AS dw_bp
+FROM agg a JOIN st ON st.event_type = a.event_type
+ORDER BY a.event_type
+""",
+)
+def stats_durbin_watson(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select("event_type", F.to_date("ts").alias("day"))
+    days = ev.select("day").distinct()
+    types = ev.select("event_type").distinct()
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("v")
+    )
+    cell = (
+        types.crossJoin(F.broadcast(days))
+        .join(daily, ["event_type", "day"], "left")
+        .select("event_type", "day", F.coalesce("v", F.lit(0)).cast("long").alias("v"))
+    )
+    st = cell.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("long").alias("s"),
+    )
+    resid = cell.join(F.broadcast(st), "event_type").select(
+        "event_type", "day", (F.col("n") * F.col("v") - F.col("s")).alias("e")
+    )
+    lagged = resid.select(
+        "event_type",
+        "e",
+        F.lag("e").over(Window.partitionBy("event_type").orderBy("day")).alias("ep"),
+    )
+    agg = lagged.groupBy("event_type").agg(
+        F.sum(
+            F.when(F.col("ep").isNull(), F.lit(0)).otherwise(
+                (F.col("e") - F.col("ep")) * (F.col("e") - F.col("ep"))
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("num"),
+        F.sum(F.col("e") * F.col("e")).cast("decimal(38,0)").alias("den"),
+    )
+    return (
+        agg.join(F.broadcast(st), "event_type")
+        .select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            F.when(F.col("den") == 0, F.lit(0))
+            .otherwise(F.floor(F.lit(10000) * F.col("num") / F.col("den")))
+            .cast("long")
+            .alias("dw_bp"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2x2 odds ratio / relative risk
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_odds_ratio",
+    "analytics",
+    doc="2x2 case-control readout: weekend exposure (ISO dow >= 6) vs "
+    "purchase outcome. Odds ratio with the Haldane–Anscombe +1/2 "
+    "correction kept exact by doubling ((2a+1)(2d+1) / (2b+1)(2c+1)) "
+    "and the relative risk a(c+d) / c(a+b), both as exact integer "
+    "rationals in truncated bp via decimal(38,0) (HUGEINT). One "
+    "map-side-combinable pass over the log.",
+    oracle="""
+WITH flags AS (
+    SELECT CASE WHEN ISODOW(CAST(ts AS DATE)) >= 6 THEN 1 ELSE 0 END AS exp,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS outc
+    FROM events
+),
+cells AS (
+    SELECT CAST(COUNT(*) FILTER (WHERE exp = 1 AND outc = 1) AS BIGINT) AS a,
+           CAST(COUNT(*) FILTER (WHERE exp = 1 AND outc = 0) AS BIGINT) AS b,
+           CAST(COUNT(*) FILTER (WHERE exp = 0 AND outc = 1) AS BIGINT) AS c,
+           CAST(COUNT(*) FILTER (WHERE exp = 0 AND outc = 0) AS BIGINT) AS d
+    FROM flags
+)
+SELECT a, b, c, d,
+       CAST((CAST(10000 AS HUGEINT) * (2*a+1) * (2*d+1))
+            // (CAST(2*b+1 AS HUGEINT) * (2*c+1)) AS BIGINT) AS odds_ratio_bp,
+       CASE WHEN c = 0 OR a + b = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST((CAST(10000 AS HUGEINT) * a * (c + d))
+                 // (CAST(c AS HUGEINT) * (a + b)) AS BIGINT)
+       END AS rel_risk_bp
+FROM cells
+""",
+)
+def stats_odds_ratio(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    flags = ev.select(
+        F.when(
+            F.dayofweek(F.date_sub(F.to_date("ts"), 1)).cast("long") >= 6, 1
+        )
+        .otherwise(0)
+        .alias("exp"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("outc"),
+    )
+    cells = flags.agg(
+        bigint(F.sum(F.when((F.col("exp") == 1) & (F.col("outc") == 1), 1).otherwise(0))).alias("a"),
+        bigint(F.sum(F.when((F.col("exp") == 1) & (F.col("outc") == 0), 1).otherwise(0))).alias("b"),
+        bigint(F.sum(F.when((F.col("exp") == 0) & (F.col("outc") == 1), 1).otherwise(0))).alias("c"),
+        bigint(F.sum(F.when((F.col("exp") == 0) & (F.col("outc") == 0), 1).otherwise(0))).alias("d"),
+    )
+
+    def dec(e):
+        return e.cast("decimal(38,0)")
+
+    or_bp = F.floor(
+        dec(F.lit(10000))
+        * (2 * F.col("a") + 1)
+        * (2 * F.col("d") + 1)
+        / (dec(2 * F.col("b") + 1) * (2 * F.col("c") + 1))
+    )
+    rr_bp = F.when(
+        (F.col("c") == 0) | (F.col("a") + F.col("b") == 0), F.lit(0)
+    ).otherwise(
+        F.floor(
+            dec(F.lit(10000))
+            * F.col("a")
+            * (F.col("c") + F.col("d"))
+            / (dec(F.col("c")) * (F.col("a") + F.col("b")))
+        )
+    )
+    return cells.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        or_bp.cast("long").alias("odds_ratio_bp"),
+        rr_bp.cast("long").alias("rel_risk_bp"),
+    )

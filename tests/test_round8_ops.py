@@ -495,3 +495,75 @@ def test_cochran_q_components_are_coherent(spark, sf_dir):
     for c in ("correct_a", "correct_b", "correct_c"):
         assert 0 <= r[c] <= r["n"]
     assert r["q_bp"] >= 0
+
+
+# --- wave 9: inference_extra ------------------------------------------------
+
+
+def test_kendall_pairs_partition_the_pair_space(spark, sf_dir):
+    (r,) = load_all()["stats_kendall_tau_b"].builder(spark, sf_dir).collect()
+    n = r["n_days"]
+    assert (
+        r["nc"] + r["nd"] + r["ties_x"] + r["ties_y"] + r["ties_both"]
+        == n * (n - 1) // 2
+    )
+    assert -1.0 <= r["tau_b"] <= 1.0
+
+
+def test_hodges_lehmann_median_within_range(spark, sf_dir):
+    (r,) = load_all()["stats_hodges_lehmann"].builder(spark, sf_dir).collect()
+    assert r["n_pairs"] > 0
+    # doubled median must sit inside the doubled [min, max] envelope
+    assert 2 * r["min_diff"] <= r["hl_x2"] <= 2 * r["max_diff"]
+
+
+def test_mood_median_residuals_sum_to_zero(spark, sf_dir):
+    rows = load_all()["stats_mood_median"].builder(spark, sf_dir).collect()
+    assert sum(r["d"] for r in rows) == 0
+    for r in rows:
+        assert 0 <= r["above"] <= r["n_t"]
+        assert r["contrib"] >= 0.0
+
+
+def test_friedman_statistic_nonnegative(spark, sf_dir):
+    (r,) = load_all()["stats_friedman"].builder(spark, sf_dir).collect()
+    assert r["n1"] >= 0 and r["d1"] >= 0 and r["q_bp"] >= 0
+    # tie-corrected Q for k treatments is bounded by n*(k-1) (all-distinct
+    # blocks attain it); bp scale
+    assert r["q_bp"] <= 10000 * r["n_days"] * (r["n_groups"] - 1)
+
+
+def test_sign_test_exact_binomial_matches_python(spark, sf_dir):
+    from math import comb
+
+    (r,) = load_all()["stats_sign_test"].builder(spark, sf_dir).collect()
+    n, m = r["pos"] + r["neg"], min(r["pos"], r["neg"])
+    tail = sum(comb(n, i) for i in range(m + 1))
+    expect = min(10000, (2 * tail * 10000) // (1 << n)) if n else 10000
+    assert r["p2_bp"] == expect
+
+
+def test_cohens_kappa_bounded_and_consistent(spark, sf_dir):
+    from cascade_spark.tables import load
+
+    (r,) = load_all()["stats_cohens_kappa"].builder(spark, sf_dir).collect()
+    assert r["a"] + r["b"] + r["c"] + r["d"] == r["n"]
+    assert r["n"] == load(spark, sf_dir, "documents").count()
+    assert r["kappa_bp"] <= 10000
+
+
+def test_durbin_watson_in_valid_band(spark, sf_dir):
+    rows = load_all()["stats_durbin_watson"].builder(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        # DW lives in [0, 4]; bp scale
+        assert 0 <= r["dw_bp"] <= 40000
+
+
+def test_odds_ratio_cells_cover_the_log(spark, sf_dir):
+    from cascade_spark.tables import load
+
+    (r,) = load_all()["stats_odds_ratio"].builder(spark, sf_dir).collect()
+    total = load(spark, sf_dir, "events").count()
+    assert r["a"] + r["b"] + r["c"] + r["d"] == total
+    assert r["odds_ratio_bp"] > 0
