@@ -34,6 +34,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # registry stays oracle-gated in pytest (tests/test_oracle.py).
 _NEW_THIS_ROUND: list[str] = [
     # -- (1) new or semantics-changed this round --
+    # round-8 waves 10-11
+    "graph_local_clustering",
+    "events_markov_stationary",
+    "text_flesch_reading_ease",
+    "pipeline_quota_sampling",
+    "similarity_retrieval_metrics",
+    "events_holt_linear_forecast",
+    "dedup_cdc_chunks",
     # round-8 wave 9 (inference statistics)
     "stats_kendall_tau_b",
     "stats_hodges_lehmann",

@@ -1,0 +1,229 @@
+"""Round-8 wave-10 graph analytics — per-node clustering structure and
+the Markov-chain fixed point, completing the iterative-graph family
+(pagerank / k-core / LPA / BFS are global or community views; these add
+the node-local triangle density and the long-run state distribution):
+
+- ``graph_local_clustering``: per-node local clustering coefficient
+  t(v) / C(deg(v), 2) over the degree-capped co-activity graph,
+  summarized exactly (per-node floor-bp coefficients, then an exact
+  integer mean) — the "how clique-like is each neighborhood" audit
+  next to graph_triangle_count's single global transitivity.
+- ``events_markov_stationary``: stationary distribution of the
+  event-type Markov chain (the events_transition_matrix chain) by
+  4 unrolled power-iteration rounds in exact nano-mass integers —
+  the graph_pagerank discipline (floor division everywhere, DuckDB
+  oracle unrolls the same rounds as CTEs, bit-identical).
+
+Reference scope: the reference is an event log (src/main.rs); both
+queries are declared aggregates over consumption-order semantics
+(transitions use the same (ts, event_id) order the consume path
+exposes).
+
+Scale (100 TB): the co-activity edge frame is the only big input and
+is shared/persisted (built once for the whole graph family); the
+triangle join is bounded by the MAX_DEGREE hub exclusion declared in
+graph.py. The Markov chain collapses the log to a k x k transition
+matrix (k = |event types|) in one combinable pass — the power
+iteration itself runs on k rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from cascade_spark.operators._util import _intdiv, bigint, t
+from cascade_spark.operators.graph import _coactivity_edges, _sql_coactivity_edges
+from cascade_spark.plans.registry import register
+
+_MC_TOTAL = 1_000_000_000  # stationary mass in nano-units
+_MC_ITERS = 4
+
+
+@register(
+    "graph_local_clustering",
+    "analytics",
+    doc="Local clustering coefficient summary over the co-activity "
+    "graph: per-node triangle memberships from the ordered-edge "
+    "triangle join (each (a<b<c) triangle credits all three corners), "
+    "cc(v) = 2*t(v)/(d(v)*(d(v)-1)) in floor bp per node, then an "
+    "exact integer mean over eligible (deg >= 2) nodes. Per-node "
+    "floor-then-mean is the declared metric (deterministic in both "
+    "engines). The two-hop join is MAX_DEGREE-capped (graph.py "
+    "declared semantics).",
+    oracle=f"""
+WITH {_sql_coactivity_edges()},
+deg AS (
+    SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT ua AS u FROM e UNION ALL SELECT ub AS u FROM e
+    ) GROUP BY u
+),
+tri AS (
+    SELECT ab.ua AS a, ab.ub AS b, bc.ub AS c
+    FROM e ab JOIN e bc ON ab.ub = bc.ua
+              JOIN e ac ON ac.ua = ab.ua AND ac.ub = bc.ub
+),
+credit AS (
+    SELECT u, CAST(COUNT(*) AS BIGINT) AS t FROM (
+        SELECT a AS u FROM tri UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    ) GROUP BY u
+),
+cc AS (
+    SELECT deg.u, deg.d, COALESCE(credit.t, 0) AS t,
+           (10000 * 2 * COALESCE(credit.t, 0)) // (deg.d * (deg.d - 1)) AS cc_bp
+    FROM deg LEFT JOIN credit ON credit.u = deg.u
+    WHERE deg.d >= 2
+)
+SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+       CAST(COUNT(*) AS BIGINT) AS n_eligible,
+       CAST(COUNT(*) FILTER (WHERE t > 0) AS BIGINT) AS n_in_triangle,
+       CAST(COUNT(*) FILTER (WHERE cc_bp = 10000) AS BIGINT) AS n_closed,
+       CAST(CASE WHEN COUNT(*) = 0 THEN 0
+                 ELSE SUM(cc_bp) // COUNT(*) END AS BIGINT) AS mean_cc_bp,
+       CAST(COALESCE(MAX(cc_bp), 0) AS BIGINT) AS max_cc_bp
+FROM cc
+""",
+)
+def graph_local_clustering(spark, sf_dir):
+    e = _coactivity_edges(spark, sf_dir)
+    deg = (
+        e.select(F.col("ua").alias("u"))
+        .unionByName(e.select(F.col("ub").alias("u")))
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    ab = e.select(F.col("ua").alias("a"), F.col("ub").alias("b"))
+    bc = e.select(F.col("ua").alias("b2"), F.col("ub").alias("c"))
+    ac = e.select(F.col("ua").alias("a3"), F.col("ub").alias("c3"))
+    tri = ab.join(bc, ab["b"] == bc["b2"]).join(
+        ac, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3"))
+    )
+    credit = (
+        tri.select(F.col("a").alias("u"))
+        .unionByName(tri.select(F.col("b").alias("u")))
+        .unionByName(tri.select(F.col("c").alias("u")))
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+    )
+    cc = (
+        deg.filter(F.col("d") >= 2)
+        .join(credit, "u", "left")
+        .select(
+            "u",
+            "d",
+            F.coalesce("t", F.lit(0)).alias("t"),
+            F.expr(
+                "(10000 * 2 * COALESCE(t, CAST(0 AS BIGINT)))"
+                " DIV (d * (d - 1))"
+            ).alias("cc_bp"),
+        )
+    )
+    n_nodes = deg.agg(bigint(F.count(F.lit(1))).alias("n_nodes"))
+    agg = cc.agg(
+        bigint(F.count(F.lit(1))).alias("n_eligible"),
+        bigint(F.sum(F.when(F.col("t") > 0, 1).otherwise(0))).alias("n_in_triangle"),
+        bigint(F.sum(F.when(F.col("cc_bp") == 10000, 1).otherwise(0))).alias(
+            "n_closed"
+        ),
+        F.coalesce(F.sum("cc_bp"), F.lit(0)).alias("_sum_cc"),
+        bigint(F.coalesce(F.max("cc_bp"), F.lit(0))).alias("max_cc_bp"),
+    )
+    return (
+        n_nodes.crossJoin(F.broadcast(agg))
+        .select(
+            "n_nodes",
+            "n_eligible",
+            "n_in_triangle",
+            "n_closed",
+            F.when(F.col("n_eligible") == 0, F.lit(0))
+            .otherwise(_intdiv(F.col("_sum_cc"), F.col("n_eligible")))
+            .cast("long")
+            .alias("mean_cc_bp"),
+            "max_cc_bp",
+        )
+    )
+
+
+def _sql_mc_round(i: int) -> str:
+    """One unrolled power-iteration round as oracle CTEs (pagerank
+    oracle pattern): pi_{i} from pi_{i-1} via floor-divided flows."""
+    return f"""
+f{i} AS (
+    SELECT tr.next_type AS state, SUM((p.pi * tr.n) // rs.r) AS inflow
+    FROM tr JOIN p{i - 1} p ON p.state = tr.prev_type
+            JOIN rs ON rs.prev_type = tr.prev_type
+    GROUP BY tr.next_type
+),
+p{i} AS (
+    SELECT s.state, COALESCE(f.inflow, 0) AS pi
+    FROM states s LEFT JOIN f{i} f ON f.state = s.state
+)"""
+
+
+@register(
+    "events_markov_stationary",
+    "analytics",
+    doc="Stationary distribution of the event-type Markov chain: "
+    "transition counts from the per-user consumption-order lag (the "
+    "events_transition_matrix chain), then 4 power-iteration rounds "
+    "pi_j <- sum_i floor(pi_i * n_ij / r_i) in exact nano-mass "
+    "integers (graph_pagerank's bit-identical iteration discipline; "
+    "the oracle unrolls the same 4 rounds as CTEs). States are the "
+    "event types observed as transition sources; mass floor-leak per "
+    "round is < k states and observable as total_pi. The chain is a "
+    "k x k matrix — the iteration is O(k^2) regardless of corpus size.",
+    oracle=f"""
+WITH seq AS (
+    SELECT user_id, event_type,
+           LAG(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_type
+    FROM events
+),
+tr AS (
+    SELECT prev_type, event_type AS next_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+),
+rs AS (SELECT prev_type, CAST(SUM(n) AS BIGINT) AS r FROM tr GROUP BY prev_type),
+states AS (SELECT DISTINCT prev_type AS state FROM tr),
+p0 AS (
+    SELECT state,
+           {_MC_TOTAL} // (SELECT COUNT(*) FROM states) AS pi
+    FROM states
+),{",".join(_sql_mc_round(i) for i in range(1, _MC_ITERS + 1))}
+SELECT state, CAST(pi AS BIGINT) AS pi_nano
+FROM p{_MC_ITERS}
+ORDER BY state
+""",
+)
+def events_markov_stationary(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    tr = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    rs = tr.groupBy("prev_type").agg(F.sum("n").cast("long").alias("r"))
+    tr = tr.join(rs, "prev_type")
+    states = tr.select(F.col("prev_type").alias("state")).distinct()
+    k = F.broadcast(states.agg(F.count(F.lit(1)).alias("_k")))
+    p = states.crossJoin(k).select(
+        "state", _intdiv(F.lit(_MC_TOTAL), F.col("_k")).alias("pi")
+    )
+    for _ in range(_MC_ITERS):
+        flow = (
+            tr.join(p, tr["prev_type"] == p["state"])
+            .select(
+                F.col("next_type").alias("state2"),
+                _intdiv(F.col("pi") * F.col("n"), F.col("r")).alias("c"),
+            )
+            .groupBy("state2")
+            .agg(F.sum("c").cast("long").alias("inflow"))
+        )
+        p = states.join(flow, states["state"] == flow["state2"], "left").select(
+            "state", F.coalesce("inflow", F.lit(0)).cast("long").alias("pi")
+        )
+    return p.select("state", F.col("pi").alias("pi_nano")).orderBy("state")

@@ -1,0 +1,195 @@
+"""Round-8 wave-10 retrieval evaluation — ranking-aware quality metrics
+for the banded sign-LSH candidate index (``similarity.py``'s 100 TB
+blocking path). ``embedding_lsh_recall_audit`` answers "are the true
+neighbors in the candidate set at all"; this answers the retrieval
+question a RAG/mining pipeline actually asks: *at what rank* do they
+surface.
+
+- ``similarity_retrieval_metrics``: for a deterministic query subset
+  (vec_id % 50 == 0), rank ALL other vectors by exact-operand rounded
+  cosine (truth ranking), rank the LSH-bucketed candidates by the same
+  score (retrieved ranking), and report per query: candidate count,
+  hits@10 (truth top-10 found in retrieved top-10), precision@10 in
+  bp, and the reciprocal rank (floor bp) of the TRUE nearest neighbor
+  within the retrieved list — MRR's per-query term, 0 when the bucket
+  index misses it entirely.
+
+Determinism: quantized integer vectors (Q_SCALE floor quantization,
+similarity.py) make every dot product an exact integer-valued double;
+the only IEEE steps are the two sqrts and one division, identical
+expression trees in both engines, rounded to 6 dp before ranking with
+a vec_id tiebreak (the repo's cosine-ranking discipline).
+
+Scale (100 TB): truth ranking is n_queries x n by DESIGN — this is the
+calibration audit that justifies trusting the buckets where truth can
+only be sampled (same stance as embedding_lsh_recall_audit); the
+retrieved side reads the shared persisted candidate-pair index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from cascade_spark.operators._util import bigint, t
+from cascade_spark.operators.similarity import (
+    _SQL_BANDED_CTES,
+    Q_SCALE,
+    _lsh_candidate_pairs,
+)
+from cascade_spark.plans.registry import register
+
+RETR_QUERY_MOD = 50
+RETR_K = 10
+
+
+@register(
+    "similarity_retrieval_metrics",
+    "similarity",
+    doc="Per-query precision@10 and true-NN reciprocal rank of the "
+    "banded sign-LSH retrieval vs the exact cosine ranking over the "
+    "deterministic vec_id % 50 query subset. Truth is brute-force by "
+    "design (the calibration audit); candidates come from the shared "
+    "persisted (band, code) bucket-join pair index. rr_bp = "
+    "10000 DIV rank of the true nearest neighbor in the retrieved "
+    "ranking, 0 if the buckets missed it.",
+    oracle=f"""
+WITH {_SQL_BANDED_CTES},
+qn AS (
+    SELECT vec_id,
+           qv,
+           CAST(list_inner_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[]))
+                AS BIGINT) AS nq
+    FROM qe
+),
+sc AS (
+    SELECT q.vec_id AS qid, e.vec_id AS vid,
+           ROUND(CAST(list_inner_product(CAST(q.qv AS DOUBLE[]),
+                                         CAST(e.qv AS DOUBLE[])) AS DOUBLE)
+                 / (SQRT(CAST(q.nq AS DOUBLE)) * SQRT(CAST(e.nq AS DOUBLE))),
+                 6) AS score
+    FROM qn q JOIN qn e ON e.vec_id != q.vec_id
+    WHERE q.vec_id % {RETR_QUERY_MOD} = 0
+),
+tr AS (
+    SELECT qid, vid,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, vid) AS trank
+    FROM sc
+),
+retr0 AS (
+    SELECT v1 AS qid, v2 AS vid FROM cand
+    UNION ALL
+    SELECT v2 AS qid, v1 AS vid FROM cand
+),
+retr AS (
+    SELECT s.qid, s.vid,
+           ROW_NUMBER() OVER (PARTITION BY s.qid
+                              ORDER BY s.score DESC, s.vid) AS rrank
+    FROM sc s JOIN retr0 r ON r.qid = s.qid AND r.vid = s.vid
+),
+ncand AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_cand FROM retr GROUP BY qid),
+hits AS (
+    SELECT t.qid, CAST(COUNT(*) AS BIGINT) AS h
+    FROM tr t JOIN retr r ON r.qid = t.qid AND r.vid = t.vid
+                         AND r.rrank <= {RETR_K}
+    WHERE t.trank <= {RETR_K}
+    GROUP BY t.qid
+),
+rr AS (
+    SELECT t.qid,
+           CAST(COALESCE(MAX(10000 // r.rrank), 0) AS BIGINT) AS rr_bp
+    FROM tr t LEFT JOIN retr r ON r.qid = t.qid AND r.vid = t.vid
+    WHERE t.trank = 1
+    GROUP BY t.qid
+)
+SELECT q.vec_id AS qid,
+       COALESCE(ncand.n_cand, 0) AS n_cand,
+       COALESCE(hits.h, 0) AS hits_at_10,
+       1000 * COALESCE(hits.h, 0) AS p_at_10_bp,
+       COALESCE(rr.rr_bp, 0) AS rr_bp
+FROM qn q
+LEFT JOIN ncand ON ncand.qid = q.vec_id
+LEFT JOIN hits ON hits.qid = q.vec_id
+LEFT JOIN rr ON rr.qid = q.vec_id
+WHERE q.vec_id % {RETR_QUERY_MOD} = 0
+ORDER BY qid
+""",
+)
+def similarity_retrieval_metrics(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+
+    def _quant(col):
+        return F.transform(col, lambda x: F.floor(x.cast("double") * Q_SCALE))
+
+    def _idot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    qn = e.select("vec_id", _quant(F.col("embedding")).alias("qv")).select(
+        "vec_id", "qv", _idot(F.col("qv"), F.col("qv")).alias("nq")
+    )
+    queries = qn.filter(F.col("vec_id") % RETR_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"), F.col("qv").alias("qa"), F.col("nq").alias("na")
+    )
+    cands = qn.select(
+        F.col("vec_id").alias("vid"), F.col("qv").alias("qb"), F.col("nq").alias("nb")
+    )
+    sc = queries.join(cands, F.col("qid") != F.col("vid")).select(
+        "qid",
+        "vid",
+        F.round(
+            _idot(F.col("qa"), F.col("qb")).cast("double")
+            / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))),
+            6,
+        ).alias("score"),
+    )
+    tr = sc.withColumn(
+        "trank",
+        F.row_number().over(
+            Window.partitionBy("qid").orderBy(F.col("score").desc(), "vid")
+        ),
+    )
+    pairs = _lsh_candidate_pairs(spark, sf_dir)
+    retr0 = pairs.select(F.col("v1").alias("qid"), F.col("v2").alias("vid")).unionByName(
+        pairs.select(F.col("v2").alias("qid"), F.col("v1").alias("vid"))
+    )
+    retr = sc.join(retr0, ["qid", "vid"]).withColumn(
+        "rrank",
+        F.row_number().over(
+            Window.partitionBy("qid").orderBy(F.col("score").desc(), "vid")
+        ),
+    )
+    ncand = retr.groupBy("qid").agg(bigint(F.count(F.lit(1))).alias("n_cand"))
+    hits = (
+        tr.filter(F.col("trank") <= RETR_K)
+        .join(retr.filter(F.col("rrank") <= RETR_K), ["qid", "vid"])
+        .groupBy("qid")
+        .agg(bigint(F.count(F.lit(1))).alias("h"))
+    )
+    rr = (
+        tr.filter(F.col("trank") == 1)
+        .join(retr.select("qid", "vid", "rrank"), ["qid", "vid"], "left")
+        .groupBy("qid")
+        .agg(
+            bigint(
+                F.coalesce(F.max(F.expr("10000 DIV rrank")), F.lit(0))
+            ).alias("rr_bp")
+        )
+    )
+    return (
+        queries.select("qid")
+        .join(ncand, "qid", "left")
+        .join(hits, "qid", "left")
+        .join(rr, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("n_cand", F.lit(0)).cast("long").alias("n_cand"),
+            F.coalesce("h", F.lit(0)).cast("long").alias("hits_at_10"),
+            (F.lit(1000) * F.coalesce("h", F.lit(0))).cast("long").alias("p_at_10_bp"),
+            F.coalesce("rr_bp", F.lit(0)).cast("long").alias("rr_bp"),
+        )
+        .orderBy("qid")
+    )

@@ -1,0 +1,132 @@
+"""Round-8 wave-11 timeseries — Holt linear-trend smoothing with EXACT
+integer state, extending the dyadic-EWMA family (events_ewma_dyadic
+smooths level only; Holt adds a trend component and a forecast):
+
+- ``events_holt_linear_forecast``: per event type, Holt's linear
+  method with alpha = beta = 1/2 over the zero-filled daily-volume
+  series, all state kept in micro-scaled int64 with floor-by-2 steps
+  (l_t = (x_t*S + l_(t-1) + b_(t-1)) DIV 2;
+  b_t = (l_t - l_(t-1) + b_(t-1)) DIV 2) so the recurrence is
+  bit-identical across engines — Spark folds the bounded per-type day
+  array with one aggregate() HOF (n_days elements, JVM-side), the
+  DuckDB oracle walks the same recurrence as a recursive CTE. Emits
+  final level/trend and the h=1 and h=7 linear forecasts.
+
+Reference scope: aggregation over the consumed event log
+(src/main.rs), declared per SURVEY §2B.
+
+Scale (100 TB): the raw log collapses to the k x n_days grid in one
+combinable groupBy; the sequential recurrence runs over the bounded
+day span per type (spans, not rows) inside a JVM HOF — no Python, no
+driver loop, no unbounded state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cascade_spark.operators._util import bigint, t
+from cascade_spark.plans.registry import register
+
+HOLT_SCALE = 1_000_000  # level/trend in micro-volume units
+
+
+@register(
+    "events_holt_linear_forecast",
+    "timeseries",
+    doc="Holt linear trend (alpha = beta = 1/2) per event type over the "
+    "zero-filled daily-volume series in exact micro-scaled integers: "
+    "the level/trend recurrence uses only +, -, DIV 2 so Spark's "
+    "aggregate() fold and DuckDB's recursive CTE produce bit-identical "
+    "state; forecasts fc_h = l_T + h*b_T at h = 1 and 7.",
+    oracle=f"""
+WITH RECURSIVE days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+types AS (SELECT DISTINCT event_type FROM events),
+daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS v
+    FROM events GROUP BY 1, 2
+),
+cellx AS (
+    SELECT t.event_type,
+           CAST(ROW_NUMBER() OVER (PARTITION BY t.event_type ORDER BY d.day)
+                - 1 AS BIGINT) AS tt,
+           COALESCE(x.v, 0) AS x
+    FROM types t CROSS JOIN days d
+    LEFT JOIN daily x ON x.event_type = t.event_type AND x.day = d.day
+),
+rec(event_type, tt, l, b) AS (
+    SELECT event_type, tt, x * {HOLT_SCALE}, CAST(0 AS BIGINT)
+    FROM cellx WHERE tt = 0
+    UNION ALL
+    SELECT c.event_type, c.tt,
+           (c.x * {HOLT_SCALE} + r.l + r.b) // 2,
+           ((c.x * {HOLT_SCALE} + r.l + r.b) // 2 - r.l + r.b) // 2
+    FROM rec r JOIN cellx c
+      ON c.event_type = r.event_type AND c.tt = r.tt + 1
+),
+fin AS (
+    SELECT event_type, l, b,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY tt DESC) AS rk
+    FROM rec
+)
+SELECT event_type, CAST(l AS BIGINT) AS level_micro,
+       CAST(b AS BIGINT) AS trend_micro,
+       CAST(l + b AS BIGINT) AS fc_h1_micro,
+       CAST(l + 7 * b AS BIGINT) AS fc_h7_micro
+FROM fin WHERE rk = 1
+ORDER BY event_type
+""",
+)
+def events_holt_linear_forecast(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").select("event_type", F.to_date("ts").alias("day"))
+    days = ev.select("day").distinct()
+    types = ev.select("event_type").distinct()
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("v")
+    )
+    cellx = (
+        types.crossJoin(F.broadcast(days))
+        .join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            (
+                F.row_number().over(
+                    Window.partitionBy("event_type").orderBy("day")
+                )
+                - 1
+            )
+            .cast("long")
+            .alias("tt"),
+            F.coalesce("v", F.lit(0)).cast("long").alias("x"),
+        )
+    )
+    series = cellx.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("tt", "x"))).alias("arr")
+    )
+    # fold the ordered day series through the integer Holt recurrence
+    folded = series.select(
+        "event_type",
+        F.expr(
+            f"""
+            aggregate(
+                slice(arr, 2, size(arr) - 1),
+                named_struct('l', arr[0].x * CAST({HOLT_SCALE} AS BIGINT),
+                             'b', CAST(0 AS BIGINT)),
+                (acc, e) -> named_struct(
+                    'l', (e.x * CAST({HOLT_SCALE} AS BIGINT) + acc.l + acc.b)
+                         DIV 2,
+                    'b', ((e.x * CAST({HOLT_SCALE} AS BIGINT) + acc.l + acc.b)
+                          DIV 2 - acc.l + acc.b) DIV 2),
+                acc -> acc)
+            """
+        ).alias("st"),
+    )
+    return folded.select(
+        "event_type",
+        bigint(F.col("st.l")).alias("level_micro"),
+        bigint(F.col("st.b")).alias("trend_micro"),
+        bigint(F.col("st.l") + F.col("st.b")).alias("fc_h1_micro"),
+        bigint(F.col("st.l") + 7 * F.col("st.b")).alias("fc_h7_micro"),
+    ).orderBy("event_type")

@@ -567,3 +567,114 @@ def test_odds_ratio_cells_cover_the_log(spark, sf_dir):
     total = load(spark, sf_dir, "events").count()
     assert r["a"] + r["b"] + r["c"] + r["d"] == total
     assert r["odds_ratio_bp"] > 0
+
+
+# --- wave 10/11: graph_extra / corpus_quality / retrieval_eval / cdc --------
+
+
+def test_local_clustering_consistent_with_triangle_count(spark, sf_dir):
+    (r,) = load_all()["graph_local_clustering"].builder(spark, sf_dir).collect()
+    (g,) = load_all()["graph_triangle_count"].builder(spark, sf_dir).collect()
+    assert r["n_eligible"] <= r["n_nodes"] == g["n_nodes"]
+    assert r["n_closed"] <= r["n_in_triangle"] <= r["n_eligible"]
+    assert 0 <= r["mean_cc_bp"] <= r["max_cc_bp"] <= 10000
+    # a triangle exists iff some node is in one
+    assert (g["n_triangles"] > 0) == (r["n_in_triangle"] > 0)
+
+
+def test_markov_stationary_mass_conserved_up_to_floor_leak(spark, sf_dir):
+    rows = load_all()["events_markov_stationary"].builder(spark, sf_dir).collect()
+    total = sum(r["pi_nano"] for r in rows)
+    # floor division leaks < |transitions| nano-units per round
+    assert 0 < total <= 1_000_000_000
+    assert total > 999_000_000
+    assert all(r["pi_nano"] > 0 for r in rows)
+
+
+def test_flesch_components_positive_and_score_bounded(spark, sf_dir):
+    rows = load_all()["text_flesch_reading_ease"].builder(spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["words"] >= r["sentences"] >= r["n_docs"]
+        assert r["syllables"] > 0
+        # flesch is formula-bounded above by 206.835
+        assert r["flesch_x1000"] <= 206835
+
+
+def test_quota_sampling_caps_and_conserves(spark, sf_dir):
+    rows = load_all()["pipeline_quota_sampling"].builder(spark, sf_dir).collect()
+    from cascade_spark.operators.corpus_quality import QUOTA_K
+
+    for r in rows:
+        assert r["n_kept"] == min(QUOTA_K, r["n_total"])
+        assert r["kept_id_sum"] > 0
+
+
+def test_retrieval_metrics_consistent_with_recall_audit(spark, sf_dir):
+    rows = (
+        load_all()["similarity_retrieval_metrics"].builder(spark, sf_dir).collect()
+    )
+    assert rows, "query subset must be non-empty"
+    for r in rows:
+        assert 0 <= r["hits_at_10"] <= 10
+        assert r["p_at_10_bp"] == 1000 * r["hits_at_10"]
+        assert 0 <= r["rr_bp"] <= 10000
+        # the true NN can only be found if there are candidates at all
+        if r["n_cand"] == 0:
+            assert r["rr_bp"] == 0 and r["hits_at_10"] == 0
+
+
+def test_holt_forecast_tracks_series_scale(spark, sf_dir):
+    from cascade_spark.operators.timeseries_extra import HOLT_SCALE
+    from cascade_spark.tables import load
+    from pyspark.sql import functions as F
+
+    rows = (
+        load_all()["events_holt_linear_forecast"].builder(spark, sf_dir).collect()
+    )
+    assert len(rows) == 5
+    mx = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts"))
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    for r in rows:
+        # smoothed level stays within the observed envelope
+        assert 0 <= r["level_micro"] <= mx * HOLT_SCALE
+        assert r["fc_h1_micro"] == r["level_micro"] + r["trend_micro"]
+        assert r["fc_h7_micro"] == r["level_micro"] + 7 * r["trend_micro"]
+
+
+def test_cdc_chunks_insertion_realignment_property(spark, sf_dir):
+    """The reason CDC beats fixed windows: inserting one word near the
+    head of a doc must leave chunk hashes after the next boundary
+    intact (fixed 8-word chunks would re-key everything downstream)."""
+    import hashlib
+
+    def boundaries(words):
+        segs, cur = [], []
+        for w in words:
+            cur.append(w)
+            if int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % 8 == 0:
+                segs.append(cur)
+                cur = []
+        if cur:
+            segs.append(cur)
+        return [" ".join(s) for s in segs]
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon").split()
+    orig = boundaries(base)
+    edited = boundaries(["INSERTED"] + base)
+    # all original chunks except possibly the first survive verbatim
+    assert set(orig[1:]).issubset(set(edited))
+
+
+def test_cdc_chunk_masses_are_coherent(spark, sf_dir):
+    rows = load_all()["dedup_cdc_chunks"].builder(spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert 0 <= r["dup_chunks"] <= r["n_chunks"]
+        assert 0 <= r["dup_words"] <= r["total_words"]
