@@ -34,6 +34,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # registry stays oracle-gated in pytest (tests/test_oracle.py).
 _NEW_THIS_ROUND: list[str] = [
     # -- (1) new or semantics-changed this round --
+    # round-8 wave 12
+    "stats_bh_fdr",
+    "stats_mantel_haenszel",
+    "text_garbage_score",
+    "pipeline_largest_remainder_alloc",
     # round-8 waves 10-11
     "graph_local_clustering",
     "events_markov_stationary",

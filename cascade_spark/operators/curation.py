@@ -1557,3 +1557,87 @@ def pipeline_bestfit_packing(spark, sf_dir):
         .applyInPandas(ffd, schema=out_schema)
         .orderBy("shard")
     )
+
+
+ALLOC_BUDGET = 1000
+
+
+@register(
+    "pipeline_largest_remainder_alloc",
+    "pipeline",
+    doc=f"Largest-remainder (Hamilton) apportionment of a "
+    f"{ALLOC_BUDGET}-doc sampling budget across languages in exact "
+    "integer arithmetic: floor quota (B*n_i) DIV N per language, then "
+    "the leftover seats go to the largest remainders ((B*n_i) % N, "
+    "language tiebreak) — the standard way to turn fractional mixture "
+    "weights into an integral per-source plan with no drift "
+    "(allocations sum to B exactly, pinned in tests). Windows run "
+    "over the |languages| rows — spans, not data.",
+    oracle=f"""
+WITH counts AS (
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+),
+tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n FROM counts),
+quota AS (
+    SELECT lang, n_docs,
+           ({ALLOC_BUDGET} * n_docs) // tot.n AS q_floor,
+           ({ALLOC_BUDGET} * n_docs) % tot.n AS rem
+    FROM counts, tot
+),
+ranked AS (
+    SELECT lang, n_docs, q_floor, rem,
+           ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rk,
+           {ALLOC_BUDGET} - SUM(q_floor) OVER () AS deficit
+    FROM quota
+)
+SELECT lang, n_docs, CAST(q_floor AS BIGINT) AS quota_floor,
+       CAST(CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS BIGINT) AS extra,
+       CAST(q_floor + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS BIGINT)
+           AS alloc
+FROM ranked ORDER BY lang
+""",
+)
+def pipeline_largest_remainder_alloc(spark, sf_dir):
+    from cascade_spark.operators._util import bigint
+
+    d = t(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(bigint(F.count(F.lit(1))).alias("n_docs"))
+    tot = counts.agg(bigint(F.sum("n_docs")).alias("n"))
+    quota = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        F.expr(f"({ALLOC_BUDGET} * n_docs) DIV n").alias("q_floor"),
+        F.expr(f"({ALLOC_BUDGET} * n_docs) % n").alias("rem"),
+    )
+    # |languages|-row windows: spans, not data
+    ranked = quota.select(
+        "lang",
+        "n_docs",
+        "q_floor",
+        F.row_number()
+        .over(Window.orderBy(F.col("rem").desc(), "lang"))
+        .alias("rk"),
+        (
+            F.lit(ALLOC_BUDGET)
+            - F.sum("q_floor").over(
+                Window.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+        ).alias("deficit"),
+    )
+    return ranked.select(
+        "lang",
+        "n_docs",
+        bigint(F.col("q_floor")).alias("quota_floor"),
+        F.when(F.col("rk") <= F.col("deficit"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("extra"),
+        (
+            F.col("q_floor")
+            + F.when(F.col("rk") <= F.col("deficit"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("alloc"),
+    ).orderBy("lang")

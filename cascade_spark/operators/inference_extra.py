@@ -858,3 +858,297 @@ def stats_odds_ratio(spark, sf_dir):
         or_bp.cast("long").alias("odds_ratio_bp"),
         rr_bp.cast("long").alias("rel_risk_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benjamini–Hochberg FDR over exact pairwise sign tests
+# ---------------------------------------------------------------------------
+
+BH_ALPHA_BP = 500  # alpha = 0.05 in basis points
+
+
+@register(
+    "stats_bh_fdr",
+    "analytics",
+    doc="Multiple-testing correction done exactly: paired sign tests "
+    "between EVERY pair of event types' daily volumes (the "
+    "stats_sign_test Pascal-recurrence binomial, one HOF per pair "
+    "row), then Benjamini–Hochberg step-up at alpha = 0.05 with the "
+    "threshold comparison cross-multiplied to integers "
+    "(p_bp * m <= rank * 500 — no division anywhere). discovery = "
+    "rank <= k* where k* is the largest passing rank. The ranking "
+    "windows run over the k(k-1)/2 = 10 pair rows — spans, not data.",
+    oracle=f"""
+WITH RECURSIVE days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+types AS (SELECT DISTINCT event_type FROM events),
+daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS v
+    FROM events GROUP BY 1, 2
+),
+cell AS (
+    SELECT t.event_type, d.day, COALESCE(x.v, 0) AS v
+    FROM types t CROSS JOIN days d
+    LEFT JOIN daily x ON x.event_type = t.event_type AND x.day = d.day
+),
+pairs AS (
+    SELECT a.event_type AS ta, b.event_type AS tb
+    FROM types a JOIN types b ON a.event_type < b.event_type
+),
+cnt AS (
+    SELECT p.ta, p.tb,
+           CAST(COUNT(*) FILTER (WHERE ca.v > cb.v) AS BIGINT) AS pos,
+           CAST(COUNT(*) FILTER (WHERE ca.v < cb.v) AS BIGINT) AS neg
+    FROM pairs p
+    JOIN cell ca ON ca.event_type = p.ta
+    JOIN cell cb ON cb.event_type = p.tb AND cb.day = ca.day
+    GROUP BY p.ta, p.tb
+),
+scal AS (
+    SELECT ta, tb, pos, neg, pos + neg AS n,
+           CASE WHEN pos < neg THEN pos ELSE neg END AS m
+    FROM cnt
+),
+binom(ta, tb, i, c, s) AS (
+    SELECT ta, tb, CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+    FROM scal
+    UNION ALL
+    SELECT b.ta, b.tb, b.i + 1,
+           (b.c * (sc.n - b.i)) // (b.i + 1),
+           b.s + CASE WHEN b.i + 1 <= sc.m
+                      THEN (b.c * (sc.n - b.i)) // (b.i + 1) ELSE 0 END
+    FROM binom b JOIN scal sc ON sc.ta = b.ta AND sc.tb = b.tb
+    WHERE b.i < sc.n
+),
+pv AS (
+    SELECT sc.ta, sc.tb, sc.pos, sc.neg,
+           LEAST(CAST(10000 AS BIGINT),
+                 CAST((2 * b.s * 10000)
+                      // (CAST(1 AS BIGINT) << sc.n) AS BIGINT)) AS p2_bp
+    FROM scal sc JOIN binom b ON b.ta = sc.ta AND b.tb = sc.tb AND b.i = sc.n
+),
+ranked AS (
+    SELECT ta, tb, pos, neg, p2_bp,
+           CAST(ROW_NUMBER() OVER (ORDER BY p2_bp, ta, tb) AS BIGINT) AS p_rank,
+           CAST(COUNT(*) OVER () AS BIGINT) AS m_tests
+    FROM pv
+),
+kstar AS (
+    SELECT COALESCE(MAX(CASE WHEN p2_bp * m_tests <= p_rank * {BH_ALPHA_BP}
+                             THEN p_rank END), 0) AS k
+    FROM ranked
+)
+SELECT r.ta AS type_a, r.tb AS type_b, r.pos, r.neg, r.p2_bp, r.p_rank,
+       CAST(CASE WHEN r.p_rank <= kstar.k THEN 1 ELSE 0 END AS BIGINT)
+           AS discovery
+FROM ranked r, kstar
+ORDER BY r.p_rank, r.ta, r.tb
+""",
+)
+def stats_bh_fdr(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select("event_type", F.to_date("ts").alias("day"))
+    days = ev.select("day").distinct()
+    types = ev.select("event_type").distinct()
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("v")
+    )
+    cell = (
+        types.crossJoin(F.broadcast(days))
+        .join(daily, ["event_type", "day"], "left")
+        .select("event_type", "day", F.coalesce("v", F.lit(0)).cast("long").alias("v"))
+    )
+    pairs = (
+        types.alias("a")
+        .join(types.alias("b"), F.col("a.event_type") < F.col("b.event_type"))
+        .select(
+            F.col("a.event_type").alias("ta"), F.col("b.event_type").alias("tb")
+        )
+    )
+    ca = cell.select(F.col("event_type").alias("ta"), "day", F.col("v").alias("va"))
+    cb = cell.select(F.col("event_type").alias("tb"), "day", F.col("v").alias("vb"))
+    cnt = (
+        F.broadcast(pairs)
+        .join(ca, "ta")
+        .join(cb, ["tb", "day"])
+        .groupBy("ta", "tb")
+        .agg(
+            bigint(F.sum(F.when(F.col("va") > F.col("vb"), 1).otherwise(0))).alias(
+                "pos"
+            ),
+            bigint(F.sum(F.when(F.col("va") < F.col("vb"), 1).otherwise(0))).alias(
+                "neg"
+            ),
+        )
+    )
+    scal = cnt.select(
+        "ta", "tb", "pos", "neg", (F.col("pos") + F.col("neg")).alias("n"),
+        F.least("pos", "neg").alias("m"),
+    )
+    tail = F.expr(
+        """
+        CASE WHEN n = 0 THEN CAST(1 AS BIGINT)
+        ELSE aggregate(
+            sequence(CAST(1 AS BIGINT), n),
+            named_struct('c', CAST(1 AS BIGINT), 's', CAST(1 AS BIGINT)),
+            (acc, i) -> named_struct(
+                'c', (acc.c * (n - i + 1)) DIV i,
+                's', acc.s + IF(i <= m, (acc.c * (n - i + 1)) DIV i,
+                                CAST(0 AS BIGINT))),
+            acc -> acc.s)
+        END
+        """
+    )
+    pv = scal.withColumn("_tail", tail).select(
+        "ta",
+        "tb",
+        "pos",
+        "neg",
+        F.expr(
+            "LEAST(CAST(10000 AS BIGINT), (2 * _tail * 10000)"
+            " DIV shiftleft(CAST(1 AS BIGINT), CAST(n AS INT)))"
+        ).alias("p2_bp"),
+    )
+    # BH step-up over the 10 pair rows (bounded by k(k-1)/2, not data)
+    w_all = Window.orderBy("p2_bp", "ta", "tb")
+    ranked = pv.select(
+        "ta",
+        "tb",
+        "pos",
+        "neg",
+        "p2_bp",
+        F.row_number().over(w_all).cast("long").alias("p_rank"),
+        F.count(F.lit(1))
+        .over(Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .cast("long")
+        .alias("m_tests"),
+    )
+    kstar = ranked.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("p2_bp") * F.col("m_tests")
+                    <= F.col("p_rank") * BH_ALPHA_BP,
+                    F.col("p_rank"),
+                )
+            ),
+            F.lit(0),
+        ).alias("k")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(kstar))
+        .select(
+            F.col("ta").alias("type_a"),
+            F.col("tb").alias("type_b"),
+            "pos",
+            "neg",
+            "p2_bp",
+            "p_rank",
+            F.when(F.col("p_rank") <= F.col("k"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("discovery"),
+        )
+        .orderBy("p_rank", "type_a", "type_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mantel–Haenszel stratified odds ratio
+# ---------------------------------------------------------------------------
+
+MH_TERM_SCALE = 1_000_000
+
+
+@register(
+    "stats_mantel_haenszel",
+    "analytics",
+    doc="Mantel–Haenszel day-stratified odds ratio of the purchase "
+    "outcome across the md5 A/B user arms (stats_ab_srm_check's "
+    "split): per-day 2x2 cells in one combinable pass, per-stratum "
+    "terms a_k*d_k/n_k and b_k*c_k/n_k kept deterministic by "
+    "micro-scaled floor division (term = (10^6*a*d) DIV n — declared "
+    "semantics, mirrored), OR_MH and the crude (unstratified, "
+    "Haldane-free) OR in floor bp via decimal(38,0)/HUGEINT. The "
+    "confounder-adjusted effect readout next to stats_odds_ratio's "
+    "single-table view.",
+    oracle=f"""
+WITH flags AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CASE WHEN ('0x' || SUBSTR(MD5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                     % 2 = 0 THEN 1 ELSE 0 END AS exp,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS outc
+    FROM events WHERE user_id IS NOT NULL
+),
+cells AS (
+    SELECT day,
+           CAST(COUNT(*) FILTER (WHERE exp = 1 AND outc = 1) AS BIGINT) AS a,
+           CAST(COUNT(*) FILTER (WHERE exp = 1 AND outc = 0) AS BIGINT) AS b,
+           CAST(COUNT(*) FILTER (WHERE exp = 0 AND outc = 1) AS BIGINT) AS c,
+           CAST(COUNT(*) FILTER (WHERE exp = 0 AND outc = 0) AS BIGINT) AS d,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM flags GROUP BY day
+),
+terms AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+           CAST(SUM(({MH_TERM_SCALE} * a * d) // n) AS HUGEINT) AS sum_num,
+           CAST(SUM(({MH_TERM_SCALE} * b * c) // n) AS HUGEINT) AS sum_den,
+           CAST(SUM(a) AS HUGEINT) AS ta, CAST(SUM(b) AS HUGEINT) AS tb,
+           CAST(SUM(c) AS HUGEINT) AS tc, CAST(SUM(d) AS HUGEINT) AS td
+    FROM cells
+)
+SELECT n_strata,
+       CAST(sum_num AS BIGINT) AS sum_num, CAST(sum_den AS BIGINT) AS sum_den,
+       CAST(CASE WHEN sum_den = 0 THEN 0
+                 ELSE (10000 * sum_num) // sum_den END AS BIGINT) AS or_mh_bp,
+       CAST(CASE WHEN tb * tc = 0 THEN 0
+                 ELSE (10000 * ta * td) // (tb * tc) END AS BIGINT)
+           AS or_crude_bp
+FROM terms
+""",
+)
+def stats_mantel_haenszel(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    arm = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 2
+    )
+    flags = ev.select(
+        F.to_date("ts").alias("day"),
+        F.when(arm == 0, 1).otherwise(0).alias("exp"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("outc"),
+    )
+    cells = flags.groupBy("day").agg(
+        bigint(F.sum(F.when((F.col("exp") == 1) & (F.col("outc") == 1), 1).otherwise(0))).alias("a"),
+        bigint(F.sum(F.when((F.col("exp") == 1) & (F.col("outc") == 0), 1).otherwise(0))).alias("b"),
+        bigint(F.sum(F.when((F.col("exp") == 0) & (F.col("outc") == 1), 1).otherwise(0))).alias("c"),
+        bigint(F.sum(F.when((F.col("exp") == 0) & (F.col("outc") == 0), 1).otherwise(0))).alias("d"),
+        bigint(F.count(F.lit(1))).alias("n"),
+    )
+    terms = cells.agg(
+        bigint(F.count(F.lit(1))).alias("n_strata"),
+        F.sum(F.expr(f"({MH_TERM_SCALE} * a * d) DIV n"))
+        .cast("decimal(38,0)")
+        .alias("sum_num"),
+        F.sum(F.expr(f"({MH_TERM_SCALE} * b * c) DIV n"))
+        .cast("decimal(38,0)")
+        .alias("sum_den"),
+        F.sum("a").cast("decimal(38,0)").alias("ta"),
+        F.sum("b").cast("decimal(38,0)").alias("tb"),
+        F.sum("c").cast("decimal(38,0)").alias("tc"),
+        F.sum("d").cast("decimal(38,0)").alias("td"),
+    )
+    return terms.select(
+        "n_strata",
+        F.col("sum_num").cast("long").alias("sum_num"),
+        F.col("sum_den").cast("long").alias("sum_den"),
+        F.when(F.col("sum_den") == 0, F.lit(0))
+        .otherwise(F.floor(F.lit(10000) * F.col("sum_num") / F.col("sum_den")))
+        .cast("long")
+        .alias("or_mh_bp"),
+        F.when(F.col("tb") * F.col("tc") == 0, F.lit(0))
+        .otherwise(
+            F.floor(F.lit(10000) * F.col("ta") * F.col("td") / (F.col("tb") * F.col("tc")))
+        )
+        .cast("long")
+        .alias("or_crude_bp"),
+    )

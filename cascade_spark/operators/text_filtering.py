@@ -621,3 +621,66 @@ def text_rake_keywords(spark, sf_dir):
         .orderBy(F.col("score_bp").desc(), "phrase")
         .limit(RAKE_TOP)
     )
+
+
+GARBAGE_BAD_BP_CUT = 500
+_GARBAGE_KEEP = "[^a-z0-9 .,]"
+_CONS_RUN = "[bcdfghjklmnpqrstvwxz]{5,}"
+
+
+@register(
+    "text_garbage_score",
+    "analytics",
+    doc="OCR/encoding-garbage screen per source — the cheap 'is this "
+    "text even prose' gate run before any quality model: per doc, the "
+    "share of suspicious characters (anything outside [a-z0-9 .,] on "
+    "the lowercased text) in exact floor bp, plus a >= 5-consonant-run "
+    "flag (mojibake / OCR smear signature). Per source: doc count, "
+    "exact mean bad-char bp (integer floor of the bp sum), consonant-"
+    f"run docs, and docs over the {GARBAGE_BAD_BP_CUT} bp cut. One "
+    "map-only regexp pass + one combinable groupBy.",
+    oracle=f"""
+WITH per_doc AS (
+    SELECT source,
+           (10000 * (LENGTH(LOWER(text))
+                     - LENGTH(REGEXP_REPLACE(LOWER(text), '{_GARBAGE_KEEP}',
+                                             '', 'g'))))
+           // GREATEST(LENGTH(text), 1) AS bad_bp,
+           CASE WHEN REGEXP_MATCHES(LOWER(text), '{_CONS_RUN}')
+                THEN 1 ELSE 0 END AS cons_run
+    FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(bad_bp) // COUNT(*) AS BIGINT) AS mean_bad_bp,
+       CAST(SUM(cons_run) AS BIGINT) AS cons_run_docs,
+       CAST(COUNT(*) FILTER (WHERE bad_bp > {GARBAGE_BAD_BP_CUT}) AS BIGINT)
+           AS flagged_docs
+FROM per_doc GROUP BY source ORDER BY source
+""",
+)
+def text_garbage_score(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    bad_bp = F.expr(
+        f"(10000 * (char_length(lower(text))"
+        f" - char_length(regexp_replace(lower(text), '{_GARBAGE_KEEP}', ''))))"
+        f" DIV GREATEST(char_length(text), 1)"
+    )
+    per_doc = d.select(
+        "source",
+        bad_bp.alias("bad_bp"),
+        F.when(low.rlike(_CONS_RUN), 1).otherwise(0).alias("cons_run"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            bigint(F.count(F.lit(1))).alias("n_docs"),
+            F.expr("CAST(SUM(bad_bp) DIV COUNT(*) AS BIGINT)").alias("mean_bad_bp"),
+            bigint(F.sum("cons_run")).alias("cons_run_docs"),
+            bigint(
+                F.sum(F.when(F.col("bad_bp") > GARBAGE_BAD_BP_CUT, 1).otherwise(0))
+            ).alias("flagged_docs"),
+        )
+        .orderBy("source")
+    )

@@ -678,3 +678,53 @@ def test_cdc_chunk_masses_are_coherent(spark, sf_dir):
     for r in rows:
         assert 0 <= r["dup_chunks"] <= r["n_chunks"]
         assert 0 <= r["dup_words"] <= r["total_words"]
+
+
+# --- wave 12: BH-FDR / Mantel-Haenszel / garbage / apportionment ------------
+
+
+def test_bh_fdr_stepup_is_monotone(spark, sf_dir):
+    rows = load_all()["stats_bh_fdr"].builder(spark, sf_dir).collect()
+    assert len(rows) == 10  # C(5,2) pairs
+    by_rank = sorted(rows, key=lambda r: r["p_rank"])
+    ps = [r["p2_bp"] for r in by_rank]
+    assert ps == sorted(ps)
+    flags = [r["discovery"] for r in by_rank]
+    # step-up: discoveries are a prefix of the ranked list
+    assert all(a >= b for a, b in zip(flags, flags[1:]))
+    # every discovery satisfies its own BH threshold
+    for r in by_rank:
+        if r["discovery"]:
+            assert r["p2_bp"] * 10 <= r["p_rank"] * 500
+
+
+def test_mantel_haenszel_strata_and_bounds(spark, sf_dir):
+    (r,) = load_all()["stats_mantel_haenszel"].builder(spark, sf_dir).collect()
+    assert r["n_strata"] == 30
+    assert r["sum_num"] >= 0 and r["sum_den"] >= 0
+    assert r["or_mh_bp"] >= 0 and r["or_crude_bp"] >= 0
+
+
+def test_garbage_score_components_bounded(spark, sf_dir):
+    rows = load_all()["text_garbage_score"].builder(spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert 0 <= r["mean_bad_bp"] <= 10000
+        assert 0 <= r["cons_run_docs"] <= r["n_docs"]
+        assert 0 <= r["flagged_docs"] <= r["n_docs"]
+
+
+def test_largest_remainder_alloc_sums_to_budget(spark, sf_dir):
+    from cascade_spark.operators.curation import ALLOC_BUDGET
+    from cascade_spark.tables import load
+
+    rows = (
+        load_all()["pipeline_largest_remainder_alloc"]
+        .builder(spark, sf_dir)
+        .collect()
+    )
+    assert sum(r["alloc"] for r in rows) == ALLOC_BUDGET
+    n = load(spark, sf_dir, "documents").count()
+    for r in rows:
+        # alloc never off by more than 1 from the exact share
+        assert abs(r["alloc"] - ALLOC_BUDGET * r["n_docs"] / n) < 1
