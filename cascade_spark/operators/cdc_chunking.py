@@ -30,7 +30,6 @@ anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from cascade_spark.operators._util import bigint, t
@@ -90,47 +89,35 @@ GROUP BY c.source ORDER BY c.source
 )
 def dedup_cdc_chunks(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
-    words = d.select(
-        "doc_id",
-        "source",
-        F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "word"),
+    # one map-only HOF builds each doc's chunk list (boundary AFTER a
+    # cut word) — no explode+window round trip, no collect_list shuffle
+    chunk_arr = F.expr(
+        f"""
+        aggregate(
+            split(text, ' '),
+            named_struct('done', CAST(array() AS ARRAY<STRING>),
+                         'cur', CAST('' AS STRING), 'has', false),
+            (acc, w) -> IF(
+                CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT)
+                    % {CDC_MOD} = 0,
+                named_struct(
+                    'done', array_append(acc.done,
+                                IF(acc.has, concat(acc.cur, ' ', w), w)),
+                    'cur', '', 'has', false),
+                named_struct(
+                    'done', acc.done,
+                    'cur', IF(acc.has, concat(acc.cur, ' ', w), w),
+                    'has', true)),
+            acc -> IF(acc.has, array_append(acc.done, acc.cur), acc.done))
+        """
+    )
+    chunks = d.select(
+        "doc_id", "source", F.explode(chunk_arr).alias("chunk")
     ).select(
         "doc_id",
         "source",
-        (F.col("pos0") + 1).alias("pos"),
-        "word",
-        F.when(
-            F.conv(F.substring(F.md5(F.col("word")), 1, 8), 16, 10).cast("long")
-            % CDC_MOD
-            == 0,
-            1,
-        )
-        .otherwise(0)
-        .alias("cut"),
-    )
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    seg = words.select(
-        "doc_id",
-        "source",
-        "pos",
-        "word",
-        F.coalesce(F.sum("cut").over(w), F.lit(0)).cast("long").alias("seg_id"),
-    )
-    chunks = seg.groupBy("doc_id", "source", "seg_id").agg(
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
-                    lambda s: s["word"],
-                ),
-                " ",
-            )
-        ).alias("chash"),
-        bigint(F.count(F.lit(1))).alias("n_words"),
+        F.md5(F.col("chunk")).alias("chash"),
+        F.size(F.split(F.col("chunk"), " ")).cast("long").alias("n_words"),
     )
     dup = chunks.groupBy("chash").agg(
         F.countDistinct("doc_id").cast("long").alias("n_docs")

@@ -99,10 +99,12 @@ def graph_local_clustering(spark, sf_dir):
     tri = ab.join(bc, ab["b"] == bc["b2"]).join(
         ac, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3"))
     )
+    # explode the three corners in ONE pass over the triangle join
+    # (a 3-way union would re-run the two-hop join three times)
     credit = (
-        tri.select(F.col("a").alias("u"))
-        .unionByName(tri.select(F.col("b").alias("u")))
-        .unionByName(tri.select(F.col("c").alias("u")))
+        tri.select(
+            F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("u")
+        )
         .groupBy("u")
         .agg(F.count(F.lit(1)).cast("long").alias("t"))
     )

@@ -146,6 +146,10 @@ def similarity_retrieval_metrics(spark, sf_dir):
             6,
         ).alias("score"),
     )
+    # the scoring frame feeds 4 branches (truth ranks, retrieved ranks,
+    # hits, MRR) — cut the lineage once so the n_q x n brute-force scan
+    # runs once, not per branch (it is the declared audit cost)
+    sc = sc.localCheckpoint(eager=True)
     tr = sc.withColumn(
         "trank",
         F.row_number().over(
@@ -161,7 +165,8 @@ def similarity_retrieval_metrics(spark, sf_dir):
         F.row_number().over(
             Window.partitionBy("qid").orderBy(F.col("score").desc(), "vid")
         ),
-    )
+    ).localCheckpoint(eager=True)
+    tr = tr.localCheckpoint(eager=True)
     ncand = retr.groupBy("qid").agg(bigint(F.count(F.lit(1))).alias("n_cand"))
     hits = (
         tr.filter(F.col("trank") <= RETR_K)
