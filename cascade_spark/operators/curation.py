@@ -1641,3 +1641,79 @@ def pipeline_largest_remainder_alloc(spark, sf_dir):
         .cast("long")
         .alias("alloc"),
     ).orderBy("lang")
+
+
+@register(
+    "pipeline_rejection_sampling",
+    "pipeline",
+    doc="Quality-proportional rejection sampling without floats: each "
+    "doc's acceptance probability is its clean-char share in bp "
+    "(10000 - bad_bp from the text_garbage_score screen, floored at "
+    "0) and the doc is accepted iff md5(doc_id) % 10000 < accept_bp — "
+    "a deterministic, reproducible importance sampler (same corpus -> "
+    "same sample, no RNG state). Per source: docs, expected "
+    "acceptances in bp mass, actual accepted, accepted-id checksum. "
+    "One map-only pass + one combinable groupBy.",
+    oracle="""
+WITH scored AS (
+    SELECT source, doc_id,
+           GREATEST(10000 - (10000 * (LENGTH(LOWER(text))
+                     - LENGTH(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 .,]',
+                                             '', 'g'))))
+                    // GREATEST(LENGTH(text), 1), 0) AS accept_bp,
+           ('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % 10000 AS draw
+    FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(accept_bp) AS BIGINT) AS expected_bp_mass,
+       CAST(COUNT(*) FILTER (WHERE draw < accept_bp) AS BIGINT) AS n_accepted,
+       CAST(COALESCE(SUM(doc_id) FILTER (WHERE draw < accept_bp), 0)
+            AS BIGINT) AS accepted_id_sum
+FROM scored GROUP BY source ORDER BY source
+""",
+)
+def pipeline_rejection_sampling(spark, sf_dir):
+    from cascade_spark.operators._util import bigint
+
+    d = t(spark, sf_dir, "documents")
+    accept_bp = F.greatest(
+        F.lit(10000)
+        - F.expr(
+            "(10000 * (char_length(lower(text))"
+            " - char_length(regexp_replace(lower(text), '[^a-z0-9 .,]', ''))))"
+            " DIV GREATEST(char_length(text), 1)"
+        ),
+        F.lit(0),
+    )
+    draw = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 10000
+    )
+    scored = d.select(
+        "source",
+        "doc_id",
+        accept_bp.alias("accept_bp"),
+        draw.alias("draw"),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            bigint(F.count(F.lit(1))).alias("n_docs"),
+            bigint(F.sum("accept_bp")).alias("expected_bp_mass"),
+            bigint(
+                F.sum(F.when(F.col("draw") < F.col("accept_bp"), 1).otherwise(0))
+            ).alias("n_accepted"),
+            bigint(
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("draw") < F.col("accept_bp"), F.col("doc_id"))
+                    ),
+                    F.lit(0),
+                )
+            ).alias("accepted_id_sum"),
+        )
+        .orderBy("source")
+    )

@@ -198,3 +198,101 @@ def similarity_retrieval_metrics(spark, sf_dir):
         )
         .orderBy("qid")
     )
+
+
+SWEEP_THRESHOLDS = [3, 4, 5, 6, 7]  # cosine cuts t/10
+
+
+@register(
+    "similarity_dedup_threshold_sweep",
+    "similarity",
+    doc="Dedup-threshold what-if over the LSH candidate index: ONE "
+    "exact integer-cosine scoring pass over the persisted candidate "
+    "pairs (cos >= t/10 iff qd>0 and 100*qd^2 >= t^2*na*nb — int64, "
+    "no float), then a broadcast threshold spine evaluates all five "
+    "cuts from the same pass (the pipeline_quality_threshold_sweep "
+    "pattern): per cut — surviving pairs, docs touched, and the "
+    "greedy keep-lowest-id removal bound. The number the dedup "
+    "operator's threshold knob is set by before committing a 100 TB "
+    "pass.",
+    oracle=f"""
+WITH {_SQL_BANDED_CTES},
+qn AS (
+    SELECT vec_id, qv,
+           CAST(list_inner_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[]))
+                AS BIGINT) AS nq
+    FROM qe
+),
+scored AS (
+    SELECT c.v1, c.v2,
+           CAST(list_inner_product(CAST(a.qv AS DOUBLE[]),
+                                   CAST(b.qv AS DOUBLE[])) AS BIGINT) AS qd,
+           a.nq AS na, b.nq AS nb
+    FROM cand c JOIN qn a ON a.vec_id = c.v1 JOIN qn b ON b.vec_id = c.v2
+),
+thr AS (SELECT UNNEST(ARRAY{SWEEP_THRESHOLDS}) AS t),
+hits AS (
+    SELECT thr.t, s.v1, s.v2
+    FROM scored s JOIN thr
+      ON s.qd > 0 AND 100 * s.qd * s.qd >= thr.t * thr.t * s.na * s.nb
+)
+SELECT CAST(thr.t AS BIGINT) AS thr_tenths,
+       CAST(COALESCE(COUNT(h.v1), 0) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(COUNT(DISTINCT h.v1) + COUNT(DISTINCT h.v2), 0)
+            AS BIGINT) AS side_card,
+       CAST(COALESCE(COUNT(DISTINCT h.v2), 0) AS BIGINT) AS n_flagged_greedy
+FROM thr LEFT JOIN hits h ON h.t = thr.t
+GROUP BY thr.t ORDER BY thr_tenths
+""",
+)
+def similarity_dedup_threshold_sweep(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+
+    def _quant(col):
+        return F.transform(col, lambda x: F.floor(x.cast("double") * Q_SCALE))
+
+    def _idot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    qn = e.select("vec_id", _quant(F.col("embedding")).alias("qv")).select(
+        "vec_id", "qv", _idot(F.col("qv"), F.col("qv")).alias("nq")
+    )
+    a = qn.select(F.col("vec_id").alias("v1"), F.col("qv").alias("qa"), F.col("nq").alias("na"))
+    b = qn.select(F.col("vec_id").alias("v2"), F.col("qv").alias("qb"), F.col("nq").alias("nb"))
+    scored = (
+        _lsh_candidate_pairs(spark, sf_dir)
+        .join(a, "v1")
+        .join(b, "v2")
+        .select("v1", "v2", _idot(F.col("qa"), F.col("qb")).alias("qd"), "na", "nb")
+    )
+    thr = spark.createDataFrame(
+        [(t_,) for t_ in SWEEP_THRESHOLDS], "t int"
+    )
+    hits = scored.crossJoin(F.broadcast(thr)).filter(
+        (F.col("qd") > 0)
+        & (
+            F.lit(100) * F.col("qd") * F.col("qd")
+            >= F.col("t") * F.col("t") * F.col("na") * F.col("nb")
+        )
+    )
+    agg = hits.groupBy("t").agg(
+        bigint(F.count(F.lit(1))).alias("n_pairs"),
+        (F.countDistinct("v1") + F.countDistinct("v2")).cast("long").alias("side_card"),
+        F.countDistinct("v2").cast("long").alias("n_flagged_greedy"),
+    )
+    return (
+        thr.join(agg, "t", "left")
+        .select(
+            F.col("t").cast("long").alias("thr_tenths"),
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("side_card", F.lit(0)).cast("long").alias("side_card"),
+            F.coalesce("n_flagged_greedy", F.lit(0))
+            .cast("long")
+            .alias("n_flagged_greedy"),
+        )
+        .orderBy("thr_tenths")
+    )

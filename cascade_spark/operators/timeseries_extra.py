@@ -130,3 +130,122 @@ def events_holt_linear_forecast(spark, sf_dir):
         bigint(F.col("st.l") + F.col("st.b")).alias("fc_h1_micro"),
         bigint(F.col("st.l") + 7 * F.col("st.b")).alias("fc_h7_micro"),
     ).orderBy("event_type")
+
+
+@register(
+    "events_seasonality_strength",
+    "timeseries",
+    doc="Day-of-week seasonality strength per event type: the one-way "
+    "variance decomposition SS_between / SS_total over the zero-filled "
+    "daily-volume series grouped by ISO weekday, kept ONE exact "
+    "rational by clearing the unequal group sizes with P = prod(n_g) "
+    "(7 groups of 4-5 days -> P <= 5^7): strength_bp = "
+    "10000*(n*sum_g(S_g^2*P/n_g) - S^2*P) / (P*(n*sum(x^2) - S^2)), "
+    "floor via decimal(38,0)/HUGEINT. ~10000 bp = the weekday pattern "
+    "explains everything; 0 = no weekly seasonality.",
+    oracle="""
+WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+types AS (SELECT DISTINCT event_type FROM events),
+daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS v
+    FROM events GROUP BY 1, 2
+),
+cell AS (
+    SELECT t.event_type, d.day, ISODOW(d.day) AS dow, COALESCE(x.v, 0) AS v
+    FROM types t CROSS JOIN days d
+    LEFT JOIN daily x ON x.event_type = t.event_type AND x.day = d.day
+),
+grp AS (
+    SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS n_g,
+           CAST(SUM(v) AS BIGINT) AS s_g
+    FROM cell GROUP BY event_type, dow
+),
+pr AS (
+    SELECT event_type,
+           CAST(PRODUCT(n_g) AS HUGEINT) AS p
+    FROM grp GROUP BY event_type
+),
+agg AS (
+    SELECT g.event_type,
+           CAST(SUM(g.n_g) AS BIGINT) AS n,
+           CAST(SUM(g.s_g) AS BIGINT) AS s,
+           CAST(SUM((CAST(g.s_g AS HUGEINT) * g.s_g * pr.p) // g.n_g)
+                AS HUGEINT) AS ssb_scaled
+    FROM grp g JOIN pr ON pr.event_type = g.event_type
+    GROUP BY g.event_type, pr.p
+),
+sq AS (
+    SELECT event_type, CAST(SUM(v * v) AS BIGINT) AS sumsq FROM cell
+    GROUP BY event_type
+)
+SELECT a.event_type, a.n AS n_days,
+       CAST(CASE WHEN pr.p * (a.n * sq.sumsq - a.s * a.s) = 0 THEN 0
+            ELSE (10000 * (a.n * a.ssb_scaled - CAST(a.s AS HUGEINT) * a.s * pr.p))
+                 // (pr.p * (CAST(a.n AS HUGEINT) * sq.sumsq - CAST(a.s AS HUGEINT) * a.s))
+            END AS BIGINT) AS strength_bp
+FROM agg a JOIN sq ON sq.event_type = a.event_type
+           JOIN pr ON pr.event_type = a.event_type
+ORDER BY a.event_type
+""",
+)
+def events_seasonality_strength(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").select("event_type", F.to_date("ts").alias("day"))
+    days = ev.select("day").distinct()
+    types = ev.select("event_type").distinct()
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("v")
+    )
+    cell = (
+        types.crossJoin(F.broadcast(days))
+        .join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.dayofweek(F.date_sub(F.col("day"), 1)).cast("long").alias("dow"),
+            F.coalesce("v", F.lit(0)).cast("long").alias("v"),
+        )
+    )
+    grp = cell.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("v").cast("long").alias("s_g"),
+    )
+    # product of the (at most 7) group sizes, exactly, via a bounded fold
+    pr = grp.groupBy("event_type").agg(
+        F.aggregate(
+            F.collect_list("n_g"),
+            F.lit(1).cast("long"),
+            lambda acc, x: acc * x,
+        ).alias("p")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = (
+        grp.join(pr, "event_type")
+        .groupBy("event_type", "p")
+        .agg(
+            F.sum("n_g").cast("long").alias("n"),
+            F.sum("s_g").cast("long").alias("s"),
+            F.sum(
+                F.floor(dec(F.col("s_g")) * F.col("s_g") * F.col("p") / F.col("n_g"))
+            )
+            .cast("decimal(38,0)")
+            .alias("ssb_scaled"),
+        )
+    )
+    sq = cell.groupBy("event_type").agg(
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("sumsq")
+    )
+    j = agg.join(sq, "event_type")
+    den = dec(F.col("p")) * (dec(F.col("n")) * F.col("sumsq") - dec(F.col("s")) * F.col("s"))
+    num = F.lit(10000) * (
+        dec(F.col("n")) * F.col("ssb_scaled") - dec(F.col("s")) * F.col("s") * F.col("p")
+    )
+    return j.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.when(den == 0, F.lit(0))
+        .otherwise(F.floor(num / den))
+        .cast("long")
+        .alias("strength_bp"),
+    ).orderBy("event_type")

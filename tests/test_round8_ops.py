@@ -728,3 +728,47 @@ def test_largest_remainder_alloc_sums_to_budget(spark, sf_dir):
     for r in rows:
         # alloc never off by more than 1 from the exact share
         assert abs(r["alloc"] - ALLOC_BUDGET * r["n_docs"] / n) < 1
+
+
+# --- wave 13: threshold sweep / rejection sampling / seasonality ------------
+
+
+def test_dedup_sweep_monotone_in_threshold(spark, sf_dir):
+    rows = (
+        load_all()["similarity_dedup_threshold_sweep"]
+        .builder(spark, sf_dir)
+        .collect()
+    )
+    assert [r["thr_tenths"] for r in rows] == [3, 4, 5, 6, 7]
+    pairs = [r["n_pairs"] for r in rows]
+    flagged = [r["n_flagged_greedy"] for r in rows]
+    # stricter cut can only shrink the surviving set
+    assert pairs == sorted(pairs, reverse=True)
+    assert flagged == sorted(flagged, reverse=True)
+    for r in rows:
+        assert r["n_flagged_greedy"] <= r["n_pairs"]
+
+
+def test_rejection_sampling_tracks_expected_mass(spark, sf_dir):
+    rows = (
+        load_all()["pipeline_rejection_sampling"].builder(spark, sf_dir).collect()
+    )
+    assert len(rows) == 20
+    tot_docs = sum(r["n_docs"] for r in rows)
+    tot_acc = sum(r["n_accepted"] for r in rows)
+    tot_exp = sum(r["expected_bp_mass"] for r in rows) / 10000
+    # md5 draws are uniform: corpus-level acceptance within 10% of the
+    # expected mass (fixture-deterministic, not a statistical flake)
+    assert abs(tot_acc - tot_exp) < 0.1 * tot_docs
+    for r in rows:
+        assert 0 <= r["n_accepted"] <= r["n_docs"]
+
+
+def test_seasonality_strength_bounded(spark, sf_dir):
+    rows = (
+        load_all()["events_seasonality_strength"].builder(spark, sf_dir).collect()
+    )
+    assert len(rows) == 5
+    for r in rows:
+        assert 0 <= r["strength_bp"] <= 10000
+        assert r["n_days"] == 30
