@@ -772,3 +772,63 @@ def test_seasonality_strength_bounded(spark, sf_dir):
     for r in rows:
         assert 0 <= r["strength_bp"] <= 10000
         assert r["n_days"] == 30
+
+
+# --- wave 14: experimentation (KM / CUPED / power) --------------------------
+
+
+def test_kaplan_meier_monotone_and_censoring_coherent(spark, sf_dir):
+    from cascade_spark.tables import load
+
+    rows = load_all()["events_kaplan_meier"].builder(spark, sf_dir).collect()
+    assert rows
+    s = [r["survival"] for r in rows]
+    assert all(0.0 <= v <= 1.0 for v in s)
+    assert s == sorted(s, reverse=True)  # survival never increases
+    n_users = (
+        load(spark, sf_dir, "events")
+        .filter("user_id IS NOT NULL")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert rows[0]["n_risk"] == n_users
+    assert sum(r["deaths"] + r["censored"] for r in rows) == n_users
+    # with censoring, survival must sit at or above the uncensored
+    # lifespan share at every observed time
+    at_risk_after = n_users
+    for r in rows:
+        at_risk_after -= r["deaths"] + r["censored"]
+        # survival is rounded to 6 dp — allow that rounding in the bound
+        assert r["survival"] * n_users >= at_risk_after - 1e-5 * n_users - 1e-6
+
+
+def test_cuped_theta_and_reduction_consistent(spark, sf_dir):
+    (r,) = (
+        load_all()["events_cuped_variance_reduction"]
+        .builder(spark, sf_dir)
+        .collect()
+    )
+    assert r["n_users"] > 0
+    assert 0 <= r["var_reduction_bp"] <= 10000  # rho^2 in [0, 1]
+    # theta and reduction share cov's sign structure: reduction 0 iff cov 0
+    if r["var_reduction_bp"] == 0:
+        assert r["theta_bp"] == 0
+
+
+def test_sample_size_matches_python_formula(spark, sf_dir):
+    from math import ceil
+
+    (r,) = (
+        load_all()["stats_sample_size_two_proportions"]
+        .builder(spark, sf_dir)
+        .collect()
+    )
+    p1, p2 = r["p1_bp"], r["p2_bp"]
+    if p1 != p2:
+        expect = ceil(
+            28016 * 28016 * (p1 * (10000 - p1) + p2 * (10000 - p2))
+            / (10**8 * (p1 - p2) ** 2)
+        )
+        assert r["n_per_arm"] == expect
+        assert r["n_per_arm"] > 0
