@@ -115,6 +115,19 @@ QUERIES = [
     "events_max_drawdown", "graph_label_propagation",
     "text_rake_keywords", "stats_runs_test", "text_burstiness",
     "pipeline_bestfit_packing",
+    # round-8 waves 9-14 (all verified clean on zero-row tables; the
+    # scalar audits return one zeroed/NULL row, reports return empty)
+    "stats_kendall_tau_b", "stats_hodges_lehmann", "stats_mood_median",
+    "stats_friedman", "stats_sign_test", "stats_cohens_kappa",
+    "stats_durbin_watson", "stats_odds_ratio", "graph_local_clustering",
+    "events_markov_stationary", "text_flesch_reading_ease",
+    "pipeline_quota_sampling", "similarity_retrieval_metrics",
+    "events_holt_linear_forecast", "dedup_cdc_chunks", "stats_bh_fdr",
+    "stats_mantel_haenszel", "text_garbage_score",
+    "pipeline_largest_remainder_alloc", "pipeline_rejection_sampling",
+    "events_seasonality_strength", "events_kaplan_meier",
+    "events_cuped_variance_reduction", "stats_sample_size_two_proportions",
+    "similarity_dedup_threshold_sweep",
 ]
 
 
@@ -149,6 +162,8 @@ def test_query_survives_empty_tables(spark, empty_sf_dir, name):
         "pipeline_stage_funnel": 5,
         # fixed-shape curve: one row per k
         "text_vocab_coverage_curve": 4,
+        # fixed-shape sweep: one row per declared threshold
+        "similarity_dedup_threshold_sweep": 5,
     }
     assert len(rows) <= fixed_shape.get(name, 1), (name, rows[:3])
 
