@@ -34,6 +34,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # registry stays oracle-gated in pytest (tests/test_oracle.py).
 _NEW_THIS_ROUND: list[str] = [
     # -- (1) new or semantics-changed this round --
+    # round-8 wave 15
+    "multimodal_image_rotate",
     # round-8 wave 14
     "events_kaplan_meier",
     "events_cuped_variance_reduction",

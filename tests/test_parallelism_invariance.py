@@ -53,6 +53,13 @@ QUERIES = [
     "similarity_reciprocal_rank_fusion",  # two global rank windows fused
     "pipeline_bestfit_packing",  # deterministic FFD inside applyInPandas
     "text_burstiness",           # zero-free zero-filled VMR rational
+    # round-8 wave-9..14 representatives
+    "stats_hodges_lehmann",      # order-statistic selection via prefix sum
+    "stats_bh_fdr",              # exact binomial HOF + step-up windows
+    "dedup_cdc_chunks",          # per-doc HOF chunking + global dup groupBy
+    "events_holt_linear_forecast",  # sequential integer fold per type
+    "similarity_retrieval_metrics",  # checkpointed truth scan + rank windows
+    "events_kaplan_meier",       # sequential IEEE product fold
 ]
 
 

@@ -832,3 +832,54 @@ def test_sample_size_matches_python_formula(spark, sf_dir):
         )
         assert r["n_per_arm"] == expect
         assert r["n_per_arm"] > 0
+
+
+# --- wave 15: multimodal rotate/mirror --------------------------------------
+
+
+def test_rotate_mirror_weighted_checksums_match_reference(spark, sf_dir):
+    """Pure-python reference for the index maps, plus the permutation
+    property (rotation preserves the multiset of pixels, so the plain
+    sum is invariant — the weighted sum must NOT be, except for
+    degenerate constant images)."""
+    from cascade_spark.operators.multimodal_extra import rotate90_cw_weighted
+
+    def ref(doc_id):
+        w, h = 4 + doc_id % 13, 3 + doc_id % 7
+        px = [(doc_id * 31 + i) % 256 for i in range(3 * w * h)]
+
+        def src_rot(ip):
+            pix, c = divmod(ip, 3)
+            yp, xp = divmod(pix, h)
+            return 3 * ((h - 1 - xp) * w + yp) + c
+
+        def src_mir(ip):
+            pix, c = divmod(ip, 3)
+            y, xp = divmod(pix, w)
+            return 3 * (y * w + (w - 1 - xp)) + c
+
+        rot = sum(i * px[src_rot(i)] for i in range(3 * w * h))
+        mir = sum(i * px[src_mir(i)] for i in range(3 * w * h))
+        return w, h, rot, mir
+
+    for doc_id in (0, 7, 42, 101):
+        w, h, rot, mir = ref(doc_id)
+        gw, gh, ow, oh, grs, gms = rotate90_cw_weighted(doc_id)
+        assert (gw, gh, ow, oh) == (w, h, h, w)
+        assert grs == rot and gms == mir
+
+
+def test_rotate_query_preserves_pixel_multiset(spark, sf_dir):
+    rows = (
+        load_all()["multimodal_image_rotate"].builder(spark, sf_dir).limit(10).collect()
+    )
+    ppm = {
+        r["doc_id"]: r
+        for r in load_all()["multimodal_decode_ppm"]
+        .builder(spark, sf_dir)
+        .limit(10)
+        .collect()
+    }
+    for r in rows:
+        assert r["out_width"] == r["height"] and r["out_height"] == r["width"]
+        assert r["doc_id"] in ppm
