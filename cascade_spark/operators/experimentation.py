@@ -343,3 +343,56 @@ def stats_sample_size_two_proportions(spark, sf_dir):
         .cast("long")
         .alias("n_per_arm"),
     )
+
+
+@register(
+    "stats_wilson_interval",
+    "analytics",
+    doc="Wilson 95% score interval for each event type's share of the "
+    "log — the CI that stays sane at extreme rates, which the naive "
+    "Wald interval does not: center and half-width built from exact "
+    "integer operands (c, n, z = 196/100) through ONE mirrored IEEE "
+    "expression per bound (sqrt of exact-integer-derived doubles — the "
+    "stats_welch_ttest determinism pattern), rounded to 6 dp. One "
+    "combinable groupBy.",
+    oracle="""
+WITH counts AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM counts)
+SELECT event_type, c, tot.n,
+       ROUND(CAST(c AS DOUBLE) / CAST(tot.n AS DOUBLE), 6) AS p_hat,
+       ROUND((CAST(c AS DOUBLE) / tot.n + 1.9208 / tot.n
+              - 1.96 * SQRT((CAST(c AS DOUBLE) / tot.n)
+                            * (1.0 - CAST(c AS DOUBLE) / tot.n) / tot.n
+                            + 0.9604 / (CAST(tot.n AS DOUBLE) * tot.n)))
+             / (1.0 + 3.8416 / tot.n), 6) AS wilson_lo,
+       ROUND((CAST(c AS DOUBLE) / tot.n + 1.9208 / tot.n
+              + 1.96 * SQRT((CAST(c AS DOUBLE) / tot.n)
+                            * (1.0 - CAST(c AS DOUBLE) / tot.n) / tot.n
+                            + 0.9604 / (CAST(tot.n AS DOUBLE) * tot.n)))
+             / (1.0 + 3.8416 / tot.n), 6) AS wilson_hi
+FROM counts, tot
+ORDER BY event_type
+""",
+)
+def stats_wilson_interval(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(bigint(F.count(F.lit(1))).alias("c"))
+    tot = counts.agg(bigint(F.sum("c")).alias("n"))
+    j = counts.crossJoin(F.broadcast(tot))
+    p = F.col("c").cast("double") / F.col("n")
+    nn = F.col("n").cast("double")
+    half = F.lit(1.96) * F.sqrt(
+        p * (F.lit(1.0) - p) / F.col("n") + F.lit(0.9604) / (nn * F.col("n"))
+    )
+    center = p + F.lit(1.9208) / F.col("n")
+    den = F.lit(1.0) + F.lit(3.8416) / F.col("n")
+    return j.select(
+        "event_type",
+        "c",
+        "n",
+        F.round(p, 6).alias("p_hat"),
+        F.round((center - half) / den, 6).alias("wilson_lo"),
+        F.round((center + half) / den, 6).alias("wilson_hi"),
+    ).orderBy("event_type")

@@ -189,3 +189,93 @@ def events_peak_concurrency(spark, sf_dir):
         # but the oracle's GROUP BY peak yields zero rows — drop it
         .filter(F.col("peak_concurrency").isNotNull())
     )
+
+
+@register(
+    "events_bounce_rate_by_entry",
+    "analytics",
+    doc=f"Bounce analysis by session entry type ({GAP_MIN}-minute gap "
+    "sessions, the events_sessionize_gap construction): per entry "
+    "event type (first event of the session in (ts, event_id) order) — "
+    "session count, single-event bounces, bounce rate in exact floor "
+    "bp, and mean session length via exact integer division. Same "
+    "single user-shuffle + sorted-run windows; the per-entry rollup is "
+    "one combinable groupBy.",
+    oracle=f"""
+WITH gaps AS (
+    SELECT user_id, event_id, ts, event_type,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts > LAG(ts) OVER w + INTERVAL {GAP_MIN} MINUTE
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT user_id, event_id, ts, event_type,
+           SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_idx
+    FROM gaps
+),
+ranked AS (
+    SELECT user_id, session_idx, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id, session_idx
+                              ORDER BY ts, event_id) AS rn
+    FROM sess
+),
+per_sess AS (
+    SELECT user_id, session_idx,
+           MAX(CASE WHEN rn = 1 THEN event_type END) AS entry_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM ranked GROUP BY user_id, session_idx
+)
+SELECT entry_type,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(COUNT(*) FILTER (WHERE n_events = 1) AS BIGINT) AS n_bounces,
+       CAST((10000 * COUNT(*) FILTER (WHERE n_events = 1)) // COUNT(*)
+            AS BIGINT) AS bounce_bp,
+       CAST(SUM(n_events) // COUNT(*) AS BIGINT) AS mean_len_floor
+FROM per_sess GROUP BY entry_type ORDER BY entry_type
+""",
+)
+def events_bounce_rate_by_entry(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.when(
+            prev.isNull()
+            | (F.col("ts") > prev + F.expr(f"INTERVAL {GAP_MIN} MINUTE")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    sess = flagged.withColumn(
+        "session_idx",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_sess = sess.groupBy("user_id", "session_idx").agg(
+        F.min_by("event_type", F.struct("ts", "event_id")).alias("entry_type"),
+        bigint(F.count(F.lit(1))).alias("n_events"),
+    )
+    return (
+        per_sess.groupBy("entry_type")
+        .agg(
+            bigint(F.count(F.lit(1))).alias("n_sessions"),
+            bigint(F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))).alias(
+                "n_bounces"
+            ),
+            F.expr(
+                "CAST((10000 * SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END))"
+                " DIV COUNT(*) AS BIGINT)"
+            ).alias("bounce_bp"),
+            F.expr("CAST(SUM(n_events) DIV COUNT(*) AS BIGINT)").alias(
+                "mean_len_floor"
+            ),
+        )
+        .orderBy("entry_type")
+    )

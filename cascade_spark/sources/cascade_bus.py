@@ -1106,3 +1106,75 @@ def bus_orphan_segment_audit(spark, sf_dir):
         F.lit(len(disk)).cast("long").alias("n_disk_files"),
         F.lit(n_orphans).cast("long").alias("n_orphans"),
     )
+
+
+@register(
+    "bus_seek_by_timestamp",
+    "sources",
+    doc="Kafka offsetsForTimes parity: given a cutoff timestamp (the "
+    "exact integer midpoint of the topic's ts range), find per "
+    "partition the EARLIEST offset whose event ts >= cutoff, then "
+    "consume from that offset to the log end (Kafka semantics: the "
+    "seek is an offset, so older-ts rows appearing after it ARE "
+    "consumed). Per partition: start offset, consumed count, "
+    "event-id checksum. Hash-checked against the relational "
+    "round-robin recomputation; at scale the min-offset probe is a "
+    "combinable groupBy and the replay is the offset-pushdown scan.",
+    oracle="""
+WITH seq AS (
+    SELECT event_id, epoch_us(ts) AS ts_us,
+           ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS i
+    FROM events
+),
+bus AS (
+    SELECT CAST(i % 4 AS BIGINT) AS partition, i // 4 AS off,
+           event_id, ts_us
+    FROM seq
+),
+cut AS (
+    SELECT (MIN(ts_us) + MAX(ts_us)) // 2 AS cutoff FROM bus
+),
+starts AS (
+    SELECT partition, CAST(MIN(off) AS BIGINT) AS start_offset
+    FROM bus, cut WHERE ts_us >= cutoff GROUP BY partition
+)
+SELECT s.partition, s.start_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_consumed,
+       CAST(SUM(b.event_id) AS BIGINT) AS id_checksum
+FROM starts s JOIN bus b
+  ON b.partition = s.partition AND b.off >= s.start_offset
+GROUP BY s.partition, s.start_offset
+ORDER BY s.partition
+""",
+)
+def bus_seek_by_timestamp(spark, sf_dir):
+    topic = stage_bus_topic(spark, sf_dir)
+    register_bus(spark)
+    df = (
+        spark.read.format("cascade_bus")
+        .option("path", topic)
+        .load()
+        .select("partition", "offset", "event_id", "ts_us")
+    )
+    cut = df.agg(
+        F.expr("(MIN(ts_us) + MAX(ts_us)) DIV 2").cast("long").alias("cutoff")
+    )
+    starts = (
+        df.crossJoin(F.broadcast(cut))
+        .filter(F.col("ts_us") >= F.col("cutoff"))
+        .groupBy("partition")
+        .agg(F.min("offset").cast("long").alias("start_offset"))
+    )
+    consumed = df.join(F.broadcast(starts), "partition").filter(
+        F.col("offset") >= F.col("start_offset")
+    )
+    return (
+        consumed.groupBy(
+            F.col("partition").cast("long").alias("partition"), "start_offset"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_consumed"),
+            F.sum("event_id").cast("long").alias("id_checksum"),
+        )
+        .orderBy("partition")
+    )

@@ -883,3 +883,37 @@ def test_rotate_query_preserves_pixel_multiset(spark, sf_dir):
     for r in rows:
         assert r["out_width"] == r["height"] and r["out_height"] == r["width"]
         assert r["doc_id"] in ppm
+
+
+# --- wave 16: Wilson / bounce / bus time seek --------------------------------
+
+
+def test_wilson_interval_brackets_p_hat(spark, sf_dir):
+    rows = load_all()["stats_wilson_interval"].builder(spark, sf_dir).collect()
+    assert len(rows) == 5
+    assert abs(sum(r["p_hat"] for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert 0.0 <= r["wilson_lo"] <= r["p_hat"] <= r["wilson_hi"] <= 1.0
+
+
+def test_bounce_rate_sessions_reconcile_with_sessionize(spark, sf_dir):
+    by_entry = (
+        load_all()["events_bounce_rate_by_entry"].builder(spark, sf_dir).collect()
+    )
+    sessions = load_all()["events_sessionize_gap"].builder(spark, sf_dir).collect()
+    assert sum(r["n_sessions"] for r in by_entry) == len(sessions)
+    n_bounce_truth = sum(1 for s in sessions if s["n_events"] == 1)
+    assert sum(r["n_bounces"] for r in by_entry) == n_bounce_truth
+
+
+def test_bus_time_seek_consumes_suffix_only(spark, sf_dir):
+    rows = load_all()["bus_seek_by_timestamp"].builder(spark, sf_dir).collect()
+    assert rows and len(rows) <= 4
+    from cascade_spark.tables import load
+
+    n = load(spark, sf_dir, "events").count()
+    consumed = sum(r["n_consumed"] for r in rows)
+    # the seek starts mid-log: strictly fewer than all, more than none
+    assert 0 < consumed < n
+    for r in rows:
+        assert r["start_offset"] >= 0
