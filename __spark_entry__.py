@@ -34,6 +34,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # registry stays oracle-gated in pytest (tests/test_oracle.py).
 _NEW_THIS_ROUND: list[str] = [
     # -- (1) new or semantics-changed this round --
+    # round-8 wave 17
+    "graph_modularity_score",
+    "pipeline_chunk_overlap_windows",
     # round-8 wave 16
     "stats_wilson_interval",
     "events_bounce_rate_by_entry",

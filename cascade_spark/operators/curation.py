@@ -1717,3 +1717,110 @@ def pipeline_rejection_sampling(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+CHUNK_SIZE = 8
+CHUNK_STRIDE = 4
+
+
+@register(
+    "pipeline_chunk_overlap_windows",
+    "pipeline",
+    doc=f"RAG-style sliding-window chunking (size {CHUNK_SIZE}, stride "
+    f"{CHUNK_STRIDE}, 50% overlap) done entirely with JVM array HOFs: "
+    "per doc, chunk k = words[k*stride, k*stride+size) until the "
+    "window reaches the tail; per source — docs, chunks, chunk word "
+    "mass vs base word mass (overlap cost in exact floor bp), and an "
+    "md5 checksum over every chunk string proving the exact chunk "
+    "contents. Map-only + one combinable groupBy; contrast with "
+    "pipeline_pack_context_windows (non-overlapping packing) and "
+    "pipeline_passage_dedup (fixed disjoint chunks).",
+    oracle=f"""
+WITH base AS (
+    SELECT doc_id, source, STRING_SPLIT(text, ' ') AS words,
+           CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS w
+    FROM documents
+),
+chunked AS (
+    SELECT doc_id, source, w,
+           CAST(CASE WHEN w <= {CHUNK_SIZE} THEN 1
+                ELSE (w - {CHUNK_SIZE} + {CHUNK_STRIDE} - 1) // {CHUNK_STRIDE} + 1
+                END AS BIGINT) AS n_chunks,
+           words
+    FROM base
+),
+chunks AS (
+    SELECT doc_id, source, w, n_chunks,
+           UNNEST(LIST_TRANSFORM(GENERATE_SERIES(0, n_chunks - 1),
+               k -> ARRAY_TO_STRING(
+                   words[k * {CHUNK_STRIDE} + 1 :
+                         k * {CHUNK_STRIDE} + {CHUNK_SIZE}], ' '))) AS chunk
+    FROM chunked
+)
+SELECT source,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(LEN(STRING_SPLIT(chunk, ' '))) AS BIGINT) AS chunk_word_mass,
+       CAST(SUM(LEN(STRING_SPLIT(chunk, ' '))) - (
+            SELECT SUM(b.w) FROM base b WHERE b.source = chunks.source)
+            AS BIGINT) AS overlap_words,
+       CAST(SUM(('0x' || SUBSTR(MD5(chunk), 1, 8))::BIGINT) AS BIGINT)
+           AS chunk_checksum
+FROM chunks GROUP BY source ORDER BY source
+""",
+)
+def pipeline_chunk_overlap_windows(spark, sf_dir):
+    from cascade_spark.operators._util import bigint
+
+    d = t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        "source",
+        F.split(F.col("text"), " ").alias("words"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("w"),
+    )
+    n_chunks = F.expr(
+        f"CAST(CASE WHEN w <= {CHUNK_SIZE} THEN 1"
+        f" ELSE (w - {CHUNK_SIZE} + {CHUNK_STRIDE} - 1) DIV {CHUNK_STRIDE} + 1"
+        f" END AS BIGINT)"
+    )
+    chunk_arr = F.expr(
+        f"transform(sequence(CAST(0 AS BIGINT), _nc - 1),"
+        f" k -> array_join(slice(words, CAST(k * {CHUNK_STRIDE} + 1 AS INT),"
+        f" {CHUNK_SIZE}), ' '))"
+    )
+    chunks = (
+        base.withColumn("_nc", n_chunks)
+        .withColumn("chunk", F.explode(chunk_arr))
+        .select("doc_id", "source", "w", "chunk")
+    )
+    return (
+        chunks.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            bigint(F.count(F.lit(1))).alias("n_chunks"),
+            bigint(F.sum(F.size(F.split(F.col("chunk"), " ")))).alias(
+                "chunk_word_mass"
+            ),
+            bigint(
+                F.sum(
+                    F.conv(F.substring(F.md5(F.col("chunk")), 1, 8), 16, 10).cast(
+                        "long"
+                    )
+                )
+            ).alias("chunk_checksum"),
+        )
+        .join(
+            base.groupBy("source").agg(bigint(F.sum("w")).alias("_base_mass")),
+            "source",
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_chunks",
+            "chunk_word_mass",
+            (F.col("chunk_word_mass") - F.col("_base_mass")).alias("overlap_words"),
+            "chunk_checksum",
+        )
+        .orderBy("source")
+    )

@@ -229,3 +229,120 @@ def events_markov_stationary(spark, sf_dir):
             "state", F.coalesce("inflow", F.lit(0)).cast("long").alias("pi")
         )
     return p.select("state", F.col("pi").alias("pi_nano")).orderBy("state")
+
+
+@register(
+    "graph_modularity_score",
+    "analytics",
+    doc="Newman modularity Q of the LPA communities (the quality metric "
+    "graph_label_propagation's histogram lacks): rebuild the same "
+    "2-round deterministic sync-LPA labels, then Q = (4m*intra - "
+    "sum_c d_c^2) / (4m^2) as ONE exact integer rational in truncated "
+    "bp (Q can be negative; Spark DIV / DuckDB // toward-zero parity). "
+    "intra = edges inside a community, d_c = community degree mass — "
+    "one label join + two combinable aggregates over the persisted "
+    "edge frame.",
+    oracle=f"""
+WITH {_sql_coactivity_edges()},
+adj AS (SELECT ua AS u, ub AS v FROM e UNION ALL SELECT ub, ua FROM e),
+l0 AS (SELECT DISTINCT u, u AS lab FROM adj),
+c1 AS (
+    SELECT a.u, l.lab, COUNT(*) AS c
+    FROM adj a JOIN l0 l ON l.u = a.v
+    GROUP BY a.u, l.lab
+),
+l1 AS (
+    SELECT u, lab FROM (
+        SELECT u, lab, ROW_NUMBER() OVER (PARTITION BY u ORDER BY c DESC, lab) AS rn
+        FROM c1
+    ) WHERE rn = 1
+),
+c2 AS (
+    SELECT a.u, l.lab, COUNT(*) AS c
+    FROM adj a JOIN l1 l ON l.u = a.v
+    GROUP BY a.u, l.lab
+),
+l2 AS (
+    SELECT u, lab FROM (
+        SELECT u, lab, ROW_NUMBER() OVER (PARTITION BY u ORDER BY c DESC, lab) AS rn
+        FROM c2
+    ) WHERE rn = 1
+),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e),
+intra AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS intra
+    FROM e JOIN l2 a ON a.u = e.ua JOIN l2 b ON b.u = e.ub
+    WHERE a.lab = b.lab
+),
+degs AS (
+    SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY u
+),
+dmass AS (
+    SELECT CAST(SUM(dc * dc) AS HUGEINT) AS sum_d2,
+           CAST(COUNT(*) AS BIGINT) AS n_comm
+    FROM (
+        SELECT l2.lab, CAST(SUM(degs.d) AS BIGINT) AS dc
+        FROM degs JOIN l2 ON l2.u = degs.u GROUP BY l2.lab
+    )
+)
+SELECT dmass.n_comm AS n_communities, m.m AS n_edges, intra.intra AS intra_edges,
+       CAST(CASE WHEN m.m = 0 THEN 0
+            ELSE (10000 * (4 * CAST(m.m AS HUGEINT) * intra.intra - dmass.sum_d2))
+                 // (4 * CAST(m.m AS HUGEINT) * m.m) END AS BIGINT) AS q_bp
+FROM m, intra, dmass
+""",
+)
+def graph_modularity_score(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = _coactivity_edges(spark, sf_dir)
+    adj = e.select(F.col("ua").alias("u"), F.col("ub").alias("v")).unionByName(
+        e.select(F.col("ub").alias("u"), F.col("ua").alias("v"))
+    )
+    labels = adj.select("u").distinct().select("u", F.col("u").alias("lab"))
+    for _ in range(2):
+        neigh = adj.join(labels.select(F.col("u").alias("v"), "lab"), "v")
+        counts = neigh.groupBy("u", "lab").agg(F.count(F.lit(1)).alias("c"))
+        w = Window.partitionBy("u").orderBy(F.col("c").desc(), F.col("lab"))
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("u", "lab")
+        )
+    m = e.agg(bigint(F.count(F.lit(1))).alias("m"))
+    la = labels.select(F.col("u").alias("ua"), F.col("lab").alias("lab_a"))
+    lb = labels.select(F.col("u").alias("ub"), F.col("lab").alias("lab_b"))
+    intra = (
+        e.join(la, "ua")
+        .join(lb, "ub")
+        .filter(F.col("lab_a") == F.col("lab_b"))
+        .agg(bigint(F.count(F.lit(1))).alias("intra"))
+    )
+    degs = adj.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    dmass = (
+        degs.join(labels, "u")
+        .groupBy("lab")
+        .agg(F.sum("d").cast("long").alias("dc"))
+        .agg(
+            F.sum(F.col("dc").cast("decimal(38,0)") * F.col("dc"))
+            .cast("decimal(38,0)")
+            .alias("sum_d2"),
+            bigint(F.count(F.lit(1))).alias("n_comm"),
+        )
+    )
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    one = m.crossJoin(F.broadcast(intra)).crossJoin(F.broadcast(dmass))
+    num = F.lit(10000) * (dec(F.lit(4)) * F.col("m") * F.col("intra") - F.col("sum_d2"))
+    den = dec(F.lit(4)) * F.col("m") * F.col("m")
+    q_bp = F.when(F.col("m") == 0, F.lit(0)).otherwise(
+        F.when(num >= 0, F.floor(num / den)).otherwise(-F.floor((-num) / den))
+    )
+    return one.select(
+        F.col("n_comm").alias("n_communities"),
+        F.col("m").alias("n_edges"),
+        F.col("intra").alias("intra_edges"),
+        q_bp.cast("long").alias("q_bp"),
+    )

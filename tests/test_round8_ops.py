@@ -917,3 +917,43 @@ def test_bus_time_seek_consumes_suffix_only(spark, sf_dir):
     assert 0 < consumed < n
     for r in rows:
         assert r["start_offset"] >= 0
+
+
+# --- wave 17: modularity / overlap chunking ----------------------------------
+
+
+def test_modularity_in_valid_range_and_reconciles_with_lpa(spark, sf_dir):
+    (r,) = load_all()["graph_modularity_score"].builder(spark, sf_dir).collect()
+    # Q in [-1/2, 1); bp scale
+    assert -5000 <= r["q_bp"] < 10000
+    assert 0 <= r["intra_edges"] <= r["n_edges"]
+    lpa = load_all()["graph_label_propagation"].builder(spark, sf_dir).collect()
+    assert r["n_communities"] == len(lpa)
+
+
+def test_chunk_overlap_mass_and_counts(spark, sf_dir):
+    from cascade_spark.operators.curation import CHUNK_SIZE, CHUNK_STRIDE
+    from cascade_spark.tables import load
+    from pyspark.sql import functions as F
+
+    rows = (
+        load_all()["pipeline_chunk_overlap_windows"].builder(spark, sf_dir).collect()
+    )
+    assert len(rows) == 20
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("source", F.size(F.split("text", " ")).alias("w"))
+        .collect()
+    )
+    import collections
+
+    expect_chunks = collections.Counter()
+    for d in docs:
+        w = d["w"]
+        n = 1 if w <= CHUNK_SIZE else -(-(w - CHUNK_SIZE) // CHUNK_STRIDE) + 1
+        expect_chunks[d["source"]] += n
+    for r in rows:
+        assert r["n_chunks"] == expect_chunks[r["source"]]
+        # overlap adds mass, never removes it
+        assert r["overlap_words"] >= 0
+        assert r["chunk_word_mass"] >= r["overlap_words"]
