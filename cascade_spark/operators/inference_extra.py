@@ -1152,3 +1152,122 @@ def stats_mantel_haenszel(spark, sf_dir):
         .cast("long")
         .alias("or_crude_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ljung–Box portmanteau test
+# ---------------------------------------------------------------------------
+
+LB_MAX_LAG = 7
+
+
+@register(
+    "stats_ljung_box",
+    "analytics",
+    doc="Ljung–Box portmanteau whiteness test over the gap-free daily "
+    "total-volume series (lags 1..7): the series is mean-centered by "
+    "integer scaling (d_t = n*x_t - S, the stats_durbin_watson trick), "
+    "rho_k in signed truncated bp against the lag-0 energy, and "
+    "Q = n(n+2) * sum_k rho_k^2/(n-k) with the per-lag division done "
+    "as a declared integer floor (term_k = rho_bp_k^2 DIV (n-k)); "
+    "q_bp = n(n+2)*sum(term) DIV 10^4. Everything after the one "
+    "combinable day groupBy runs on the |days| spine.",
+    oracle=f"""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+    FROM events GROUP BY 1
+),
+spine AS (
+    SELECT UNNEST(GENERATE_SERIES((SELECT MIN(day) FROM daily),
+                                  (SELECT MAX(day) FROM daily),
+                                  INTERVAL 1 DAY))::DATE AS day
+),
+series0 AS (
+    SELECT s.day, COALESCE(d.c, 0) AS c
+    FROM spine s LEFT JOIN daily d ON d.day = s.day
+),
+st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s
+       FROM series0),
+series AS (
+    SELECT day, st.n * c - st.s AS d FROM series0, st
+),
+lagged AS (
+    SELECT d,
+           {", ".join(f"LAG(d, {L}) OVER (ORDER BY day) AS l{L}" for L in range(1, LB_MAX_LAG + 1))}
+    FROM series
+),
+sums AS (
+    SELECT CAST(SUM(CAST(d AS HUGEINT) * d) AS HUGEINT) AS e0,
+           {", ".join(f"CAST(SUM(CAST(d AS HUGEINT) * l{L}) AS HUGEINT) AS s{L}" for L in range(1, LB_MAX_LAG + 1))}
+    FROM lagged
+),
+rho AS (
+    SELECT st.n,
+           {", ".join(f"(CASE WHEN s{L} >= 0 THEN 1 ELSE -1 END) * ((10000 * ABS(s{L})) // e0) AS r{L}" for L in range(1, LB_MAX_LAG + 1))}
+    FROM sums, st WHERE e0 > 0
+)
+SELECT n AS n_days,
+       {", ".join(f"CAST(r{L} AS BIGINT) AS rho{L}_bp" for L in range(1, LB_MAX_LAG + 1))},
+       CAST((n * (n + 2) * ({" + ".join(f"(r{L} * r{L}) // (n - {L})" for L in range(1, LB_MAX_LAG + 1))}))
+            // 10000 AS BIGINT) AS q_bp
+FROM rho
+""",
+)
+def stats_ljung_box(spark, sf_dir):
+    from cascade_spark.operators._util import _intdiv
+
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        bigint(F.count(F.lit(1))).alias("c")
+    )
+    spine = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi")).select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    series0 = spine.join(daily, "day", "left").select(
+        "day", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    st = series0.agg(
+        bigint(F.count(F.lit(1))).alias("n"), bigint(F.sum("c")).alias("s")
+    )
+    series = series0.crossJoin(F.broadcast(st)).select(
+        "day", "n", (F.col("n") * F.col("c") - F.col("s")).alias("d")
+    )
+    # |days| rows — deliberate tiny-frame global window (ACF precedent)
+    w = Window.orderBy("day")
+    lagged = series.select(
+        "n",
+        "d",
+        *[F.lag("d", L).over(w).alias(f"l{L}") for L in range(1, LB_MAX_LAG + 1)],
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    sums = lagged.groupBy("n").agg(
+        F.sum(dec(F.col("d")) * F.col("d")).cast("decimal(38,0)").alias("e0"),
+        *[
+            F.sum(dec(F.col("d")) * F.col(f"l{L}"))
+            .cast("decimal(38,0)")
+            .alias(f"s{L}")
+            for L in range(1, LB_MAX_LAG + 1)
+        ],
+    )
+    rho = sums.filter(F.col("e0") > 0).select(
+        "n",
+        *[
+            (
+                F.when(F.col(f"s{L}") >= 0, 1).otherwise(-1)
+                * F.floor(F.lit(10000) * F.abs(F.col(f"s{L}")) / F.col("e0"))
+            )
+            .cast("long")
+            .alias(f"r{L}")
+            for L in range(1, LB_MAX_LAG + 1)
+        ],
+    )
+    terms = " + ".join(
+        f"(r{L} * r{L}) DIV (n - {L})" for L in range(1, LB_MAX_LAG + 1)
+    )
+    return rho.select(
+        F.col("n").alias("n_days"),
+        *[F.col(f"r{L}").alias(f"rho{L}_bp") for L in range(1, LB_MAX_LAG + 1)],
+        F.expr(f"CAST((n * (n + 2) * ({terms})) DIV 10000 AS BIGINT)").alias(
+            "q_bp"
+        ),
+    )

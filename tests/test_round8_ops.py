@@ -957,3 +957,17 @@ def test_chunk_overlap_mass_and_counts(spark, sf_dir):
         # overlap adds mass, never removes it
         assert r["overlap_words"] >= 0
         assert r["chunk_word_mass"] >= r["overlap_words"]
+
+
+def test_ljung_box_components_coherent(spark, sf_dir):
+    (r,) = load_all()["stats_ljung_box"].builder(spark, sf_dir).collect()
+    assert r["n_days"] == 30
+    assert r["q_bp"] >= 0
+    for L in range(1, 8):
+        assert -10000 <= r[f"rho{L}_bp"] <= 10000
+    # Q reconstruction from the reported rhos (the declared formula)
+    n = r["n_days"]
+    q = n * (n + 2) * sum(
+        (r[f"rho{L}_bp"] ** 2) // (n - L) for L in range(1, 8)
+    ) // 10000
+    assert r["q_bp"] == q
