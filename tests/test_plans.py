@@ -498,3 +498,44 @@ def test_phash_dedup_map_only_then_single_shuffle(spark, sf_dir):
     plan = _plan(load_all()["multimodal_phash_dedup"].builder(spark, sf_dir))
     assert "Join" not in plan, plan
     assert "MapInPandas" in plan or "ArrowEvalPython" in plan, plan
+
+
+def test_cdc_chunking_is_map_only_before_dup_decision(spark, sf_dir):
+    """dedup_cdc_chunks: the chunk construction must be ONE map-only
+    HOF pass — no Window (the explode+per-doc-window shape it replaced)
+    and no join until the chunk-hash dup decision."""
+    from cascade_spark.plans.registry import load_all
+
+    plan = _plan(load_all()["dedup_cdc_chunks"].builder(spark, sf_dir))
+    assert "WindowExec" not in plan and "Window " not in plan
+    # exactly one join: chunks x dup-decision
+    assert plan.count("BroadcastHashJoin") + plan.count("SortMergeJoin") == 1
+
+
+def test_retrieval_metrics_truth_scan_runs_once(spark, sf_dir):
+    """similarity_retrieval_metrics localCheckpoints the brute-force
+    truth scan; downstream branches must read the checkpoint (scan
+    'ExistingRDD'/'LogicalRDD'), not re-run the nested-loop join."""
+    from cascade_spark.plans.registry import load_all
+
+    plan = _plan(load_all()["similarity_retrieval_metrics"].builder(spark, sf_dir))
+    # the checkpointed frame appears as RDD scans; the expensive
+    # BroadcastNestedLoopJoin must NOT appear in the final plan at all
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Scan ExistingRDD" in plan
+
+
+def test_bounce_rate_single_user_shuffle(spark, sf_dir):
+    """events_bounce_rate_by_entry shares one user_id sort for both
+    windows (lag + cumulative flag sum) — the sessionize contract."""
+    from cascade_spark.plans.registry import load_all
+
+    plan = _plan(load_all()["events_bounce_rate_by_entry"].builder(spark, sf_dir))
+    import re
+
+    # both windows over the same (user_id; ts, event_id) order: the
+    # plan must not re-exchange between them
+    n_window = len(re.findall(r"Window ", plan))
+    assert n_window >= 2
+    hashpart_user = len(re.findall(r"hashpartitioning\(user_id", plan))
+    assert hashpart_user == 1, f"expected one user shuffle, saw {hashpart_user}"
