@@ -34,6 +34,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # registry stays oracle-gated in pytest (tests/test_oracle.py).
 _NEW_THIS_ROUND: list[str] = [
     # -- (1) new or semantics-changed this round --
+    # round-8 wave 19
+    "events_intervention_its",
+    "dedup_overmerge_audit",
     # round-8 wave 18
     "stats_ljung_box",
     # round-8 wave 17

@@ -42,6 +42,16 @@ from cascade_spark.plans.registry import register
 RETR_QUERY_MOD = 50
 RETR_K = 10
 
+# semantic-dedup gate constants, shared so the overmerge audit's oracle
+# stays in lockstep with similarity_semantic_dedup's threshold
+from cascade_spark.operators.similarity import (  # noqa: E402
+    SEMDEDUP_T_DEN as _SD_DEN,
+    SEMDEDUP_T_NUM as _SD_NUM,
+)
+
+_SD_T2 = _SD_DEN * _SD_DEN
+_SD_N2 = _SD_NUM * _SD_NUM
+
 
 @register(
     "similarity_retrieval_metrics",
@@ -295,4 +305,141 @@ def similarity_dedup_threshold_sweep(spark, sf_dir):
             .alias("n_flagged_greedy"),
         )
         .orderBy("thr_tenths")
+    )
+
+
+@register(
+    "dedup_overmerge_audit",
+    "dedup",
+    doc="Chain-collapse (overmerge) audit of the semantic-dedup "
+    "clusters: greedy connected-component dedup merges A-B-C even when "
+    "A and C are NOT direct near-duplicates — this reports how much of "
+    "each cluster's pair space is transitive-only. Same gated edges "
+    "and CC closure as similarity_semantic_dedup (shared candidate "
+    "index, exact integer cosine gate); output: clusters, clustered "
+    "vecs, direct vs total vs transitive pairs, overmerge share in "
+    "floor bp, largest cluster. A high overmerge_bp says tighten the "
+    "threshold or switch to medoid-based splitting before running the "
+    "100 TB pass.",
+    oracle=f"""
+WITH RECURSIVE {_SQL_BANDED_CTES},
+p AS MATERIALIZED (
+    SELECT c.v1, c.v2,
+           (SELECT CAST(SUM(a.qv[i] * b.qv[i]) AS BIGINT)
+            FROM UNNEST(GENERATE_SERIES(1, LEN(a.qv))) AS s(i)) AS qd,
+           (SELECT CAST(SUM(a.qv[i] * a.qv[i]) AS BIGINT)
+            FROM UNNEST(GENERATE_SERIES(1, LEN(a.qv))) AS s(i)) AS na,
+           (SELECT CAST(SUM(b.qv[i] * b.qv[i]) AS BIGINT)
+            FROM UNNEST(GENERATE_SERIES(1, LEN(b.qv))) AS s(i)) AS nb
+    FROM cand c JOIN qe a ON a.vec_id = c.v1 JOIN qe b ON b.vec_id = c.v2
+),
+pairs AS MATERIALIZED (
+    SELECT v1, v2 FROM p
+    WHERE qd > 0
+      AND {_SD_T2} * qd * qd >= {_SD_N2} * na * nb
+),
+edges AS (SELECT v1 AS a, v2 AS b FROM pairs
+          UNION ALL SELECT v2 AS a, v1 AS b FROM pairs),
+reach(src, dst) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+comp AS (
+    SELECT src AS node, LEAST(src, MIN(dst)) AS comp
+    FROM reach GROUP BY src
+),
+sizes AS (
+    SELECT comp, CAST(COUNT(*) AS BIGINT) AS s FROM comp GROUP BY comp
+),
+agg AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(s) AS BIGINT) AS n_clustered,
+           CAST(SUM(s * (s - 1) // 2) AS BIGINT) AS total_pairs,
+           CAST(MAX(s) AS BIGINT) AS max_cluster
+    FROM sizes
+),
+dp AS (SELECT CAST(COUNT(*) AS BIGINT) AS direct_pairs FROM pairs)
+SELECT agg.n_clusters, agg.n_clustered, dp.direct_pairs, agg.total_pairs,
+       agg.total_pairs - dp.direct_pairs AS transitive_pairs,
+       CAST(CASE WHEN agg.total_pairs = 0 THEN 0
+            ELSE (10000 * (agg.total_pairs - dp.direct_pairs))
+                 // agg.total_pairs END AS BIGINT) AS overmerge_bp,
+       agg.max_cluster
+FROM agg, dp
+""",
+)
+def dedup_overmerge_audit(spark, sf_dir):
+    from cascade_spark.operators.dedup import (
+        LOCAL_CC_MAX_EDGES,
+        _cc_labels_distributed,
+        _cc_local,
+    )
+    from cascade_spark.operators.similarity import (
+        SEMDEDUP_T_DEN,
+        SEMDEDUP_T_NUM,
+    )
+
+    e = t(spark, sf_dir, "embeddings")
+
+    def _quant(col):
+        return F.transform(col, lambda x: F.floor(x.cast("double") * Q_SCALE))
+
+    def _idot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    q = e.select("vec_id", _quant(F.col("embedding")).alias("qv")).select(
+        "vec_id", "qv", _idot(F.col("qv"), F.col("qv")).alias("nq")
+    )
+    a = q.select(F.col("vec_id").alias("v1"), F.col("qv").alias("qa"), F.col("nq").alias("na"))
+    b = q.select(F.col("vec_id").alias("v2"), F.col("qv").alias("qb"), F.col("nq").alias("nb"))
+    p = (
+        _lsh_candidate_pairs(spark, sf_dir)
+        .join(a, "v1")
+        .join(b, "v2")
+        .select("v1", "v2", _idot(F.col("qa"), F.col("qb")).alias("qd"), "na", "nb")
+    )
+    t2 = SEMDEDUP_T_DEN * SEMDEDUP_T_DEN
+    n2 = SEMDEDUP_T_NUM * SEMDEDUP_T_NUM
+    pairs = p.filter(
+        (F.col("qd") > 0)
+        & (F.lit(t2) * F.col("qd") * F.col("qd") >= F.lit(n2) * F.col("na") * F.col("nb"))
+    ).select("v1", "v2")
+    n_direct = pairs.count()
+    if n_direct <= LOCAL_CC_MAX_EDGES:
+        rows = [(r[0], r[1]) for r in pairs.collect()]
+        labels = spark.createDataFrame(_cc_local(rows), "node long, comp long")
+    else:  # pragma: no cover - fixture stays under the local cap
+        fwd = pairs.select(F.col("v1").alias("src"), F.col("v2").alias("nbr"))
+        rev = pairs.select(F.col("v2").alias("src"), F.col("v1").alias("nbr"))
+        edges = fwd.union(rev)
+        init = (
+            edges.select("src").distinct().select(F.col("src").alias("node"))
+            .withColumn("comp", F.col("node"))
+        )
+        labels = _cc_labels_distributed(edges, init)
+    sizes = labels.groupBy("comp").agg(F.count(F.lit(1)).cast("long").alias("s"))
+    agg = sizes.agg(
+        bigint(F.count(F.lit(1))).alias("n_clusters"),
+        bigint(F.sum("s")).alias("n_clustered"),
+        bigint(F.sum(F.col("s") * (F.col("s") - 1) / 2)).alias("total_pairs"),
+        bigint(F.coalesce(F.max("s"), F.lit(0))).alias("max_cluster"),
+    )
+    return agg.select(
+        "n_clusters",
+        "n_clustered",
+        F.lit(n_direct).cast("long").alias("direct_pairs"),
+        "total_pairs",
+        (F.col("total_pairs") - F.lit(n_direct)).cast("long").alias("transitive_pairs"),
+        F.when(F.col("total_pairs") == 0, F.lit(0))
+        .otherwise(
+            F.expr(f"(10000 * (total_pairs - {n_direct})) DIV total_pairs")
+        )
+        .cast("long")
+        .alias("overmerge_bp"),
+        "max_cluster",
     )

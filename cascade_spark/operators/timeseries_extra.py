@@ -249,3 +249,142 @@ def events_seasonality_strength(spark, sf_dir):
         .cast("long")
         .alias("strength_bp"),
     ).orderBy("event_type")
+
+
+@register(
+    "events_intervention_its",
+    "timeseries",
+    doc="Interrupted time series at the mid-span intervention point: "
+    "two EXACT integer OLS fits over the pre/post daily total-volume "
+    "segments (slope = (n*Sty - St*Sy)/(n*Stt - St^2) as one rational "
+    "in truncated bp; intercepts and the boundary prediction share the "
+    "same integer numerators over the n*den denominator) — level jump "
+    "= post intercept minus the pre fit extrapolated to the boundary, "
+    "the causal-inference readout DiD can't give without a control "
+    "group. One combinable day groupBy; the fits run on segment spines.",
+    oracle="""
+WITH span AS (
+    SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1 FROM events
+),
+mid AS (
+    SELECT d0, d0 + CAST(DATE_DIFF('day', d0, d1) // 2 AS INTEGER) AS m FROM span
+),
+daily AS (
+    SELECT CAST(e.ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
+    FROM events e GROUP BY 1
+),
+seg AS (
+    SELECT CASE WHEN day <= mid.m THEN 0 ELSE 1 END AS post,
+           CAST(CASE WHEN day <= mid.m
+                THEN DATE_DIFF('day', mid.d0, day)
+                ELSE DATE_DIFF('day', mid.m, day) - 1 END AS BIGINT) AS tt,
+           y
+    FROM daily, mid
+),
+fit AS (
+    SELECT post,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(tt) AS BIGINT) AS st,
+           CAST(SUM(tt * tt) AS BIGINT) AS stt,
+           CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(tt * y) AS BIGINT) AS sty
+    FROM seg GROUP BY post
+),
+co AS (
+    SELECT post, n,
+           n * sty - st * sy AS num,
+           n * stt - st * st AS den,
+           sy, st
+    FROM fit
+),
+pre AS (SELECT * FROM co WHERE post = 0),
+post AS (SELECT * FROM co WHERE post = 1)
+SELECT pre.n AS n_pre, post.n AS n_post,
+       CAST((10000 * pre.num) // pre.den AS BIGINT) AS slope_pre_bp,
+       CAST((10000 * post.num) // post.den AS BIGINT) AS slope_post_bp,
+       CAST((10000 * (pre.sy * pre.den - pre.num * pre.st
+                      + pre.n * pre.num * pre.n))
+            // (pre.n * pre.den) AS BIGINT) AS pre_end_fit_bp,
+       CAST((10000 * (post.sy * post.den - post.num * post.st))
+            // (post.n * post.den) AS BIGINT) AS post_start_fit_bp,
+       CAST((10000 * (post.sy * post.den - post.num * post.st))
+            // (post.n * post.den)
+          - (10000 * (pre.sy * pre.den - pre.num * pre.st
+                      + pre.n * pre.num * pre.n))
+            // (pre.n * pre.den) AS BIGINT) AS level_jump_bp
+FROM pre, post
+""",
+)
+def events_intervention_its(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    span = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    ).select(
+        "d0",
+        F.expr("date_add(d0, CAST(datediff(d1, d0) DIV 2 AS INT))").alias("m"),
+    )
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        bigint(F.count(F.lit(1))).alias("y")
+    )
+    seg = daily.crossJoin(F.broadcast(span)).select(
+        F.when(F.col("day") <= F.col("m"), 0).otherwise(1).alias("post"),
+        F.when(
+            F.col("day") <= F.col("m"), F.datediff("day", "d0")
+        )
+        .otherwise(F.datediff("day", "m") - 1)
+        .cast("long")
+        .alias("tt"),
+        "y",
+    )
+    fit = seg.groupBy("post").agg(
+        bigint(F.count(F.lit(1))).alias("n"),
+        bigint(F.sum("tt")).alias("st"),
+        bigint(F.sum(F.col("tt") * F.col("tt"))).alias("stt"),
+        bigint(F.sum("y")).alias("sy"),
+        bigint(F.sum(F.col("tt") * F.col("y"))).alias("sty"),
+    )
+    co = fit.select(
+        "post",
+        "n",
+        (F.col("n") * F.col("sty") - F.col("st") * F.col("sy")).alias("num"),
+        (F.col("n") * F.col("stt") - F.col("st") * F.col("st")).alias("den"),
+        "sy",
+        "st",
+    )
+    pre = co.filter("post = 0").select(
+        F.col("n").alias("n_pre"),
+        F.col("num").alias("num0"),
+        F.col("den").alias("den0"),
+        F.col("sy").alias("sy0"),
+        F.col("st").alias("st0"),
+    )
+    post = co.filter("post = 1").select(
+        F.col("n").alias("n_post"),
+        F.col("num").alias("num1"),
+        F.col("den").alias("den1"),
+        F.col("sy").alias("sy1"),
+        F.col("st").alias("st1"),
+    )
+    one = pre.crossJoin(F.broadcast(post))
+    return one.select(
+        "n_pre",
+        "n_post",
+        F.expr("(10000 * num0) DIV den0").cast("long").alias("slope_pre_bp"),
+        F.expr("(10000 * num1) DIV den1").cast("long").alias("slope_post_bp"),
+        F.expr(
+            "(10000 * (sy0 * den0 - num0 * st0 + n_pre * num0 * n_pre))"
+            " DIV (n_pre * den0)"
+        )
+        .cast("long")
+        .alias("pre_end_fit_bp"),
+        F.expr("(10000 * (sy1 * den1 - num1 * st1)) DIV (n_post * den1)")
+        .cast("long")
+        .alias("post_start_fit_bp"),
+        F.expr(
+            "(10000 * (sy1 * den1 - num1 * st1)) DIV (n_post * den1)"
+            " - (10000 * (sy0 * den0 - num0 * st0 + n_pre * num0 * n_pre))"
+            " DIV (n_pre * den0)"
+        )
+        .cast("long")
+        .alias("level_jump_bp"),
+    )

@@ -971,3 +971,27 @@ def test_ljung_box_components_coherent(spark, sf_dir):
         (r[f"rho{L}_bp"] ** 2) // (n - L) for L in range(1, 8)
     ) // 10000
     assert r["q_bp"] == q
+
+
+# --- wave 19: ITS / overmerge audit ------------------------------------------
+
+
+def test_its_jump_reconstruction(spark, sf_dir):
+    (r,) = load_all()["events_intervention_its"].builder(spark, sf_dir).collect()
+    assert r["n_pre"] + r["n_post"] == 30
+    assert r["level_jump_bp"] == r["post_start_fit_bp"] - r["pre_end_fit_bp"]
+
+
+def test_overmerge_audit_reconciles_with_semantic_dedup(spark, sf_dir):
+    (r,) = load_all()["dedup_overmerge_audit"].builder(spark, sf_dir).collect()
+    clusters = (
+        load_all()["similarity_semantic_dedup"].builder(spark, sf_dir).collect()
+    )
+    assert r["n_clusters"] == len(clusters)
+    assert r["n_clustered"] == sum(c["n_vecs"] for c in clusters)
+    assert r["total_pairs"] == sum(
+        c["n_vecs"] * (c["n_vecs"] - 1) // 2 for c in clusters
+    )
+    # every direct edge lies inside some cluster
+    assert 0 <= r["transitive_pairs"] == r["total_pairs"] - r["direct_pairs"]
+    assert 0 <= r["overmerge_bp"] <= 10000
