@@ -1824,3 +1824,60 @@ def pipeline_chunk_overlap_windows(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+KFOLD_K = 5
+
+
+@register(
+    "pipeline_group_kfold",
+    "pipeline",
+    doc=f"Group-aware {KFOLD_K}-fold cross-validation assignment: every "
+    "EVENT inherits its user's fold (md5(user_id) % k), so no user's "
+    "data straddles folds — the leakage-safe split a user-level model "
+    "requires (doc-level pipeline_train_split can't give this "
+    "guarantee). Per fold: users, events, purchase share in exact "
+    "floor bp, and a user-id checksum proving the exact membership. "
+    "One combinable pass; folds are reproducible with no RNG state.",
+    oracle=f"""
+WITH assigned AS (
+    SELECT ('0x' || SUBSTR(MD5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+               % {KFOLD_K} AS fold,
+           user_id,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pur
+    FROM events WHERE user_id IS NOT NULL
+)
+SELECT fold,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST((10000 * SUM(pur)) // COUNT(*) AS BIGINT) AS purchase_bp,
+       CAST(SUM(DISTINCT user_id) AS BIGINT) AS user_id_checksum
+FROM assigned GROUP BY fold ORDER BY fold
+""",
+)
+def pipeline_group_kfold(spark, sf_dir):
+    from cascade_spark.operators._util import bigint
+
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    fold = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % KFOLD_K
+    )
+    assigned = ev.select(
+        fold.alias("fold"),
+        "user_id",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pur"),
+    )
+    return (
+        assigned.groupBy("fold")
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            bigint(F.count(F.lit(1))).alias("n_events"),
+            F.expr("CAST((10000 * SUM(pur)) DIV COUNT(*) AS BIGINT)").alias(
+                "purchase_bp"
+            ),
+            F.sum_distinct(F.col("user_id")).cast("long").alias("user_id_checksum"),
+        )
+        .orderBy("fold")
+    )

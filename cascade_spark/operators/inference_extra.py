@@ -1271,3 +1271,107 @@ def stats_ljung_box(spark, sf_dir):
             "q_bp"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Intraclass correlation (one-way random effects)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_icc_oneway",
+    "analytics",
+    doc="Intraclass correlation ICC(1) over the equal-n (event_type x "
+    "day) grid — how much daily-volume variance is BETWEEN types vs "
+    "within (the reliability readout on the same spine the ANOVA "
+    "family tests). With A = k*sum S_g^2 - S^2 and B = n*Q - sum "
+    "S_g^2, ICC = (A(n-1) - B(k-1)) / ((n-1)(A + (k-1)B)) — ONE exact "
+    "integer rational in truncated bp (negative when within-variance "
+    "dominates; sign-split floor keeps DuckDB // parity). One "
+    "combinable groupBy; everything after runs on k rows.",
+    oracle="""
+WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+types AS (SELECT DISTINCT event_type FROM events),
+daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS v
+    FROM events GROUP BY 1, 2
+),
+cell AS (
+    SELECT t.event_type, d.day, COALESCE(x.v, 0) AS v
+    FROM types t CROSS JOIN days d
+    LEFT JOIN daily x ON x.event_type = t.event_type AND x.day = d.day
+),
+grp AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_g,
+           CAST(SUM(v) AS BIGINT) AS s_g, CAST(SUM(v * v) AS BIGINT) AS q_g
+    FROM cell GROUP BY event_type
+),
+scal AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(MAX(n_g) AS BIGINT) AS n,
+           CAST(SUM(s_g) AS BIGINT) AS s,
+           CAST(SUM(q_g) AS BIGINT) AS q,
+           CAST(SUM(s_g * s_g) AS HUGEINT) AS sum_sg2
+    FROM grp
+)
+-- with A = k*sum S_g^2 - S^2 and B = n*Q - sum S_g^2 (both >= 0),
+-- MSB = A/(nk(k-1)), MSW = B/(nk(n-1));
+-- ICC = (A(n-1) - B(k-1)) / ((n-1)(A + (k-1)B)), which simplifies to
+-- (sum_sg2*(nk-1) - (n-1)*S^2 - (k-1)*n*Q)
+--   / ((n-1)*(sum_sg2 - S^2 + (k-1)*n*Q))
+SELECT k AS n_groups, n AS n_per_group,
+       CAST((10000 * (sum_sg2 * (n * k - 1)
+                      - (n - 1) * CAST(s AS HUGEINT) * s
+                      - (k - 1) * CAST(n AS HUGEINT) * q))
+            // NULLIF((n - 1) * (sum_sg2 - CAST(s AS HUGEINT) * s
+                      + (k - 1) * CAST(n AS HUGEINT) * q), 0)
+            AS BIGINT) AS icc_bp
+FROM scal
+""",
+)
+def stats_icc_oneway(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select("event_type", F.to_date("ts").alias("day"))
+    days = ev.select("day").distinct()
+    types = ev.select("event_type").distinct()
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("v")
+    )
+    cell = (
+        types.crossJoin(F.broadcast(days))
+        .join(daily, ["event_type", "day"], "left")
+        .select("event_type", F.coalesce("v", F.lit(0)).cast("long").alias("v"))
+    )
+    grp = cell.groupBy("event_type").agg(
+        bigint(F.count(F.lit(1))).alias("n_g"),
+        bigint(F.sum("v")).alias("s_g"),
+        bigint(F.sum(F.col("v") * F.col("v"))).alias("q_g"),
+    )
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    scal = grp.agg(
+        bigint(F.count(F.lit(1))).alias("k"),
+        bigint(F.max("n_g")).alias("n"),
+        bigint(F.sum("s_g")).alias("s"),
+        bigint(F.sum("q_g")).alias("q"),
+        F.sum(dec(F.col("s_g")) * F.col("s_g")).cast("decimal(38,0)").alias("sum_sg2"),
+    )
+    num = F.lit(10000) * (
+        F.col("sum_sg2") * (F.col("n") * F.col("k") - 1)
+        - dec(F.col("n") - 1) * F.col("s") * F.col("s")
+        - dec(F.col("k") - 1) * F.col("n") * F.col("q")
+    )
+    den = (F.col("n") - 1) * (
+        F.col("sum_sg2")
+        - dec(F.col("s")) * F.col("s")
+        + dec(F.col("k") - 1) * F.col("n") * F.col("q")
+    )
+    icc = F.when(den == 0, F.lit(0)).otherwise(
+        F.when(num >= 0, F.floor(num / den)).otherwise(-F.floor((-num) / den))
+    )
+    return scal.select(
+        F.col("k").alias("n_groups"),
+        F.col("n").alias("n_per_group"),
+        icc.cast("long").alias("icc_bp"),
+    )

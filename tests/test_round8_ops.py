@@ -995,3 +995,50 @@ def test_overmerge_audit_reconciles_with_semantic_dedup(spark, sf_dir):
     # every direct edge lies inside some cluster
     assert 0 <= r["transitive_pairs"] == r["total_pairs"] - r["direct_pairs"]
     assert 0 <= r["overmerge_bp"] <= 10000
+
+
+# --- wave 20: ICC / group k-fold ---------------------------------------------
+
+
+def test_icc_matches_python_anova_reference(spark, sf_dir):
+    import collections
+    import statistics
+
+    from cascade_spark.tables import load
+    from pyspark.sql import functions as F
+
+    (r,) = load_all()["stats_icc_oneway"].builder(spark, sf_dir).collect()
+    rows = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .count()
+        .collect()
+    )
+    days = {x["day"] for x in rows}
+    groups = collections.defaultdict(dict)
+    for x in rows:
+        groups[x["event_type"]][x["day"]] = x["count"]
+    series = {
+        et: [g.get(d, 0) for d in sorted(days)] for et, g in groups.items()
+    }
+    k, n = len(series), len(days)
+    gm = sum(map(sum, series.values())) / (n * k)
+    ssb = sum(n * (statistics.mean(g) - gm) ** 2 for g in series.values())
+    ssw = sum(
+        sum((x - statistics.mean(g)) ** 2 for x in g) for g in series.values()
+    )
+    msb, msw = ssb / (k - 1), ssw / (k * (n - 1))
+    icc = (msb - msw) / (msb + (n - 1) * msw)
+    assert r["icc_bp"] == int(icc * 10000)  # truncation toward zero
+
+
+def test_group_kfold_partitions_users_exactly(spark, sf_dir):
+    from cascade_spark.tables import load
+
+    rows = load_all()["pipeline_group_kfold"].builder(spark, sf_dir).collect()
+    ev = load(spark, sf_dir, "events").filter("user_id IS NOT NULL")
+    assert sum(r["n_users"] for r in rows) == ev.select("user_id").distinct().count()
+    assert sum(r["n_events"] for r in rows) == ev.count()
+    assert sum(r["user_id_checksum"] for r in rows) == (
+        ev.selectExpr("CAST(SUM(DISTINCT user_id) AS BIGINT)").first()[0]
+    )
