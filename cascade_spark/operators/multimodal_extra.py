@@ -121,3 +121,110 @@ def multimodal_image_rotate(spark, sf_dir):
         "out_height long, rot_wsum long, mir_wsum long"
     )
     return ids.mapInPandas(synth_rotate, schema=schema).orderBy("doc_id")
+
+
+def mulaw_encode(samples):
+    """Vectorized ITU G.711 mu-law companding of int16 PCM — the real
+    integer algorithm (clip, +132 bias, segment = MSB position above
+    bit 7, 4-bit mantissa, ones-complement), exactly mirrorable as
+    integer CASE arithmetic in SQL."""
+    import numpy as np
+
+    x = samples.astype(np.int64)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), 32635) + 132
+    # segment 0..7: position of the most significant bit above bit 7
+    seg = np.zeros_like(mag)
+    for s, lo in enumerate([256, 512, 1024, 2048, 4096, 8192, 16384]):
+        seg = np.where(mag >= lo, s + 1, seg)
+    mant = (mag >> (seg + 3)) & 0x0F
+    return (~(sign | (seg << 4) | mant)) & 0xFF
+
+
+_SQL_MULAW_SEG = (
+    "(CASE WHEN mag >= 16384 THEN 7 WHEN mag >= 8192 THEN 6"
+    " WHEN mag >= 4096 THEN 5 WHEN mag >= 2048 THEN 4"
+    " WHEN mag >= 1024 THEN 3 WHEN mag >= 512 THEN 2"
+    " WHEN mag >= 256 THEN 1 ELSE 0 END)"
+)
+
+
+@register(
+    "multimodal_wav_mulaw",
+    "multimodal",
+    doc="REAL audio codec work: G.711 mu-law companding of the PCM16 "
+    "WAV decode — clip/bias/segment/mantissa as exact integer bit "
+    "arithmetic (vectorized numpy on the decode path; the oracle "
+    "replays the synthesis recurrence through the same integer CASE "
+    "chain). Per doc: sample count, mu-law byte checksum, distinct "
+    "code count, and the compressed/original bit ratio (8/16) made "
+    "observable as exact code-sum parity. Map-only, no shuffle.",
+    oracle=f"""
+WITH samples AS (
+    SELECT d.doc_id, i,
+           ((d.doc_id * 7 + i) % 65536 - 32768) AS x
+    FROM documents d,
+         LATERAL (SELECT UNNEST(GENERATE_SERIES(0, 64 + d.doc_id % 129 - 1)) AS i)
+),
+biased AS (
+    SELECT doc_id, i,
+           CASE WHEN x < 0 THEN 128 ELSE 0 END AS sign,
+           LEAST(ABS(x), 32635) + 132 AS mag
+    FROM samples
+),
+coded AS (
+    SELECT doc_id,
+           CAST(xor(255, sign | ({_SQL_MULAW_SEG} * 16)
+                | ((mag // (1 << ({_SQL_MULAW_SEG} + 3))) & 15)) AS BIGINT)
+               AS code
+    FROM biased
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(SUM(code) AS BIGINT) AS code_sum,
+       CAST(COUNT(DISTINCT code) AS BIGINT) AS n_distinct_codes,
+       CAST(MAX(code) AS BIGINT) AS max_code
+FROM coded GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def multimodal_wav_mulaw(spark, sf_dir):
+    import pandas as pd
+
+    from cascade_spark.operators.multimodal import parse_wav, synth_wav
+
+    d = t(spark, sf_dir, "documents")
+    ids = d.repartition(8).select("doc_id")
+
+    def encode(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                _, _, samples = parse_wav(synth_wav(doc_id))
+                codes = mulaw_encode(samples)
+                rows.append(
+                    (
+                        doc_id,
+                        int(codes.size),
+                        int(codes.sum()),
+                        int(np.unique(codes).size),
+                        int(codes.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_samples", "code_sum", "n_distinct_codes",
+                    "max_code",
+                ],
+            )
+
+    return ids.mapInPandas(
+        encode,
+        schema=(
+            "doc_id long, n_samples long, code_sum long,"
+            " n_distinct_codes long, max_code long"
+        ),
+    ).orderBy("doc_id")

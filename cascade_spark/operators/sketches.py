@@ -214,3 +214,76 @@ def profile_cms_heavy_hitters(spark, sf_dir):
         cms.alias("cms_est"),
         (cms - F.col("exact_count")).alias("overestimate"),
     ).orderBy(F.desc("exact_count"), "w")
+
+
+KMV_K = 16
+KMV_H_MAX = 1 << 32  # md5-derived 32-bit hash space
+
+
+@register(
+    "agg_kmv_distinct_sketch",
+    "analytics",
+    doc=f"KMV (k-minimum-values) distinct-count sketch, k={KMV_K}: keep "
+    "the k smallest md5-derived 32-bit hashes of user_id — a bottom-k "
+    "sketch is MERGEABLE (union = bottom-k of the unions) and doubles "
+    "as a uniform sample. Estimator N-hat = (k-1)*H_MAX/h_(k) in exact "
+    "integer floor arithmetic next to the true distinct count, plus "
+    "the kth hash and the bottom-k checksum proving the exact sketch "
+    "contents. Per-partition bottom-k then global bottom-k — the "
+    "sort_topk_global shape; the verifiable cousin of "
+    "agg_approx_count_distinct/HLL (those are rows-only; the md5 hash "
+    "family makes THIS one hash-checkable).",
+    oracle=f"""
+WITH hashed AS (
+    SELECT DISTINCT ('0x' || SUBSTR(MD5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+               AS h
+    FROM events WHERE user_id IS NOT NULL
+),
+bottom AS (
+    SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rk FROM hashed
+    ORDER BY h LIMIT {KMV_K}
+),
+true_n AS (
+    SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_true
+    FROM events WHERE user_id IS NOT NULL
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS k_used,
+       CAST(MAX(h) AS BIGINT) AS h_k,
+       CAST(SUM(h) AS BIGINT) AS sketch_checksum,
+       (SELECT n_true FROM true_n) AS n_true,
+       CAST(CASE WHEN COUNT(*) < {KMV_K}
+            THEN (SELECT n_true FROM true_n)
+            ELSE (({KMV_K} - 1) * CAST({KMV_H_MAX} AS HUGEINT)) // MAX(h)
+            END AS BIGINT) AS kmv_estimate
+FROM bottom
+""",
+)
+def agg_kmv_distinct_sketch(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    hashed = ev.select(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h")
+    ).distinct()
+    bottom = hashed.orderBy("h").limit(KMV_K)
+    true_n = ev.agg(F.countDistinct("user_id").cast("long").alias("n_true"))
+    agg = bottom.agg(
+        bigint(F.count(F.lit(1))).alias("k_used"),
+        bigint(F.max("h")).alias("h_k"),
+        bigint(F.sum("h")).alias("sketch_checksum"),
+    )
+    return agg.crossJoin(F.broadcast(true_n)).select(
+        "k_used",
+        "h_k",
+        "sketch_checksum",
+        "n_true",
+        F.when(F.col("k_used") < KMV_K, F.col("n_true"))
+        .otherwise(
+            F.floor(
+                (F.lit(KMV_K - 1) * F.lit(KMV_H_MAX).cast("decimal(38,0)"))
+                / F.col("h_k")
+            )
+        )
+        .cast("long")
+        .alias("kmv_estimate"),
+    )

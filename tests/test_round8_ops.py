@@ -1042,3 +1042,44 @@ def test_group_kfold_partitions_users_exactly(spark, sf_dir):
     assert sum(r["user_id_checksum"] for r in rows) == (
         ev.selectExpr("CAST(SUM(DISTINCT user_id) AS BIGINT)").first()[0]
     )
+
+
+# --- wave 21: mu-law / KMV ---------------------------------------------------
+
+
+def test_mulaw_matches_reference_scalar_impl(spark, sf_dir):
+    """Scalar ITU reference (the canonical table-free form) vs the
+    vectorized numpy implementation on boundary inputs."""
+    import numpy as np
+
+    from cascade_spark.operators.multimodal_extra import mulaw_encode
+
+    def scalar_mulaw(x):
+        sign = 0x80 if x < 0 else 0
+        mag = min(abs(x), 32635) + 132
+        seg = 0
+        for s, lo in enumerate([256, 512, 1024, 2048, 4096, 8192, 16384]):
+            if mag >= lo:
+                seg = s + 1
+        mant = (mag >> (seg + 3)) & 0x0F
+        return (~(sign | (seg << 4) | mant)) & 0xFF
+
+    probes = np.array(
+        [-32768, -32636, -32635, -8193, -256, -1, 0, 1, 123, 255, 256,
+         8158, 32635, 32767],
+        dtype=np.int64,
+    )
+    got = mulaw_encode(probes)
+    for x, g in zip(probes.tolist(), got.tolist()):
+        assert g == scalar_mulaw(x), x
+    # all codes are bytes; silence (0) maps to 0xFF
+    assert scalar_mulaw(0) == 0xFF
+
+
+def test_kmv_estimate_brackets_truth(spark, sf_dir):
+    (r,) = load_all()["agg_kmv_distinct_sketch"].builder(spark, sf_dir).collect()
+    assert r["k_used"] == min(16, r["n_true"])
+    # KMV with k=16 has ~25% relative error; the md5 family is fixed so
+    # this is a deterministic fixture property, not a statistical flake
+    assert 0 < r["kmv_estimate"] < 4 * r["n_true"] + 16
+    assert r["n_true"] // 4 <= r["kmv_estimate"] or r["n_true"] <= 16
