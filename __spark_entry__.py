@@ -34,6 +34,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # registry stays oracle-gated in pytest (tests/test_oracle.py).
 _NEW_THIS_ROUND: list[str] = [
     # -- (1) new or semantics-changed this round --
+    # round-8 wave 22
+    "udtf_arrow_ngram_expand",
     # round-8 wave 21
     "multimodal_wav_mulaw",
     "agg_kmv_distinct_sketch",

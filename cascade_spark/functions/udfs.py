@@ -764,3 +764,50 @@ def udf_pandas_window_agg(spark, sf_dir):
         .filter(F.col("user_id") % 100 == 0)
         .orderBy("user_id", "rn")
     )
+
+
+@register(
+    "udtf_arrow_ngram_expand",
+    "udf",
+    doc="Arrow-optimized Python UDTF (useArrow=True — the 4th UDTF "
+    "execution shape next to the pickled UDTF, the table-argument "
+    "UDTF and the polymorphic analyze() UDTF): expand each document "
+    "into its word-trigram spans with exact character offsets. Arrow "
+    "batches replace per-row pickling on both the input and the "
+    "yielded rows — the throughput-relevant variant for wide fan-out "
+    "UDTFs. Deterministic → hash-checked against a pure-SQL "
+    "generate_series oracle.",
+    oracle="""
+SELECT doc_id,
+       CAST(i AS BIGINT) AS gram_idx,
+       CAST(LEN(STRING_SPLIT(text, ' ')[i + 1]) AS BIGINT) AS w1_len,
+       CAST(LEN(STRING_SPLIT(text, ' ')[i + 1]) +
+            LEN(STRING_SPLIT(text, ' ')[i + 2]) +
+            LEN(STRING_SPLIT(text, ' ')[i + 3]) + 2 AS BIGINT) AS span_chars
+FROM documents,
+     LATERAL (SELECT UNNEST(GENERATE_SERIES(0,
+                LEN(STRING_SPLIT(text, ' ')) - 3)) AS i)
+WHERE LEN(STRING_SPLIT(text, ' ')) >= 3
+ORDER BY doc_id, gram_idx
+""",
+)
+def udtf_arrow_ngram_expand(spark, sf_dir):
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="gram_idx: long, w1_len: long, span_chars: long", useArrow=True)
+    class TrigramSpans:
+        def eval(self, text: str):
+            words = text.split(" ")
+            for i in range(len(words) - 2):
+                span = len(words[i]) + len(words[i + 1]) + len(words[i + 2]) + 2
+                yield i, len(words[i]), span
+
+    spark.udtf.register("trigram_spans_arrow", TrigramSpans)
+    t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT d.doc_id, g.gram_idx, g.w1_len, g.span_chars
+        FROM documents d, LATERAL trigram_spans_arrow(d.text) g
+        ORDER BY d.doc_id, g.gram_idx
+        """
+    )

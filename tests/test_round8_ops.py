@@ -1083,3 +1083,18 @@ def test_kmv_estimate_brackets_truth(spark, sf_dir):
     # this is a deterministic fixture property, not a statistical flake
     assert 0 < r["kmv_estimate"] < 4 * r["n_true"] + 16
     assert r["n_true"] // 4 <= r["kmv_estimate"] or r["n_true"] <= 16
+
+
+def test_arrow_udtf_expansion_counts(spark, sf_dir):
+    from cascade_spark.tables import load
+    from pyspark.sql import functions as F
+
+    df = load_all()["udtf_arrow_ngram_expand"].builder(spark, sf_dir)
+    n_out = df.count()
+    expect = (
+        load(spark, sf_dir, "documents")
+        .select(F.greatest(F.size(F.split("text", " ")) - 2, F.lit(0)).alias("g"))
+        .agg(F.sum("g"))
+        .first()[0]
+    )
+    assert n_out == expect
