@@ -34,6 +34,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # registry stays oracle-gated in pytest (tests/test_oracle.py).
 _NEW_THIS_ROUND: list[str] = [
     # -- (1) new or semantics-changed this round --
+    # round-8 wave 23
+    "stats_cvm_two_sample",
+    "pipeline_greedy_coverage",
     # round-8 wave 22
     "udtf_arrow_ngram_expand",
     # round-8 wave 21

@@ -1881,3 +1881,115 @@ def pipeline_group_kfold(spark, sf_dir):
         )
         .orderBy("fold")
     )
+
+
+COVER_ROUNDS = 5
+
+
+def _cover_round_ctes(n_rounds: int) -> str:
+    """Unrolled greedy-coverage CTE chain: g_r scores candidate docs by
+    still-uncovered word count, s_r picks the (count DESC, doc_id)
+    argmax — mirroring the Spark driver loop round for round."""
+    parts = []
+    for r in range(1, n_rounds + 1):
+        if r == 1:
+            g = """
+g1 AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS c FROM dw GROUP BY doc_id
+)"""
+        else:
+            prev_sel = " UNION ALL ".join(
+                f"SELECT doc_id FROM s{p}" for p in range(1, r)
+            )
+            g = f"""
+g{r} AS (
+    SELECT dw.doc_id, CAST(COUNT(*) AS BIGINT) AS c
+    FROM dw
+    WHERE dw.w NOT IN (SELECT w FROM dw WHERE doc_id IN ({prev_sel}))
+      AND dw.doc_id NOT IN ({prev_sel})
+    GROUP BY dw.doc_id
+)"""
+        parts.append(g)
+        parts.append(
+            f"""
+s{r} AS (SELECT doc_id, c FROM g{r} ORDER BY c DESC, doc_id LIMIT 1)"""
+        )
+    return ",".join(parts)
+
+
+@register(
+    "pipeline_greedy_coverage",
+    "pipeline",
+    doc=f"Greedy max-coverage data selection ({COVER_ROUNDS} rounds) — "
+    "the facility-location heuristic behind coverage-driven corpus "
+    "subset selection: each round picks the document covering the most "
+    "still-uncovered vocabulary words (ties -> lowest doc_id), the "
+    "classic 1-1/e greedy. Per round: selected doc, newly covered "
+    "words, cumulative coverage. Spark runs the bounded driver loop "
+    "(one 1-row argmax collect per round — the BPE-argmax precedent); "
+    "the oracle unrolls the same rounds as CTE chains. Rounds after "
+    "full coverage emit no row (mirrored). At corpus scale each round "
+    "is one anti-join + one combinable groupBy + a tiny global top-1.",
+    oracle=f"""
+WITH dw AS MATERIALIZED (
+    SELECT DISTINCT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w
+    FROM documents
+),{_cover_round_ctes(COVER_ROUNDS)}
+SELECT rnd, doc_id, new_words,
+       CAST(SUM(new_words) OVER (ORDER BY rnd
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_words
+FROM (
+    {" UNION ALL ".join(f"SELECT {r} AS rnd, doc_id, c AS new_words FROM s{r}" for r in range(1, COVER_ROUNDS + 1))}
+)
+WHERE new_words > 0
+ORDER BY rnd
+""",
+)
+def pipeline_greedy_coverage(spark, sf_dir):
+    from cascade_spark.operators._util import bigint
+
+    d = t(spark, sf_dir, "documents")
+    dw = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    covered = None  # DataFrame of covered words
+    selected: list[tuple[int, int, int]] = []
+    chosen_ids: list[int] = []
+    for rnd in range(1, COVER_ROUNDS + 1):
+        rem = dw
+        if chosen_ids:
+            rem = rem.filter(~F.col("doc_id").isin(chosen_ids))
+        if covered is not None:
+            rem = rem.join(covered, "w", "left_anti")
+        top = (
+            rem.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .orderBy(F.col("c").desc(), "doc_id")
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["c"] == 0:
+            break
+        doc_id, c = int(top[0]["doc_id"]), int(top[0]["c"])
+        selected.append((rnd, doc_id, c))
+        chosen_ids.append(doc_id)
+        new_cov = dw.filter(F.col("doc_id") == doc_id).select("w").distinct()
+        covered = (
+            new_cov if covered is None else covered.unionByName(new_cov).distinct()
+        )
+        covered = covered.localCheckpoint(eager=True)
+    out = spark.createDataFrame(
+        selected, "rnd int, doc_id long, new_words long"
+    )
+    return out.select(
+        "rnd",
+        "doc_id",
+        "new_words",
+        bigint(
+            F.sum("new_words").over(
+                Window.orderBy("rnd").rowsBetween(Window.unboundedPreceding, 0)
+            )
+        ).alias("cum_words"),
+    ).orderBy("rnd")

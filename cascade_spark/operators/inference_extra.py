@@ -1375,3 +1375,132 @@ def stats_icc_oneway(spark, sf_dir):
         F.col("n").alias("n_per_group"),
         icc.cast("long").alias("icc_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cramér–von Mises two-sample test
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_cvm_two_sample",
+    "analytics",
+    doc="Cramér–von Mises two-sample test between click and view daily "
+    "volumes — the quadratic-EDF companion to stats_ks_two_sample (KS "
+    "sees the max gap; CvM integrates ALL of it): Anderson's rank form "
+    "U = n*sum(r_i - i)^2 + m*sum(s_j - j)^2 kept EXACT on the "
+    "distinct-value spine with doubled midranks (tie groups expand via "
+    "the closed forms for sum i and sum i^2 over the within-sample "
+    "index range — never per-row ranking), and T = "
+    "(3*U4 - 2nm(4nm-1)) / (12nmN) as one integer rational in "
+    "truncated bp. Spine is value-cardinality bounded.",
+    oracle="""
+WITH """ + _XY_SQL + """,
+vals AS (
+    SELECT x AS v, CAST(COUNT(*) AS BIGINT) AS c1, CAST(0 AS BIGINT) AS c2
+    FROM daily GROUP BY x
+    UNION ALL
+    SELECT y AS v, CAST(0 AS BIGINT), CAST(COUNT(*) AS BIGINT)
+    FROM daily GROUP BY y
+),
+spine AS (
+    SELECT v, CAST(SUM(c1) AS BIGINT) AS c1, CAST(SUM(c2) AS BIGINT) AS c2
+    FROM vals GROUP BY v
+),
+cum AS (
+    SELECT v, c1, c2,
+           CAST(COALESCE(SUM(c1 + c2) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS nb,
+           CAST(COALESCE(SUM(c1) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS a1,
+           CAST(COALESCE(SUM(c2) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS a2
+    FROM spine
+),
+terms AS (
+    SELECT
+        -- A = pooled doubled midrank; within-sample indices i run over
+        -- (a+1 .. a+c): sum (A-2i)^2 = c*A^2 - 4A*si + 4*si2
+        (2 * nb + c1 + c2 + 1) AS a_mid,
+        c1, c2, a1, a2
+    FROM cum
+),
+u AS (
+    SELECT
+        CAST(SUM(c1 * a_mid * a_mid
+             - 4 * a_mid * (c1 * a1 + c1 * (c1 + 1) // 2)
+             + 4 * (c1 * a1 * a1 + 2 * a1 * (c1 * (c1 + 1) // 2)
+                    + c1 * (c1 + 1) * (2 * c1 + 1) // 6)) AS BIGINT) AS t1,
+        CAST(SUM(c2 * a_mid * a_mid
+             - 4 * a_mid * (c2 * a2 + c2 * (c2 + 1) // 2)
+             + 4 * (c2 * a2 * a2 + 2 * a2 * (c2 * (c2 + 1) // 2)
+                    + c2 * (c2 + 1) * (2 * c2 + 1) // 6)) AS BIGINT) AS t2,
+        CAST(SUM(c1) AS BIGINT) AS n, CAST(SUM(c2) AS BIGINT) AS m
+    FROM terms
+)
+SELECT n, m,
+       CAST(n * t1 + m * t2 AS BIGINT) AS u4,
+       CAST((10000 * (3 * (n * t1 + m * t2)
+                      - 2 * n * m * (4 * n * m - 1)))
+            // (12 * n * m * (n + m)) AS BIGINT) AS t_bp
+FROM u
+""",
+)
+def stats_cvm_two_sample(spark, sf_dir):
+    from cascade_spark.operators.ingest import assign_prefix_sum
+
+    daily = _xy_daily(spark, sf_dir)
+    vals = daily.groupBy(F.col("x").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("c1"), F.lit(0).cast("long").alias("c2")
+    ).unionByName(
+        daily.groupBy(F.col("y").alias("v")).agg(
+            F.lit(0).cast("long").alias("c1"),
+            F.count(F.lit(1)).cast("long").alias("c2"),
+        )
+    )
+    spine = vals.groupBy("v").agg(
+        F.sum("c1").cast("long").alias("c1"), F.sum("c2").cast("long").alias("c2")
+    )
+    spine = spine.withColumn("ct", F.col("c1") + F.col("c2"))
+    cum = assign_prefix_sum(spine, ["v"], "ct").withColumnRenamed(
+        "prefix_sum", "nb"
+    )
+    cum = assign_prefix_sum(cum, ["v"], "c1").withColumnRenamed("prefix_sum", "a1")
+    cum = assign_prefix_sum(cum, ["v"], "c2").withColumnRenamed("prefix_sum", "a2")
+    a_mid = (2 * F.col("nb") + F.col("c1") + F.col("c2") + 1).alias("a_mid")
+    terms = cum.select(a_mid, "c1", "c2", "a1", "a2")
+
+    def tterm(c, a):
+        si = F.expr(f"{c} * {a} + {c} * ({c} + 1) DIV 2")
+        si2 = F.expr(
+            f"{c} * {a} * {a} + 2 * {a} * ({c} * ({c} + 1) DIV 2)"
+            f" + {c} * ({c} + 1) * (2 * {c} + 1) DIV 6"
+        )
+        return (
+            F.col(c) * F.col("a_mid") * F.col("a_mid")
+            - 4 * F.col("a_mid") * si
+            + 4 * si2
+        )
+
+    u = terms.agg(
+        F.sum(tterm("c1", "a1")).cast("long").alias("t1"),
+        F.sum(tterm("c2", "a2")).cast("long").alias("t2"),
+        F.sum("c1").cast("long").alias("n"),
+        F.sum("c2").cast("long").alias("m"),
+    )
+    return u.select(
+        "n",
+        "m",
+        (F.col("n") * F.col("t1") + F.col("m") * F.col("t2"))
+        .cast("long")
+        .alias("u4"),
+        F.expr(
+            "(10000 * (3 * (n * t1 + m * t2) - 2 * n * m * (4 * n * m - 1)))"
+            " DIV (12 * n * m * (n + m))"
+        )
+        .cast("long")
+        .alias("t_bp"),
+    )

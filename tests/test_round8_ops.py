@@ -1098,3 +1098,59 @@ def test_arrow_udtf_expansion_counts(spark, sf_dir):
         .first()[0]
     )
     assert n_out == expect
+
+
+# --- wave 23: CvM / greedy coverage ------------------------------------------
+
+
+def test_cvm_matches_python_rank_reference(spark, sf_dir):
+    from cascade_spark.tables import load
+    from pyspark.sql import functions as F
+
+    (r,) = load_all()["stats_cvm_two_sample"].builder(spark, sf_dir).collect()
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("x"),
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("y"),
+        )
+        .collect()
+    )
+    xs = sorted(d["x"] for d in daily)
+    ys = sorted(d["y"] for d in daily)
+    pooled = sorted(xs + ys)
+
+    def midrank(v):
+        lo = sum(1 for p in pooled if p < v)
+        eq = sum(1 for p in pooled if p == v)
+        return lo + (eq + 1) / 2
+
+    n, m = len(xs), len(ys)
+    u = n * sum((midrank(v) - (i + 1)) ** 2 for i, v in enumerate(xs)) + m * sum(
+        (midrank(v) - (j + 1)) ** 2 for j, v in enumerate(ys)
+    )
+    assert r["u4"] == int(4 * u)
+    N = n + m
+    t_exact = (3 * r["u4"] - 2 * n * m * (4 * n * m - 1)) / (12 * n * m * N)
+    assert r["t_bp"] == int(t_exact * 10000)  # truncation parity
+
+
+def test_greedy_coverage_is_greedy_and_saturates(spark, sf_dir):
+    from cascade_spark.tables import load
+    from pyspark.sql import functions as F
+
+    rows = load_all()["pipeline_greedy_coverage"].builder(spark, sf_dir).collect()
+    assert rows, "at least one round must select"
+    gains = [r["new_words"] for r in rows]
+    assert gains == sorted(gains, reverse=True)  # greedy gains never increase
+    vocab = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .distinct()
+        .count()
+    )
+    assert rows[-1]["cum_words"] <= vocab
+    assert rows[-1]["cum_words"] == sum(gains)
+    ids = [r["doc_id"] for r in rows]
+    assert len(ids) == len(set(ids))
