@@ -34,6 +34,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # registry stays oracle-gated in pytest (tests/test_oracle.py).
 _NEW_THIS_ROUND: list[str] = [
     # -- (1) new or semantics-changed this round --
+    # round-8 wave 24
+    "stats_mcc_matthews",
+    "stats_cochran_armitage",
+    "scan_text_wholetext",
     # round-8 wave 23
     "stats_cvm_two_sample",
     "pipeline_greedy_coverage",

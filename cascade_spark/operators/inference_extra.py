@@ -1504,3 +1504,189 @@ def stats_cvm_two_sample(spark, sf_dir):
         .cast("long")
         .alias("t_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Matthews correlation coefficient
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_mcc_matthews",
+    "analytics",
+    doc="Matthews correlation coefficient of the binary en-vs-rest "
+    "marker classifier (predicted: any English marker word present; "
+    "actual: lang = 'en') — the confusion-matrix summary that stays "
+    "honest under class imbalance where accuracy and F1 (the "
+    "text_langid_prf_audit columns) inflate. TP/FP/FN/TN exact from "
+    "one combinable pass; MCC = (TP*TN - FP*FN)/sqrt((TP+FP)(TP+FN)"
+    "(TN+FP)(TN+FN)) as one mirrored IEEE expression over exact "
+    "integer operands, 6 dp (Welch precedent).",
+    oracle="""
+WITH rated AS (
+    SELECT CASE WHEN LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                w -> LIST_CONTAINS(['the', 'a', 'of', 'and', 'to'], w))) > 0
+                THEN 1 ELSE 0 END AS pred,
+           CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS actual
+    FROM documents
+),
+cm AS (
+    SELECT CAST(COUNT(*) FILTER (WHERE pred = 1 AND actual = 1) AS BIGINT) AS tp,
+           CAST(COUNT(*) FILTER (WHERE pred = 1 AND actual = 0) AS BIGINT) AS fp,
+           CAST(COUNT(*) FILTER (WHERE pred = 0 AND actual = 1) AS BIGINT) AS fn,
+           CAST(COUNT(*) FILTER (WHERE pred = 0 AND actual = 0) AS BIGINT) AS tn
+    FROM rated
+)
+SELECT tp, fp, fn, tn,
+       CASE WHEN (tp+fp)*(tp+fn)*(tn+fp)*(tn+fn) = 0 THEN 0.0
+            ELSE ROUND((CAST(tp AS DOUBLE)*tn - CAST(fp AS DOUBLE)*fn)
+                 / SQRT(CAST(tp+fp AS DOUBLE) * CAST(tp+fn AS DOUBLE)
+                        * CAST(tn+fp AS DOUBLE) * CAST(tn+fn AS DOUBLE)), 6)
+       END AS mcc
+FROM cm
+""",
+)
+def stats_mcc_matthews(spark, sf_dir):
+    from cascade_spark.operators.text import LANG_MARKERS
+
+    docs = t(spark, sf_dir, "documents")
+    en = LANG_MARKERS["en"]
+    pred = F.when(
+        F.size(
+            F.array_intersect(
+                F.split(F.col("text"), " "),
+                F.array(*[F.lit(w) for w in en]),
+            )
+        )
+        > 0,
+        1,
+    ).otherwise(0)
+    # NOTE: array_intersect dedups; presence (>0) is what we test, so it
+    # matches the oracle's LIST_FILTER-count > 0 exactly.
+    rated = docs.select(
+        pred.alias("pred"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("actual"),
+    )
+    cm = rated.agg(
+        bigint(F.sum(F.when((F.col("pred") == 1) & (F.col("actual") == 1), 1).otherwise(0))).alias("tp"),
+        bigint(F.sum(F.when((F.col("pred") == 1) & (F.col("actual") == 0), 1).otherwise(0))).alias("fp"),
+        bigint(F.sum(F.when((F.col("pred") == 0) & (F.col("actual") == 1), 1).otherwise(0))).alias("fn"),
+        bigint(F.sum(F.when((F.col("pred") == 0) & (F.col("actual") == 0), 1).otherwise(0))).alias("tn"),
+    )
+    den = (
+        (F.col("tp") + F.col("fp"))
+        * (F.col("tp") + F.col("fn"))
+        * (F.col("tn") + F.col("fp"))
+        * (F.col("tn") + F.col("fn"))
+    )
+    mcc = F.round(
+        (
+            F.col("tp").cast("double") * F.col("tn")
+            - F.col("fp").cast("double") * F.col("fn")
+        )
+        / F.sqrt(
+            (F.col("tp") + F.col("fp")).cast("double")
+            * (F.col("tp") + F.col("fn")).cast("double")
+            * (F.col("tn") + F.col("fp")).cast("double")
+            * (F.col("tn") + F.col("fn")).cast("double")
+        ),
+        6,
+    )
+    return cm.select(
+        "tp", "fp", "fn", "tn",
+        F.when(den == 0, F.lit(0.0)).otherwise(mcc).alias("mcc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cochran–Armitage trend test
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_cochran_armitage",
+    "analytics",
+    doc="Cochran–Armitage trend test: is the daily purchase RATE "
+    "drifting over the month? Days are ordered categories (scores "
+    "t = 0..n-1), outcome = purchase vs other; the squared trend "
+    "statistic Z^2 = N*(sum t_k*(r_k*N - n_k*R))^2 / (R*(N-R)*"
+    "(N*sum n_k*t_k^2 - (sum n_k*t_k)^2) * N) ... collapsed to one "
+    "exact integer rational in floor bp via decimal(38,0)/HUGEINT — "
+    "the categorical-trend sibling of stats_mann_kendall_trend "
+    "(which is for continuous series). One combinable day groupBy.",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_k,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS r_k
+    FROM events GROUP BY 1
+),
+scored AS (
+    SELECT n_k, r_k,
+           CAST(ROW_NUMBER() OVER (ORDER BY day) - 1 AS BIGINT) AS tt
+    FROM daily
+),
+agg AS (
+    SELECT CAST(SUM(n_k) AS BIGINT) AS n,
+           CAST(SUM(r_k) AS BIGINT) AS r,
+           CAST(SUM(n_k * tt) AS BIGINT) AS snt,
+           CAST(SUM(n_k * tt * tt) AS BIGINT) AS sntt,
+           CAST(SUM(r_k * tt) AS BIGINT) AS srt
+    FROM scored
+)
+-- numerator of the trend: D = N*srt - R*snt (exact); Z^2 =
+-- N^2*D^2 / (R*(N-R)*(N*sntt - snt^2) * N) simplified to
+-- N*D^2 / (R*(N-R)*(N*sntt - snt^2))
+SELECT n, r,
+       CAST(CASE WHEN r = 0 OR r = n OR n * sntt - snt * snt = 0 THEN 0
+            ELSE (10000 * CAST(n AS HUGEINT)
+                  * (CAST(n AS HUGEINT) * srt - CAST(r AS HUGEINT) * snt)
+                  * (CAST(n AS HUGEINT) * srt - CAST(r AS HUGEINT) * snt))
+                 // (CAST(r AS HUGEINT) * (n - r)
+                     * (CAST(n AS HUGEINT) * sntt - CAST(snt AS HUGEINT) * snt))
+            END AS BIGINT) AS z2_bp
+FROM agg
+""",
+)
+def stats_cochran_armitage(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        bigint(F.count(F.lit(1))).alias("n_k"),
+        bigint(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        ).alias("r_k"),
+    )
+    scored = daily.select(
+        "n_k",
+        "r_k",
+        (
+            F.row_number().over(Window.orderBy("day")) - 1
+        )
+        .cast("long")
+        .alias("tt"),
+    )
+    agg = scored.agg(
+        bigint(F.sum("n_k")).alias("n"),
+        bigint(F.sum("r_k")).alias("r"),
+        bigint(F.sum(F.col("n_k") * F.col("tt"))).alias("snt"),
+        bigint(F.sum(F.col("n_k") * F.col("tt") * F.col("tt"))).alias("sntt"),
+        bigint(F.sum(F.col("r_k") * F.col("tt"))).alias("srt"),
+    )
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    d_num = dec(F.col("n")) * F.col("srt") - dec(F.col("r")) * F.col("snt")
+    num = F.lit(10000) * dec(F.col("n")) * d_num * d_num
+    den = (
+        dec(F.col("r"))
+        * (F.col("n") - F.col("r"))
+        * (dec(F.col("n")) * F.col("sntt") - dec(F.col("snt")) * F.col("snt"))
+    )
+    z2 = F.when(
+        (F.col("r") == 0)
+        | (F.col("r") == F.col("n"))
+        | (dec(F.col("n")) * F.col("sntt") - dec(F.col("snt")) * F.col("snt") == 0),
+        F.lit(0),
+    ).otherwise(F.floor(num / den))
+    return agg.select("n", "r", z2.cast("long").alias("z2_bp"))

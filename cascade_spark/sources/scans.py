@@ -906,3 +906,56 @@ def scan_parquet_metadata_columns(spark, sf_dir):
         .select("n_nationkey", "row_index", "n_files")
         .orderBy("n_nationkey")
     )
+
+
+WHOLETEXT_MOD = 40  # one file per doc_id % 40 == 0 (doc-per-file regime)
+
+
+@register(
+    "scan_text_wholetext",
+    "sources",
+    doc="Doc-per-file ingestion (spark.read.text wholetext=true) — the "
+    "other corpus entry format next to scan_text_lines' "
+    "line-per-record: each staged file holds ONE document (with "
+    "embedded newlines, which line mode would shred); wholetext "
+    "returns one row per FILE regardless of content. The unsplittable-"
+    "unit trade-off is the point: parallelism = file count, so at "
+    "100 TB this regime wants many small-to-medium files, never one "
+    "giant one (the gzip-scan lesson at the file level). Readback "
+    "re-aggregates exact char masses per source.",
+    oracle=f"""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(LENGTH(text) + LENGTH(source) + 1) AS BIGINT) AS total_chars
+FROM documents
+WHERE doc_id % {WHOLETEXT_MOD} = 0
+GROUP BY source ORDER BY source
+""",
+)
+def scan_text_wholetext(spark, sf_dir):
+    import os
+
+    docs = t(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="cascade_wholetext_")
+    # one file per selected doc, first line = source header, then text
+    # (embedded newline is exactly what wholetext must preserve)
+    sel = docs.filter(F.col("doc_id") % WHOLETEXT_MOD == 0).select(
+        "doc_id", "source", "text"
+    )
+    for r in sel.collect():  # staging fixture prep (bounded subset)
+        with open(os.path.join(out, f"doc_{r['doc_id']}.txt"), "w") as f:
+            f.write(r["source"] + "\n" + r["text"])
+    whole = spark.read.text(out, wholetext=True)
+    parts = F.split(F.col("value"), "\n", 2)
+    return (
+        whole.select(
+            parts.getItem(0).alias("source"),
+            F.length(F.col("value")).cast("long").alias("n_chars"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("source")
+    )

@@ -1154,3 +1154,48 @@ def test_greedy_coverage_is_greedy_and_saturates(spark, sf_dir):
     assert rows[-1]["cum_words"] == sum(gains)
     ids = [r["doc_id"] for r in rows]
     assert len(ids) == len(set(ids))
+
+
+# --- wave 24: MCC / Cochran-Armitage / wholetext -----------------------------
+
+
+def test_mcc_consistent_with_confusion_matrix(spark, sf_dir):
+    import math
+
+    from cascade_spark.tables import load
+
+    (r,) = load_all()["stats_mcc_matthews"].builder(spark, sf_dir).collect()
+    assert r["tp"] + r["fp"] + r["fn"] + r["tn"] == load(
+        spark, sf_dir, "documents"
+    ).count()
+    assert -1.0 <= r["mcc"] <= 1.0
+    den = (
+        (r["tp"] + r["fp"]) * (r["tp"] + r["fn"])
+        * (r["tn"] + r["fp"]) * (r["tn"] + r["fn"])
+    )
+    if den:
+        expect = (r["tp"] * r["tn"] - r["fp"] * r["fn"]) / math.sqrt(den)
+        assert abs(r["mcc"] - expect) < 1e-6
+
+
+def test_cochran_armitage_nonnegative(spark, sf_dir):
+    (r,) = load_all()["stats_cochran_armitage"].builder(spark, sf_dir).collect()
+    assert 0 < r["r"] < r["n"]
+    assert r["z2_bp"] >= 0
+
+
+def test_wholetext_preserves_embedded_newlines(spark, sf_dir):
+    from cascade_spark.sources.scans import WHOLETEXT_MOD
+    from cascade_spark.tables import load
+    from pyspark.sql import functions as F
+
+    rows = load_all()["scan_text_wholetext"].builder(spark, sf_dir).collect()
+    sel = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % WHOLETEXT_MOD == 0
+    )
+    assert sum(r["n_files"] for r in rows) == sel.count()
+    # char mass includes the header + the embedded newline per file
+    expect = sel.select(
+        (F.length("text") + F.length("source") + 1).alias("c")
+    ).agg(F.sum("c")).first()[0]
+    assert sum(r["total_chars"] for r in rows) == expect
