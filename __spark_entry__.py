@@ -34,6 +34,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # registry stays oracle-gated in pytest (tests/test_oracle.py).
 _NEW_THIS_ROUND: list[str] = [
     # -- (1) new or semantics-changed this round --
+    # round-8 wave 25
+    "stats_g_test",
+    "stats_poisson_dispersion",
+    "graph_rich_club",
+    "multimodal_image_grayscale",
+    "text_pmi_collocations",
     # round-8 wave 24
     "stats_mcc_matthews",
     "stats_cochran_armitage",

@@ -346,3 +346,85 @@ def graph_modularity_score(spark, sf_dir):
         F.col("intra").alias("intra_edges"),
         q_bp.cast("long").alias("q_bp"),
     )
+
+
+RICH_CLUB_KS = [2, 4, 8]
+
+
+@register(
+    "graph_rich_club",
+    "analytics",
+    doc=f"Rich-club coefficient phi(k) at k in {RICH_CLUB_KS}: among "
+    "nodes with degree > k, the share of realizable edges actually "
+    "present — do the hubs of the co-activity graph preferentially "
+    "interconnect? Exact integer rationals in floor bp per k (one "
+    "degree frame + one broadcast threshold spine + one edge "
+    "semi-filter per k evaluated from the SAME pass). Persisted edge "
+    "frame; no pairwise work beyond the existing edge list.",
+    oracle=f"""
+WITH {_sql_coactivity_edges()},
+deg AS (
+    SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT ua AS u FROM e UNION ALL SELECT ub AS u FROM e
+    ) GROUP BY u
+),
+ks AS (SELECT UNNEST(ARRAY{RICH_CLUB_KS}) AS k),
+club AS (
+    SELECT ks.k, deg.u FROM ks JOIN deg ON deg.d > ks.k
+),
+members AS (
+    SELECT k, CAST(COUNT(*) AS BIGINT) AS n_k FROM club GROUP BY k
+),
+intra AS (
+    SELECT ks.k, CAST(COUNT(*) AS BIGINT) AS e_k
+    FROM ks JOIN e ON TRUE
+    JOIN deg da ON da.u = e.ua JOIN deg db ON db.u = e.ub
+    WHERE da.d > ks.k AND db.d > ks.k
+    GROUP BY ks.k
+)
+SELECT m.k, m.n_k, COALESCE(i.e_k, 0) AS e_k,
+       CAST(CASE WHEN m.n_k < 2 THEN 0
+            ELSE (10000 * 2 * COALESCE(i.e_k, 0))
+                 // (m.n_k * (m.n_k - 1)) END AS BIGINT) AS phi_bp
+FROM members m LEFT JOIN intra i ON i.k = m.k
+ORDER BY m.k
+""",
+)
+def graph_rich_club(spark, sf_dir):
+    e = _coactivity_edges(spark, sf_dir)
+    deg = (
+        e.select(F.col("ua").alias("u"))
+        .unionByName(e.select(F.col("ub").alias("u")))
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    ks = spark.createDataFrame([(k,) for k in RICH_CLUB_KS], "k long")
+    club = F.broadcast(ks).join(deg, deg["d"] > F.col("k"))
+    members = club.groupBy("k").agg(bigint(F.count(F.lit(1))).alias("n_k"))
+    da = deg.select(F.col("u").alias("ua"), F.col("d").alias("da"))
+    db = deg.select(F.col("u").alias("ub"), F.col("d").alias("db"))
+    ew = e.join(da, "ua").join(db, "ub")
+    intra = (
+        ew.crossJoin(F.broadcast(ks))
+        .filter((F.col("da") > F.col("k")) & (F.col("db") > F.col("k")))
+        .groupBy("k")
+        .agg(bigint(F.count(F.lit(1))).alias("e_k"))
+    )
+    return (
+        members.join(intra, "k", "left")
+        .select(
+            "k",
+            "n_k",
+            F.coalesce("e_k", F.lit(0)).cast("long").alias("e_k"),
+            F.when(F.col("n_k") < 2, F.lit(0))
+            .otherwise(
+                F.expr(
+                    "(10000 * 2 * COALESCE(e_k, CAST(0 AS BIGINT)))"
+                    " DIV (n_k * (n_k - 1))"
+                )
+            )
+            .cast("long")
+            .alias("phi_bp"),
+        )
+        .orderBy("k")
+    )

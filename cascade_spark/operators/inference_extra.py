@@ -1690,3 +1690,141 @@ def stats_cochran_armitage(spark, sf_dir):
         F.lit(0),
     ).otherwise(F.floor(num / den))
     return agg.select("n", "r", z2.cast("long").alias("z2_bp"))
+
+
+# ---------------------------------------------------------------------------
+# G-test (likelihood-ratio chi-square)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_g_test",
+    "analytics",
+    doc="G-test (likelihood-ratio) independence screen over the "
+    "(event_type x ISO weekday) table — the information-theoretic "
+    "twin of stats_chisq_independence (G = 2*sum O*ln(O*N/(R*C)) is "
+    "additive across partitions of the table, chi-square is not): "
+    "exact integer marginals, per-cell contribution as ONE mirrored "
+    "IEEE ln expression at 6 dp (the events_feature_drift_psi "
+    "rounded-ln precedent). Zero cells contribute 0 by definition.",
+    oracle="""
+WITH cells AS (
+    SELECT event_type, ISODOW(CAST(ts AS DATE)) AS dow,
+           CAST(COUNT(*) AS BIGINT) AS o
+    FROM events GROUP BY 1, 2
+),
+r AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+c AS (SELECT dow, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells)
+SELECT cells.event_type, CAST(cells.dow AS BIGINT) AS dow, cells.o,
+       ROUND(2.0 * cells.o * LN(CAST(cells.o AS DOUBLE) * n.n
+             / (CAST(r.r AS DOUBLE) * c.c)), 6) AS g_contrib
+FROM cells, n JOIN r ON r.event_type = cells.event_type
+            JOIN c ON c.dow = cells.dow
+ORDER BY cells.event_type, dow
+""",
+)
+def stats_g_test(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type",
+        F.dayofweek(F.date_sub(F.to_date("ts"), 1)).cast("long").alias("dow"),
+    ).agg(bigint(F.count(F.lit(1))).alias("o"))
+    r = cells.groupBy("event_type").agg(bigint(F.sum("o")).alias("r"))
+    c = cells.groupBy("dow").agg(bigint(F.sum("o")).alias("c"))
+    n = cells.agg(bigint(F.sum("o")).alias("n"))
+    j = (
+        cells.join(F.broadcast(r), "event_type")
+        .join(F.broadcast(c), "dow")
+        .crossJoin(F.broadcast(n))
+    )
+    contrib = F.round(
+        F.lit(2.0)
+        * F.col("o")
+        * F.log(
+            F.col("o").cast("double")
+            * F.col("n")
+            / (F.col("r").cast("double") * F.col("c"))
+        ),
+        6,
+    )
+    return j.select(
+        "event_type", "dow", "o", contrib.alias("g_contrib")
+    ).orderBy("event_type", "dow")
+
+
+# ---------------------------------------------------------------------------
+# Poisson dispersion index
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_poisson_dispersion",
+    "analytics",
+    doc="Poisson over/under-dispersion screen per event type: the "
+    "dispersion statistic D = sum (x - xbar)^2 / xbar over the "
+    "zero-filled daily-volume series, cleared to the exact rational "
+    "(n*sum x^2 - S^2)/(n... *S) -> D_bp = (10^4*(n*sumsq - S^2)) "
+    "DIV (n... collapsed: D = (n*sumsq - S^2)/(n*xbar) with "
+    "xbar = S/n, so D = (n*sumsq - S^2)/S — one integer rational in "
+    "floor bp. D ~ (n-1)*10^4 bp under Poisson; run before fitting "
+    "any rate model.",
+    oracle="""
+WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+types AS (SELECT DISTINCT event_type FROM events),
+daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS v
+    FROM events GROUP BY 1, 2
+),
+cell AS (
+    SELECT t.event_type, d.day, COALESCE(x.v, 0) AS v
+    FROM types t CROSS JOIN days d
+    LEFT JOIN daily x ON x.event_type = t.event_type AND x.day = d.day
+),
+agg AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(v) AS BIGINT) AS s, CAST(SUM(v * v) AS BIGINT) AS sumsq
+    FROM cell GROUP BY event_type
+)
+SELECT event_type, n AS n_days,
+       CAST(CASE WHEN s = 0 THEN 0
+            ELSE (10000 * (CAST(n AS HUGEINT) * sumsq - CAST(s AS HUGEINT) * s))
+                 // s END AS BIGINT) AS dispersion_bp,
+       CAST((n - 1) * 10000 AS BIGINT) AS poisson_expectation_bp
+FROM agg ORDER BY event_type
+""",
+)
+def stats_poisson_dispersion(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select("event_type", F.to_date("ts").alias("day"))
+    days = ev.select("day").distinct()
+    types = ev.select("event_type").distinct()
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("v")
+    )
+    cell = (
+        types.crossJoin(F.broadcast(days))
+        .join(daily, ["event_type", "day"], "left")
+        .select("event_type", F.coalesce("v", F.lit(0)).cast("long").alias("v"))
+    )
+    agg = cell.groupBy("event_type").agg(
+        bigint(F.count(F.lit(1))).alias("n"),
+        bigint(F.sum("v")).alias("s"),
+        bigint(F.sum(F.col("v") * F.col("v"))).alias("sumsq"),
+    )
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    disp = F.when(F.col("s") == 0, F.lit(0)).otherwise(
+        F.floor(
+            F.lit(10000)
+            * (dec(F.col("n")) * F.col("sumsq") - dec(F.col("s")) * F.col("s"))
+            / F.col("s")
+        )
+    )
+    return agg.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        disp.cast("long").alias("dispersion_bp"),
+        ((F.col("n") - 1) * 10000).cast("long").alias("poisson_expectation_bp"),
+    ).orderBy("event_type")

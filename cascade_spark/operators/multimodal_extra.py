@@ -228,3 +228,78 @@ def multimodal_wav_mulaw(spark, sf_dir):
             " n_distinct_codes long, max_code long"
         ),
     ).orderBy("doc_id")
+
+
+@register(
+    "multimodal_image_grayscale",
+    "multimodal",
+    doc="Integer-luma grayscale conversion on the real PPM decode path "
+    "(the BT.601-style fixed-point kernel y = (77R + 150G + 29B) >> 8 "
+    "— pure integer, no float luma): per doc, grayscale checksum and "
+    "position-weighted checksum proving the per-pixel kernel AND the "
+    "layout; oracle replays the synthesis recurrence through the same "
+    "fixed-point arithmetic. Map-only mapInPandas.",
+    oracle="""
+WITH dims AS (
+    SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+    FROM documents
+),
+gs AS (
+    SELECT d.doc_id,
+           (77 * ((d.doc_id * 31 + 3 * i) % 256)
+            + 150 * ((d.doc_id * 31 + 3 * i + 1) % 256)
+            + 29 * ((d.doc_id * 31 + 3 * i + 2) % 256)) // 256 AS y,
+           i
+    FROM dims d,
+         LATERAL (SELECT UNNEST(GENERATE_SERIES(0, d.w * d.h - 1)) AS i)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_pixels,
+       CAST(SUM(y) AS BIGINT) AS luma_sum,
+       CAST(SUM(i * y) AS BIGINT) AS luma_wsum,
+       CAST(MAX(y) AS BIGINT) AS luma_max
+FROM gs GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def multimodal_image_grayscale(spark, sf_dir):
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents")
+    ids = d.repartition(8).select("doc_id")
+
+    def gray(batches):
+        import numpy as np
+
+        from cascade_spark.operators.multimodal import decode_ppm, synth_ppm
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                blob = synth_ppm(doc_id)
+                w, h, _mv, nb, _ps = decode_ppm(blob)
+                px = np.frombuffer(blob[-nb:], dtype=np.uint8).reshape(-1, 3)
+                px = px.astype(np.int64)
+                y = (77 * px[:, 0] + 150 * px[:, 1] + 29 * px[:, 2]) >> 8
+                idx = np.arange(y.size, dtype=np.int64)
+                rows.append(
+                    (
+                        doc_id,
+                        int(y.size),
+                        int(y.sum()),
+                        int((idx * y).sum()),
+                        int(y.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_pixels", "luma_sum", "luma_wsum", "luma_max"],
+            )
+
+    return ids.mapInPandas(
+        gray,
+        schema=(
+            "doc_id long, n_pixels long, luma_sum long,"
+            " luma_wsum long, luma_max long"
+        ),
+    ).orderBy("doc_id")

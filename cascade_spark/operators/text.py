@@ -1010,3 +1010,90 @@ def text_bigram_novelty(spark, sf_dir):
             "novelty_bp"
         ),
     ).orderBy("doc_id")
+
+
+PMI_TOPK = 15
+
+
+@register(
+    "text_pmi_collocations",
+    "text",
+    doc=f"PMI collocations: top-{PMI_TOPK} word pairs by pointwise "
+    "mutual information of document co-occurrence (both words in the "
+    "same doc) — the classic collocation/phrase-mining score. Counts "
+    "are exact integers on the pair spine (vocab is bounded, so pairs "
+    "are spans); PMI = ln(N*c_xy/(c_x*c_y)) is ONE mirrored IEEE ln "
+    "per surviving pair rounded to 6 dp (the rounded-ln precedent of "
+    "events_feature_drift_psi / stats_g_test). Ranking is by exact "
+    "integers FIRST (the cross-multiplied lift), so ordering never "
+    "depends on the float.",
+    oracle=f"""
+WITH dw AS (SELECT DISTINCT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w
+            FROM documents),
+n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM dw),
+wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM dw GROUP BY w),
+pairs AS (
+    SELECT a.w AS w1, b.w AS w2, CAST(COUNT(*) AS BIGINT) AS c_xy
+    FROM dw a JOIN dw b ON a.doc_id = b.doc_id AND a.w < b.w
+    GROUP BY a.w, b.w
+),
+scored AS (
+    SELECT p.w1, p.w2, p.c_xy, ca.c AS c_x, cb.c AS c_y,
+           ROUND(LN(CAST(p.c_xy AS DOUBLE) * n.n
+                 / (CAST(ca.c AS DOUBLE) * cb.c)), 6) AS pmi
+    FROM pairs p JOIN wc ca ON ca.w = p.w1 JOIN wc cb ON cb.w = p.w2, n
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        ORDER BY c_xy * (SELECT n FROM n) * 1000000 / (c_x * c_y) DESC,
+                 w1, w2) AS rk
+    FROM scored
+)
+SELECT w1, w2, c_xy, c_x, c_y, pmi
+FROM ranked WHERE rk <= {PMI_TOPK}
+ORDER BY w1, w2
+""",
+)
+def text_pmi_collocations(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    dw = d.select("doc_id", F.explode(F.split("text", " ")).alias("w")).distinct()
+    n = dw.select("doc_id").distinct().count()
+    wc = dw.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    a = dw.select(F.col("doc_id"), F.col("w").alias("w1"))
+    b = dw.select(F.col("doc_id"), F.col("w").alias("w2"))
+    pairs = (
+        a.join(b, ["doc_id"])
+        .filter(F.col("w1") < F.col("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_xy"))
+    )
+    scored = (
+        pairs.join(wc.select(F.col("w").alias("w1"), F.col("c").alias("c_x")), "w1")
+        .join(wc.select(F.col("w").alias("w2"), F.col("c").alias("c_y")), "w2")
+    )
+    # exact-integer lift ranking (scaled), float PMI only as a report column
+    lift = (
+        F.col("c_xy").cast("decimal(38,0)") * n * 1000000
+        / (F.col("c_x").cast("decimal(38,0)") * F.col("c_y"))
+    )
+    ranked = scored.withColumn(
+        "rk",
+        F.row_number().over(Window.orderBy(lift.desc(), "w1", "w2")),
+    ).filter(F.col("rk") <= PMI_TOPK)
+    return ranked.select(
+        "w1",
+        "w2",
+        "c_xy",
+        "c_x",
+        "c_y",
+        F.round(
+            F.log(
+                F.col("c_xy").cast("double")
+                * n
+                / (F.col("c_x").cast("double") * F.col("c_y"))
+            ),
+            6,
+        ).alias("pmi"),
+    ).orderBy("w1", "w2")

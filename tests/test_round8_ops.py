@@ -1199,3 +1199,54 @@ def test_wholetext_preserves_embedded_newlines(spark, sf_dir):
         (F.length("text") + F.length("source") + 1).alias("c")
     ).agg(F.sum("c")).first()[0]
     assert sum(r["total_chars"] for r in rows) == expect
+
+
+# --- wave 25: G-test / dispersion / rich club / grayscale / PMI --------------
+
+
+def test_g_test_additive_and_signed(spark, sf_dir):
+    rows = load_all()["stats_g_test"].builder(spark, sf_dir).collect()
+    assert len(rows) == 35  # 5 types x 7 weekdays
+    g = sum(r["g_contrib"] for r in rows)
+    # total G of a real contingency table is nonnegative (it is 2*KL)
+    assert g >= -1e-4
+
+
+def test_poisson_dispersion_flags_overdispersion(spark, sf_dir):
+    rows = load_all()["stats_poisson_dispersion"].builder(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["dispersion_bp"] >= 0
+        assert r["poisson_expectation_bp"] == (r["n_days"] - 1) * 10000
+
+
+def test_rich_club_monotone_membership(spark, sf_dir):
+    rows = load_all()["graph_rich_club"].builder(spark, sf_dir).collect()
+    ns = [r["n_k"] for r in rows]
+    assert ns == sorted(ns, reverse=True)  # higher k -> smaller club
+    for r in rows:
+        assert 0 <= r["phi_bp"] <= 10000
+        assert 2 * r["e_k"] <= r["n_k"] * max(r["n_k"] - 1, 1)
+
+
+def test_grayscale_luma_bounded(spark, sf_dir):
+    rows = (
+        load_all()["multimodal_image_grayscale"].builder(spark, sf_dir).limit(20).collect()
+    )
+    for r in rows:
+        assert 0 <= r["luma_max"] <= 255
+        assert r["luma_sum"] <= 255 * r["n_pixels"]
+
+
+def test_pmi_ranking_matches_lift_order(spark, sf_dir):
+    rows = load_all()["text_pmi_collocations"].builder(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 15
+    import math
+
+    for r in rows:
+        # reported PMI must equal ln(lift) of the exact counts
+        n_docs = None  # implied by pmi equation; verify internal consistency
+        assert r["c_xy"] <= min(r["c_x"], r["c_y"])
+        # pmi = ln(c_xy * N / (c_x c_y)); recover N and check integrality
+        n_est = math.exp(r["pmi"]) * r["c_x"] * r["c_y"] / r["c_xy"]
+        assert abs(n_est - round(n_est)) < 0.01
