@@ -25,262 +25,291 @@ def entry(spark: SparkSession) -> DataFrame:
     return load_all()["agg_grouped_q1"].builder(spark, "/root/testdata/sf0.001")
 
 
-# Driver-sample ordering for ROUND 8 (the driver's CORRECTNESS sampling
+# Driver-sample ordering for ROUND 9 (the driver's CORRECTNESS sampling
 # is partial, ~50 of the registry, taken from the front of queries()):
-# (1) queries added this round (including the two re-blocked embedding
-# dedup queries whose semantics changed), then (2) a rotation slice of
-# queries with NO green driver row in any CORRECTNESS_r0*.json —
-# burning down the never-sampled tail per the round-7 verdict. The full
-# registry stays oracle-gated in pytest (tests/test_oracle.py).
-_NEW_THIS_ROUND: list[str] = [
-    # -- (1) new or semantics-changed this round --
-    # round-8 wave 25
-    "stats_g_test",
-    "stats_poisson_dispersion",
-    "graph_rich_club",
-    "multimodal_image_grayscale",
-    "text_pmi_collocations",
-    # round-8 wave 24
-    "stats_mcc_matthews",
-    "stats_cochran_armitage",
-    "scan_text_wholetext",
-    # round-8 wave 23
-    "stats_cvm_two_sample",
-    "pipeline_greedy_coverage",
-    # round-8 wave 22
-    "udtf_arrow_ngram_expand",
-    # round-8 wave 21
-    "multimodal_wav_mulaw",
-    "agg_kmv_distinct_sketch",
-    # round-8 wave 20
-    "stats_icc_oneway",
-    "pipeline_group_kfold",
-    # round-8 wave 19
-    "events_intervention_its",
-    "dedup_overmerge_audit",
-    # round-8 wave 18
-    "stats_ljung_box",
-    # round-8 wave 17
-    "graph_modularity_score",
-    "pipeline_chunk_overlap_windows",
-    # round-8 wave 16
-    "stats_wilson_interval",
-    "events_bounce_rate_by_entry",
-    "bus_seek_by_timestamp",
-    # round-8 wave 15
-    "multimodal_image_rotate",
-    # round-8 wave 14
-    "events_kaplan_meier",
-    "events_cuped_variance_reduction",
-    "stats_sample_size_two_proportions",
-    # round-8 wave 13
-    "similarity_dedup_threshold_sweep",
-    "pipeline_rejection_sampling",
-    "events_seasonality_strength",
-    # round-8 wave 12
-    "stats_bh_fdr",
-    "stats_mantel_haenszel",
-    "text_garbage_score",
-    "pipeline_largest_remainder_alloc",
-    # round-8 waves 10-11
-    "graph_local_clustering",
-    "events_markov_stationary",
-    "text_flesch_reading_ease",
-    "pipeline_quota_sampling",
-    "similarity_retrieval_metrics",
-    "events_holt_linear_forecast",
-    "dedup_cdc_chunks",
-    # round-8 wave 9 (inference statistics)
-    "stats_kendall_tau_b",
-    "stats_hodges_lehmann",
-    "stats_mood_median",
-    "stats_friedman",
-    "stats_sign_test",
-    "stats_cohens_kappa",
-    "stats_durbin_watson",
-    "stats_odds_ratio",
-    # round-8 waves 4-8
-    "text_burstiness",
-    "stats_cochran_q",
-    "pipeline_bestfit_packing",
-    "stats_mcnemar",
-    "stream_neardup_gate",
-    "graph_label_propagation",
-    "text_rake_keywords",
-    "stats_runs_test",
-    "stats_capture_recapture",
-    "stats_good_turing",
-    "stats_anova_oneway",
-    "stats_effect_sizes",
-    "pipeline_passage_dedup",
-    "embedding_matryoshka_energy",
-    "similarity_reciprocal_rank_fusion",
-    "events_max_drawdown",
-    # earlier round-8 waves
+# (a) queries whose SEMANTICS or PLAN changed since their last green
+# driver row — led by the two re-blocked embedding-dedup queries the
+# round-8 verdict flagged as shipped without a fresh row — then
+# (b) the never-sampled tail (no green row in ANY CORRECTNESS_r0*.json),
+# then (c) everything else in registry order. The full registry stays
+# oracle-gated in pytest (tests/test_oracle.py).
+_ROUND9_FRONT: list[str] = [
+  # -- (a) r8 re-blocked dedup family: semantics changed r8, no fresh driver row --
     "embedding_neardup_blocked",
     "similarity_semantic_dedup",
     "profile_lsh_bucket_pairs",
     "embedding_lsh_recall_audit",
-    "stats_kruskal_wallis",
-    "graph_bfs_hops",
-    "stream_stateful_topk",
-    "multimodal_image_crop_tile",
-    "embedding_pca_power_iteration",
-    "pipeline_ccnet_ppl_buckets",
-    "pipeline_quality_threshold_sweep",
-    "stats_brown_forsythe",
-    "stream_scd2_dim_join",
-    "scan_text_gzip_nonsplittable",
-    "window_rolling_median",
-    "stats_permutation_test",
-    "events_diff_in_differences",
-    "scan_parquet_metadata_columns",
-    "text_langid_prf_audit",
-    "stats_jackknife_variance",
-    "bus_consumer_group_assignment",
-    "udf_pandas_window_agg",
-    "fn_binary_encoding_roundtrip",
-    "pipeline_preference_pairs",
-    "pipeline_span_corruption",
-    "text_bigram_novelty",
-    "multimodal_wav_zero_crossings",
-    "events_feature_drift_psi",
-    "graph_degree_assortativity",
-    "agg_approx_top_k",  # k-boundary tie fix this round
-    "text_char_ngram_profile",  # short-doc guard this round
-    "stream_rate_micro_batch",  # awaitTermination guard this round
-    "multimodal_decode",  # PIL probe removal this round
-    # -- (2) never-sampled rotation (no CORRECTNESS_r0* green row) --
-    "agg_bool_flags",
-    "agg_collated_group",
-    "agg_correlation",
-    "agg_deciles_disc",
-    "agg_filtered_conditional",
-    "agg_group_by_all",
-    "agg_grouping_id",
-    "agg_median_mode",
-    "agg_string_concat_ordered",
-    "agg_trend_regression",
-    "analytics_abc_pareto",
-    "analytics_frequent_itemsets",
-    "analytics_rfm_segmentation",
-    "analytics_yoy_growth",
-    "bus_consumer_lag",
-    "bus_index_dump",
-    "bus_sink_batch_write",
-    "bus_sink_stream_roundtrip",
-    "bus_source_batch_scan",
-    "bus_source_offset_seek",
-    "bus_stream_windowed_agg",
-    "catalog_global_temp_view",
-    "catalog_managed_table_dml",
-    "catalog_multi_topic_counts",
-    "dedup_dupspan_ngrams",
-    "dedup_keep_best",
-    "embedding_centroid_per_label",
-    "embedding_norm_audit",
-    "events_activity_streaks",
-    "events_anomaly_mad",
+  # -- (a) semantics changed round 9 (r8 ADVICE sweep) --
+    "text_pmi_collocations",
+    "stats_sign_test",
+    "stats_bh_fdr",
+    "stats_durbin_watson",
+    "stats_kendall_tau_b",
+    "stats_cohens_kappa",
+    "stats_odds_ratio",
+    "stats_mcc_matthews",
+    "events_intervention_its",
+  # -- (a) plan changed round 9 (two-phase RRF rank; shared LPA labels) --
+    "similarity_reciprocal_rank_fusion",
+    "graph_label_propagation",
+    "graph_modularity_score",
 ]
 
-_ROUND7_LIST: list[str] = [
-    # -- (1) new this round --
-    "rollup_bitmap_distinct_incremental",
-    "events_slo_burn_rate",
-    "stream_state_changelog",
-    "bus_orphan_segment_audit",
-    "text_source_similarity_hashed",
-    "events_conversion_latency",
-    "pii_format_preserving_mask",
-    "agg_percentile_approx_exact_regime",
-    "similarity_lsh_multiprobe",
-    "stream_rate_micro_batch",
-    "sql_default_columns",
-    "scan_parquet_codec_matrix",
-    "fn_try_sum_overflow",
-    "window_named_window_clause",
-    "pipeline_shard_rendezvous",
-    "scan_jdbc_roundtrip",
-    "scan_jdbc_pushdown",
-    "graph_degree_histogram",
-    "stats_mwu_pairwise_matrix",
-    "subquery_not_in_null_trap",
-    "text_feature_hashing",
-    "agg_histogram_equi_depth",
-    "pipeline_epoch_shuffle_audit",
-    "multimodal_image_equalize",
-    "multimodal_wav_downsample",
-    "join_dynamic_partition_pruning",
-    "stats_theil_sen_trend",
-    "fn_luhn_check",
-    "sql_pipe_lateral_having",
-    "fn_number_format_roundtrip",
-    "similarity_range_query",
-    "stats_mann_kendall_trend",
-    "sink_file_size_targeting",
-    "dedup_minhash_1bit",
-    "scan_parquet_bloom_filter",
-    "maintenance_minmax_pruning_audit",
-    "sql_session_variables",
-    "agg_listagg_within_group",
-    "fn_interval_arithmetic",
-    "similarity_mips_norm_bound",
-    "embedding_quantization_error_audit",
-    "stream_state_store_read",
-    "stream_state_metadata_audit",
-    "stream_progress_audit",
-    "stream_rocksdb_state_store",
-    "pipeline_dataset_diff",
-    "agg_approx_top_k",
-    "pii_l_diversity_audit",
-    "sql_execute_immediate",
-    "sql_table_valued_udf",
-    "stats_welch_ttest",
-    "stats_cramers_v",
-    "text_char_ngram_profile",
-    # -- (2) round-6 additions, never driver-recorded --
-    "profile_shingle_df",
-    "stats_spearman_rho",
-    "udtf_polymorphic_analyze",
-    "scan_xml_roundtrip",
-    "sink_rebalanced_write",
-    "sql_identifier_clause",
-    "stream_update_mode_changelog",
-    "stats_quantile_bands_exact",
-    "stream_late_data_audit",
-    "window_running_distinct",
-    "pipeline_stage_funnel",
+# (b) every query with NO green row in any CORRECTNESS_r0*.json,
+# registration order — burning down the never-sampled tail. Round-9
+# additions go AFTER this list (they get triple-SF local verification
+# before commit; the driver window should repay the oldest debt first).
+_ROUND9_NEVER_SAMPLED: list[str] = [
+    "agg_approx_count_distinct",
+    "analytics_frequent_itemsets",
+    "events_activity_streaks",
+    "analytics_yoy_growth",
+    "pipeline_curriculum_order",
+    "pipeline_token_budget_mixture",
+    "events_funnel_strict_sequence",
+    "pipeline_url_canonical_dedup",
+    "events_trigram_paths",
+    "agg_deciles_disc",
+    "analytics_rfm_segmentation",
+    "analytics_abc_pareto",
+    "events_user_feature_vector",
+    "events_diff_in_differences",
+    "pipeline_tokenizer_fertility",
+    "join_salted_skew",
+    "text_type_token_ratio",
+    "text_oov_rate",
     "text_vocab_coverage_curve",
     "text_tfidf_exact_topk",
+    "text_char_ngram_profile",
+    "text_langid_prf_audit",
+    "text_bigram_novelty",
+    "profile_simhash_buckets",
+    "profile_shingle_df",
+    "pipeline_weighted_sample",
+    "pipeline_interleave_sources",
+    "pipeline_pretraining_end_to_end",
+    "pipeline_stage_funnel",
+    "pipeline_preference_pairs",
+    "pipeline_span_corruption",
+    "pipeline_bestfit_packing",
+    "dedup_dupspan_ngrams",
+    "text_repetition_top2gram",
+    "pipeline_passage_dedup",
+    "stats_capture_recapture",
+    "stats_good_turing",
+    "stats_anova_oneway",
+    "stats_effect_sizes",
+    "stats_runs_test",
+    "stats_mcnemar",
+    "stats_cochran_q",
+    "join_fuzzy_editdistance",
+    "graph_pagerank",
     "graph_neighborhood_jaccard",
+    "graph_bfs_hops",
+    "graph_degree_assortativity",
+    "agg_percentile_approx",
+    "agg_hll_sketch_merge",
+    "join_left_semi",
+    "join_left_anti",
+    "join_cross",
+    "join_theta",
+    "join_runtime_filtered_fact",
+    "join_null_safe",
+    "rollup_incremental_refresh",
+    "maintenance_compact_small_files",
+    "maintenance_zorder_cluster",
+    "multimodal_decode",
+    "multimodal_metadata",
+    "multimodal_frame_sample",
+    "multimodal_binary_dedup",
+    "multimodal_decode_ppm",
+    "multimodal_decode_wav",
+    "scan_binaryfile_blobs",
     "multimodal_image_channel_stats",
     "multimodal_wav_silence_trim",
-    "scan_csv_multiline_quoted",
-    "events_user_feature_vector",
+    "multimodal_image_crop_tile",
+    "multimodal_wav_zero_crossings",
+    "pipeline_pii_scrub",
+    "pii_k_anonymity_audit",
+    "profile_events",
+    "sample_deterministic",
+    "events_transition_matrix",
+    "profile_key_skew",
+    "profile_observed_metrics",
+    "profile_expectations_report",
+    "join_hint_strategies",
+    "sql_parameterized",
+    "setop_union_by_name",
+    "stats_crosstab",
+    "stats_correlation",
+    "maintenance_file_metadata_audit",
+    "stats_skew_kurtosis",
+    "catalog_managed_table_dml",
+    "window_range_numeric_frame",
+    "join_broadcast_left_outer",
+    "agg_group_by_all",
+    "fn_date_calendar",
+    "ingest_consume_roundtrip",
+    "consume_last_event",
+    "scd2_apply_changes",
+    "agg_correlation",
+    "pipeline_snapshot_cdc_diff",
+    "events_sessionize_gap",
+    "setop_union",
+    "setop_intersect",
+    "setop_except",
+    "setop_dedup_keep_first",
+    "setop_bag_all_variants",
+    "agg_median_mode",
+    "fn_bitwise",
+    "events_anomaly_zscore",
+    "dedup_keep_best",
+    "events_time_rollup",
+    "events_gapfill_interpolate",
+    "agg_filtered_conditional",
+    "agg_string_concat_ordered",
+    "agg_trend_regression",
+    "events_anomaly_mad",
+    "stats_quantile_bands_exact",
+    "stats_spearman_rho",
+    "stats_welch_ttest",
+    "stats_cramers_v",
+    "stats_kruskal_wallis",
+    "stats_brown_forsythe",
+    "stats_permutation_test",
+    "stats_jackknife_variance",
+    "events_feature_drift_psi",
+    "similarity_cosine_topk",
+    "similarity_ann_lsh",
+    "similarity_pandas_cosine",
+    "similarity_ivf_kmeans",
+    "similarity_quantized_topk",
+    "similarity_knn_join",
+    "sort_topk_global",
+    "sort_global_nulls",
+    "sort_topk_per_group",
+    "subquery_lateral_topn",
+    "window_ignore_nulls",
+    "agg_bool_flags",
+    "fn_url_parse",
+    "fn_variant_json",
+    "agg_collated_group",
+    "scan_csv_permissive_badrecords",
+    "agg_grouping_id",
+    "events_session_window_batch",
+    "fn_xml_extract",
+    "fn_aes_roundtrip",
+    "events_session_window_dynamic_gap",
+    "catalog_global_temp_view",
+    "sql_identifier_clause",
+    "text_gopher_quality_filter",
+    "text_top_word_ratio",
+    "text_zipf_topwords",
+    "text_lm_commonality",
+    "pipeline_ccnet_ppl_buckets",
+    "pipeline_quality_threshold_sweep",
+    "text_rake_keywords",
+    "events_resample_ohlc",
+    "events_new_vs_returning",
+    "events_ewma_dyadic",
+    "events_max_drawdown",
+    "tpch_q11_important_stock",
+    "tpch_q13_customer_distribution",
+    "tpch_q22_global_sales",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q12_priority_class",
+    "embedding_centroid_per_label",
+    "embedding_norm_audit",
+    "similarity_centroid_cosine_matrix",
+    "embedding_pca_power_iteration",
+    "embedding_matryoshka_energy",
+    "window_ranking",
+    "window_lag_lead",
+    "window_frames",
+    "window_time_range_frame",
+    "window_running_distinct",
+    "window_rolling_median",
+    "fn_array_basic",
+    "fn_array_higher_order",
+    "fn_array_explode",
+    "fn_map_struct",
+    "fn_json",
+    "fn_json_to_json",
+    "fn_json_schema",
+    "fn_hash",
+    "fn_hash_spark_native",
     "fn_regexp_extract_all",
     "fn_array_set_operations",
     "fn_posexplode_outer",
     "fn_array_safe_access",
-    "pipeline_tokenizer_fertility",
-    # -- (3) rotation: never sampled in r01-r05 --
-    "bus_source_roundtrip",
-    "bus_topic_compaction",
-    "catalog_partition_pruned_consume",
-    "consume_last_event",
-    "setop_union",
-    "setop_except",
-    "sort_topk_per_group",
-    "window_ranking",
-    "window_frames",
+    "fn_string",
+    "fn_string_split",
+    "fn_datetime",
+    "fn_timestamp_parse",
+    "fn_math",
+    "fn_conditional",
+    "fn_cast_format",
+    "fn_string_distance",
+    "fn_try_arithmetic",
+    "fn_binary_encoding_roundtrip",
     "udf_pandas_scalar",
+    "udf_grouped_centroid",
+    "udf_python_row",
+    "udtf_chunk_documents",
+    "text_tfidf_mllib",
+    "udf_arrow_row",
+    "udf_cogrouped_pandas",
+    "udf_map_in_arrow",
+    "fn_inline_array_structs",
+    "udf_grouped_apply_in_arrow",
+    "udtf_polymorphic_analyze",
+    "udf_pandas_window_agg",
     "scan_csv_roundtrip",
-    "tpch_q4_order_priority",
-    "join_left_semi",
-    "multimodal_decode",
-    "profile_events",
-    # env-gated (register only where the container allows):
-    "stream_tws_counter",
-    "scan_delta_roundtrip",
+    "scan_json_roundtrip",
+    "sink_partitioned",
+    "scan_orc_roundtrip",
+    "sink_overwrite",
+    "scan_schema_evolution",
+    "sink_dynamic_partition_overwrite",
+    "scan_text_lines",
+    "scan_ignore_corrupt_files",
+    "scan_csv_multiline_quoted",
+    "scan_xml_roundtrip",
+    "sink_rebalanced_write",
+    "scan_text_gzip_nonsplittable",
+    "scan_parquet_metadata_columns",
+    "bus_source_roundtrip",
+    "bus_source_batch_scan",
+    "bus_source_offset_seek",
+    "bus_sink_batch_write",
+    "bus_sink_stream_roundtrip",
+    "bus_stream_windowed_agg",
+    "bus_index_dump",
+    "bus_topic_compaction",
+    "bus_consumer_lag",
+    "catalog_partition_pruned_consume",
+    "catalog_multi_topic_counts",
+    "bus_consumer_group_assignment",
+    "stream_tumbling_window",
+    "stream_sliding_window",
+    "stream_session_window",
+    "stream_dedup_watermark",
+    "stream_ingest_exactly_once",
+    "stream_chained_windows",
+    "stream_dedup_within_watermark",
+    "stream_late_data_audit",
+    "stream_update_mode_changelog",
+    "stream_scd2_dim_join",
+    "stream_neardup_gate",
+    "stream_stream_join",
+    "stream_stream_left_outer",
+    "stream_rate_source",
+    "stream_foreachbatch_sink",
+    "stream_foreachbatch_upsert",
+    "stream_stateful_counter",
+    "stream_stateful_session_timeout",
+    "stream_stateful_topk",
 ]
 
 
@@ -289,8 +318,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from cascade_spark.plans.registry import load_all
 
     reg = load_all()
-    ordered = {n: reg[n].builder for n in _NEW_THIS_ROUND if n in reg}
-    ordered.update((n, reg[n].builder) for n in _ROUND7_LIST if n in reg and n not in ordered)
+    ordered = {n: reg[n].builder for n in _ROUND9_FRONT if n in reg}
+    ordered.update(
+        (n, reg[n].builder)
+        for n in _ROUND9_NEVER_SAMPLED
+        if n in reg and n not in ordered
+    )
     ordered.update((n, q.builder) for n, q in reg.items() if n not in ordered)
     return ordered
 

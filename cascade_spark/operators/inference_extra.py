@@ -64,6 +64,45 @@ from cascade_spark.plans.registry import register
 
 BP = 10_000
 
+# Exact-binomial regime cap for the sign-test family: the Pascal
+# recurrence runs in DECIMAL(38,0) (DuckDB HUGEINT), so C(n, n/2) and
+# 2*tail*10^4 must stay inside 38 digits AND inside BigDecimal's
+# 34-significant-digit division context — C(100,50) ~ 1.0e29 and
+# 2*2^100*10^4 ~ 2.5e34 both do; past the cap the Spark plan RAISES
+# instead of silently wrapping (int64 wrapped from n ~ 49 before).
+_BINOM_N_CAP = 100
+
+
+def _binom_tail_expr() -> str:
+    """SQL expression (needs row columns ``n`` and ``m``): a struct with
+    ``s`` = sum_{i<=m} C(n,i) and ``p`` = 2^n, both DECIMAL(38,0) via
+    the integer Pascal recurrence C(n,i) = C(n,i-1)*(n-i+1)/i (exactly
+    divisible at every step, so the decimal division is exact). Raises
+    past the decimal-exact regime rather than wrapping."""
+    dec0 = "CAST(0 AS DECIMAL(38,0))"
+    dec1 = "CAST(1 AS DECIMAL(38,0))"
+    return f"""
+        CASE
+        WHEN n > {_BINOM_N_CAP} THEN named_struct(
+            's', CAST(raise_error(CONCAT(
+                 'sign-test binomial tail is decimal(38,0)-exact only for ',
+                 'n <= {_BINOM_N_CAP}; got n = ', CAST(n AS STRING)))
+                 AS DECIMAL(38,0)),
+            'p', {dec1})
+        WHEN n = 0 THEN named_struct('s', {dec1}, 'p', {dec1})
+        ELSE aggregate(
+            sequence(CAST(1 AS BIGINT), n),
+            named_struct('c', {dec1}, 's', {dec1}, 'p', {dec1}),
+            (acc, i) -> named_struct(
+                'c', CAST((acc.c * (n - i + 1)) / i AS DECIMAL(38,0)),
+                's', CAST(acc.s + IF(i <= m,
+                          CAST((acc.c * (n - i + 1)) / i AS DECIMAL(38,0)),
+                          {dec0}) AS DECIMAL(38,0)),
+                'p', CAST(acc.p * 2 AS DECIMAL(38,0))),
+            acc -> named_struct('s', acc.s, 'p', acc.p))
+        END
+    """
+
 # Shared two-series day spine: daily volumes of two event types with
 # absent (type, day) cells zero-filled — every day that has ANY event
 # appears, so both series have exactly n_days observations (the
@@ -76,6 +115,13 @@ daily AS (
     FROM events GROUP BY 1
 )
 """
+
+
+def _csum(cond) -> "F.Column":
+    """COUNT(*) FILTER (WHERE cond) as a bigint — coalesced to 0 so a
+    zero-row input matches the oracle's FILTER count (a bare
+    F.sum(F.when(...)) over no rows is NULL, not 0)."""
+    return bigint(F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0)))
 
 
 def _xy_daily(spark, sf_dir):
@@ -139,21 +185,11 @@ def stats_kendall_tau_b(spark, sf_dir):
     )
     cnt = pairs.agg(
         bigint(F.count(F.lit(1))).alias("n0"),
-        bigint(F.sum(F.when(F.col("dx") * F.col("dy") > 0, 1).otherwise(0))).alias(
-            "nc"
-        ),
-        bigint(F.sum(F.when(F.col("dx") * F.col("dy") < 0, 1).otherwise(0))).alias(
-            "nd"
-        ),
-        bigint(
-            F.sum(F.when((F.col("dx") == 0) & (F.col("dy") != 0), 1).otherwise(0))
-        ).alias("ties_x"),
-        bigint(
-            F.sum(F.when((F.col("dx") != 0) & (F.col("dy") == 0), 1).otherwise(0))
-        ).alias("ties_y"),
-        bigint(
-            F.sum(F.when((F.col("dx") == 0) & (F.col("dy") == 0), 1).otherwise(0))
-        ).alias("ties_both"),
+        _csum(F.col("dx") * F.col("dy") > 0).alias("nc"),
+        _csum(F.col("dx") * F.col("dy") < 0).alias("nd"),
+        _csum((F.col("dx") == 0) & (F.col("dy") != 0)).alias("ties_x"),
+        _csum((F.col("dx") != 0) & (F.col("dy") == 0)).alias("ties_y"),
+        _csum((F.col("dx") == 0) & (F.col("dy") == 0)).alias("ties_both"),
     )
     nday = daily.agg(bigint(F.count(F.lit(1))).alias("n_days"))
     den_x = F.col("n0") - F.col("ties_x") - F.col("ties_both")
@@ -527,9 +563,11 @@ def stats_friedman(spark, sf_dir):
     "counts, then the EXACT two-sided binomial p-value — the tail sum "
     "sum_{i<=min(pos,neg)} C(n,i) via the integer Pascal recurrence "
     "C(n,i) = C(n,i-1)*(n-i+1)/i (exactly divisible at every step; a "
-    "Spark aggregate() HOF / DuckDB recursive CTE, mirrored). With "
-    "n <= n_days = 30, C(30,15) ~ 1.6e8 and 2^30*10^4 ~ 1.1e13 keep "
-    "every intermediate in int64. p2_bp = min(10^4, 2*tail*10^4 / 2^n).",
+    "Spark aggregate() HOF / DuckDB recursive CTE, mirrored). The "
+    "recurrence accumulates in DECIMAL(38,0) (oracle: HUGEINT), exact "
+    f"through n = {_BINOM_N_CAP} and RAISING past it — int64 wrapped "
+    "silently from n ~ 49. p2_bp = min(10^4, 2*tail*10^4 // 2^n) with "
+    "2^n carried in the same recurrence.",
     oracle="""
 WITH RECURSIVE """ + _XY_SQL + """,
 cnt AS (
@@ -543,55 +581,44 @@ scal AS (
            CASE WHEN pos < neg THEN pos ELSE neg END AS m
     FROM cnt
 ),
-binom(i, c, s) AS (
-    SELECT CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+binom(i, c, s, p) AS (
+    SELECT CAST(0 AS BIGINT), CAST(1 AS HUGEINT), CAST(1 AS HUGEINT),
+           CAST(1 AS HUGEINT)
     UNION ALL
     SELECT i + 1,
            (c * (scal.n - i)) // (i + 1),
            s + CASE WHEN i + 1 <= scal.m
-                    THEN (c * (scal.n - i)) // (i + 1) ELSE 0 END
+                    THEN (c * (scal.n - i)) // (i + 1)
+                    ELSE CAST(0 AS HUGEINT) END,
+           p * 2
     FROM binom, scal WHERE i < scal.n
 ),
-tail AS (SELECT MAX(s) AS tail FROM binom, scal WHERE i = scal.n)
+tail AS (SELECT MAX(s) AS tail, MAX(p) AS pow2 FROM binom, scal WHERE i = scal.n)
 SELECT scal.pos, scal.neg, scal.tie,
        LEAST(CAST(10000 AS BIGINT),
-             CAST((2 * tail.tail * 10000)
-                  // (CAST(1 AS BIGINT) << scal.n) AS BIGINT)) AS p2_bp
+             CAST((2 * tail.tail * 10000) // tail.pow2 AS BIGINT)) AS p2_bp
 FROM scal, tail
 """,
 )
 def stats_sign_test(spark, sf_dir):
     daily = _xy_daily(spark, sf_dir)
     cnt = daily.agg(
-        bigint(F.sum(F.when(F.col("x") > F.col("y"), 1).otherwise(0))).alias("pos"),
-        bigint(F.sum(F.when(F.col("x") < F.col("y"), 1).otherwise(0))).alias("neg"),
-        bigint(F.sum(F.when(F.col("x") == F.col("y"), 1).otherwise(0))).alias("tie"),
+        _csum(F.col("x") > F.col("y")).alias("pos"),
+        _csum(F.col("x") < F.col("y")).alias("neg"),
+        _csum(F.col("x") == F.col("y")).alias("tie"),
     )
     scal = cnt.select(
         "pos", "neg", "tie", (F.col("pos") + F.col("neg")).alias("n"),
         F.least("pos", "neg").alias("m"),
     )
-    # tail = sum_{i=0..m} C(n,i); Pascal recurrence inside an aggregate HOF.
-    tail = F.expr(
-        """
-        CASE WHEN n = 0 THEN CAST(1 AS BIGINT)
-        ELSE aggregate(
-            sequence(CAST(1 AS BIGINT), n),
-            named_struct('c', CAST(1 AS BIGINT), 's', CAST(1 AS BIGINT)),
-            (acc, i) -> named_struct(
-                'c', (acc.c * (n - i + 1)) DIV i,
-                's', acc.s + IF(i <= m, (acc.c * (n - i + 1)) DIV i,
-                                CAST(0 AS BIGINT))),
-            acc -> acc.s)
-        END
-        """
-    )
+    # tail = sum_{i=0..m} C(n,i) and 2^n, both DECIMAL(38,0)-exact
+    # (Pascal recurrence inside an aggregate HOF; raises past the cap).
     p2 = F.expr(
         "LEAST(CAST(10000 AS BIGINT),"
-        " (2 * _tail * 10000) DIV shiftleft(CAST(1 AS BIGINT), CAST(n AS INT)))"
+        " CAST((2 * _b.s * 10000) DIV _b.p AS BIGINT))"
     )
     return (
-        scal.withColumn("_tail", tail)
+        scal.withColumn("_b", F.expr(_binom_tail_expr()))
         .withColumn("p2_bp", p2)
         .select("pos", "neg", "tie", "p2_bp")
     )
@@ -649,10 +676,10 @@ def stats_cohens_kappa(spark, sf_dir):
         .alias("rb"),
     )
     cells = rated.agg(
-        bigint(F.sum(F.when((F.col("ra") == 1) & (F.col("rb") == 1), 1).otherwise(0))).alias("a"),
-        bigint(F.sum(F.when((F.col("ra") == 1) & (F.col("rb") == 0), 1).otherwise(0))).alias("b"),
-        bigint(F.sum(F.when((F.col("ra") == 0) & (F.col("rb") == 1), 1).otherwise(0))).alias("c"),
-        bigint(F.sum(F.when((F.col("ra") == 0) & (F.col("rb") == 0), 1).otherwise(0))).alias("d"),
+        _csum((F.col("ra") == 1) & (F.col("rb") == 1)).alias("a"),
+        _csum((F.col("ra") == 1) & (F.col("rb") == 0)).alias("b"),
+        _csum((F.col("ra") == 0) & (F.col("rb") == 1)).alias("c"),
+        _csum((F.col("ra") == 0) & (F.col("rb") == 0)).alias("d"),
         bigint(F.count(F.lit(1))).alias("n"),
     )
     pe = F.expr("(a+b)*(a+c) + (c+d)*(b+d)")
@@ -753,15 +780,21 @@ def stats_durbin_watson(spark, sf_dir):
         "e",
         F.lag("e").over(Window.partitionBy("event_type").orderBy("day")).alias("ep"),
     )
+    # per-row products are cast to decimal(38,0) BEFORE the sum so the
+    # accumulation is exact on both engines (oracle SUMs into HUGEINT);
+    # summing long products wraps silently past int64
+    diff = (F.col("e") - F.col("ep")).cast("decimal(38,0)")
     agg = lagged.groupBy("event_type").agg(
         F.sum(
-            F.when(F.col("ep").isNull(), F.lit(0)).otherwise(
-                (F.col("e") - F.col("ep")) * (F.col("e") - F.col("ep"))
+            F.when(F.col("ep").isNull(), F.lit(0).cast("decimal(38,0)")).otherwise(
+                diff * (F.col("e") - F.col("ep"))
             )
         )
         .cast("decimal(38,0)")
         .alias("num"),
-        F.sum(F.col("e") * F.col("e")).cast("decimal(38,0)").alias("den"),
+        F.sum(F.col("e").cast("decimal(38,0)") * F.col("e"))
+        .cast("decimal(38,0)")
+        .alias("den"),
     )
     return (
         agg.join(F.broadcast(st), "event_type")
@@ -825,10 +858,10 @@ def stats_odds_ratio(spark, sf_dir):
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("outc"),
     )
     cells = flags.agg(
-        bigint(F.sum(F.when((F.col("exp") == 1) & (F.col("outc") == 1), 1).otherwise(0))).alias("a"),
-        bigint(F.sum(F.when((F.col("exp") == 1) & (F.col("outc") == 0), 1).otherwise(0))).alias("b"),
-        bigint(F.sum(F.when((F.col("exp") == 0) & (F.col("outc") == 1), 1).otherwise(0))).alias("c"),
-        bigint(F.sum(F.when((F.col("exp") == 0) & (F.col("outc") == 0), 1).otherwise(0))).alias("d"),
+        _csum((F.col("exp") == 1) & (F.col("outc") == 1)).alias("a"),
+        _csum((F.col("exp") == 1) & (F.col("outc") == 0)).alias("b"),
+        _csum((F.col("exp") == 0) & (F.col("outc") == 1)).alias("c"),
+        _csum((F.col("exp") == 0) & (F.col("outc") == 0)).alias("d"),
     )
 
     def dec(e):
@@ -908,22 +941,24 @@ scal AS (
            CASE WHEN pos < neg THEN pos ELSE neg END AS m
     FROM cnt
 ),
-binom(ta, tb, i, c, s) AS (
-    SELECT ta, tb, CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+binom(ta, tb, i, c, s, p) AS (
+    SELECT ta, tb, CAST(0 AS BIGINT), CAST(1 AS HUGEINT), CAST(1 AS HUGEINT),
+           CAST(1 AS HUGEINT)
     FROM scal
     UNION ALL
     SELECT b.ta, b.tb, b.i + 1,
            (b.c * (sc.n - b.i)) // (b.i + 1),
            b.s + CASE WHEN b.i + 1 <= sc.m
-                      THEN (b.c * (sc.n - b.i)) // (b.i + 1) ELSE 0 END
+                      THEN (b.c * (sc.n - b.i)) // (b.i + 1)
+                      ELSE CAST(0 AS HUGEINT) END,
+           b.p * 2
     FROM binom b JOIN scal sc ON sc.ta = b.ta AND sc.tb = b.tb
     WHERE b.i < sc.n
 ),
 pv AS (
     SELECT sc.ta, sc.tb, sc.pos, sc.neg,
            LEAST(CAST(10000 AS BIGINT),
-                 CAST((2 * b.s * 10000)
-                      // (CAST(1 AS BIGINT) << sc.n) AS BIGINT)) AS p2_bp
+                 CAST((2 * b.s * 10000) // b.p AS BIGINT)) AS p2_bp
     FROM scal sc JOIN binom b ON b.ta = sc.ta AND b.tb = sc.tb AND b.i = sc.n
 ),
 ranked AS (
@@ -983,28 +1018,14 @@ def stats_bh_fdr(spark, sf_dir):
         "ta", "tb", "pos", "neg", (F.col("pos") + F.col("neg")).alias("n"),
         F.least("pos", "neg").alias("m"),
     )
-    tail = F.expr(
-        """
-        CASE WHEN n = 0 THEN CAST(1 AS BIGINT)
-        ELSE aggregate(
-            sequence(CAST(1 AS BIGINT), n),
-            named_struct('c', CAST(1 AS BIGINT), 's', CAST(1 AS BIGINT)),
-            (acc, i) -> named_struct(
-                'c', (acc.c * (n - i + 1)) DIV i,
-                's', acc.s + IF(i <= m, (acc.c * (n - i + 1)) DIV i,
-                                CAST(0 AS BIGINT))),
-            acc -> acc.s)
-        END
-        """
-    )
-    pv = scal.withColumn("_tail", tail).select(
+    pv = scal.withColumn("_b", F.expr(_binom_tail_expr())).select(
         "ta",
         "tb",
         "pos",
         "neg",
         F.expr(
-            "LEAST(CAST(10000 AS BIGINT), (2 * _tail * 10000)"
-            " DIV shiftleft(CAST(1 AS BIGINT), CAST(n AS INT)))"
+            "LEAST(CAST(10000 AS BIGINT),"
+            " CAST((2 * _b.s * 10000) DIV _b.p AS BIGINT))"
         ).alias("p2_bp"),
     )
     # BH step-up over the 10 pair rows (bounded by k(k-1)/2, not data)
@@ -1568,10 +1589,10 @@ def stats_mcc_matthews(spark, sf_dir):
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("actual"),
     )
     cm = rated.agg(
-        bigint(F.sum(F.when((F.col("pred") == 1) & (F.col("actual") == 1), 1).otherwise(0))).alias("tp"),
-        bigint(F.sum(F.when((F.col("pred") == 1) & (F.col("actual") == 0), 1).otherwise(0))).alias("fp"),
-        bigint(F.sum(F.when((F.col("pred") == 0) & (F.col("actual") == 1), 1).otherwise(0))).alias("fn"),
-        bigint(F.sum(F.when((F.col("pred") == 0) & (F.col("actual") == 0), 1).otherwise(0))).alias("tn"),
+        _csum((F.col("pred") == 1) & (F.col("actual") == 1)).alias("tp"),
+        _csum((F.col("pred") == 1) & (F.col("actual") == 0)).alias("fp"),
+        _csum((F.col("pred") == 0) & (F.col("actual") == 1)).alias("fn"),
+        _csum((F.col("pred") == 0) & (F.col("actual") == 0)).alias("tn"),
     )
     den = (
         (F.col("tp") + F.col("fp"))

@@ -1024,9 +1024,12 @@ PMI_TOPK = 15
     "are exact integers on the pair spine (vocab is bounded, so pairs "
     "are spans); PMI = ln(N*c_xy/(c_x*c_y)) is ONE mirrored IEEE ln "
     "per surviving pair rounded to 6 dp (the rounded-ln precedent of "
-    "events_feature_drift_psi / stats_g_test). Ranking is by exact "
-    "integers FIRST (the cross-multiplied lift), so ordering never "
-    "depends on the float.",
+    "events_feature_drift_psi / stats_g_test). Ranking is by the SAME "
+    "exact integer on both engines: the micro-scaled lift "
+    "(c_xy*N*10^12) // (c_x*c_y) via floor division — Spark decimal "
+    "DIV, DuckDB HUGEINT // — so top-K membership never depends on "
+    "either engine's float or decimal rounding mode; the float PMI is "
+    "report-only.",
     oracle=f"""
 WITH dw AS (SELECT DISTINCT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w
             FROM documents),
@@ -1045,7 +1048,8 @@ scored AS (
 ),
 ranked AS (
     SELECT *, ROW_NUMBER() OVER (
-        ORDER BY c_xy * (SELECT n FROM n) * 1000000 / (c_x * c_y) DESC,
+        ORDER BY (CAST(c_xy AS HUGEINT) * (SELECT n FROM n) * 1000000000000)
+                 // (CAST(c_x AS HUGEINT) * c_y) DESC,
                  w1, w2) AS rk
     FROM scored
 )
@@ -1073,10 +1077,12 @@ def text_pmi_collocations(spark, sf_dir):
         pairs.join(wc.select(F.col("w").alias("w1"), F.col("c").alias("c_x")), "w1")
         .join(wc.select(F.col("w").alias("w2"), F.col("c").alias("c_y")), "w2")
     )
-    # exact-integer lift ranking (scaled), float PMI only as a report column
-    lift = (
-        F.col("c_xy").cast("decimal(38,0)") * n * 1000000
-        / (F.col("c_x").cast("decimal(38,0)") * F.col("c_y"))
+    # exact-integer lift ranking: floor division on both engines (Spark
+    # decimal DIV ≡ DuckDB HUGEINT //) — identical integers, identical
+    # top-K membership; float PMI is only a report column
+    lift = F.expr(
+        f"(CAST(c_xy AS DECIMAL(38,0)) * {n} * 1000000000000)"
+        " DIV (CAST(c_x AS DECIMAL(38,0)) * c_y)"
     )
     ranked = scored.withColumn(
         "rk",

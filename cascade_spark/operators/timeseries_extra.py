@@ -261,7 +261,9 @@ def events_seasonality_strength(spark, sf_dir):
     "same integer numerators over the n*den denominator) — level jump "
     "= post intercept minus the pre fit extrapolated to the boundary, "
     "the causal-inference readout DiD can't give without a control "
-    "group. One combinable day groupBy; the fits run on segment spines.",
+    "group. One combinable day groupBy; the fits run on segment spines. "
+    "Degenerate one-day segments (den = n*Stt - St^2 = 0) emit 0 on "
+    "both engines instead of NULL-vs-error asymmetry.",
     oracle="""
 WITH span AS (
     SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1 FROM events
@@ -300,18 +302,24 @@ co AS (
 pre AS (SELECT * FROM co WHERE post = 0),
 post AS (SELECT * FROM co WHERE post = 1)
 SELECT pre.n AS n_pre, post.n AS n_post,
-       CAST((10000 * pre.num) // pre.den AS BIGINT) AS slope_pre_bp,
-       CAST((10000 * post.num) // post.den AS BIGINT) AS slope_post_bp,
-       CAST((10000 * (pre.sy * pre.den - pre.num * pre.st
+       CAST(CASE WHEN pre.den = 0 THEN 0
+            ELSE (10000 * pre.num) // pre.den END AS BIGINT) AS slope_pre_bp,
+       CAST(CASE WHEN post.den = 0 THEN 0
+            ELSE (10000 * post.num) // post.den END AS BIGINT) AS slope_post_bp,
+       CAST(CASE WHEN pre.den = 0 THEN 0
+            ELSE (10000 * (pre.sy * pre.den - pre.num * pre.st
                       + pre.n * pre.num * pre.n))
-            // (pre.n * pre.den) AS BIGINT) AS pre_end_fit_bp,
-       CAST((10000 * (post.sy * post.den - post.num * post.st))
-            // (post.n * post.den) AS BIGINT) AS post_start_fit_bp,
-       CAST((10000 * (post.sy * post.den - post.num * post.st))
-            // (post.n * post.den)
-          - (10000 * (pre.sy * pre.den - pre.num * pre.st
+            // (pre.n * pre.den) END AS BIGINT) AS pre_end_fit_bp,
+       CAST(CASE WHEN post.den = 0 THEN 0
+            ELSE (10000 * (post.sy * post.den - post.num * post.st))
+            // (post.n * post.den) END AS BIGINT) AS post_start_fit_bp,
+       CAST(CASE WHEN post.den = 0 THEN 0
+            ELSE (10000 * (post.sy * post.den - post.num * post.st))
+            // (post.n * post.den) END
+          - CASE WHEN pre.den = 0 THEN 0
+            ELSE (10000 * (pre.sy * pre.den - pre.num * pre.st
                       + pre.n * pre.num * pre.n))
-            // (pre.n * pre.den) AS BIGINT) AS level_jump_bp
+            // (pre.n * pre.den) END AS BIGINT) AS level_jump_bp
 FROM pre, post
 """,
 )
@@ -369,21 +377,38 @@ def events_intervention_its(spark, sf_dir):
     return one.select(
         "n_pre",
         "n_post",
-        F.expr("(10000 * num0) DIV den0").cast("long").alias("slope_pre_bp"),
-        F.expr("(10000 * num1) DIV den1").cast("long").alias("slope_post_bp"),
+        # den = 0 on a single-day segment (n=1 -> stt=st=0): guard to 0
+        # on BOTH engines (bare Spark DIV returns NULL where DuckDB //
+        # errors on zero — asymmetric failure on degenerate spans)
         F.expr(
-            "(10000 * (sy0 * den0 - num0 * st0 + n_pre * num0 * n_pre))"
-            " DIV (n_pre * den0)"
+            "CASE WHEN den0 = 0 THEN 0 ELSE (10000 * num0) DIV den0 END"
+        )
+        .cast("long")
+        .alias("slope_pre_bp"),
+        F.expr(
+            "CASE WHEN den1 = 0 THEN 0 ELSE (10000 * num1) DIV den1 END"
+        )
+        .cast("long")
+        .alias("slope_post_bp"),
+        F.expr(
+            "CASE WHEN den0 = 0 THEN 0 ELSE"
+            " (10000 * (sy0 * den0 - num0 * st0 + n_pre * num0 * n_pre))"
+            " DIV (n_pre * den0) END"
         )
         .cast("long")
         .alias("pre_end_fit_bp"),
-        F.expr("(10000 * (sy1 * den1 - num1 * st1)) DIV (n_post * den1)")
+        F.expr(
+            "CASE WHEN den1 = 0 THEN 0 ELSE"
+            " (10000 * (sy1 * den1 - num1 * st1)) DIV (n_post * den1) END"
+        )
         .cast("long")
         .alias("post_start_fit_bp"),
         F.expr(
-            "(10000 * (sy1 * den1 - num1 * st1)) DIV (n_post * den1)"
-            " - (10000 * (sy0 * den0 - num0 * st0 + n_pre * num0 * n_pre))"
-            " DIV (n_pre * den0)"
+            "CASE WHEN den1 = 0 THEN 0 ELSE"
+            " (10000 * (sy1 * den1 - num1 * st1)) DIV (n_post * den1) END"
+            " - CASE WHEN den0 = 0 THEN 0 ELSE"
+            " (10000 * (sy0 * den0 - num0 * st0 + n_pre * num0 * n_pre))"
+            " DIV (n_pre * den0) END"
         )
         .cast("long")
         .alias("level_jump_bp"),

@@ -168,6 +168,44 @@ def test_query_survives_empty_tables(spark, empty_sf_dir, name):
     assert len(rows) <= fixed_shape.get(name, 1), (name, rows[:3])
 
 
+# ADVICE r8: the scalar inference audits used to emit NULL conditional
+# sums on zero-row input where the oracle's COUNT(*) FILTER yields 0 —
+# the <=1-row bound above hid it. Full Spark-vs-DuckDB parity on the
+# empty dir, not just no-throw.
+_EMPTY_PARITY = [
+    "stats_kendall_tau_b", "stats_sign_test", "stats_cohens_kappa",
+    "stats_odds_ratio", "stats_mcc_matthews", "events_intervention_its",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_file_sf_dir(sf_dir):
+    """Empty tables as SINGLE parquet files (schema preserved via DuckDB
+    COPY ... LIMIT 0) so both Spark and the DuckDB oracle read them."""
+    import duckdb
+
+    d = tempfile.mkdtemp(prefix="cascade_empty_files_")
+    con = duckdb.connect()
+    for t in _TABLES:
+        con.sql(
+            f"COPY (SELECT * FROM read_parquet('{sf_dir}/{t}.parquet') LIMIT 0)"
+            f" TO '{os.path.join(d, t + '.parquet')}' (FORMAT PARQUET)"
+        )
+    con.close()
+    return d
+
+
+@pytest.mark.parametrize("name", _EMPTY_PARITY)
+def test_empty_input_full_oracle_parity(spark, empty_file_sf_dir, name):
+    from cascade_spark.plans.compare import compare
+
+    q = load_all()[name]
+    ok, msg = compare(
+        q.builder(spark, empty_file_sf_dir), q.oracle, empty_file_sf_dir
+    )
+    assert ok, f"{name}: {msg}"
+
+
 def test_empty_input_oracle_parity_regressions(spark, empty_sf_dir):
     """ADVICE r4: two latent Spark/oracle divergences the <=1-row bound
     above hid. On empty inputs (a) events_peak_concurrency must emit
