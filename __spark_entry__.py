@@ -49,8 +49,10 @@ _ROUND9_FRONT: list[str] = [
     "stats_odds_ratio",
     "stats_mcc_matthews",
     "events_intervention_its",
-  # -- (a) plan changed round 9 (two-phase RRF rank; shared LPA labels) --
+  # -- (a) plan changed round 9 (two-phase RRF rank; two-phase exact
+  # NTILE; shared LPA labels) --
     "similarity_reciprocal_rank_fusion",
+    "analytics_rfm_segmentation",
     "graph_label_propagation",
     "graph_modularity_score",
 ]

@@ -441,12 +441,14 @@ def agg_deciles_disc(spark, sf_dir):
     "each scored into quintiles by ntile over a deterministic total "
     "order (metric, then custkey tiebreak), concatenated into the "
     "classic 555-style segment code and counted. The heavy pass is "
-    "the one orders scan; the ntile windows run over the per-customer "
-    "frame, which is fixture-tiny here but customer-cardinality in "
-    "production — at 100 TB replace exact ntile with percentile cut "
-    "points (approx or percentile_disc on a sample) broadcast onto a "
-    "map-only scoring pass, the same trade the z-score and OOV "
-    "queries make.",
+    "the one orders scan. Scale design (round 9): NO global ntile "
+    "window — each quintile score derives from an EXACT global rank "
+    "built with the two-phase assign_offsets prefix sum "
+    "(range-repartition + per-partition row_number + a ~32-row "
+    "cumulative-base frame), then the NTILE bucket is computed "
+    "arithmetically from (rank, N): the first N%5 buckets take "
+    "ceil(N/5) rows — bit-identical to NTILE(5) on both engines, but "
+    "fully parallel at customer cardinality.",
     oracle="""
 WITH per_cust AS (
     SELECT o_custkey AS k,
@@ -477,13 +479,37 @@ def analytics_rfm_segmentation(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("freq"),
         (F.sum(dec("o_totalprice")) * 100).cast("long").alias("mon"),
     )
-    wr = Window.orderBy(F.col("rec").desc(), "k")
-    wf = Window.orderBy("freq", "k")
-    wm = Window.orderBy("mon", "k")
-    scored = per_cust.select(
-        F.ntile(5).over(wr).cast("long").alias("r_score"),
-        F.ntile(5).over(wf).cast("long").alias("f_score"),
-        F.ntile(5).over(wm).cast("long").alias("m_score"),
+    from cascade_spark.operators.ingest import assign_offsets
+
+    # one materialization shared by the three rank passes
+    per_cust = per_cust.localCheckpoint(eager=True)
+    n = per_cust.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+
+    # exact NTILE(5) from an exact global rank: the first N%5 buckets
+    # take N DIV 5 + 1 rows, the rest N DIV 5 (Spark/DuckDB NTILE rule)
+    _ntile5 = (
+        "CAST(CASE WHEN _r <= (_n % 5) * (_n DIV 5 + 1)"
+        " THEN (_r - 1) DIV (_n DIV 5 + 1) + 1"
+        " ELSE (_n % 5) + (_r - (_n % 5) * (_n DIV 5 + 1) - 1) DIV (_n DIV 5) + 1"
+        " END AS BIGINT)"
+    )
+
+    def _quintile(order_col, desc, name):
+        base = per_cust.select(
+            "k",
+            (-F.col(order_col) if desc else F.col(order_col)).alias("_o"),
+        )
+        ranked = assign_offsets(base, ["_o", "k"])
+        return (
+            ranked.select("k", (F.col("offset") + 1).alias("_r"))
+            .crossJoin(F.broadcast(n))
+            .select("k", F.expr(_ntile5).alias(name))
+        )
+
+    scored = (
+        _quintile("rec", True, "r_score")
+        .join(_quintile("freq", False, "f_score"), "k")
+        .join(_quintile("mon", False, "m_score"), "k")
     )
     return (
         scored.select(

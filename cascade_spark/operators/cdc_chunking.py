@@ -16,7 +16,7 @@ between near-identical documents keep identical chunk hashes.
   shared with the rest of the corpus" number.
 
 Reference scope: declared corpus operator per SURVEY §2B north-star
-dedup family (the reference itself is an event log, src/main.rs).
+dedup family (the reference itself is an event log, src/broker/main.rs).
 
 Determinism: boundaries, segment ids (one bounded per-doc window over
 word positions), and chunk hashes are all exact integer/md5

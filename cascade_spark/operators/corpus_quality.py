@@ -17,7 +17,7 @@ training-data curation pipeline the quality-filter family
   counts and an id-sum checksum proving the exact selection.
 
 Reference scope: the reference's query surface is aggregation over an
-ingested log (src/main.rs); both queries are declared aggregates /
+ingested log (src/broker/main.rs); both queries are declared aggregates /
 transforms over the documents table of SURVEY §2B's north-star corpus
 surface.
 

@@ -9,7 +9,7 @@ these estimate magnitudes):
   mark-recapture design, used in data engineering to estimate unseen
   entity counts (how many users/dup-clusters exist beyond what two
   samples saw). Reference scope: the engine's query surface is
-  aggregation over an event log (``src/main.rs`` consume/aggregate
+  aggregation over an event log (``src/broker/main.rs`` consume/aggregate
   loop); this is a declared aggregate over the same table.
 - ``stats_good_turing``: Good–Turing frequency-of-frequencies over the
   corpus token counts — the canonical estimator for unseen-vocabulary

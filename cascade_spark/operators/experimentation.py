@@ -23,7 +23,7 @@ tests answer "did it move"; these answer "how long do users live",
   (declared semantics) — every step integer arithmetic.
 
 Reference scope: declared aggregates over the consumed event log
-(src/main.rs), per SURVEY §2B.
+(src/broker/main.rs), per SURVEY §2B.
 
 Scale (100 TB): all three collapse the log to per-user or 2x2 spines
 in one combinable pass; the KM fold runs over the bounded

@@ -814,6 +814,39 @@ def graph_degree_assortativity(spark, sf_dir):
 
 LPA_ROUNDS = 2
 
+_LPA_CACHE: dict = {}
+
+
+def _lpa_labels(spark, sf_dir):
+    """Shared {LPA_ROUNDS}-round deterministic sync-LPA label frame
+    (u, lab) over the co-activity graph — built once per (app, sf_dir)
+    and persisted, exactly like _coactivity_edges: both
+    graph_label_propagation and graph_modularity_score consume the SAME
+    loop, so re-running it inline doubled the cost (round-8 verdict
+    item #2)."""
+    from pyspark.sql import Window
+
+    from cascade_spark.operators.dedup import _cached_frame
+
+    def build():
+        e = _coactivity_edges(spark, sf_dir)
+        adj = e.select(F.col("ua").alias("u"), F.col("ub").alias("v")).unionByName(
+            e.select(F.col("ub").alias("u"), F.col("ua").alias("v"))
+        )
+        labels = adj.select("u").distinct().select("u", F.col("u").alias("lab"))
+        for _ in range(LPA_ROUNDS):
+            neigh = adj.join(labels.select(F.col("u").alias("v"), "lab"), "v")
+            counts = neigh.groupBy("u", "lab").agg(F.count(F.lit(1)).alias("c"))
+            w = Window.partitionBy("u").orderBy(F.col("c").desc(), F.col("lab"))
+            labels = (
+                counts.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("u", "lab")
+            )
+        return labels
+
+    return _cached_frame(_LPA_CACHE, spark, sf_dir, build)
+
 
 @register(
     "graph_label_propagation",
@@ -829,7 +862,10 @@ LPA_ROUNDS = 2
     "symmetric edge list + one (node, label) count + one per-node "
     "argmax window — all partitioned by node id, so a round costs two "
     "shuffles at any graph size and lineage stays "
-    f"{LPA_ROUNDS}-rounds shallow.",
+    f"{LPA_ROUNDS}-rounds shallow. The label frame is built ONCE and "
+    "persisted (_lpa_labels, the _coactivity_edges discipline); "
+    "graph_modularity_score reads the same frame instead of re-running "
+    "the loop.",
     oracle=f"""
 WITH {_sql_coactivity_edges()},
 adj AS (SELECT ua AS u, ub AS v FROM e UNION ALL SELECT ub, ua FROM e),
@@ -864,24 +900,7 @@ ORDER BY n_members DESC, community
 """,
 )
 def graph_label_propagation(spark, sf_dir):
-    from pyspark.sql import Window
-
-    e = _coactivity_edges(spark, sf_dir)
-    adj = e.select(F.col("ua").alias("u"), F.col("ub").alias("v")).unionByName(
-        e.select(F.col("ub").alias("u"), F.col("ua").alias("v"))
-    )
-    labels = adj.select("u").distinct().select("u", F.col("u").alias("lab"))
-    for _ in range(LPA_ROUNDS):
-        neigh = adj.join(
-            labels.select(F.col("u").alias("v"), "lab"), "v"
-        )
-        counts = neigh.groupBy("u", "lab").agg(F.count(F.lit(1)).alias("c"))
-        w = Window.partitionBy("u").orderBy(F.col("c").desc(), F.col("lab"))
-        labels = (
-            counts.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("u", "lab")
-        )
+    labels = _lpa_labels(spark, sf_dir)
     return (
         labels.groupBy("lab")
         .agg(F.count(F.lit(1)).cast("long").alias("n_members"))

@@ -14,7 +14,7 @@ the node-local triangle density and the long-run state distribution):
   the graph_pagerank discipline (floor division everywhere, DuckDB
   oracle unrolls the same rounds as CTEs, bit-identical).
 
-Reference scope: the reference is an event log (src/main.rs); both
+Reference scope: the reference is an event log (src/broker/main.rs); both
 queries are declared aggregates over consumption-order semantics
 (transitions use the same (ts, event_id) order the consume path
 exposes).
@@ -235,8 +235,9 @@ def events_markov_stationary(spark, sf_dir):
     "graph_modularity_score",
     "analytics",
     doc="Newman modularity Q of the LPA communities (the quality metric "
-    "graph_label_propagation's histogram lacks): rebuild the same "
-    "2-round deterministic sync-LPA labels, then Q = (4m*intra - "
+    "graph_label_propagation's histogram lacks): read the SHARED "
+    "persisted 2-round sync-LPA label frame (_lpa_labels — built once "
+    "for the family, not re-run inline), then Q = (4m*intra - "
     "sum_c d_c^2) / (4m^2) as ONE exact integer rational in truncated "
     "bp (Q can be negative; Spark DIV / DuckDB // toward-zero parity). "
     "intra = edges inside a community, d_c = community degree mass — "
@@ -293,22 +294,13 @@ FROM m, intra, dmass
 """,
 )
 def graph_modularity_score(spark, sf_dir):
-    from pyspark.sql import Window
+    from cascade_spark.operators.graph import _lpa_labels
 
     e = _coactivity_edges(spark, sf_dir)
     adj = e.select(F.col("ua").alias("u"), F.col("ub").alias("v")).unionByName(
         e.select(F.col("ub").alias("u"), F.col("ua").alias("v"))
     )
-    labels = adj.select("u").distinct().select("u", F.col("u").alias("lab"))
-    for _ in range(2):
-        neigh = adj.join(labels.select(F.col("u").alias("v"), "lab"), "v")
-        counts = neigh.groupBy("u", "lab").agg(F.count(F.lit(1)).alias("c"))
-        w = Window.partitionBy("u").orderBy(F.col("c").desc(), F.col("lab"))
-        labels = (
-            counts.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("u", "lab")
-        )
+    labels = _lpa_labels(spark, sf_dir)
     m = e.agg(bigint(F.count(F.lit(1))).alias("m"))
     la = labels.select(F.col("u").alias("ua"), F.col("lab").alias("lab_a"))
     lb = labels.select(F.col("u").alias("ub"), F.col("lab").alias("lab_b"))

@@ -34,7 +34,7 @@ rank correlation, paired designs, shift estimation and 2x2 tables):
   doubling (2a+1 etc.), plus the relative risk, both floor bp.
 
 Reference scope: the reference engine's query surface is aggregation
-over a consumed event log (src/main.rs consume/aggregate loop); each
+over a consumed event log (src/broker/main.rs consume/aggregate loop); each
 of these is a declared aggregate over the same ``events``/``documents``
 tables.
 

@@ -15,7 +15,7 @@ augmentation mirroring):
   maps in pure SQL.
 
 Reference scope: north-star multimodal surface (SURVEY §2B); the
-reference engine itself is an event log (src/main.rs).
+reference engine itself is an event log (src/broker/main.rs).
 
 Scale (100 TB): map-only mapInPandas over the blob column — no
 shuffle; the transform is per-row numpy work sized by the image, the

@@ -13,7 +13,7 @@ smooths level only; Holt adds a trend component and a forecast):
   final level/trend and the h=1 and h=7 linear forecasts.
 
 Reference scope: aggregation over the consumed event log
-(src/main.rs), declared per SURVEY §2B.
+(src/broker/main.rs), declared per SURVEY §2B.
 
 Scale (100 TB): the raw log collapses to the k x n_days grid in one
 combinable groupBy; the sequential recurrence runs over the bounded

@@ -547,6 +547,16 @@ def stage_bus_topic(spark, sf_dir: str, num_partitions: int = 4) -> str:
     )
     topic_dir = os.path.join(tempfile.mkdtemp(prefix="cascade_bus_"), "events")
     producer = BusProducer(topic_dir, num_partitions=num_partitions)
+    # FIXTURE-STAGING BOUNDARY: this driver-side toPandas emulates the
+    # reference's SERIAL publisher (one producer appending in event_id
+    # order) and only ever stages the test fixture. At scale, bus topics
+    # are written by the distributed BusStreamWriter sink path — never
+    # through this function. The assert pins the boundary.
+    n_rows = ev.count()
+    assert n_rows <= 2_000_000, (
+        f"stage_bus_topic is fixture staging only ({n_rows} rows); "
+        "use BusStreamWriter for data-sized topic writes"
+    )
     pdf = ev.toPandas()  # columns: event_id, ts_us, user_id, event_type, value
     rows = (
         {

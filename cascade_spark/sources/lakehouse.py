@@ -157,6 +157,71 @@ if lakehouse_probe()["avro"]:
         return spark.read.format("avro").load(out).orderBy("n_nationkey")
 
 
+if lakehouse_probe()["iceberg"]:
+    from cascade_spark.plans.registry import register
+    from cascade_spark.tables import load as _load_i
+
+    @register(
+        "scan_iceberg_roundtrip",
+        "sources",
+        doc="Iceberg write+read roundtrip over the region table through "
+        "a hadoop-type catalog — registered only where the "
+        "iceberg-spark-runtime jar is on the classpath (probe-gated "
+        "like scan_delta_roundtrip / scan_avro_roundtrip; absent in "
+        "this container, the skip-marked test documents the gate). "
+        "Oracle = the parquet source: a roundtrip may never change data.",
+        oracle="SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    )
+    def scan_iceberg_roundtrip(spark, sf_dir):
+        import tempfile
+
+        wh = tempfile.mkdtemp(prefix="iceberg_wh_")
+        spark.conf.set(
+            "spark.sql.catalog.cascade_ice",
+            "org.apache.iceberg.spark.SparkCatalog",
+        )
+        spark.conf.set("spark.sql.catalog.cascade_ice.type", "hadoop")
+        spark.conf.set("spark.sql.catalog.cascade_ice.warehouse", wh)
+        src = _load_i(spark, sf_dir, "region").select("r_regionkey", "r_name")
+        src.writeTo("cascade_ice.db.region_rt").createOrReplace()
+        return spark.table("cascade_ice.db.region_rt").orderBy("r_regionkey")
+
+
+if lakehouse_probe()["hudi"]:
+    from cascade_spark.plans.registry import register
+    from cascade_spark.tables import load as _load_h
+
+    @register(
+        "scan_hudi_roundtrip",
+        "sources",
+        doc="Hudi copy-on-write write+read roundtrip over the region "
+        "table — registered only where the hudi-spark bundle jar is on "
+        "the classpath (probe-gated; absent in this container, the "
+        "skip-marked test documents the gate). Oracle = the parquet "
+        "source: a roundtrip may never change data.",
+        oracle="SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    )
+    def scan_hudi_roundtrip(spark, sf_dir):
+        import tempfile
+
+        out = tempfile.mkdtemp(prefix="hudi_rt_")
+        src = _load_h(spark, sf_dir, "region").select("r_regionkey", "r_name")
+        (
+            src.write.format("hudi")
+            .option("hoodie.table.name", "region_rt")
+            .option("hoodie.datasource.write.recordkey.field", "r_regionkey")
+            .option("hoodie.datasource.write.precombine.field", "r_regionkey")
+            .mode("overwrite")
+            .save(out)
+        )
+        return (
+            spark.read.format("hudi")
+            .load(out)
+            .select("r_regionkey", "r_name")
+            .orderBy("r_regionkey")
+        )
+
+
 from pyspark.sql import functions as F  # noqa: E402
 
 from cascade_spark.plans.registry import register  # noqa: E402

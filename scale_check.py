@@ -1,0 +1,111 @@
+"""SF-scaling regression tier — run the slowest bench queries at BOTH
+sf0.01 and sf0.1 in one process and report the per-query scaling ratio.
+
+The fixture tables grow ~10x between the two tiers, so a healthy
+(linear-or-better) plan should scale well under ~10x wall-clock; a
+ratio past the flag threshold is a superlinear smell (all-pairs join,
+corpus-sized single-reducer sort, driver-side loop) — the shape that
+would have caught round 7's BroadcastNestedLoopJoin truth scan a round
+earlier at sf0.01-vs-sf0.1 instead of in the sf0.1 bench.
+
+Usage:
+    python scale_check.py            # top-25 from BENCH_DETAIL.json
+    python scale_check.py q1 q2 ...  # explicit query names
+
+Prints one JSON line: {"queries": {name: {"s_small": ..., "s_big": ...,
+"ratio": ...}}, "flagged": [...], "threshold": ...}. Exit code 1 if any
+query is flagged.
+
+Timing note: cold-vs-warm noise dominates sub-second queries, so each
+query runs once at the small tier first (also warming code paths), and
+ratios are only meaningful for queries whose sf0.1 time is >~0.5 s; the
+flag additionally requires s_big > 1 s so scheduler jitter on tiny
+queries can't false-positive.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SMALL = os.environ.get("SPARK_GRAFT_SCALE_SMALL", "/root/testdata/sf0.01")
+BIG = os.environ.get("SPARK_GRAFT_SCALE_BIG", "/root/testdata/sf0.1")
+RATIO_FLAG = float(os.environ.get("SPARK_GRAFT_SCALE_FLAG", "10.0"))
+TOP_N = int(os.environ.get("SPARK_GRAFT_SCALE_TOP", "25"))
+
+os.environ.setdefault("CASCADE_DRIVER_MEM", "48g")
+
+
+def _materialize(df) -> None:
+    from pyspark.sql import functions as F
+
+    h = F.xxhash64(*[F.col(c) for c in df.columns]) if df.columns else F.lit(0)
+    df.select(h.alias("_h")).agg(F.count("_h"), F.sum("_h")).collect()
+
+
+def _top_queries() -> list[str]:
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    with open(detail_path) as f:
+        detail = json.load(f)
+    per = detail.get("queries", detail)
+    # exclude side-effect-memoizing / cache-amortized entries the bench
+    # itself flags: their second-tier timing would ride the cache
+    rows = [
+        (name, rec["sec"] if isinstance(rec, dict) else rec)
+        for name, rec in per.items()
+        if not (isinstance(rec, dict) and rec.get("cache_amortized"))
+    ]
+    rows.sort(key=lambda kv: -kv[1])
+    return [name for name, _ in rows[:TOP_N]]
+
+
+def main() -> None:
+    from cascade_spark.plans.registry import load_all
+    from cascade_spark.session import get_spark
+
+    names = sys.argv[1:] or _top_queries()
+    registry = load_all()
+    names = [n for n in names if n in registry]
+    spark = get_spark("cascade_scale_check")
+
+    # warm JVM + footers at both tiers so tier-1 isn't charged bring-up
+    spark.read.parquet(f"{SMALL}/lineitem.parquet").count()
+    spark.read.parquet(f"{BIG}/lineitem.parquet").count()
+
+    out: dict[str, dict[str, float]] = {}
+    for name in names:
+        q = registry[name]
+        t0 = time.monotonic()
+        _materialize(q.builder(spark, SMALL))
+        s_small = time.monotonic() - t0
+        t0 = time.monotonic()
+        _materialize(q.builder(spark, BIG))
+        s_big = time.monotonic() - t0
+        out[name] = {
+            "s_small": round(s_small, 3),
+            "s_big": round(s_big, 3),
+            "ratio": round(s_big / max(s_small, 1e-6), 2),
+        }
+
+    flagged = sorted(
+        n for n, r in out.items()
+        if r["ratio"] > RATIO_FLAG and r["s_big"] > 1.0
+    )
+    print(json.dumps({
+        "metric": "sf_scaling_ratio",
+        "small": SMALL,
+        "big": BIG,
+        "threshold": RATIO_FLAG,
+        "queries": out,
+        "flagged": flagged,
+    }))
+    sys.exit(1 if flagged else 0)
+
+
+if __name__ == "__main__":
+    main()

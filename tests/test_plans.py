@@ -539,3 +539,122 @@ def test_bounce_rate_single_user_shuffle(spark, sf_dir):
     assert n_window >= 2
     hashpart_user = len(re.findall(r"hashpartitioning\(user_id", plan))
     assert hashpart_user == 1, f"expected one user shuffle, saw {hashpart_user}"
+
+
+# ---------------------------------------------------------------------------
+# Global-window lint (round-9 verdict item): every PARTITION-LESS
+# Window.orderBy in the source must window over a declared bounded spine
+# — a frame whose row count is fixed by construction (day grid, distinct
+# value spine, k-row config frame), never corpus-sized. The allowlist
+# below IS the declaration; adding a new global window without
+# annotating its spine here fails the suite.
+# ---------------------------------------------------------------------------
+
+_GLOBAL_WINDOW_ALLOWLIST = {
+    # (module path, enclosing function): bounded spine it windows over
+    ("cascade_spark/operators/analytics_extra.py", "pipeline_curriculum_order"):
+        "3-row band-size frame (cumulative offsets, assign_offsets pattern)",
+    ("cascade_spark/operators/analytics_extra.py", "analytics_abc_pareto"):
+        "per-part revenue spine (|part| rows, dimension-bounded)",
+    ("cascade_spark/operators/curation.py", "pipeline_largest_remainder_alloc"):
+        "k-row allocation frame (one row per declared source)",
+    ("cascade_spark/operators/curation.py", "pipeline_greedy_coverage"):
+        "per-round candidate scores on the label spine (<= |labels| rows)",
+    ("cascade_spark/operators/histogram_sketch.py", "agg_histogram_equi_depth"):
+        "bucket-boundary spine (k quantile rows)",
+    ("cascade_spark/operators/inference_extra.py", "stats_bh_fdr"):
+        "k(k-1)/2 event-type pair rows (k = |event types|)",
+    ("cascade_spark/operators/inference_extra.py", "stats_ljung_box"):
+        "day-grid spine (n_days rows)",
+    ("cascade_spark/operators/inference_extra.py", "stats_cochran_armitage"):
+        "7-row ISO-dow dose spine",
+    ("cascade_spark/operators/ingest.py", "assign_offsets"):
+        "~numPartitions count rows (documented WindowExec warning)",
+    ("cascade_spark/operators/ingest.py", "assign_prefix_sum"):
+        "~numPartitions count rows (two-phase prefix sum)",
+    ("cascade_spark/operators/stats_extra.py", "stats_ks_two_sample"):
+        "distinct daily-volume value spine",
+    ("cascade_spark/operators/text.py", "text_seqlen_histogram"):
+        "fixed histogram-bucket spine",
+    ("cascade_spark/operators/text.py", "text_vocab_coverage_curve"):
+        "word-frequency spine (|vocab| rows, vocab-bounded)",
+    ("cascade_spark/operators/text.py", "text_pmi_collocations"):
+        "co-occurring word-pair spine (|vocab|^2-bounded, vocab-bounded)",
+    ("cascade_spark/operators/text_filtering.py", "text_zipf_topwords"):
+        "word-frequency spine (|vocab| rows)",
+    ("cascade_spark/operators/timeseries.py", "events_new_vs_returning"):
+        "day-grid spine",
+    ("cascade_spark/operators/timeseries.py", "events_autocorrelation"):
+        "day-grid spine",
+    ("cascade_spark/operators/timeseries.py", "events_changepoint_cusum"):
+        "day-grid spine",
+    ("cascade_spark/operators/timeseries.py", "events_slo_burn_rate"):
+        "day/window grid spine",
+    ("cascade_spark/sources/topics.py", "bus_consumer_group_assignment"):
+        "topic-partition spine (|partitions| rows)",
+}
+
+
+def test_global_windows_are_declared_bounded_spines():
+    """AST-walk the source tree: the set of partition-less
+    Window.orderBy sites must equal the annotated allowlist exactly —
+    new sites need a spine declaration, removed sites must be pruned."""
+    import ast
+    import os
+
+    root_dir = os.path.join(os.path.dirname(__file__), "..")
+    sites = set()
+    for root, _, files in os.walk(os.path.join(root_dir, "cascade_spark")):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            p = os.path.join(root, fn)
+            rel = os.path.relpath(p, root_dir)
+            tree = ast.parse(open(p).read())
+            funcs = [
+                (n.lineno, n.end_lineno, n.name)
+                for n in ast.walk(tree)
+                if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+            ]
+            for node in ast.walk(tree):
+                if (
+                    isinstance(node, ast.Call)
+                    and isinstance(node.func, ast.Attribute)
+                    and node.func.attr == "orderBy"
+                    and isinstance(node.func.value, ast.Name)
+                    and node.func.value.id == "Window"
+                ):
+                    enc = [f for (a, b, f) in funcs if a <= node.lineno <= b]
+                    sites.add((rel, enc[-1] if enc else "<module>"))
+    allow = set(_GLOBAL_WINDOW_ALLOWLIST)
+    assert sites == allow, (
+        f"undeclared global windows: {sorted(sites - allow)}; "
+        f"stale allowlist entries: {sorted(allow - sites)}"
+    )
+
+
+def test_rrf_two_phase_no_global_window(spark, sf_dir):
+    """similarity_reciprocal_rank_fusion recovers exact global ranks via
+    distributed top-K' pre-cut + map-side beat-count: the plan must have
+    NO Window exec (the old corpus-wide row_number) and must rank via
+    TakeOrderedAndProject."""
+    from cascade_spark.plans.registry import load_all
+
+    plan = _plan(
+        load_all()["similarity_reciprocal_rank_fusion"].builder(spark, sf_dir)
+    )
+    assert "Window" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_rfm_exact_ntile_no_global_window(spark, sf_dir):
+    """analytics_rfm_segmentation derives NTILE(5) from the two-phase
+    assign_offsets rank — no partition-less Window over the customer
+    frame (windows over the ~32-row _pid count frame are the declared
+    bounded exception and appear partitioned or spine-sized)."""
+    from cascade_spark.plans.registry import load_all
+
+    plan = _plan(load_all()["analytics_rfm_segmentation"].builder(spark, sf_dir))
+    # ntile is gone entirely; the only row_number windows are the
+    # per-_pid local ranks inside assign_offsets
+    assert "ntile" not in plan

@@ -71,3 +71,29 @@ def test_pmi_lift_is_engine_identical_integer(spark, sf_dir):
         ).fetchone()[0]
         assert int(lift) == int(want)
     con.close()
+
+
+def test_iceberg_hudi_registration_follows_probe(spark):
+    """scan_iceberg_roundtrip / scan_hudi_roundtrip register exactly
+    where their runtime jars exist (the scan_delta_roundtrip /
+    scan_avro_roundtrip probe discipline — round-8 verdict item #7:
+    users landing on those table formats see a declared probe-gated
+    surface, not an undeclared wall). Where present, each must be green
+    end-to-end."""
+    from cascade_spark.plans.registry import load_all
+    from cascade_spark.sources.lakehouse import lakehouse_probe
+
+    probe = lakehouse_probe()
+    missing = []
+    for fmt, qname in [
+        ("iceberg", "scan_iceberg_roundtrip"),
+        ("hudi", "scan_hudi_roundtrip"),
+    ]:
+        if not probe[fmt]:
+            assert qname not in load_all()
+            missing.append(fmt)
+            continue
+        rows = load_all()[qname].builder(spark, "/root/testdata/sf0.001").collect()
+        assert rows and rows[0]["r_regionkey"] == 0
+    if missing:
+        pytest.skip(f"runtime jars absent in this container: {missing}")
