@@ -592,6 +592,8 @@ _GLOBAL_WINDOW_ALLOWLIST = {
         "day/window grid spine",
     ("cascade_spark/sources/topics.py", "bus_consumer_group_assignment"):
         "topic-partition spine (|partitions| rows)",
+    ("cascade_spark/operators/vector_audit.py", "similarity_ndcg_eval"):
+        "NDCG_K-row TakeOrdered candidate frame (position numbering)",
 }
 
 

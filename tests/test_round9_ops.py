@@ -97,3 +97,37 @@ def test_iceberg_hudi_registration_follows_probe(spark):
         assert rows and rows[0]["r_regionkey"] == 0
     if missing:
         pytest.skip(f"runtime jars absent in this container: {missing}")
+
+
+@pytest.mark.parametrize(
+    "a,b,c,d",
+    [(3, 7, 5, 2), (0, 10, 0, 5), (1, 0, 0, 1), (8, 2, 2, 8),
+     (0, 0, 0, 0), (5, 5, 5, 5), (12, 1, 3, 14), (2, 0, 9, 0)],
+)
+def test_fisher_exact_matches_bigint_math(spark, a, b, c, d):
+    """The hypergeometric fold equals exact Python big-integer Fisher on
+    arbitrary 2x2 tables, including degenerate margins."""
+    from cascade_spark.operators.assoc_stats import _fisher_from_cells
+
+    cells = spark.createDataFrame([(a, b, c, d)], "a long, b long, c long, d long")
+    got = _fisher_from_cells(cells).first()["p2_bp"]
+
+    r1, r2, c1 = a + b, c + d, a + c
+    lo, hi = max(0, c1 - r2), min(r1, c1)
+    ws = {k: math.comb(r1, k) * math.comb(r2, c1 - k) for k in range(lo, hi + 1)}
+    w_obs = ws[a]
+    pnum = sum(w for w in ws.values() if w <= w_obs)
+    total = sum(ws.values())
+    want = min(10000, (pnum * 10000) // total) if total else 10000
+    assert int(got) == want, (a, b, c, d, got, want)
+
+
+def test_fisher_exact_raises_past_cap(spark):
+    from cascade_spark.operators.assoc_stats import _fisher_from_cells
+    from cascade_spark.operators.inference_extra import _BINOM_N_CAP
+
+    cells = spark.createDataFrame(
+        [(_BINOM_N_CAP, 1, 1, 1)], "a long, b long, c long, d long"
+    )
+    with pytest.raises(Exception, match="decimal"):
+        _fisher_from_cells(cells).collect()
