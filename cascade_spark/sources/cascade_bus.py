@@ -1188,3 +1188,67 @@ def bus_seek_by_timestamp(spark, sf_dir):
         )
         .orderBy("partition")
     )
+
+
+@register(
+    "bus_delete_records",
+    "sources",
+    doc="Kafka deleteRecords/log-start-offset parity (reference R16 "
+    "retention family): each bus partition is truncated at 40% of its "
+    "high watermark — cut_p = (n_p * 4) DIV 10 — advancing the "
+    "log-start-offset the way retention or an explicit deleteRecords "
+    "admin call does; the report shows the surviving range and an "
+    "id checksum proving exactly which records remain. The cut frame "
+    "is #partitions rows (control plane); at scale the retained read "
+    "is the connector's per-partition offset-bound pushdown (segments "
+    "below the cut are skipped by the index chain, like "
+    "bus_source_offset_seek).",
+    oracle="""
+WITH seq AS (
+    SELECT event_id, ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS i
+    FROM events
+),
+pos AS (
+    SELECT event_id, CAST(i % 4 AS INT) AS partition, i // 4 AS off
+    FROM seq
+),
+hw AS (
+    SELECT partition, CAST(COUNT(*) AS BIGINT) AS n,
+           (CAST(COUNT(*) AS BIGINT) * 4) // 10 AS cut
+    FROM pos GROUP BY partition
+)
+SELECT CAST(p.partition AS BIGINT) AS partition,
+       hw.cut AS log_start_offset,
+       hw.n AS high_watermark,
+       CAST(COUNT(*) AS BIGINT) AS n_retained,
+       CAST(SUM(p.event_id) AS BIGINT) AS id_checksum
+FROM pos p JOIN hw ON hw.partition = p.partition
+WHERE p.off >= hw.cut
+GROUP BY p.partition, hw.cut, hw.n
+ORDER BY partition
+""",
+)
+def bus_delete_records(spark, sf_dir):
+    topic = stage_bus_topic(spark, sf_dir)
+    register_bus(spark)
+    df = spark.read.format("cascade_bus").option("path", topic).load()
+    hw = df.groupBy("partition").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).select(
+        "partition", "n", F.expr("(n * 4) DIV 10").cast("long").alias("cut")
+    )
+    retained = df.join(F.broadcast(hw), "partition").filter(
+        F.col("offset") >= F.col("cut")
+    )
+    return (
+        retained.groupBy(
+            F.col("partition").cast("long").alias("partition"),
+            F.col("cut").alias("log_start_offset"),
+            F.col("n").alias("high_watermark"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_retained"),
+            F.sum("event_id").cast("long").alias("id_checksum"),
+        )
+        .orderBy("partition")
+    )
