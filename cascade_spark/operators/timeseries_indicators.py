@@ -433,3 +433,143 @@ def events_croston_demand(spark, sf_dir):
             " ELSE (st.z * 10000) DIV st.p END AS BIGINT)"
         ).alias("forecast_bp"),
     ).orderBy("event_type")
+
+
+HW_PERIOD = 7
+
+
+@register(
+    "events_holt_winters",
+    "timeseries",
+    doc="Additive Holt-Winters (alpha = beta = gamma = 1/2, season "
+    f"m = {HW_PERIOD}) per event type over the zero-filled daily "
+    "volumes, ALL state in micro-scaled integers with floor-by-2 "
+    "steps: l' = ((x*S - s_old) + l + b) DIV 2; b' = ((l'-l) + b) "
+    "DIV 2; s' = ((x*S - l') + s_old) DIV 2 (seasonal slots start at "
+    "0, so early steps degrade gracefully to Holt — declared init). "
+    "The 7-slot seasonal vector rides INSIDE the fold accumulator "
+    "(array field in the Spark HOF struct; explicit 7-way CASE "
+    "rebuild in the DuckDB recursive CTE) — bit-identical engines, "
+    "the events_holt_linear_forecast discipline extended with "
+    "seasonality. Emits final level/trend, the next seasonal slot, "
+    "and h=1 / h=7 forecasts.",
+    oracle=f"""
+WITH RECURSIVE {_GRID_SQL},
+rec(event_type, tt, l, b, sea) AS (
+    SELECT event_type, tt, v * {IND_SCALE}, CAST(0 AS BIGINT),
+           [CAST(0 AS BIGINT), 0, 0, 0, 0, 0, 0]
+    FROM cell WHERE tt = 0
+    UNION ALL
+    SELECT c.event_type, c.tt,
+           ((c.v * {IND_SCALE} - r.sea[CAST(c.tt % {HW_PERIOD} AS INT) + 1])
+            + r.l + r.b) // 2,
+           ((((c.v * {IND_SCALE} - r.sea[CAST(c.tt % {HW_PERIOD} AS INT) + 1])
+              + r.l + r.b) // 2) - r.l + r.b) // 2,
+           [
+             CASE WHEN CAST(c.tt % {HW_PERIOD} AS INT) + 1 = 1
+                  THEN ((c.v * {IND_SCALE}
+                         - ((c.v * {IND_SCALE} - r.sea[CAST(c.tt % {HW_PERIOD} AS INT) + 1])
+                            + r.l + r.b) // 2)
+                        + r.sea[1]) // 2 ELSE r.sea[1] END,
+             CASE WHEN CAST(c.tt % {HW_PERIOD} AS INT) + 1 = 2
+                  THEN ((c.v * {IND_SCALE}
+                         - ((c.v * {IND_SCALE} - r.sea[CAST(c.tt % {HW_PERIOD} AS INT) + 1])
+                            + r.l + r.b) // 2)
+                        + r.sea[2]) // 2 ELSE r.sea[2] END,
+             CASE WHEN CAST(c.tt % {HW_PERIOD} AS INT) + 1 = 3
+                  THEN ((c.v * {IND_SCALE}
+                         - ((c.v * {IND_SCALE} - r.sea[CAST(c.tt % {HW_PERIOD} AS INT) + 1])
+                            + r.l + r.b) // 2)
+                        + r.sea[3]) // 2 ELSE r.sea[3] END,
+             CASE WHEN CAST(c.tt % {HW_PERIOD} AS INT) + 1 = 4
+                  THEN ((c.v * {IND_SCALE}
+                         - ((c.v * {IND_SCALE} - r.sea[CAST(c.tt % {HW_PERIOD} AS INT) + 1])
+                            + r.l + r.b) // 2)
+                        + r.sea[4]) // 2 ELSE r.sea[4] END,
+             CASE WHEN CAST(c.tt % {HW_PERIOD} AS INT) + 1 = 5
+                  THEN ((c.v * {IND_SCALE}
+                         - ((c.v * {IND_SCALE} - r.sea[CAST(c.tt % {HW_PERIOD} AS INT) + 1])
+                            + r.l + r.b) // 2)
+                        + r.sea[5]) // 2 ELSE r.sea[5] END,
+             CASE WHEN CAST(c.tt % {HW_PERIOD} AS INT) + 1 = 6
+                  THEN ((c.v * {IND_SCALE}
+                         - ((c.v * {IND_SCALE} - r.sea[CAST(c.tt % {HW_PERIOD} AS INT) + 1])
+                            + r.l + r.b) // 2)
+                        + r.sea[6]) // 2 ELSE r.sea[6] END,
+             CASE WHEN CAST(c.tt % {HW_PERIOD} AS INT) + 1 = 7
+                  THEN ((c.v * {IND_SCALE}
+                         - ((c.v * {IND_SCALE} - r.sea[CAST(c.tt % {HW_PERIOD} AS INT) + 1])
+                            + r.l + r.b) // 2)
+                        + r.sea[7]) // 2 ELSE r.sea[7] END
+           ]
+    FROM rec r JOIN cell c ON c.event_type = r.event_type AND c.tt = r.tt + 1
+),
+fin AS (
+    SELECT event_type, tt, l, b, sea,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY tt DESC) AS rk
+    FROM rec
+)
+SELECT event_type,
+       CAST(l AS BIGINT) AS level_micro,
+       CAST(b AS BIGINT) AS trend_micro,
+       CAST(sea[CAST((tt + 1) % {HW_PERIOD} AS INT) + 1] AS BIGINT)
+           AS next_season_micro,
+       CAST(l + b + sea[CAST((tt + 1) % {HW_PERIOD} AS INT) + 1] AS BIGINT)
+           AS fc_h1_micro,
+       CAST(l + 7 * b + sea[CAST((tt + 7) % {HW_PERIOD} AS INT) + 1] AS BIGINT)
+           AS fc_h7_micro
+FROM fin WHERE rk = 1
+ORDER BY event_type
+""",
+)
+def events_holt_winters(spark, sf_dir):
+    series = _series_arr(_grid(spark, sf_dir))
+    folded = series.select(
+        "event_type",
+        F.expr(
+            f"""
+            aggregate(
+                slice(arr, 2, size(arr) - 1),
+                named_struct(
+                    'l', arr[0].v * CAST({IND_SCALE} AS BIGINT),
+                    'b', CAST(0 AS BIGINT),
+                    'sea', array_repeat(CAST(0 AS BIGINT), {HW_PERIOD}),
+                    'tt', CAST(0 AS BIGINT)),
+                (acc, e) -> named_struct(
+                    'l', ((e.v * {IND_SCALE}
+                           - element_at(acc.sea, CAST(e.tt % {HW_PERIOD} AS INT) + 1))
+                          + acc.l + acc.b) DIV 2,
+                    'b', ((((e.v * {IND_SCALE}
+                             - element_at(acc.sea, CAST(e.tt % {HW_PERIOD} AS INT) + 1))
+                            + acc.l + acc.b) DIV 2) - acc.l + acc.b) DIV 2,
+                    'sea', transform(acc.sea, (v, j) ->
+                        IF(j = CAST(e.tt % {HW_PERIOD} AS INT),
+                           ((e.v * {IND_SCALE}
+                             - ((e.v * {IND_SCALE}
+                                 - element_at(acc.sea, CAST(e.tt % {HW_PERIOD} AS INT) + 1))
+                                + acc.l + acc.b) DIV 2)
+                            + element_at(acc.sea, CAST(e.tt % {HW_PERIOD} AS INT) + 1))
+                           DIV 2,
+                           v)),
+                    'tt', e.tt),
+                acc -> acc)
+            """
+        ).alias("st"),
+    )
+    return folded.select(
+        "event_type",
+        bigint(F.col("st.l")).alias("level_micro"),
+        bigint(F.col("st.b")).alias("trend_micro"),
+        F.expr(
+            f"CAST(element_at(st.sea, CAST((st.tt + 1) % {HW_PERIOD} AS INT) + 1)"
+            " AS BIGINT)"
+        ).alias("next_season_micro"),
+        F.expr(
+            f"CAST(st.l + st.b + element_at(st.sea,"
+            f" CAST((st.tt + 1) % {HW_PERIOD} AS INT) + 1) AS BIGINT)"
+        ).alias("fc_h1_micro"),
+        F.expr(
+            f"CAST(st.l + 7 * st.b + element_at(st.sea,"
+            f" CAST((st.tt + 7) % {HW_PERIOD} AS INT) + 1) AS BIGINT)"
+        ).alias("fc_h7_micro"),
+    ).orderBy("event_type")
