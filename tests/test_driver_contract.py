@@ -52,10 +52,17 @@ def test_no_complex_types_in_declared_query_output(spark, sf_dir):
 
 
 def test_new_round_queries_surface_first():
-    """The driver samples a prefix of queries(); newly added queries must
-    occupy the front so each round's additions land in CORRECTNESS_r{N}."""
+    """The driver samples a prefix of queries(); the declared round-9
+    front (semantics-changed queries, then the never-driver-sampled
+    tail) must occupy that prefix in order so the sampling window repays
+    the oldest correctness debt first."""
     import __spark_entry__ as ent
 
     names = list(ent.queries())
-    expected = [n for n in ent._NEW_THIS_ROUND if n in set(names)]
+    reg = set(names)
+    expected = [n for n in ent._ROUND9_FRONT if n in reg]
+    seen = set(expected)
+    expected += [
+        n for n in ent._ROUND9_NEVER_SAMPLED if n in reg and n not in seen
+    ]
     assert names[: len(expected)] == expected

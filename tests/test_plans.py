@@ -574,6 +574,14 @@ _GLOBAL_WINDOW_ALLOWLIST = {
         "~numPartitions count rows (two-phase prefix sum)",
     ("cascade_spark/operators/stats_extra.py", "stats_ks_two_sample"):
         "distinct daily-volume value spine",
+    ("cascade_spark/operators/ordinal_effects.py", "_pair_counts"):
+        "merged click/view daily-volume value spine (n_days-bounded)",
+    ("cascade_spark/operators/ordinal_effects.py", "stats_rank_biserial"):
+        "absolute-paired-difference value spine (n_days-bounded)",
+    ("cascade_spark/operators/ordinal_effects.py", "stats_kuiper_two_sample"):
+        "merged click/view daily-volume value spine (n_days-bounded)",
+    ("cascade_spark/operators/sequential_tests.py", "stats_sprt_sequential"):
+        "day-grid spine (Bernoulli stream = one row per day)",
     ("cascade_spark/operators/text.py", "text_seqlen_histogram"):
         "fixed histogram-bucket spine",
     ("cascade_spark/operators/text.py", "text_vocab_coverage_curve"):
