@@ -269,3 +269,154 @@ def pii_format_preserving_mask(spark, sf_dir):
         )
         .orderBy("o_orderkey")
     )
+
+
+T_CLOSE_BP = 2_000  # declared closeness threshold (t = 0.2)
+
+
+@register(
+    "pii_t_closeness_audit",
+    "pii",
+    doc="t-closeness audit — the attack l-diversity misses: a cohort "
+    "can be diverse yet its sensitive-attribute DISTRIBUTION can still "
+    "differ sharply from the table's, leaking the secret "
+    "probabilistically. Cohort = (event_type, hour) and sensitive "
+    "attribute = the ordinal value band floor(value/100) (the "
+    "pii_l_diversity_audit contract); distance = the ordinal Earth "
+    "Mover's Distance sum_i |cumP_i - cumQ_i| / (m-1), cleared to ONE "
+    "exact integer rational per cohort by scaling both cumulatives "
+    "(|cum_c*N - cum_g*n|) — t in truncated bp with a declared "
+    f"{T_CLOSE_BP} bp violation flag. The cohort x band grid zero-"
+    "fills so cumulatives run as windows PARTITIONED by cohort (no "
+    "global window); two shuffles on the cohort key layout.",
+    oracle=f"""
+WITH bands AS (
+    SELECT event_type,
+           CAST(HOUR(ts) AS BIGINT) AS hour,
+           CAST(FLOOR(value / 100) AS BIGINT) AS band
+    FROM events
+),
+g AS (SELECT band, CAST(COUNT(*) AS BIGINT) AS gcnt FROM bands GROUP BY 1),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS big_n,
+               CAST(COUNT(DISTINCT band) AS BIGINT) AS m
+        FROM bands),
+coh AS (
+    SELECT event_type, hour, band, CAST(COUNT(*) AS BIGINT) AS c
+    FROM bands GROUP BY 1, 2, 3
+),
+cohn AS (
+    SELECT event_type, hour, CAST(SUM(c) AS BIGINT) AS n
+    FROM coh GROUP BY 1, 2
+),
+grid AS (
+    SELECT cn.event_type, cn.hour, cn.n, g.band, g.gcnt,
+           COALESCE(ch.c, 0) AS c
+    FROM cohn cn CROSS JOIN g
+    LEFT JOIN coh ch ON ch.event_type = cn.event_type
+                    AND ch.hour = cn.hour AND ch.band = g.band
+),
+cum AS (
+    SELECT event_type, hour, n,
+           SUM(c) OVER w AS cum_c, SUM(gcnt) OVER w AS cum_g
+    FROM grid
+    WINDOW w AS (PARTITION BY event_type, hour ORDER BY band
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+emd AS (
+    SELECT c.event_type, c.hour, MAX(c.n) AS n,
+           CAST(SUM(ABS(CAST(c.cum_c AS HUGEINT) * t.big_n
+                        - CAST(c.cum_g AS HUGEINT) * c.n)) AS HUGEINT)
+               AS emd_scaled
+    FROM cum c CROSS JOIN tot t
+    GROUP BY c.event_type, c.hour
+)
+SELECT e.event_type, e.hour, CAST(e.n AS BIGINT) AS n,
+       CAST(CASE WHEN t.m <= 1 OR e.n = 0 THEN 0
+                 ELSE (e.emd_scaled * 10000)
+                      // ((t.m - 1) * e.n * t.big_n) END AS BIGINT) AS t_bp,
+       CAST(CASE WHEN t.m > 1 AND e.n > 0
+                  AND (e.emd_scaled * 10000)
+                      // ((t.m - 1) * e.n * t.big_n) > {T_CLOSE_BP}
+                 THEN 1 ELSE 0 END AS BIGINT) AS violates_t
+FROM emd e CROSS JOIN tot t
+ORDER BY e.event_type, e.hour
+""",
+)
+def pii_t_closeness_audit(spark, sf_dir):
+    from pyspark.sql import Window
+
+    dec = "decimal(38,0)"
+    ev = t(spark, sf_dir, "events")
+    bands = ev.select(
+        "event_type",
+        F.hour("ts").cast("long").alias("hour"),
+        F.floor(F.col("value") / 100).cast("long").alias("band"),
+    )
+    g = bands.groupBy("band").agg(F.count(F.lit(1)).cast("long").alias("gcnt"))
+    tot = bands.agg(
+        F.count(F.lit(1)).cast("long").alias("big_n"),
+        F.count_distinct("band").cast("long").alias("m"),
+    )
+    coh = bands.groupBy("event_type", "hour", "band").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    cohn = coh.groupBy("event_type", "hour").agg(
+        F.sum("c").cast("long").alias("n")
+    )
+    grid = (
+        cohn.crossJoin(F.broadcast(g))
+        .join(coh, ["event_type", "hour", "band"], "left")
+        .select(
+            "event_type",
+            "hour",
+            "n",
+            "band",
+            "gcnt",
+            F.coalesce("c", F.lit(0)).alias("c"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type", "hour")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = grid.select(
+        "event_type",
+        "hour",
+        "n",
+        F.sum("c").over(w).alias("cum_c"),
+        F.sum("gcnt").over(w).alias("cum_g"),
+    )
+    emd = (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("event_type", "hour")
+        .agg(
+            F.max("n").alias("n"),
+            F.sum(
+                F.abs(
+                    F.col("cum_c").cast(dec) * F.col("big_n")
+                    - F.col("cum_g").cast(dec) * F.col("n")
+                )
+            )
+            .cast(dec)
+            .alias("emd_scaled"),
+        )
+    )
+    t_core = "(emd_scaled * 10000) DIV ((m - 1) * n * big_n)"
+    return (
+        emd.crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "hour",
+            F.col("n").cast("long").alias("n"),
+            F.expr(
+                f"CAST(CASE WHEN m <= 1 OR n = 0 THEN 0"
+                f" ELSE {t_core} END AS BIGINT)"
+            ).alias("t_bp"),
+            F.expr(
+                f"CAST(CASE WHEN m > 1 AND n > 0 AND {t_core} > {T_CLOSE_BP}"
+                f" THEN 1 ELSE 0 END AS BIGINT)"
+            ).alias("violates_t"),
+        )
+        .orderBy("event_type", "hour")
+    )

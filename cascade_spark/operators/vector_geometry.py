@@ -338,3 +338,162 @@ def embedding_pq_distortion(spark, sf_dir):
             "dominant_share_bp"
         ),
     ).orderBy("block")
+
+
+JL_OUT_DIMS = 16
+JL_SAMPLE_IDS = 100  # bounded audit sample: vec_id < 100 (declared)
+
+
+@register(
+    "embedding_random_projection_jl",
+    "similarity",
+    doc=f"Johnson-Lindenstrauss distortion audit: a deterministic "
+    f"64 -> {JL_OUT_DIMS} random-sign projection (s_ij = +-1 from the "
+    "md5 parity of 'i:j' — the dedup.py hash idiom, so both engines "
+    "build the SAME matrix), applied to the quantized vectors of the "
+    f"bounded vec_id < {JL_SAMPLE_IDS} sample. For every sample pair, "
+    "the exact integer ratio of projected to expected squared distance "
+    f"(E||Ry||^2 = {JL_OUT_DIMS}*||y||^2 for sign matrices) in bp — "
+    "mean/min/max and the within-20% count say whether the cheap "
+    "16-dim sketch preserves geometry before you build an index on it. "
+    "Sample is index-sized and broadcast; never an all-corpus pair join.",
+    oracle=f"""
+WITH {_SQL_ELEMS},
+sample_ AS (SELECT * FROM elems WHERE vec_id < {JL_SAMPLE_IDS}),
+signs AS (
+    SELECT i.pos, j.j,
+           CAST(1 - 2 * (('0x' || SUBSTR(MD5(i.pos || ':' || j.j), 1, 8))
+                         ::BIGINT % 2) AS BIGINT) AS s
+    FROM (SELECT DISTINCT pos FROM elems) i
+    CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, {JL_OUT_DIMS - 1})) AS j) j
+),
+proj AS (
+    SELECT e.vec_id, s.j, CAST(SUM(s.s * e.xq) AS BIGINT) AS p
+    FROM sample_ e JOIN signs s ON s.pos = e.pos
+    GROUP BY 1, 2
+),
+pd2 AS (
+    SELECT a.vec_id AS v1, b.vec_id AS v2,
+           CAST(SUM((a.p - b.p) * (a.p - b.p)) AS HUGEINT) AS dproj2
+    FROM proj a JOIN proj b ON a.j = b.j AND a.vec_id < b.vec_id
+    GROUP BY 1, 2
+),
+od2 AS (
+    SELECT a.vec_id AS v1, b.vec_id AS v2,
+           CAST(SUM((a.xq - b.xq) * (a.xq - b.xq)) AS HUGEINT) AS d2
+    FROM sample_ a JOIN sample_ b ON a.pos = b.pos AND a.vec_id < b.vec_id
+    GROUP BY 1, 2
+),
+ratio AS (
+    SELECT CAST(CASE WHEN o.d2 = 0 THEN {BP}
+                     ELSE (p.dproj2 * {BP}) // ({JL_OUT_DIMS} * o.d2)
+                END AS BIGINT) AS r_bp
+    FROM pd2 p JOIN od2 o ON o.v1 = p.v1 AND o.v2 = p.v2
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(SUM(r_bp), 0) // GREATEST(COUNT(*), 1) AS BIGINT)
+           AS mean_ratio_bp,
+       CAST(COALESCE(MIN(r_bp), 0) AS BIGINT) AS min_ratio_bp,
+       CAST(COALESCE(MAX(r_bp), 0) AS BIGINT) AS max_ratio_bp,
+       CAST(COUNT(*) FILTER (WHERE r_bp BETWEEN 8000 AND 12000) AS BIGINT)
+           AS n_within_20pct
+FROM ratio
+""",
+)
+def embedding_random_projection_jl(spark, sf_dir):
+    elems = _elems(spark, sf_dir)
+    sample = elems.filter(F.col("vec_id") < JL_SAMPLE_IDS)
+    dims = elems.select("pos").distinct()
+    outs = t(spark, sf_dir, "embeddings").sparkSession.range(
+        JL_OUT_DIMS
+    ).select(F.col("id").cast("long").alias("j"))
+    signs = dims.crossJoin(outs).select(
+        "pos",
+        "j",
+        (
+            1
+            - 2
+            * (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":",
+                                F.col("pos").cast("string"),
+                                F.col("j").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+            )
+        )
+        .cast("long")
+        .alias("s"),
+    )
+    proj = (
+        sample.join(F.broadcast(signs), "pos")
+        .groupBy("vec_id", "j")
+        .agg(bigint(F.sum(F.col("s") * F.col("xq"))).alias("p"))
+    )
+    a = proj.select(
+        F.col("vec_id").alias("v1"), "j", F.col("p").alias("pa")
+    )
+    b = proj.select(
+        F.col("vec_id").alias("v2"), F.col("j").alias("j2"), F.col("p").alias("pb")
+    )
+    pd2 = (
+        a.join(b, (F.col("j") == F.col("j2")) & (F.col("v1") < F.col("v2")))
+        .groupBy("v1", "v2")
+        .agg(
+            F.sum((F.col("pa") - F.col("pb")) * (F.col("pa") - F.col("pb")))
+            .cast("decimal(38,0)")
+            .alias("dproj2")
+        )
+    )
+    sa = sample.select(
+        F.col("vec_id").alias("v1"), "pos", F.col("xq").alias("xa")
+    )
+    sb = sample.select(
+        F.col("vec_id").alias("v2"), F.col("pos").alias("pos2"), F.col("xq").alias("xb")
+    )
+    od2 = (
+        sa.join(
+            sb, (F.col("pos") == F.col("pos2")) & (F.col("v1") < F.col("v2"))
+        )
+        .groupBy("v1", "v2")
+        .agg(
+            F.sum((F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")))
+            .cast("decimal(38,0)")
+            .alias("d2")
+        )
+    )
+    ratio = pd2.join(od2, ["v1", "v2"]).select(
+        F.expr(
+            f"CAST(CASE WHEN d2 = 0 THEN {BP}"
+            f" ELSE (dproj2 * {BP}) DIV ({JL_OUT_DIMS} * d2)"
+            f" END AS BIGINT)"
+        ).alias("r_bp")
+    )
+    return ratio.agg(
+        bigint(F.count(F.lit(1))).alias("n_pairs"),
+        F.expr(
+            "CAST(COALESCE(SUM(r_bp), 0) DIV GREATEST(COUNT(*), 1) AS BIGINT)"
+        ).alias("mean_ratio_bp"),
+        bigint(F.coalesce(F.min("r_bp"), F.lit(0))).alias("min_ratio_bp"),
+        bigint(F.coalesce(F.max("r_bp"), F.lit(0))).alias("max_ratio_bp"),
+        bigint(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("r_bp") >= 8000) & (F.col("r_bp") <= 12000), 1
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            )
+        ).alias("n_within_20pct"),
+    )

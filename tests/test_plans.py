@@ -582,6 +582,10 @@ _GLOBAL_WINDOW_ALLOWLIST = {
         "merged click/view daily-volume value spine (n_days-bounded)",
     ("cascade_spark/operators/sequential_tests.py", "stats_sprt_sequential"):
         "day-grid spine (Bernoulli stream = one row per day)",
+    ("cascade_spark/operators/model_eval.py", "stats_roc_auc_exact"):
+        "distinct score_bp value spine (<= 10001 rows by construction)",
+    ("cascade_spark/operators/model_eval.py", "stats_gains_table"):
+        "5-row score-band spine",
     ("cascade_spark/operators/text.py", "text_seqlen_histogram"):
         "fixed histogram-bucket spine",
     ("cascade_spark/operators/text.py", "text_vocab_coverage_curve"):
@@ -668,3 +672,58 @@ def test_rfm_exact_ntile_no_global_window(spark, sf_dir):
     # ntile is gone entirely; the only row_number windows are the
     # per-_pid local ranks inside assign_offsets
     assert "ntile" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Round-9 second-session plan pins: the new retrieval/vector/attribution
+# queries must keep their declared shuffle budgets — broadcast the small
+# side, TakeOrdered the top-k, reuse the persisted pair frame.
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_broadcasts_terms_and_takeordered(spark, sf_dir):
+    """text_bm25_topk joins postings to THREE term rows — that side must
+    broadcast (never shuffle the postings on the term key for a 3-row
+    dim), and the final top-k must be TakeOrderedAndProject, not a
+    global sort."""
+    from cascade_spark.plans.registry import load_all
+
+    plan = _plan(load_all()["text_bm25_topk"].builder(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_hamming_topk_is_takeordered_scan(spark, sf_dir):
+    """similarity_hamming_topk: map-only code fold + broadcast 1-row
+    query + TakeOrderedAndProject — no shuffle of the corpus codes."""
+    from cascade_spark.plans.registry import load_all
+
+    plan = _plan(load_all()["similarity_hamming_topk"].builder(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # the only exchange allowed is the broadcast of the 1-row query side
+    import re
+
+    shuffles = re.findall(r"Exchange hashpartitioning", plan)
+    assert not shuffles, f"unexpected shuffles: {shuffles}"
+
+
+def test_cross_source_matrix_reuses_persisted_pairs(spark, sf_dir):
+    """dedup_cross_source_matrix must read the SHARED persisted LSH pair
+    frame (InMemoryTableScan), not rebuild the signature pipeline."""
+    from cascade_spark.plans.registry import load_all
+
+    # prime the shared frame the way any earlier dedup query would
+    load_all()["dedup_minhash_lsh"].builder(spark, sf_dir).count()
+    plan = _plan(load_all()["dedup_cross_source_matrix"].builder(spark, sf_dir))
+    assert "InMemoryTableScan" in plan
+
+
+def test_silhouette_broadcasts_centroids(spark, sf_dir):
+    """embedding_label_silhouette joins each vector against the 10-label
+    centroid frame — that join must be a broadcast, never a shuffle of
+    the exploded dim spine on the centroid key."""
+    from cascade_spark.plans.registry import load_all
+
+    plan = _plan(load_all()["embedding_label_silhouette"].builder(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan

@@ -131,3 +131,84 @@ def test_fisher_exact_raises_past_cap(spark):
     )
     with pytest.raises(Exception, match="decimal"):
         _fisher_from_cells(cells).collect()
+
+
+def test_pettitt_midrank_identity():
+    """U_t = sum_{i<=t} dr_i - (t+1)(n+1) (doubled midranks) equals the
+    direct O(n^2) pair sum, ties included — the identity
+    events_pettitt_changepoint rides (oracle and plan both use it, so
+    this is the independent ground-truth check)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    for _ in range(100):
+        n = int(rng.integers(2, 40))
+        v = rng.integers(0, 6, n)
+        sgn = np.sign(v[:, None] - v[None, :])
+        direct = [int(sgn[: t + 1, t + 1 :].sum()) for t in range(n - 1)]
+        dr = np.array(
+            [2 * int((v < x).sum()) + int((v == x).sum()) + 1 for x in v]
+        )
+        via_rank = [
+            int(dr[: t + 1].sum() - (t + 1) * (n + 1)) for t in range(n - 1)
+        ]
+        assert direct == via_rank
+
+
+def test_hamming_code_fold_matches_python(spark):
+    """The MSB-first sign-code fold in similarity_hamming_topk equals a
+    direct Python bit build on an arbitrary 64-dim vector."""
+    from cascade_spark.operators.vector_geometry import _SPARK_CODE
+
+    vec = [((-1) ** i) * (0.01 * i + 0.001) for i in range(64)]
+    vec[0], vec[63] = -0.5, 0.25  # pin both edge bits
+    df = spark.createDataFrame([(vec,)], "embedding array<float>")
+    row = df.select(
+        F.expr(_SPARK_CODE.format(off=1)).alias("hi"),
+        F.expr(_SPARK_CODE.format(off=33)).alias("lo"),
+    ).first()
+
+    def code(xs):
+        acc = 0
+        for x in xs:
+            acc = acc * 2 + (1 if x >= 0 else 0)
+        return acc
+
+    assert row["hi"] == code(vec[:32])
+    assert row["lo"] == code(vec[32:])
+
+
+def test_bm25_integer_ratio_equals_fraction():
+    """(44*T*tf) // (20*tf*T + 6*T + 18*dl*N) is exactly
+    floor(tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))) for k1=6/5, b=3/4,
+    avgdl=T/N — the clearing used by text_bm25_topk."""
+    from fractions import Fraction
+
+    for tf, dl, t_corp, n in [
+        (1, 10, 1000, 20),
+        (7, 55, 27500, 500),
+        (200, 200, 2750000, 50000),
+        (3, 48, 1534, 17),
+    ]:
+        k1, b = Fraction(6, 5), Fraction(3, 4)
+        avgdl = Fraction(t_corp, n)
+        exact = (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * Fraction(dl) / avgdl))
+        cleared = (44 * t_corp * tf) // (20 * tf * t_corp + 6 * t_corp + 18 * dl * n)
+        assert cleared == exact.numerator // exact.denominator
+        # and the micro-scaled per-term score stays a faithful floor
+        assert abs(float(exact) - cleared) < 1
+
+
+def test_winnowing_key_roundtrip():
+    """key = h*65536 - pos encodes (min h, rightmost pos) as one
+    integer min and decodes losslessly for every pos in the declared
+    cap — the argmin trick in text_winnowing_fingerprint."""
+    cap = 65_536
+    for h in [0, 1, 77, 2**32 - 1]:
+        for pos in [0, 1, 2, cap - 1]:
+            key = h * cap - pos
+            assert (key + cap - 1) // cap == h
+            assert h * cap - key == pos
+    # ordering: smaller hash always wins; equal hash -> larger pos wins
+    assert (5 * cap - 3) < (6 * cap - 9)
+    assert (5 * cap - 9) < (5 * cap - 3)
