@@ -742,3 +742,109 @@ def events_kama_efficiency(spark, sf_dir):
             f" END AS BIGINT)"
         ).alias("efficiency_ratio_bp"),
     ).orderBy("event_type")
+
+
+SLOPE_N = 14
+# constant denominator of the fixed-width OLS slope: n*sum(t^2) - (sum t)^2
+# for t = 0..13
+_SLOPE_DEN = SLOPE_N * sum(i * i for i in range(SLOPE_N)) - sum(
+    range(SLOPE_N)
+) ** 2  # = 3185
+
+
+@register(
+    "events_rolling_slope",
+    "timeseries",
+    doc=f"Rolling {SLOPE_N}-day OLS slope monitor per event type: the "
+    "within-window position-weighted sum recovers from two cumulants "
+    "(sum(tt*v) and sum(v) over the trailing window, wsum = A - "
+    "(tt-13)*B), so slope = (14*wsum - 91*B) * 1e6 DIV 3185 is ONE "
+    "exact integer per day with a CONSTANT denominator — no per-window "
+    "regression state. Counts rising/falling windows and emits the "
+    "final slope — the trend-direction dashboard behind alerting.",
+    oracle=f"""
+WITH {_GRID_SQL},
+win AS (
+    SELECT event_type, tt,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_w,
+           CAST(SUM(tt * v) OVER w AS BIGINT) AS a,
+           CAST(SUM(v) OVER w AS BIGINT) AS b
+    FROM cell
+    WINDOW w AS (PARTITION BY event_type ORDER BY tt
+                 ROWS BETWEEN {SLOPE_N - 1} PRECEDING AND CURRENT ROW)
+),
+slopes AS (
+    SELECT event_type, tt,
+           CAST(({SLOPE_N} * (a - (tt - {SLOPE_N - 1}) * b)
+                 - {sum(range(SLOPE_N))} * b) * 1000000
+                // {_SLOPE_DEN} AS BIGINT) AS slope_micro
+    FROM win WHERE n_w = {SLOPE_N}
+),
+fin AS (
+    SELECT event_type, slope_micro,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY tt DESC) AS rk
+    FROM slopes
+)
+SELECT s.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(COUNT(*) FILTER (WHERE s.slope_micro > 0) AS BIGINT)
+           AS n_rising,
+       CAST(COUNT(*) FILTER (WHERE s.slope_micro < 0) AS BIGINT)
+           AS n_falling,
+       CAST(MAX(f.slope_micro) AS BIGINT) AS last_slope_micro
+FROM slopes s
+JOIN fin f ON f.event_type = s.event_type AND f.rk = 1
+GROUP BY s.event_type
+ORDER BY s.event_type
+""",
+)
+def events_rolling_slope(spark, sf_dir):
+    from cascade_spark.operators.inference_extra import _csum
+
+    grid = _grid(spark, sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("tt")
+        .rowsBetween(-(SLOPE_N - 1), 0)
+    )
+    win = grid.select(
+        "event_type",
+        "tt",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_w"),
+        F.sum(F.col("tt") * F.col("v")).over(w).cast("long").alias("a"),
+        F.sum("v").over(w).cast("long").alias("b"),
+    ).filter(F.col("n_w") == SLOPE_N)
+    slopes = win.select(
+        "event_type",
+        "tt",
+        F.expr(
+            f"CAST(({SLOPE_N} * (a - (tt - {SLOPE_N - 1}) * b)"
+            f" - {sum(range(SLOPE_N))} * b) * 1000000"
+            f" DIV {_SLOPE_DEN} AS BIGINT)"
+        ).alias("slope_micro"),
+    )
+    fin = slopes.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(F.col("tt").desc())
+        ),
+    ).filter(F.col("rk") == 1)
+    counts = slopes.groupBy("event_type").agg(
+        bigint(F.count(F.lit(1))).alias("n_windows"),
+        _csum(F.col("slope_micro") > 0).alias("n_rising"),
+        _csum(F.col("slope_micro") < 0).alias("n_falling"),
+    )
+    return (
+        counts.join(
+            fin.select("event_type", F.col("slope_micro").alias("last_slope_micro")),
+            "event_type",
+        )
+        .select(
+            "event_type",
+            "n_windows",
+            "n_rising",
+            "n_falling",
+            bigint(F.col("last_slope_micro")).alias("last_slope_micro"),
+        )
+        .orderBy("event_type")
+    )

@@ -586,6 +586,10 @@ _GLOBAL_WINDOW_ALLOWLIST = {
         "distinct score_bp value spine (<= 10001 rows by construction)",
     ("cascade_spark/operators/model_eval.py", "stats_gains_table"):
         "5-row score-band spine",
+    ("cascade_spark/operators/frontier_xcorr.py", "analytics_pareto_frontier"):
+        "distinct p_size spine (~50 rows, dimension-bounded)",
+    ("cascade_spark/operators/frontier_xcorr.py", "events_cross_correlation"):
+        "day-grid spine (row_number index over days)",
     ("cascade_spark/operators/text.py", "text_seqlen_histogram"):
         "fixed histogram-bucket spine",
     ("cascade_spark/operators/text.py", "text_vocab_coverage_curve"):

@@ -212,3 +212,57 @@ def test_winnowing_key_roundtrip():
     # ordering: smaller hash always wins; equal hash -> larger pos wins
     assert (5 * cap - 3) < (6 * cap - 9)
     assert (5 * cap - 9) < (5 * cap - 3)
+
+
+def test_skyline_staircase_equals_bruteforce(spark):
+    """analytics_pareto_frontier's staircase (strictly-lower min price
+    than every larger size) equals the O(n^2) dominance definition on
+    adversarial point sets with ties."""
+    import itertools
+
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    for _ in range(50):
+        n = int(rng.integers(1, 30))
+        pts = [(int(s), int(p)) for s, p in
+               zip(rng.integers(1, 8, n), rng.integers(1, 8, n))]
+        # brute force: non-dominated = no other point with
+        # (size >=, price <=) and one strict
+        brute = {
+            (s, p)
+            for (s, p) in pts
+            if not any(
+                (s2 >= s and p2 <= p and (s2 > s or p2 < p))
+                for (s2, p2) in pts
+            )
+        }
+        # staircase: per-size min price, kept iff strictly below the min
+        # over larger sizes; surviving points are (size, minp) members
+        minp = {}
+        for s, p in pts:
+            minp[s] = min(minp.get(s, p), p)
+        stair = {
+            (s, mp)
+            for s, mp in minp.items()
+            if all(minp[s2] > mp for s2 in minp if s2 > s)
+        }
+        assert brute == stair, (pts, brute, stair)
+
+
+def test_rolling_slope_matches_polyfit():
+    """The constant-denominator integer slope equals numpy's OLS slope
+    (scaled by 1e6, floored) on arbitrary 14-day windows."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    t = np.arange(14)
+    den = int(14 * (t * t).sum() - t.sum() ** 2)
+    assert den == 3185
+    for _ in range(50):
+        v = rng.integers(0, 1000, 14).astype(np.int64)
+        a = int((t * v).sum())
+        b = int(v.sum())
+        got = (14 * a - 91 * b) * 1_000_000 // den
+        want_float = np.polyfit(t, v, 1)[0]
+        assert abs(got / 1e6 - want_float) < 1e-6
