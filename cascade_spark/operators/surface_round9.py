@@ -200,3 +200,96 @@ def agg_arg_extrema(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+W_MICRO = 1_000_000
+
+
+@register(
+    "dedup_soft_weighting",
+    "dedup",
+    doc="Soft dedup: instead of DROPPING near-duplicates, every doc in "
+    "an LSH near-dup cluster is down-weighted to 1e6 DIV cluster_size "
+    "micro (singletons keep 1e6) — the 'count each duplicated passage "
+    "once in expectation' policy some corpora prefer over hard "
+    "removal. Per source: clustered-doc count, raw vs effective "
+    "whitespace-token mass, and the retention share in truncated bp. "
+    "Reuses the shared persisted LSH pair frame + CC labels; the "
+    "oracle walks the same recursive-CTE transitive closure.",
+    oracle=f"""
+WITH RECURSIVE {_SQL_PAIR_CTES},
+pairs AS (SELECT d1, d2 FROM sim WHERE matches * 2 >= {N_HASHES}),
+edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+          UNION ALL SELECT d2 AS a, d1 AS b FROM pairs),
+reach(src, dst) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+comp AS (
+    SELECT src AS node, LEAST(src, MIN(dst)) AS comp
+    FROM reach GROUP BY src
+),
+csize AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS sz FROM comp GROUP BY 1),
+dw AS (
+    SELECT d.source,
+           CAST(LEN(STRING_SPLIT(d.text, ' ')) AS BIGINT) AS tok,
+           CASE WHEN c.node IS NULL THEN CAST({W_MICRO} AS BIGINT)
+                ELSE {W_MICRO} // s.sz END AS w,
+           CASE WHEN c.node IS NULL THEN 0 ELSE 1 END AS clustered
+    FROM documents d
+    LEFT JOIN comp c ON c.node = d.doc_id
+    LEFT JOIN csize s ON s.comp = c.comp
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(clustered) AS BIGINT) AS n_clustered,
+       CAST(SUM(tok) AS BIGINT) AS raw_tokens,
+       CAST(SUM(tok * w) // {W_MICRO} AS BIGINT) AS eff_tokens,
+       CAST(CASE WHEN SUM(tok) = 0 THEN 0
+                 ELSE SUM(tok * w) // (SUM(tok) * 100) END AS BIGINT)
+           AS retention_bp
+FROM dw
+GROUP BY source
+ORDER BY source
+""",
+)
+def dedup_soft_weighting(spark, sf_dir):
+    from cascade_spark.operators.dedup import _cc_label_frame
+
+    labels = _cc_label_frame(spark, sf_dir)
+    csize = labels.groupBy("comp").agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    lbl = labels.join(csize, "comp").select(
+        F.col("node").alias("doc_id"), "sz"
+    )
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ", -1)).cast("long").alias("tok"),
+    )
+    dw = docs.join(F.broadcast(lbl), "doc_id", "left").select(
+        "source",
+        "tok",
+        F.when(F.col("sz").isNull(), F.lit(W_MICRO).cast("long"))
+        .otherwise(F.expr(f"{W_MICRO} DIV sz"))
+        .alias("w"),
+        F.when(F.col("sz").isNull(), 0).otherwise(1).alias("clustered"),
+    )
+    return (
+        dw.groupBy("source")
+        .agg(
+            bigint(F.count(F.lit(1))).alias("n_docs"),
+            bigint(F.sum("clustered")).alias("n_clustered"),
+            bigint(F.sum("tok")).alias("raw_tokens"),
+            F.expr(f"CAST(SUM(tok * w) DIV {W_MICRO} AS BIGINT)").alias(
+                "eff_tokens"
+            ),
+            F.expr(
+                "CAST(CASE WHEN SUM(tok) = 0 THEN 0"
+                " ELSE SUM(tok * w) DIV (SUM(tok) * 100) END AS BIGINT)"
+            ).alias("retention_bp"),
+        )
+        .orderBy("source")
+    )

@@ -22,6 +22,9 @@ the path-efficiency audits):
   peak, squared-drawdown mean in exact bp^2.
 - ``events_kama_efficiency``: Kaufman's efficiency ratio |net|/path —
   the trend-vs-chop readout that gates adaptive smoothing.
+- ``events_rolling_slope``: 14-day OLS trend monitor with the
+  position-weighted sum recovered from two window cumulants — exact
+  slope with a constant denominator, no per-window regression state.
 
 Reference scope: the reference engine is an event log (src/broker/
 main.rs consume path); each query is a declared aggregate over the
