@@ -199,3 +199,68 @@ def multimodal_image_entropy(spark, sf_dir):
         "max_bin_count long, entropy_micro long"
     )
     return ids.mapInPandas(entropy, schema=schema).orderBy("doc_id")
+
+
+@register(
+    "events_seasonal_index_dow",
+    "timeseries",
+    doc="Classical weekday seasonal indices: each ISO weekday's mean "
+    "daily volume relative to the overall mean in exact bp — index = "
+    "(dow_sum * n_days * 10000) DIV (dow_days * total) clears both "
+    "means without division loss (100% = 10000). The multiplicative "
+    "seasonal profile every ops dashboard shows next to the chi-square "
+    "uniformity test; zero-filled day grid so silent weekdays count.",
+    oracle="""
+WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+dv AS (
+    SELECT d.day, CAST(ISODOW(d.day) AS BIGINT) AS dow,
+           CAST(COALESCE(x.n, 0) AS BIGINT) AS v
+    FROM days d LEFT JOIN (
+        SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+        FROM events GROUP BY 1
+    ) x ON x.day = d.day
+),
+per_dow AS (
+    SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(v) AS BIGINT) AS s
+    FROM dv GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(s) AS BIGINT) AS st,
+               CAST(SUM(n_days) AS BIGINT) AS nt FROM per_dow)
+SELECT p.dow, p.n_days, p.s AS volume,
+       CAST(CASE WHEN t.st = 0 OR p.n_days = 0 THEN 0
+                 ELSE (p.s * t.nt * 10000) // (p.n_days * t.st)
+            END AS BIGINT) AS seasonal_index_bp
+FROM per_dow p, tot t
+ORDER BY p.dow
+""",
+)
+def events_seasonal_index_dow(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    dv = daily.select(
+        F.dayofweek(F.date_sub("day", 1)).cast("long").alias("dow"),
+        F.col("n").alias("v"),
+    )
+    per_dow = dv.groupBy("dow").agg(
+        bigint(F.count(F.lit(1))).alias("n_days"),
+        bigint(F.sum("v")).alias("s"),
+    )
+    tot = per_dow.agg(
+        bigint(F.sum("s")).alias("st"), bigint(F.sum("n_days")).alias("nt")
+    )
+    return (
+        per_dow.crossJoin(F.broadcast(tot))
+        .select(
+            "dow",
+            "n_days",
+            F.col("s").alias("volume"),
+            F.expr(
+                "CAST(CASE WHEN st = 0 OR n_days = 0 THEN 0"
+                " ELSE (s * nt * 10000) DIV (n_days * st) END AS BIGINT)"
+            ).alias("seasonal_index_bp"),
+        )
+        .orderBy("dow")
+    )
