@@ -684,3 +684,64 @@ def text_garbage_score(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@register(
+    "text_zlib_compression_ratio",
+    "text",
+    oracle=None,  # real zlib bytes are not SQL-expressible — rows-only
+    doc="Compression-ratio quality signal per source: each document "
+    "deflates through REAL zlib (level 6, the ubiquitous corpus-"
+    "filtering heuristic — highly compressible text is boilerplate or "
+    "repetition), aggregated per source as exact integer byte masses "
+    "with the mean ratio in truncated bp. Rows-only by design (the "
+    "compressed size depends on the DEFLATE implementation, not on "
+    "SQL-expressible math); pinned instead by property tests "
+    "(ratio bounds, repetition monotonicity) and the parallelism-"
+    "invariance suite. Map-only mapInPandas; at 100 TB this is one "
+    "decode-free pass fanned by maxPartitionBytes.",
+)
+def text_zlib_compression_ratio(spark, sf_dir):
+    import pandas as pd
+
+    from cascade_spark.operators._util import t as _t
+
+    docs = _t(spark, sf_dir, "documents").repartition(8).select(
+        "doc_id", "source", "text"
+    )
+
+    def comp(batches):
+        import zlib
+
+        for pdf in batches:
+            raw = pdf["text"].str.encode("utf-8")
+            rows = pd.DataFrame(
+                {
+                    "source": pdf["source"],
+                    "raw_bytes": raw.str.len().astype("int64"),
+                    "zl_bytes": raw.map(
+                        lambda b: len(zlib.compress(b, 6))
+                    ).astype("int64"),
+                }
+            )
+            yield rows
+
+    per_doc = docs.mapInPandas(
+        comp, schema="source string, raw_bytes long, zl_bytes long"
+    )
+    from pyspark.sql import functions as FN
+
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            FN.count(FN.lit(1)).cast("long").alias("n_docs"),
+            FN.sum("raw_bytes").cast("long").alias("raw_bytes"),
+            FN.sum("zl_bytes").cast("long").alias("zl_bytes"),
+            FN.expr(
+                "CAST(CASE WHEN SUM(raw_bytes) = 0 THEN 0"
+                " ELSE (SUM(zl_bytes) * 10000) DIV SUM(raw_bytes)"
+                " END AS BIGINT)"
+            ).alias("mean_ratio_bp"),
+        )
+        .orderBy("source")
+    )

@@ -266,3 +266,26 @@ def test_rolling_slope_matches_polyfit():
         got = (14 * a - 91 * b) * 1_000_000 // den
         want_float = np.polyfit(t, v, 1)[0]
         assert abs(got / 1e6 - want_float) < 1e-6
+
+
+def test_zlib_ratio_properties(spark, sf_dir):
+    """text_zlib_compression_ratio: ratios live in a sane band for
+    word-salad text, and a highly repetitive payload compresses FAR
+    better than the fixture average (the signal the filter relies on)."""
+    import zlib
+
+    from cascade_spark.plans.registry import load_all
+
+    rows = (
+        load_all()["text_zlib_compression_ratio"]
+        .builder(spark, sf_dir)
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert r["raw_bytes"] > 0
+        assert 0 < r["mean_ratio_bp"] < 10_000 + 2_000  # tiny docs may expand
+    # repetition monotonicity of the underlying signal
+    rep = ("spam " * 200).encode()
+    mixed = ("the quick brown fox jumps over the lazy dog " * 22).encode()
+    assert len(zlib.compress(rep, 6)) < len(zlib.compress(mixed, 6))
