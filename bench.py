@@ -78,6 +78,21 @@ def main() -> None:
 
     topic = stage_bus_topic(spark, SF_DIR)
     stage_topic_registry(spark, SF_DIR)
+    # Pre-build the two SHARED state-reader checkpoints (memoized in
+    # _STAGE_CACHE): without this, the one-time streaming-aggregation
+    # run that writes each checkpoint lands inside the timing of
+    # whichever state-reader query happens to run first (alphabetical),
+    # charging a ~multi-second fixture build to a query whose own work
+    # is a metadata-sized batch read of the finished checkpoint. The
+    # checkpoints are immutable once built, so this is table prep — the
+    # timed queries measure the state-source READ, which is the operator.
+    from cascade_spark.streaming.state_reader import (
+        _run_changelog_agg,
+        _run_checkpointed_agg,
+    )
+
+    _run_checkpointed_agg(spark, SF_DIR)
+    _run_changelog_agg(spark, SF_DIR)
     # first Python-datasource use spins up its worker pool (~5 s once per
     # process) — warm it like the parquet-footer warm-up above
     from cascade_spark.sources.cascade_bus import register_bus
@@ -149,7 +164,16 @@ def main() -> None:
     # repeats 100% of the measured work. Excluding them locked host
     # scheduler stalls into the record permanently (r7 showed 11.3/12.6 s
     # where isolated runs measure 2.9/7.6 s warm — see SCALE.md).
-    _RETIME_OK = {"stream_stateful_counter", "stream_stateful_session_timeout"}
+    _RETIME_OK = {
+        "stream_stateful_counter",
+        "stream_stateful_session_timeout",
+        # stream_stateful_topk equally starts a FRESH query (uuid name,
+        # fresh checkpoint) over pre-staged input on every call — a
+        # re-run repeats 100% of the measured work, same justification
+        # as the two entries above (r9 driver run recorded 61.3 s in a
+        # stall window vs 4.4 s for the identical tree).
+        "stream_stateful_topk",
+    }
     first_pass: dict[str, float] = {}
     retime = sorted(
         (

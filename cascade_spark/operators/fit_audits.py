@@ -209,7 +209,8 @@ def multimodal_image_entropy(spark, sf_dir):
     "(dow_sum * n_days * 10000) DIV (dow_days * total) clears both "
     "means without division loss (100% = 10000). The multiplicative "
     "seasonal profile every ops dashboard shows next to the chi-square "
-    "uniformity test; zero-filled day grid so silent weekdays count.",
+    "uniformity test; per-dow day counts come from observed days (a "
+    "weekday with zero events anywhere in the range cannot appear).",
     oracle="""
 WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
 dv AS (

@@ -5,14 +5,14 @@ checks next to profile_events' one-pass column profile):
   behind the table's global high-water mark in exact whole hours, with
   a declared staleness flag — the "did a producer stall?" monitor.
 - ``profile_pk_uniqueness_audit``: primary-key uniqueness across ALL
-  seven tables in one result — rows, distinct keys, duplicate-key
+  nine tables in one result — rows, distinct keys, duplicate-key
   count per table; the referential pre-flight every ingest gate runs.
 
 Reference scope: declared aggregates over every fixture table per
 SURVEY §2B (observability family).
 
 Scale (100 TB): freshness is one combinable groupBy + a broadcast
-1-row global max; the uniqueness audit is seven independent
+1-row global max; the uniqueness audit is nine independent
 count/count-distinct scans unioned — each shuffles once on nothing
 (pure aggregates), so the audit costs one pass per table.
 """

@@ -694,7 +694,7 @@ def text_garbage_score(spark, sf_dir):
     "deflates through REAL zlib (level 6, the ubiquitous corpus-"
     "filtering heuristic — highly compressible text is boilerplate or "
     "repetition), aggregated per source as exact integer byte masses "
-    "with the mean ratio in truncated bp. Rows-only by design (the "
+    "with the byte-mass-weighted ratio (SUM(zl_bytes)/SUM(raw_bytes)) in truncated bp. Rows-only by design (the "
     "compressed size depends on the DEFLATE implementation, not on "
     "SQL-expressible math); pinned instead by property tests "
     "(ratio bounds, repetition monotonicity) and the parallelism-"
@@ -741,7 +741,7 @@ def text_zlib_compression_ratio(spark, sf_dir):
                 "CAST(CASE WHEN SUM(raw_bytes) = 0 THEN 0"
                 " ELSE (SUM(zl_bytes) * 10000) DIV SUM(raw_bytes)"
                 " END AS BIGINT)"
-            ).alias("mean_ratio_bp"),
+            ).alias("weighted_ratio_bp"),
         )
         .orderBy("source")
     )

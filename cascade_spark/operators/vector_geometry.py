@@ -20,7 +20,7 @@ the label-cluster quality readouts):
 Reference scope: declared aggregates over the ``embeddings`` table per
 SURVEY §2B (north-star similarity).
 
-Determinism: vectors quantize to integers first (floor(x*200), the
+Determinism: vectors quantize to integers first (trunc(x*200) toward zero — cast-to-long/TRUNC, the
 similarity.py Q_SCALE contract); codes, distances, residuals and
 argmins are all exact integer arithmetic with declared tie rules
 (smallest label/id); the only divisions are truncating DIV //.

@@ -64,6 +64,33 @@ def _top_queries() -> list[str]:
     return [name for name, _ in rows[:TOP_N]]
 
 
+def _stage_streaming(spark, sf_dir: str) -> None:
+    """Pre-build the streaming fixtures + shared checkpoints for a tier
+    (exactly the bench-prep set) so a stream_* query's timed run
+    measures the OPERATOR, not one-time fixture staging — without this
+    the first state-reader query at each tier pays the checkpoint build
+    and the ratio reflects fixture cost, not plan scaling."""
+    from cascade_spark.streaming.pipeline import stage_stream_input
+
+    for n_files, dup, sent in [
+        (8, False, 0),
+        (8, True, 0),
+        (4, False, 2),
+        (4, False, 0),
+        (4, False, 13),
+    ]:
+        stage_stream_input(
+            spark, sf_dir, n_files=n_files, duplicate=dup, sentinels=sent
+        )
+    from cascade_spark.streaming.state_reader import (
+        _run_changelog_agg,
+        _run_checkpointed_agg,
+    )
+
+    _run_checkpointed_agg(spark, sf_dir)
+    _run_changelog_agg(spark, sf_dir)
+
+
 def main() -> None:
     from cascade_spark.plans.registry import load_all
     from cascade_spark.session import get_spark
@@ -76,6 +103,22 @@ def main() -> None:
     # warm JVM + footers at both tiers so tier-1 isn't charged bring-up
     spark.read.parquet(f"{SMALL}/lineitem.parquet").count()
     spark.read.parquet(f"{BIG}/lineitem.parquet").count()
+
+    if any(n.startswith("stream_") for n in names):
+        # stage fixtures/checkpoints at both tiers; warm the
+        # applyInPandasWithState Arrow state-worker pool once (~9 s
+        # bring-up that would otherwise sit inside the small-tier
+        # timing and silently deflate every streaming ratio)
+        _stage_streaming(spark, SMALL)
+        _stage_streaming(spark, BIG)
+        if any(n.startswith("stream_stateful") for n in names):
+            smallest = os.path.join(
+                os.path.dirname(SMALL.rstrip("/")), "sf0.001"
+            )
+            if os.path.isdir(smallest):
+                registry["stream_stateful_counter"].builder(
+                    spark, smallest
+                ).count()
 
     out: dict[str, dict[str, float]] = {}
     for name in names:

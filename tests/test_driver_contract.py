@@ -52,17 +52,43 @@ def test_no_complex_types_in_declared_query_output(spark, sf_dir):
 
 
 def test_new_round_queries_surface_first():
-    """The driver samples a prefix of queries(); the declared round-9
-    front (semantics-changed queries, then the never-driver-sampled
-    tail) must occupy that prefix in order so the sampling window repays
-    the oldest correctness debt first."""
+    """The driver samples a prefix of queries(); the declared round-10
+    front (the never-driver-sampled hash-checkable tail, oldest debt
+    first) must occupy that prefix in order, and must contain NO
+    rows-only query — a sampled rows-only query burns a slot on a
+    perpetual `no_oracle` row (round-9 verdict, What's wrong #1)."""
     import __spark_entry__ as ent
+    from cascade_spark.plans.registry import load_all
 
+    reg = load_all()
     names = list(ent.queries())
-    reg = set(names)
-    expected = [n for n in ent._ROUND9_FRONT if n in reg]
-    seen = set(expected)
-    expected += [
-        n for n in ent._ROUND9_NEVER_SAMPLED if n in reg and n not in seen
-    ]
+    expected = [n for n in ent._ROUND10_FRONT if n in reg]
     assert names[: len(expected)] == expected
+    rows_only_in_front = [n for n in expected if reg[n].oracle is None]
+    assert not rows_only_in_front, rows_only_in_front
+
+
+def test_front_is_exactly_the_never_sampled_tail():
+    """Every hash-checkable query with no green CORRECTNESS_r0*.json row
+    appears in the front, and nothing already-green does — the sample
+    window can only produce first-time greens."""
+    import glob
+    import json
+    import os
+
+    import __spark_entry__ as ent
+    from cascade_spark.plans.registry import load_all
+
+    repo = os.path.dirname(os.path.abspath(ent.__file__))
+    green = set()
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r0*.json"))):
+        for name, row in json.load(open(path)).items():
+            if (
+                row.get("hash_match")
+                and row.get("rows_match")
+                and row.get("schema_match")
+            ):
+                green.add(name)
+    reg = load_all()
+    never = {n for n in reg if n not in green and reg[n].oracle is not None}
+    assert set(ent._ROUND10_FRONT) == never

@@ -284,7 +284,7 @@ def test_zlib_ratio_properties(spark, sf_dir):
     assert rows
     for r in rows:
         assert r["raw_bytes"] > 0
-        assert 0 < r["mean_ratio_bp"] < 10_000 + 2_000  # tiny docs may expand
+        assert 0 < r["weighted_ratio_bp"] < 10_000 + 2_000  # tiny docs may expand
     # repetition monotonicity of the underlying signal
     rep = ("spam " * 200).encode()
     mixed = ("the quick brown fox jumps over the lazy dog " * 22).encode()
