@@ -59,9 +59,11 @@ WITH rated AS (
     FROM documents
 ),
 s AS (
+    -- COALESCE mirrors the Spark builder: on a zero-row slice the
+    -- conditional sums report 0, not NULL (empty-input parity)
     SELECT CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(o) AS BIGINT) AS s1,
-           CAST(SUM(o * o + (3 - o) * (3 - o)) AS BIGINT) AS s2
+           CAST(COALESCE(SUM(o), 0) AS BIGINT) AS s1,
+           CAST(COALESCE(SUM(o * o + (3 - o) * (3 - o)), 0) AS BIGINT) AS s2
     FROM rated
 )
 SELECT n AS n_docs, s1 AS sum_positive,

@@ -567,10 +567,14 @@ def stats_tschuprow_t(spark, sf_dir):
         " * CAST(o * n - r * c AS DECIMAL(38,0)) * 1000000)"
         " DIV (CAST(n AS DECIMAL(38,0)) * r * c) AS BIGINT)"
     )
+    # global agg + re-broadcast of the scalar frame (NOT a groupBy on
+    # the constant (n, n_r, n_c) columns): on a zero-row slice the
+    # grouped form emits 0 rows while the oracle's scalar-subquery
+    # shape emits one — the empty-input parity sweep pins this
     chi = (
-        j.select(term.alias("tm"), "n", "n_r", "n_c")
-        .groupBy("n", "n_r", "n_c")
+        j.select(term.alias("tm"))
         .agg(bigint(F.sum("tm")).alias("chi2_micro"))
+        .crossJoin(F.broadcast(n))
     )
     t_val = F.round(
         F.sqrt(

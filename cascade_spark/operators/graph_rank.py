@@ -176,9 +176,12 @@ def graph_hits_bipartite(spark, sf_dir):
     ev = t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
     inc = ev.select("user_id", "event_type").distinct()
     types = inc.select("event_type").distinct()
+    # max(k, 1): on a zero-row slice the uniform seed value is moot
+    # (types is empty, so no row carries it) but k=0 must not raise
+    # driver-side — the empty-input sweep pins this
     k = types.count()
     auth = types.select(
-        "event_type", F.lit(HITS_SCALE // k).cast("long").alias("auth")
+        "event_type", F.lit(HITS_SCALE // max(k, 1)).cast("long").alias("auth")
     )
     hubs = None
     for _ in range(HITS_ROUNDS):

@@ -128,6 +128,55 @@ QUERIES = [
     "events_seasonality_strength", "events_kaplan_meier",
     "events_cuped_variance_reduction", "stats_sample_size_two_proportions",
     "similarity_dedup_threshold_sweep",
+    # round-10 batch (all additions; each also in the parity list below)
+    "stats_jonckheere_terpstra", "stats_ansari_bradley",
+    "stats_hash_uniformity_ks", "stats_normalized_mutual_info",
+    "events_page_hinkley", "text_lix_readability", "text_ari_coleman_liau",
+    "embedding_knn_label_consistency", "analytics_dau_mau_stickiness",
+    "sql_group_by_ordinal",
+    # round-9 batch (all 96 additions except bus_delete_records, which
+    # stages a real bus topic — exercised by its own tests; the sweep
+    # found and fixed graph_hits_bipartite's driver-side k=0 division)
+    "agg_arg_extrema", "agg_kmv_jaccard", "agg_multi_distinct_filtered",
+    "agg_pythagorean_means", "analytics_pareto_frontier",
+    "analytics_repeat_purchase_rate", "analytics_supplier_hhi",
+    "dedup_cross_source_matrix", "dedup_soft_weighting",
+    "embedding_dim_variance_topk", "embedding_isotropy_audit",
+    "embedding_label_silhouette", "embedding_pq_distortion",
+    "embedding_random_projection_jl", "events_aroon",
+    "events_attribution_position_u", "events_attribution_time_decay",
+    "events_bollinger_breach", "events_cross_correlation",
+    "events_croston_demand", "events_donchian_breakout", "events_holt_winters",
+    "events_hurst_rs", "events_kama_efficiency", "events_kleinberg_burst",
+    "events_macd", "events_pettitt_changepoint", "events_rolling_slope",
+    "events_rsi_wilder", "events_seasonal_index_dow",
+    "events_stochastic_oscillator", "events_theil_u", "events_ulcer_index",
+    "experiment_hash_bucketing", "graph_adamic_adar",
+    "graph_bipartite_projection", "graph_hits_bipartite",
+    "graph_katz_centrality", "graph_landmark_centrality",
+    "multimodal_image_boxblur", "multimodal_image_dither_bayer",
+    "multimodal_image_entropy", "multimodal_image_otsu",
+    "multimodal_image_sobel", "multimodal_video_motion_energy",
+    "multimodal_wav_clipping_audit", "multimodal_wav_fade",
+    "multimodal_wav_peak_normalize", "pii_t_closeness_audit",
+    "pipeline_mixture_kl_uniform", "pipeline_tokenizer_compare",
+    "profile_freshness_lag", "profile_pk_uniqueness_audit",
+    "similarity_hamming_topk", "similarity_mmr_diversify",
+    "similarity_ndcg_eval", "sql_lateral_view_outer",
+    "sql_values_inline_table", "stats_beta_binomial_posterior",
+    "stats_brier_score", "stats_calibration_ece", "stats_chi2_goodness_of_fit",
+    "stats_cliffs_delta", "stats_cohens_h", "stats_cronbach_alpha",
+    "stats_fisher_exact", "stats_fleiss_kappa", "stats_gains_table",
+    "stats_goodman_kruskal_gamma", "stats_grubbs_outlier",
+    "stats_kuiper_two_sample", "stats_levene_mean", "stats_page_trend",
+    "stats_phi_coefficient", "stats_rank_biserial", "stats_roc_auc_exact",
+    "stats_somers_d", "stats_sprt_sequential", "stats_stuart_tau_c",
+    "stats_tost_equivalence", "stats_tschuprow_t", "stats_vargha_delaney_a",
+    "stats_weighted_kappa", "stats_yule_q", "text_bigram_perplexity",
+    "text_bm25_topk", "text_hapax_spectrum", "text_heaps_fit",
+    "text_inverted_index_query", "text_js_divergence_sources",
+    "text_simpson_diversity", "text_unigram_entropy",
+    "text_winnowing_fingerprint", "text_yule_k", "text_zlib_compression_ratio",
 ]
 
 
@@ -164,6 +213,8 @@ def test_query_survives_empty_tables(spark, empty_sf_dir, name):
         "text_vocab_coverage_curve": 4,
         # fixed-shape sweep: one row per declared threshold
         "similarity_dedup_threshold_sweep": 5,
+        # fixed-shape audit: one row per fixture table
+        "profile_pk_uniqueness_audit": 9,
     }
     assert len(rows) <= fixed_shape.get(name, 1), (name, rows[:3])
 
@@ -175,6 +226,25 @@ def test_query_survives_empty_tables(spark, empty_sf_dir, name):
 _EMPTY_PARITY = [
     "stats_kendall_tau_b", "stats_sign_test", "stats_cohens_kappa",
     "stats_odds_ratio", "stats_mcc_matthews", "events_intervention_its",
+    # round-9 exact-arithmetic scalar audits (verdict r9 item 4): the
+    # zero-row NULL-vs-0 divergence is this family's failure mode — the
+    # sweep caught stats_fleiss_kappa (oracle SUM lacked COALESCE) and
+    # stats_tschuprow_t (grouped-vs-scalar agg emitted 0 rows vs 1)
+    "stats_fisher_exact", "stats_goodman_kruskal_gamma", "stats_somers_d",
+    "stats_stuart_tau_c", "stats_sprt_sequential", "stats_brier_score",
+    "stats_calibration_ece", "stats_fleiss_kappa", "stats_cronbach_alpha",
+    "stats_yule_q", "stats_phi_coefficient", "stats_cohens_h",
+    "stats_tschuprow_t", "stats_cliffs_delta", "stats_vargha_delaney_a",
+    "stats_kuiper_two_sample", "stats_page_trend", "stats_levene_mean",
+    "stats_weighted_kappa", "stats_rank_biserial", "stats_grubbs_outlier",
+    "agg_pythagorean_means", "stats_roc_auc_exact", "stats_gains_table",
+    "stats_beta_binomial_posterior", "stats_chi2_goodness_of_fit",
+    # round-10 additions (verified at authoring time)
+    "stats_jonckheere_terpstra", "stats_ansari_bradley",
+    "stats_hash_uniformity_ks", "stats_normalized_mutual_info",
+    "events_page_hinkley", "text_lix_readability", "text_ari_coleman_liau",
+    "embedding_knn_label_consistency", "analytics_dau_mau_stickiness",
+    "sql_group_by_ordinal",
 ]
 
 

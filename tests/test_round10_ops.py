@@ -1,0 +1,219 @@
+"""Round-10 operator property tests — each nontrivial statistic is
+recomputed independently (plain Python over the collected fixture
+rows, O(n^2) where the operator is O(support)) and compared exactly,
+so the merged-support / cumulative-grid reformulations are pinned
+against the textbook pair-wise definitions."""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter, defaultdict
+
+import pytest
+
+from cascade_spark.plans.registry import load_all
+from cascade_spark.tables import load
+
+
+@pytest.fixture(scope="module")
+def daily_by_dow(spark, sf_dir):
+    """(iso_dow -> [daily total volume]) from the raw events table."""
+    ev = load(spark, sf_dir, "events").collect()
+    per_day = Counter()
+    for r in ev:
+        per_day[r["ts"].date()] += 1
+    groups = defaultdict(list)
+    for day, v in per_day.items():
+        groups[day.isoweekday()].append(v)
+    return groups
+
+
+def test_jonckheere_terpstra_matches_direct_pair_sum(spark, sf_dir, daily_by_dow):
+    """JT2 from the cumulative grid == doubled pairwise U-sum
+    (2*#less + #ties over every cross-group pair, i < j)."""
+    jt2 = 0
+    gs = sorted(daily_by_dow)
+    for ii, gi in enumerate(gs):
+        for gj in gs[ii + 1 :]:
+            for xi in daily_by_dow[gi]:
+                for xj in daily_by_dow[gj]:
+                    if xi < xj:
+                        jt2 += 2
+                    elif xi == xj:
+                        jt2 += 1
+    row = load_all()["stats_jonckheere_terpstra"].builder(spark, sf_dir).collect()[0]
+    assert row["jt2"] == jt2
+    sizes = [len(v) for v in daily_by_dow.values()]
+    nn = sum(sizes)
+    assert row["n_days"] == nn
+    assert row["e2"] == (nn * nn - sum(s * s for s in sizes)) // 2
+    assert row["var72"] == nn * nn * (2 * nn + 3) - sum(
+        s * s * (2 * s + 3) for s in sizes
+    )
+
+
+def test_ansari_bradley_matches_direct_midranks(spark, sf_dir):
+    """Doubled Ansari score sums == direct computation with doubled
+    midranks over the sorted merged sample."""
+    ev = load(spark, sf_dir, "events").collect()
+    per_day = defaultdict(Counter)
+    for r in ev:
+        per_day[r["ts"].date()][r["event_type"]] += 1
+    xs = [c["click"] for c in per_day.values()]
+    ys = [c["view"] for c in per_day.values()]
+    merged = sorted([(v, "x") for v in xs] + [(v, "y") for v in ys])
+    n = len(merged)
+    # doubled midrank per value: 2*below + m + 1
+    vals = Counter(v for v, _ in merged)
+    below = 0
+    dr = {}
+    for v in sorted(vals):
+        dr[v] = 2 * below + vals[v] + 1
+        below += vals[v]
+    ab2x = sum(min(dr[v], 2 * (n + 1) - dr[v]) for v in xs)
+    ab2y = sum(min(dr[v], 2 * (n + 1) - dr[v]) for v in ys)
+    row = load_all()["stats_ansari_bradley"].builder(spark, sf_dir).collect()[0]
+    assert (row["nx"], row["ny"]) == (len(xs), len(ys))
+    assert (row["ab2x"], row["ab2y"]) == (ab2x, ab2y)
+    assert row["mean_x_milli"] == (1000 * ab2x) // (2 * len(xs))
+
+
+def test_page_hinkley_matches_direct_recurrence(spark, sf_dir):
+    """Per-type PH trajectory recomputed sequentially in Python."""
+    ev = load(spark, sf_dir, "events").collect()
+    per = defaultdict(Counter)
+    for r in ev:
+        per[r["event_type"]][r["ts"].date()] += 1
+    rows = {
+        r["event_type"]: r
+        for r in load_all()["events_page_hinkley"].builder(spark, sf_dir).collect()
+    }
+    lam = 20_000_000
+    for et, days in per.items():
+        s = u = 0
+        min_u = 0
+        max_ph = 0
+        n_alarms = 0
+        first_alarm = None
+        for i, day in enumerate(sorted(days), start=1):
+            v = days[day]
+            s += v
+            d = v * 1_000_000 - (s * 1_000_000) // i
+            u += d
+            ph = u - min(min_u, u)
+            min_u = min(min_u, u)
+            max_ph = max(max_ph, ph)
+            if ph > lam:
+                n_alarms += 1
+                first_alarm = first_alarm or day.isoformat()
+        r = rows[et]
+        assert r["n_days"] == len(days)
+        assert r["max_ph_micro"] == max_ph
+        assert r["n_alarm_days"] == n_alarms
+        assert r["first_alarm_day"] == first_alarm
+
+
+def test_knn_label_consistency_matches_bruteforce(spark, sf_dir):
+    """5-NN purity recomputed with a brute-force quantized dot product."""
+    import math
+
+    emb = load(spark, sf_dir, "embeddings").collect()
+    vecs = {
+        r["vec_id"]: ([math.floor(float(x) * 200) for x in r["embedding"]], r["label"])
+        for r in emb
+    }
+    out = {
+        r["anchor_id"]: r
+        for r in load_all()["embedding_knn_label_consistency"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    anchors = [vid for vid in vecs if vid % 100 == 0]
+    assert sorted(out) == sorted(anchors)
+    for aid in anchors:
+        aq, alab = vecs[aid]
+        scored = sorted(
+            (
+                (-sum(a * b for a, b in zip(aq, q)), vid, lab)
+                for vid, (q, lab) in vecs.items()
+                if vid != aid
+            ),
+        )[:5]
+        n_same = sum(1 for _, _, lab in scored if lab == alab)
+        r = out[aid]
+        assert r["anchor_label"] == alab
+        assert r["n_same_label"] == n_same
+        assert r["top1_same"] == (1 if scored[0][2] == alab else 0)
+
+
+def test_hash_uniformity_matches_direct_md5(spark, sf_dir):
+    """Bucket counts recomputed with hashlib's md5 — pins the
+    '0x'||substr(md5(id),1,8) portable-hash contract cross-engine AND
+    cross-runtime."""
+    ev = load(spark, sf_dir, "events").collect()
+    users = {r["user_id"] for r in ev if r["user_id"] is not None}
+    occ = Counter(
+        int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16) % 16 for u in users
+    )
+    nu = len(users)
+    cum = 0
+    ks = 0
+    chi_num = 0
+    for b in range(16):
+        o = occ.get(b, 0)
+        cum += o
+        ks = max(ks, abs(16 * cum - (b + 1) * nu))
+        chi_num += (16 * o - nu) ** 2
+    row = load_all()["stats_hash_uniformity_ks"].builder(spark, sf_dir).collect()[0]
+    assert row["n_users"] == nu
+    assert row["ks_d_16u"] == ks
+    assert row["chi2_micro"] == (chi_num * 1_000_000) // (16 * nu)
+
+
+def test_nmi_bounds_and_degenerate_zero(spark, sf_dir):
+    """NMI lands in [0, 1] (milli, small rounding slack) on real data —
+    and the mi/h sums are self-consistent (MI <= min(Hr, Hc))."""
+    row = (
+        load_all()["stats_normalized_mutual_info"].builder(spark, sf_dir).collect()[0]
+    )
+    assert 0 <= row["nmi_milli"] <= 1000
+    assert row["mi_micro_n"] <= min(row["h_row_micro_n"], row["h_col_micro_n"]) + 10
+    assert row["h_row_micro_n"] >= 0 and row["h_col_micro_n"] >= 0
+
+
+def test_readability_formulas_match_direct(spark, sf_dir):
+    """LIX/ARI recomputed for one source from the raw text."""
+    import re
+
+    docs = [r for r in load(spark, sf_dir, "documents").collect() if r["source"] == "src0"]
+    w = sum(len(d["text"].split(" ")) for d in docs)
+    s = sum(max(len(re.findall(r"[.!?]+", d["text"])), 1) for d in docs)
+    lw = sum(sum(1 for tok in d["text"].split(" ") if len(tok) > 6) for d in docs)
+    ch = sum(len(re.sub(r"[^A-Za-z0-9]", "", d["text"])) for d in docs)
+    lix = {
+        r["source"]: r
+        for r in load_all()["text_lix_readability"].builder(spark, sf_dir).collect()
+    }["src0"]
+    assert (lix["words"], lix["sentences"], lix["long_words"]) == (w, s, lw)
+    assert lix["lix_milli"] == (1000 * w) // s + (100000 * lw) // w
+    ari = {
+        r["source"]: r
+        for r in load_all()["text_ari_coleman_liau"].builder(spark, sf_dir).collect()
+    }["src0"]
+    assert ari["chars_alnum"] == ch
+    assert (
+        ari["ari_milli"]
+        == (4710 * ch * s + 500 * w * w - 21430 * w * s) // (w * s)
+    )
+
+
+def test_stickiness_bounds(spark, sf_dir):
+    """DAU-sum/(days*MAU) is a proper ratio: 0 < stickiness <= 10000 bp,
+    and dau_sum <= days * mau by construction."""
+    rows = (
+        load_all()["analytics_dau_mau_stickiness"].builder(spark, sf_dir).collect()
+    )
+    assert rows
+    for r in rows:
+        assert 0 < r["stickiness_bp"] <= 10_000
+        assert r["dau_sum"] <= r["days"] * r["mau"]
