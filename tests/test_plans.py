@@ -735,3 +735,45 @@ def test_silhouette_broadcasts_centroids(spark, sf_dir):
 
     plan = _plan(load_all()["embedding_label_silhouette"].builder(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
+
+
+def test_jt_dominance_join_extracts_value_equality(spark, sf_dir):
+    """stats_jonckheere_terpstra's sup-vs-cumulative join has an
+    equality key (the support value) plus a group inequality — Catalyst
+    must extract the equi part (hash/sort-merge join on v), never fall
+    back to a cartesian product over the grid."""
+    from cascade_spark.plans.registry import load_all
+
+    df = load_all()["stats_jonckheere_terpstra"].builder(spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan), plan
+
+
+def test_seasonal_mk_pairs_join_is_hash_on_stratum(spark, sf_dir):
+    """stats_seasonal_mann_kendall pairs days WITHIN a weekday stratum:
+    the self-join must hash on the stratum key with the day inequality
+    as a post-filter — the bounded day-pair spine, not a cartesian."""
+    from cascade_spark.plans.registry import load_all
+
+    df = load_all()["stats_seasonal_mann_kendall"].builder(spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_knn_anchor_side_is_broadcast(spark, sf_dir):
+    """embedding_knn_label_consistency scores the corpus against a
+    BROADCAST anchor frame (the declared sample-bounded exact path) —
+    one corpus scan, no shuffle of the embedding side before scoring,
+    and the per-anchor rank window partitions by anchor (no global
+    window)."""
+    from cascade_spark.plans.registry import load_all
+
+    df = load_all()["embedding_knn_label_consistency"].builder(spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -217,3 +217,61 @@ def test_stickiness_bounds(spark, sf_dir):
     for r in rows:
         assert 0 < r["stickiness_bp"] <= 10_000
         assert r["dau_sum"] <= r["days"] * r["mau"]
+
+
+def test_seasonal_mann_kendall_matches_direct(spark, sf_dir, daily_by_dow):
+    """S_total and var18 recomputed from the per-stratum definitions —
+    but NOTE the statistic pairs days in chronological order, so use
+    the (dow -> chronological volumes) sequence, not sorted values."""
+    ev = load(spark, sf_dir, "events").collect()
+    per_day = Counter()
+    for r in ev:
+        per_day[r["ts"].date()] += 1
+    strata = defaultdict(list)
+    for day in sorted(per_day):
+        strata[day.isoweekday()].append(per_day[day])
+    s_total = 0
+    var18 = 0
+    for seq in strata.values():
+        n = len(seq)
+        for i in range(n):
+            for j in range(i + 1, n):
+                s_total += (seq[j] > seq[i]) - (seq[j] < seq[i])
+        ties = Counter(seq)
+        var18 += n * (n - 1) * (2 * n + 5) - sum(
+            g * (g - 1) * (2 * g + 5) for g in ties.values()
+        )
+    row = (
+        load_all()["stats_seasonal_mann_kendall"].builder(spark, sf_dir).collect()[0]
+    )
+    assert row["s_total"] == s_total
+    assert row["var18"] == var18
+    assert row["n_days"] == sum(len(v) for v in strata.values())
+
+
+def test_centroid_drift_matches_direct(spark, sf_dir):
+    """Per-label parity sum vectors recomputed with numpy floor."""
+    import math
+
+    emb = load(spark, sf_dir, "embeddings").collect()
+    sums = defaultdict(lambda: [0] * 64)
+    for r in emb:
+        key = (r["label"], r["vec_id"] % 2)
+        for i, x in enumerate(r["embedding"]):
+            sums[key][i] += math.floor(float(x) * 200)
+    out = {
+        r["label"]: r
+        for r in load_all()["embedding_centroid_drift_halves"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    labels = {r["label"] for r in emb}
+    assert set(out) == labels
+    for lab in labels:
+        se, so = sums[(lab, 0)], sums[(lab, 1)]
+        dot = sum(a * b for a, b in zip(se, so))
+        assert out[lab]["dot_q"] == dot
+        n2e = sum(a * a for a in se)
+        n2o = sum(b * b for b in so)
+        if n2e and n2o:
+            assert abs(out[lab]["cos_drift"] - dot / math.sqrt(n2e * n2o)) < 2e-6
