@@ -135,6 +135,7 @@ QUERIES = [
     "embedding_knn_label_consistency", "analytics_dau_mau_stickiness",
     "sql_group_by_ordinal",
     "stats_seasonal_mann_kendall", "embedding_centroid_drift_halves",
+    "stats_anderson_darling_2s",
     # round-9 batch (all 96 additions except bus_delete_records, which
     # stages a real bus topic — exercised by its own tests; the sweep
     # found and fixed graph_hits_bipartite's driver-side k=0 division)
@@ -246,7 +247,7 @@ _EMPTY_PARITY = [
     "events_page_hinkley", "text_lix_readability", "text_ari_coleman_liau",
     "embedding_knn_label_consistency", "analytics_dau_mau_stickiness",
     "sql_group_by_ordinal", "stats_seasonal_mann_kendall",
-    "embedding_centroid_drift_halves",
+    "embedding_centroid_drift_halves", "stats_anderson_darling_2s",
 ]
 
 

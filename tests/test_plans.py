@@ -614,6 +614,8 @@ _GLOBAL_WINDOW_ALLOWLIST = {
         "merged click/view daily-volume value spine (n_days-bounded)",
     ("cascade_spark/operators/surface_round10.py", "stats_hash_uniformity_ks"):
         "fixed 16-row hash-bucket spine",
+    ("cascade_spark/operators/surface_round10c.py", "stats_anderson_darling_2s"):
+        "merged click/view daily-volume value spine (n_days-bounded)",
 }
 
 

@@ -275,3 +275,38 @@ def test_centroid_drift_matches_direct(spark, sf_dir):
         n2o = sum(b * b for b in so)
         if n2e and n2o:
             assert abs(out[lab]["cos_drift"] - dot / math.sqrt(n2e * n2o)) < 2e-6
+
+
+def test_anderson_darling_matches_direct(spark, sf_dir):
+    """A2 micro-sum recomputed from the Scholz-Stephens version-1
+    definition over the merged support, with the same per-term floor."""
+    ev = load(spark, sf_dir, "events").collect()
+    per_day = defaultdict(Counter)
+    for r in ev:
+        per_day[r["ts"].date()][r["event_type"]] += 1
+    xs = Counter(c["click"] for c in per_day.values())
+    ys = Counter(c["view"] for c in per_day.values())
+    m, n = sum(xs.values()), sum(ys.values())
+    nn = m + n
+    mx = my = b = 0
+    a2 = 0
+    n_terms = 0
+    for v in sorted(set(xs) | set(ys)):
+        l = xs.get(v, 0) + ys.get(v, 0)
+        mx += xs.get(v, 0)
+        my += ys.get(v, 0)
+        b += l
+        if b < nn:
+            n_terms += 1
+            a2 += (l * (nn * mx - m * b) ** 2 * 1_000_000) // (
+                m * nn * b * (nn - b)
+            )
+            a2 += (l * (nn * my - n * b) ** 2 * 1_000_000) // (
+                n * nn * b * (nn - b)
+            )
+    row = (
+        load_all()["stats_anderson_darling_2s"].builder(spark, sf_dir).collect()[0]
+    )
+    assert (row["nx"], row["ny"]) == (m, n)
+    assert row["n_terms"] == n_terms
+    assert row["a2_micro"] == a2

@@ -1,0 +1,80 @@
+"""Single-day / few-row degenerate-slice robustness — the n=1 regime
+between "empty" (tests/test_empty_inputs.py) and "real data": one
+calendar day of events, one document, two embeddings. Every rank/EDF
+statistic collapses to its guard branch here (zero pairs, zero
+variance, single support value), which is exactly where NULL-vs-0 and
+0-rows-vs-1 divergences hide when n=0 happens to be handled.
+
+Full Spark-vs-DuckDB parity (not just no-throw): both engines read the
+same single-file parquet slices.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+
+from cascade_spark.plans.registry import load_all
+
+_PARITY = [
+    # round-10 surface
+    "stats_jonckheere_terpstra", "stats_ansari_bradley",
+    "stats_hash_uniformity_ks", "stats_normalized_mutual_info",
+    "events_page_hinkley", "text_lix_readability", "text_ari_coleman_liau",
+    "embedding_knn_label_consistency", "analytics_dau_mau_stickiness",
+    "sql_group_by_ordinal", "stats_seasonal_mann_kendall",
+    "embedding_centroid_drift_halves", "stats_anderson_darling_2s",
+    # the established EDF/rank family over the same daily spine — one
+    # day means ONE (x, y) observation: zero pairs, zero variance
+    "stats_kendall_tau_b", "stats_mannwhitney_u", "stats_ks_two_sample",
+    "stats_cvm_two_sample", "stats_kuiper_two_sample", "stats_cliffs_delta",
+    "stats_vargha_delaney_a", "stats_rank_biserial", "stats_sign_test",
+    "stats_mann_kendall_trend", "stats_spearman_rho",
+]
+
+
+@pytest.fixture(scope="module")
+def single_day_dir(sf_dir):
+    """One-day events slice, one document, two embeddings (one per
+    parity so the drift audit sees both halves), full dims — written
+    by DuckDB so Spark and the oracle read identical files."""
+    import duckdb
+
+    d = tempfile.mkdtemp(prefix="cascade_oneday_")
+    con = duckdb.connect()
+    con.sql(
+        f"COPY (SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+        f" WHERE CAST(ts AS DATE) = (SELECT MIN(CAST(ts AS DATE))"
+        f"   FROM read_parquet('{sf_dir}/events.parquet'))"
+        f" ORDER BY event_id)"
+        f" TO '{os.path.join(d, 'events.parquet')}' (FORMAT PARQUET)"
+    )
+    con.sql(
+        f"COPY (SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+        f" ORDER BY doc_id LIMIT 1)"
+        f" TO '{os.path.join(d, 'documents.parquet')}' (FORMAT PARQUET)"
+    )
+    con.sql(
+        f"COPY (SELECT * FROM read_parquet('{sf_dir}/embeddings.parquet')"
+        f" ORDER BY vec_id LIMIT 2)"
+        f" TO '{os.path.join(d, 'embeddings.parquet')}' (FORMAT PARQUET)"
+    )
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem"]:
+        con.sql(
+            f"COPY (SELECT * FROM read_parquet('{sf_dir}/{t}.parquet'))"
+            f" TO '{os.path.join(d, t + '.parquet')}' (FORMAT PARQUET)"
+        )
+    con.close()
+    return d
+
+
+@pytest.mark.parametrize("name", _PARITY)
+def test_single_day_oracle_parity(spark, single_day_dir, name):
+    from cascade_spark.plans.compare import compare
+
+    q = load_all()[name]
+    ok, msg = compare(q.builder(spark, single_day_dir), q.oracle, single_day_dir)
+    assert ok, f"{name}: {msg}"
