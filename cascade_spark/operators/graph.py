@@ -808,7 +808,13 @@ def graph_degree_assortativity(spark, sf_dir):
     return m.select(
         F.col("n").alias("n_endpoint_pairs"),
         F.col("sx").alias("sum_degree"),
-        F.when(den == 0, F.lit(0)).otherwise(trunc).cast("long").alias("assortativity_bp"),
+        # outer coalesce mirrors the oracle's COALESCE(..., 0): on a
+        # zero-edge slice the moment sums are NULL and the oracle
+        # reports 0, not NULL (single-day parity tier)
+        F.coalesce(
+            F.when(den == 0, F.lit(0)).otherwise(trunc).cast("long"),
+            F.lit(0),
+        ).alias("assortativity_bp"),
     )
 
 

@@ -124,10 +124,19 @@ def graph_local_clustering(spark, sf_dir):
     n_nodes = deg.agg(bigint(F.count(F.lit(1))).alias("n_nodes"))
     agg = cc.agg(
         bigint(F.count(F.lit(1))).alias("n_eligible"),
-        bigint(F.sum(F.when(F.col("t") > 0, 1).otherwise(0))).alias("n_in_triangle"),
-        bigint(F.sum(F.when(F.col("cc_bp") == 10000, 1).otherwise(0))).alias(
-            "n_closed"
-        ),
+        # coalesce mirrors the oracle's COUNT(*) FILTER: 0, not NULL,
+        # when no node is eligible (single-day parity tier)
+        bigint(
+            F.coalesce(
+                F.sum(F.when(F.col("t") > 0, 1).otherwise(0)), F.lit(0)
+            )
+        ).alias("n_in_triangle"),
+        bigint(
+            F.coalesce(
+                F.sum(F.when(F.col("cc_bp") == 10000, 1).otherwise(0)),
+                F.lit(0),
+            )
+        ).alias("n_closed"),
         F.coalesce(F.sum("cc_bp"), F.lit(0)).alias("_sum_cc"),
         bigint(F.coalesce(F.max("cc_bp"), F.lit(0))).alias("max_cc_bp"),
     )

@@ -1340,12 +1340,14 @@ scal AS (
 -- ICC = (A(n-1) - B(k-1)) / ((n-1)(A + (k-1)B)), which simplifies to
 -- (sum_sg2*(nk-1) - (n-1)*S^2 - (k-1)*n*Q)
 --   / ((n-1)*(sum_sg2 - S^2 + (k-1)*n*Q))
+-- COALESCE mirrors the Spark builder's den=0 guard: a single-day grid
+-- (n = 1) reports 0, not NULL (single-day parity tier)
 SELECT k AS n_groups, n AS n_per_group,
-       CAST((10000 * (sum_sg2 * (n * k - 1)
+       CAST(COALESCE((10000 * (sum_sg2 * (n * k - 1)
                       - (n - 1) * CAST(s AS HUGEINT) * s
                       - (k - 1) * CAST(n AS HUGEINT) * q))
             // NULLIF((n - 1) * (sum_sg2 - CAST(s AS HUGEINT) * s
-                      + (k - 1) * CAST(n AS HUGEINT) * q), 0)
+                      + (k - 1) * CAST(n AS HUGEINT) * q), 0), 0)
             AS BIGINT) AS icc_bp
 FROM scal
 """,

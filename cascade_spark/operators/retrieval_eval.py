@@ -356,7 +356,9 @@ agg AS (
     SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
            CAST(SUM(s) AS BIGINT) AS n_clustered,
            CAST(SUM(s * (s - 1) // 2) AS BIGINT) AS total_pairs,
-           CAST(MAX(s) AS BIGINT) AS max_cluster
+           -- COALESCE mirrors the Spark builder: with zero clusters
+           -- (degenerate slice) max_cluster reports 0, not NULL
+           CAST(COALESCE(MAX(s), 0) AS BIGINT) AS max_cluster
     FROM sizes
 ),
 dp AS (SELECT CAST(COUNT(*) AS BIGINT) AS direct_pairs FROM pairs)

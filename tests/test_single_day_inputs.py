@@ -18,21 +18,29 @@ import pytest
 
 from cascade_spark.plans.registry import load_all
 
-_PARITY = [
-    # round-10 surface
-    "stats_jonckheere_terpstra", "stats_ansari_bradley",
-    "stats_hash_uniformity_ks", "stats_normalized_mutual_info",
-    "events_page_hinkley", "text_lix_readability", "text_ari_coleman_liau",
-    "embedding_knn_label_consistency", "analytics_dau_mau_stickiness",
-    "sql_group_by_ordinal", "stats_seasonal_mann_kendall",
-    "embedding_centroid_drift_halves", "stats_anderson_darling_2s",
-    # the established EDF/rank family over the same daily spine — one
-    # day means ONE (x, y) observation: zero pairs, zero variance
-    "stats_kendall_tau_b", "stats_mannwhitney_u", "stats_ks_two_sample",
-    "stats_cvm_two_sample", "stats_kuiper_two_sample", "stats_cliffs_delta",
-    "stats_vargha_delaney_a", "stats_rank_biserial", "stats_sign_test",
-    "stats_mann_kendall_trend", "stats_spearman_rho",
-]
+# The whole hash-checked batch-analytics family, computed from the
+# registry so new queries join the tier automatically. Families whose
+# builders stage their own fixtures (bus/stream topics, scan/sink
+# dirs, managed tables) or that exercise the function/SQL surface over
+# non-events tables are exercised by their own suites — the degenerate
+# regime this tier targets is the daily/document/embedding spine.
+_SKIP_PREFIX = (
+    "bus_", "stream_", "scan_", "sink_", "maintenance_", "catalog_",
+    "ingest_", "consume_", "rollup_", "udf_", "udtf_", "fn_", "sql_",
+    "window_", "setop_", "sort_", "join_", "subquery_", "tpch_", "agg_",
+    "sample_", "scd", "pandas_",
+)
+
+
+def _parity_names() -> list[str]:
+    return sorted(
+        n
+        for n, q in load_all().items()
+        if q.oracle is not None and not n.startswith(_SKIP_PREFIX)
+    ) + ["sql_group_by_ordinal"]
+
+
+_PARITY = _parity_names()
 
 
 @pytest.fixture(scope="module")
