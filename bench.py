@@ -27,6 +27,24 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # bench host has 128 GiB — give the single-JVM driver+executor heap room.
 os.environ.setdefault("CASCADE_DRIVER_MEM", "48g")
 
+_NO_RETIME_PREFIXES = ("stream_", "bus_", "maintenance_compact", "scan_schema")
+# ...EXCEPT streaming queries that rebuild everything per call: the
+# two applyInPandasWithState queries start a FRESH query (uuid name,
+# fresh checkpoint) over pre-staged input every run, so a re-run
+# repeats 100% of the measured work. Excluding them locked host
+# scheduler stalls into the record permanently (r7 showed 11.3/12.6 s
+# where isolated runs measure 2.9/7.6 s warm — see SCALE.md).
+_RETIME_OK = {
+    "stream_stateful_counter",
+    "stream_stateful_session_timeout",
+    # stream_stateful_topk equally starts a FRESH query (uuid name,
+    # fresh checkpoint) over pre-staged input on every call — a
+    # re-run repeats 100% of the measured work, same justification
+    # as the two entries above (r9 driver run recorded 61.3 s in a
+    # stall window vs 4.4 s for the identical tree).
+    "stream_stateful_topk",
+}
+
 
 def _materialize(df) -> None:
     """Force full evaluation of every output column (checksum agg) —
@@ -37,15 +55,24 @@ def _materialize(df) -> None:
     df.select(h.alias("_h")).agg(F.count("_h"), F.sum("_h")).collect()
 
 
-def main() -> None:
-    from cascade_spark.session import get_spark
+def prepare(spark, sf_dir: str) -> dict[str, float]:
+    """Stage every memoized fixture/checkpoint a timed query depends on.
+
+    Everything here is table/fixture prep (the producer side of the
+    reference's load-gen) or one-time process bring-up — NOT the
+    operator work the bench measures. Pulled out of main() so
+    tests/test_bench_protocol.py can pin the contract: after prepare(),
+    every memoization cache a `_NO_RETIME` query reads must already
+    hold its sf_dir entry (a _NO_RETIME query never gets a second
+    chance, so an un-staged fixture build would be locked into its
+    recorded timing — the round-9 stream_state_metadata_audit failure
+    class).
+    """
     from cascade_spark.plans.registry import load_all
 
     registry = load_all()
-    spark = get_spark("cascade_bench")
-
     # warm the JVM + parquet footers once
-    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
     # pre-stage streaming fixture inputs (fixture prep, not operator work)
     from cascade_spark.streaming.pipeline import stage_stream_input
 
@@ -56,28 +83,28 @@ def main() -> None:
         (4, False, 0),
         (4, False, 13),  # stream_chained_windows' deep-watermark fixture
     ]:
-        stage_stream_input(spark, SF_DIR, n_files=n_files, duplicate=dup, sentinels=sent)
+        stage_stream_input(spark, sf_dir, n_files=n_files, duplicate=dup, sentinels=sent)
     # bucketed layout maintenance is amortized table prep, not join work
     from cascade_spark.operators.bucketing import bucketed_tables
 
-    bucketed_tables(spark, SF_DIR)
+    bucketed_tables(spark, sf_dir)
     # bloom-filter + month-clustered layouts are likewise table prep:
     # their queries measure the SCAN against the layout, not the rewrite
     from cascade_spark.sources.scans import bloom_filter_output
     from cascade_spark.operators.maintenance import clustered_output
 
-    bloom_filter_output(spark, SF_DIR)
-    clustered_output(spark, SF_DIR)
+    bloom_filter_output(spark, sf_dir)
+    clustered_output(spark, sf_dir)
     from cascade_spark.sources.lakehouse import jdbc_orders_url
 
-    jdbc_orders_url(spark, SF_DIR)
+    jdbc_orders_url(spark, sf_dir)
     # bus topic + partitioned registry staging is producer-side table prep
     # (the reference's load-gen), not read-path operator work
     from cascade_spark.sources.cascade_bus import stage_bus_topic
     from cascade_spark.sources.topics import stage_topic_registry
 
-    topic = stage_bus_topic(spark, SF_DIR)
-    stage_topic_registry(spark, SF_DIR)
+    topic = stage_bus_topic(spark, sf_dir)
+    stage_topic_registry(spark, sf_dir)
     # Pre-build the two SHARED state-reader checkpoints (memoized in
     # _STAGE_CACHE): without this, the one-time streaming-aggregation
     # run that writes each checkpoint lands inside the timing of
@@ -91,8 +118,14 @@ def main() -> None:
         _run_checkpointed_agg,
     )
 
-    _run_checkpointed_agg(spark, SF_DIR)
-    _run_changelog_agg(spark, SF_DIR)
+    _run_checkpointed_agg(spark, sf_dir)
+    _run_changelog_agg(spark, sf_dir)
+    # media fixture directory for the binaryFile scan: 32 synthetic .ppm
+    # files in a temp dir (producer-side prep; the timed query measures
+    # the binaryFile listing + ranged read + decode, which re-runs fully)
+    from cascade_spark.operators.multimodal import stage_blob_dir
+
+    stage_blob_dir(sf_dir)
     # first Python-datasource use spins up its worker pool (~5 s once per
     # process) — warm it like the parquet-footer warm-up above
     from cascade_spark.sources.cascade_bus import register_bus
@@ -103,14 +136,52 @@ def main() -> None:
     # state-store machinery on first use (~9 s once per process, measured
     # 12.3 s cold vs 2.9 s warm at sf0.1) — warm it at the smallest tier
     # so the timed run measures the operator, not process bring-up
-    smallest = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.001")
+    smallest = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
     warmed: dict[str, float] = {}
-    if os.path.isdir(smallest) and smallest != SF_DIR.rstrip("/"):
+    if os.path.isdir(smallest) and smallest != sf_dir.rstrip("/"):
         w0 = time.perf_counter()
         registry["stream_stateful_counter"].builder(spark, smallest).count()
         # disclose the warm-up: the timed sf0.1 number below is the WARM
         # figure (operator cost); this records what bring-up cost once.
         warmed["stream_stateful_counter"] = round(time.perf_counter() - w0, 3)
+    return warmed
+
+
+def main() -> None:
+    from cascade_spark.session import get_spark
+    from cascade_spark.plans.registry import load_all
+
+    registry = load_all()
+    spark = get_spark("cascade_bench")
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    # committed figures from the LAST recorded run (read before this run
+    # overwrites the file) — the reference point for the 3x outlier
+    # retime below
+    committed: dict[str, float] = {}
+    try:
+        with open(os.path.join(here, "BENCH_DETAIL.json")) as fh:
+            _prev = json.load(fh)
+        if _prev.get("sf") == float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]):
+            committed = {
+                k: v for k, v in _prev.get("queries", {}).items() if v > 0
+            }
+    except (OSError, ValueError):
+        pass
+    # per-query DuckDB-oracle wall-clock baseline (baseline.py, one-time
+    # protocol run) — bench emits spark/baseline ratios when present
+    baseline: dict[str, float] = {}
+    try:
+        with open(os.path.join(here, "BASELINE_DETAIL.json")) as fh:
+            _base = json.load(fh)
+        if _base.get("sf") == float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]):
+            baseline = {
+                k: v for k, v in _base.get("queries", {}).items() if v > 0
+            }
+    except (OSError, ValueError):
+        pass
+
+    warmed = prepare(spark, SF_DIR)
 
     # Shared persisted-frame cache accounting (dedup/interval/graph/Q11
     # families): hits mean the timing is an order-dependent AMORTIZED
@@ -157,23 +228,6 @@ def main() -> None:
     # Never re-time queries whose builders memoize side effects (staged
     # sinks, shared checkpoints, one-shot compaction): their second run
     # would skip the very work being measured, not just the noise.
-    _NO_RETIME_PREFIXES = ("stream_", "bus_", "maintenance_compact", "scan_schema")
-    # ...EXCEPT streaming queries that rebuild everything per call: the
-    # two applyInPandasWithState queries start a FRESH query (uuid name,
-    # fresh checkpoint) over pre-staged input every run, so a re-run
-    # repeats 100% of the measured work. Excluding them locked host
-    # scheduler stalls into the record permanently (r7 showed 11.3/12.6 s
-    # where isolated runs measure 2.9/7.6 s warm — see SCALE.md).
-    _RETIME_OK = {
-        "stream_stateful_counter",
-        "stream_stateful_session_timeout",
-        # stream_stateful_topk equally starts a FRESH query (uuid name,
-        # fresh checkpoint) over pre-staged input on every call — a
-        # re-run repeats 100% of the measured work, same justification
-        # as the two entries above (r9 driver run recorded 61.3 s in a
-        # stall window vs 4.4 s for the identical tree).
-        "stream_stateful_topk",
-    }
     first_pass: dict[str, float] = {}
     retime = sorted(
         (
@@ -184,11 +238,11 @@ def main() -> None:
         ),
         key=lambda n: -timings[n],
     )[:12]
-    for name in retime:
+    def _retime(name: str) -> None:
         try:
             second, usage = _time_one(name)
         except Exception:  # noqa: BLE001 — keep the first figure
-            continue
+            return
         if second < timings[name]:
             first_pass[name] = timings[name]
             timings[name] = second
@@ -199,10 +253,60 @@ def main() -> None:
             elif name in shared_frames:
                 del shared_frames[name]
 
+    for name in retime:
+        _retime(name)
+
+    # Outlier retime vs the COMMITTED record: a batch query whose first
+    # run lands >3x its last recorded figure on unchanged code is a host
+    # scheduler stall (r10 driver run: 40 such queries, e.g. join_inner
+    # 1.65 -> 5.28 s), not a plan change — retime it once, min, both
+    # figures disclosed. Same eligibility rules as the slowest-12 pass
+    # (side-effect-memoizing queries never retime).
+    outliers = sorted(
+        n
+        for n, v in timings.items()
+        if v > 0
+        and n not in first_pass
+        and n not in set(retime)
+        and committed.get(n, 0) > 0
+        and v > 3.0 * committed[n]
+        and (n in _RETIME_OK or not n.startswith(_NO_RETIME_PREFIXES))
+    )
+    for name in outliers:
+        _retime(name)
+
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
     errors = sorted(n for n, v in timings.items() if v < 0)
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+
+    # Per-query ratio vs the DuckDB-oracle baseline (BASELINE_DETAIL.json,
+    # produced by baseline.py under the same forced-materialization
+    # protocol). The 2x gate reads the TOTAL ratio per BASELINE.json's
+    # metric ("BENCH within 2x of BASELINE at the same scale factor");
+    # per-query ratios are the falsifiable diagnostic BASELINE.md:36-39
+    # promised. Caveat recorded in BASELINE.md: DuckDB here is a warm
+    # in-process engine with zero per-query session overhead, so
+    # sub-100ms queries carry Spark's fixed ~0.1-0.5 s job-submission
+    # floor in their ratio.
+    ratios: dict[str, float] = {}
+    for n, v in timings.items():
+        if v >= 0 and baseline.get(n, 0) > 0:
+            ratios[n] = round(v / baseline[n], 2)
+    ratio_summary: dict[str, float] = {}
+    if ratios:
+        common = sorted(ratios)
+        spark_common = sum(timings[n] for n in common)
+        base_common = sum(baseline[n] for n in common)
+        rs = sorted(ratios.values())
+        ratio_summary = {
+            "n_compared": len(common),
+            "spark_total_sec": round(spark_common, 3),
+            "baseline_total_sec": round(base_common, 3),
+            "total_ratio": round(spark_common / base_common, 3),
+            "median_ratio": rs[len(rs) // 2],
+            "p95_ratio": rs[int(len(rs) * 0.95)],
+        }
     # Full per-query timings go to a sidecar file; stdout stays one COMPACT
     # line so the driver's tail capture never truncates it mid-JSON.
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
@@ -225,6 +329,10 @@ def main() -> None:
                 # build inside its timing. Reflects the FINAL timed run
                 # of each query (retimed queries re-read the cache).
                 "shared_frame_usage": shared_frames,
+                # spark_sec / duckdb_oracle_sec per query (baseline.py
+                # protocol); summary stats under "baseline_ratio"
+                "ratio_vs_baseline": ratios,
+                "baseline_ratio": ratio_summary,
             },
             fh,
             indent=1,
@@ -239,6 +347,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "n_errors": len(errors),
                 "sf": sf,
+                "baseline_ratio": ratio_summary,
                 "detail": "BENCH_DETAIL.json",
             }
         )

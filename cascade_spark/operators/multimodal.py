@@ -398,6 +398,22 @@ def multimodal_decode_wav(spark, sf_dir):
 _BINFILE_CACHE: dict = {}
 
 
+def stage_blob_dir(sf_dir: str) -> str:
+    """Write the 32 synthetic .ppm files once per sf_dir (memoized) —
+    producer-side fixture prep, called from bench.prepare so the
+    staging never lands inside scan_binaryfile_blobs' timing."""
+    import os
+    import tempfile
+
+    if sf_dir not in _BINFILE_CACHE:
+        blob_dir = tempfile.mkdtemp(prefix="cascade_blobs_")
+        for i in range(32):
+            with open(os.path.join(blob_dir, f"img_{i:04d}.ppm"), "wb") as fh:
+                fh.write(synth_ppm(i))
+        _BINFILE_CACHE[sf_dir] = blob_dir
+    return _BINFILE_CACHE[sf_dir]
+
+
 @register(
     "scan_binaryfile_blobs",
     "sources",
@@ -422,18 +438,9 @@ ORDER BY img_id
 """,
 )
 def scan_binaryfile_blobs(spark, sf_dir):
-    import os
-    import tempfile
-
     import pandas as pd
 
-    if sf_dir not in _BINFILE_CACHE:
-        blob_dir = tempfile.mkdtemp(prefix="cascade_blobs_")
-        for i in range(32):
-            with open(os.path.join(blob_dir, f"img_{i:04d}.ppm"), "wb") as fh:
-                fh.write(synth_ppm(i))
-        _BINFILE_CACHE[sf_dir] = blob_dir
-    blob_dir = _BINFILE_CACHE[sf_dir]
+    blob_dir = stage_blob_dir(sf_dir)
 
     files = (
         spark.read.format("binaryFile")

@@ -156,10 +156,12 @@ TOST_ZCRIT = 1.644854  # one-sided 5% critical value, shared literal
     "weekday purchase rates: z_lower = (p1 - p0 + d)/se and z_upper = "
     "(p1 - p0 - d)/se with the pooled-by-group IEEE se — the SAME "
     "small-integer-derived double expression tree on both engines, "
-    "z's rounded to 6 dp and the equivalence decision taken on the "
-    f"ROUNDED values against {TOST_ZCRIT} (the stats_welch_ttest "
-    "determinism precedent). Declares the rates equivalent only when "
-    "BOTH one-sided tests reject.",
+    "z's reported rounded to 6 dp; the equivalence decision is taken "
+    "on the UNROUNDED mirrored z (both engines evaluate the identical "
+    f"IEEE tree, so the comparison against {TOST_ZCRIT} is "
+    "deterministic without the display rounding leaking into the "
+    "decision). Declares the rates equivalent only when BOTH "
+    "one-sided tests reject.",
     oracle=f"""
 WITH flag AS (
     SELECT CASE WHEN ISODOW(CAST(ts AS DATE)) >= 6 THEN 1 ELSE 0 END AS wknd,
@@ -187,8 +189,8 @@ SELECT n1, x1, n0, x0,
        CASE WHEN se = 0 THEN 0.0
             ELSE ROUND((p1 - p0 - {TOST_DELTA}) / se, 6) END AS z_upper,
        CAST(CASE WHEN se = 0 THEN 0
-                 WHEN ROUND((p1 - p0 + {TOST_DELTA}) / se, 6) >= {TOST_ZCRIT}
-                  AND ROUND((p1 - p0 - {TOST_DELTA}) / se, 6) <= -{TOST_ZCRIT}
+                 WHEN (p1 - p0 + {TOST_DELTA}) / se >= {TOST_ZCRIT}
+                  AND (p1 - p0 - {TOST_DELTA}) / se <= -{TOST_ZCRIT}
                  THEN 1 ELSE 0 END AS BIGINT) AS equivalent
 FROM z
 """,
@@ -207,17 +209,21 @@ def stats_tost_equivalence(spark, sf_dir):
     p0 = F.col("x0").cast("double") / F.col("n0")
     se = F.sqrt(p1 * (1 - p1) / F.col("n1") + p0 * (1 - p0) / F.col("n0"))
     z = g.select("n1", "x1", "n0", "x0", p1.alias("p1"), p0.alias("p0"), se.alias("se"))
-    zl = F.round((F.col("p1") - F.col("p0") + TOST_DELTA) / F.col("se"), 6)
-    zu = F.round((F.col("p1") - F.col("p0") - TOST_DELTA) / F.col("se"), 6)
+    zl_raw = (F.col("p1") - F.col("p0") + TOST_DELTA) / F.col("se")
+    zu_raw = (F.col("p1") - F.col("p0") - TOST_DELTA) / F.col("se")
     return z.select(
         "n1",
         "x1",
         "n0",
         "x0",
-        F.when(F.col("se") == 0, F.lit(0.0)).otherwise(zl).alias("z_lower"),
-        F.when(F.col("se") == 0, F.lit(0.0)).otherwise(zu).alias("z_upper"),
+        F.when(F.col("se") == 0, F.lit(0.0))
+        .otherwise(F.round(zl_raw, 6))
+        .alias("z_lower"),
+        F.when(F.col("se") == 0, F.lit(0.0))
+        .otherwise(F.round(zu_raw, 6))
+        .alias("z_upper"),
         F.when(F.col("se") == 0, F.lit(0))
-        .when((zl >= TOST_ZCRIT) & (zu <= -TOST_ZCRIT), F.lit(1))
+        .when((zl_raw >= TOST_ZCRIT) & (zu_raw <= -TOST_ZCRIT), F.lit(1))
         .otherwise(F.lit(0))
         .cast("long")
         .alias("equivalent"),

@@ -82,9 +82,19 @@ HASH_BUCKETS = 16
     "counted half (U2 = 2*#less + #ties), recovered from a (group x "
     "merged-support) cumulative-count grid — O(7 * |support|), never "
     "the O(n^2) pair join. e2 = doubled H0 expectation (N^2 - sum "
-    "n_g^2)/2 exact (the numerator is even); var72 = 72*Var ignoring "
-    "the ties correction (declared); z mirrored as ONE IEEE expression "
-    "rounded to 6 dp, 0.0 on a degenerate split.",
+    "n_g^2)/2 exact (the numerator is even); variance is the FULL "
+    "tie-corrected Hollander-Wolfe form (daily volumes are heavily "
+    "tied): 72*N(N-1)(N-2)*Var = A*N(N-1)(N-2) + 2*B_g*B_t + "
+    "9*(N-2)*C_g*C_t with A = N(N-1)(2N+5) - sum n_g(n_g-1)(2n_g+5) "
+    "- sum t_v(t_v-1)(2t_v+5), B = sum s(s-1)(s-2), C = sum s(s-1) "
+    "over group sizes (g) and pooled tie-group sizes (t); accumulated "
+    "in DECIMAL(38,0)/HUGEINT, reported as var72 = floor(72*Var) "
+    "(exact division by N(N-1)(N-2) pre-floor); z mirrored as ONE "
+    "IEEE expression on the UNFLOORED variance, rounded to 6 dp, 0.0 "
+    "on a degenerate split (N <= 2 or var_num <= 0). With no ties the "
+    "form reduces exactly to the classical N^2(2N+3) - sum "
+    "n_g^2(2n_g+3) (identity: n(n-1)(2n+5) = n^2(2n+3) - 5n and "
+    "sum n_g = N).",
     oracle="""
 WITH daily AS (
     SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS v
@@ -110,22 +120,45 @@ jt AS (
     FROM sup a JOIN cum b ON b.v = a.v AND b.g < a.g
 ),
 sizes AS (SELECT g, CAST(SUM(n) AS BIGINT) AS ng FROM sup GROUP BY 1),
+ties AS (SELECT v, CAST(SUM(n) AS BIGINT) AS tv FROM sup GROUP BY 1),
 tot AS (
     SELECT CAST(COALESCE(SUM(ng), 0) AS BIGINT) AS nn,
            CAST(COALESCE(SUM(ng * ng), 0) AS BIGINT) AS sq,
-           CAST(COALESCE(SUM(ng * ng * (2 * ng + 3)), 0) AS BIGINT) AS vterm
+           CAST(COALESCE(SUM(ng * (ng - 1) * (2 * ng + 5)), 0) AS BIGINT) AS ga,
+           CAST(COALESCE(SUM(ng * (ng - 1) * (ng - 2)), 0) AS BIGINT) AS gb,
+           CAST(COALESCE(SUM(ng * (ng - 1)), 0) AS BIGINT) AS gc
     FROM sizes
+),
+ttot AS (
+    SELECT CAST(COALESCE(SUM(tv * (tv - 1) * (2 * tv + 5)), 0) AS BIGINT) AS ta,
+           CAST(COALESCE(SUM(tv * (tv - 1) * (tv - 2)), 0) AS BIGINT) AS tb,
+           CAST(COALESCE(SUM(tv * (tv - 1)), 0) AS BIGINT) AS tc
+    FROM ties
+),
+vv AS (
+    SELECT nn, sq,
+           CASE WHEN nn <= 2 THEN CAST(0 AS HUGEINT)
+                ELSE (CAST(nn AS HUGEINT) * (nn - 1) * (2 * nn + 5) - ga - ta)
+                     * (CAST(nn AS HUGEINT) * (nn - 1) * (nn - 2))
+                   + 2 * CAST(gb AS HUGEINT) * tb
+                   + 9 * (CAST(nn AS HUGEINT) - 2) * gc * tc
+           END AS var_num,
+           CASE WHEN nn <= 2 THEN CAST(1 AS HUGEINT)
+                ELSE CAST(nn AS HUGEINT) * (nn - 1) * (nn - 2)
+           END AS dd
+    FROM tot, ttot
 )
-SELECT tot.nn AS n_days, jt.jt2,
-       CAST((tot.nn * tot.nn - tot.sq) // 2 AS BIGINT) AS e2,
-       CAST(tot.nn * tot.nn * (2 * tot.nn + 3) - tot.vterm AS BIGINT) AS var72,
-       CASE WHEN tot.nn * tot.nn * (2 * tot.nn + 3) - tot.vterm <= 0 THEN 0.0
-            ELSE ROUND(CAST(jt.jt2 - (tot.nn * tot.nn - tot.sq) // 2
+SELECT vv.nn AS n_days, jt.jt2,
+       CAST((vv.nn * vv.nn - vv.sq) // 2 AS BIGINT) AS e2,
+       CAST(CASE WHEN vv.nn <= 2 OR vv.var_num <= 0 THEN 0
+                 ELSE vv.var_num // vv.dd END AS BIGINT) AS var72,
+       CASE WHEN vv.nn <= 2 OR vv.var_num <= 0 THEN 0.0
+            ELSE ROUND(CAST(jt.jt2 - (vv.nn * vv.nn - vv.sq) // 2
                             AS DOUBLE) * 0.5
-                 / SQRT(CAST(tot.nn * tot.nn * (2 * tot.nn + 3) - tot.vterm
-                             AS DOUBLE) / 72.0), 6)
+                 / SQRT(CAST(vv.var_num AS DOUBLE)
+                        / (72.0 * CAST(vv.dd AS DOUBLE))), 6)
        END AS z_jt
-FROM jt, tot
+FROM jt, vv
 """,
 )
 def stats_jonckheere_terpstra(spark, sf_dir):
@@ -177,18 +210,74 @@ def stats_jonckheere_terpstra(spark, sf_dir):
         ),
         bigint(
             F.coalesce(
-                F.sum(F.col("ng") * F.col("ng") * (2 * F.col("ng") + 3)),
+                F.sum(F.col("ng") * (F.col("ng") - 1) * (2 * F.col("ng") + 5)),
                 F.lit(0),
             )
-        ).alias("vterm"),
+        ).alias("ga"),
+        bigint(
+            F.coalesce(
+                F.sum(F.col("ng") * (F.col("ng") - 1) * (F.col("ng") - 2)),
+                F.lit(0),
+            )
+        ).alias("gb"),
+        bigint(
+            F.coalesce(F.sum(F.col("ng") * (F.col("ng") - 1)), F.lit(0))
+        ).alias("gc"),
     )
-    j = jt.crossJoin(F.broadcast(tot))
+    # pooled tie-group sizes: daily volumes are heavily tied, so the
+    # tie-correction terms are material, not decorative
+    ties = sup.groupBy("v").agg(bigint(F.sum("n")).alias("tv"))
+    ttot = ties.agg(
+        bigint(
+            F.coalesce(
+                F.sum(F.col("tv") * (F.col("tv") - 1) * (2 * F.col("tv") + 5)),
+                F.lit(0),
+            )
+        ).alias("ta"),
+        bigint(
+            F.coalesce(
+                F.sum(F.col("tv") * (F.col("tv") - 1) * (F.col("tv") - 2)),
+                F.lit(0),
+            )
+        ).alias("tb"),
+        bigint(
+            F.coalesce(F.sum(F.col("tv") * (F.col("tv") - 1)), F.lit(0))
+        ).alias("tc"),
+    )
+    j = jt.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(ttot))
     e2 = F.expr("CAST((nn * nn - sq) DIV 2 AS BIGINT)")
-    var72 = F.expr("CAST(nn * nn * (2 * nn + 3) - vterm AS BIGINT)")
+    # 72*N(N-1)(N-2)*Var in DECIMAL(38,0) (oracle: HUGEINT) — exceeds
+    # int64 past a ~1000-day spine
+    var_num = F.expr(
+        "CASE WHEN nn <= 2 THEN CAST(0 AS DECIMAL(38,0))"
+        " ELSE (CAST(nn AS DECIMAL(38,0)) * (nn - 1) * (2 * nn + 5)"
+        "       - ga - ta)"
+        "      * (CAST(nn AS DECIMAL(38,0)) * (nn - 1) * (nn - 2))"
+        "    + 2 * CAST(gb AS DECIMAL(38,0)) * tb"
+        "    + 9 * (CAST(nn AS DECIMAL(38,0)) - 2) * gc * tc END"
+    )
+    dd = F.expr(
+        "CASE WHEN nn <= 2 THEN CAST(1 AS DECIMAL(38,0))"
+        " ELSE CAST(nn AS DECIMAL(38,0)) * (nn - 1) * (nn - 2) END"
+    )
+    var72 = (
+        F.when((F.col("nn") <= 2) | (var_num <= 0), F.lit(0))
+        .otherwise(F.expr(
+            "CASE WHEN nn <= 2 THEN CAST(0 AS DECIMAL(38,0))"
+            " ELSE (CAST(nn AS DECIMAL(38,0)) * (nn - 1) * (2 * nn + 5)"
+            "       - ga - ta)"
+            "      * (CAST(nn AS DECIMAL(38,0)) * (nn - 1) * (nn - 2))"
+            "    + 2 * CAST(gb AS DECIMAL(38,0)) * tb"
+            "    + 9 * (CAST(nn AS DECIMAL(38,0)) - 2) * gc * tc END"
+            " DIV CASE WHEN nn <= 2 THEN CAST(1 AS DECIMAL(38,0))"
+            " ELSE CAST(nn AS DECIMAL(38,0)) * (nn - 1) * (nn - 2) END"
+        ))
+        .cast("long")
+    )
     z = F.round(
         (F.col("jt2") - e2).cast("double")
         * 0.5
-        / F.sqrt(var72.cast("double") / 72.0),
+        / F.sqrt(var_num.cast("double") / (F.lit(72.0) * dd.cast("double"))),
         6,
     )
     return j.select(
@@ -196,7 +285,9 @@ def stats_jonckheere_terpstra(spark, sf_dir):
         "jt2",
         e2.alias("e2"),
         var72.alias("var72"),
-        F.when(var72 <= 0, F.lit(0.0)).otherwise(z).alias("z_jt"),
+        F.when((F.col("nn") <= 2) | (var_num <= 0), F.lit(0.0))
+        .otherwise(z)
+        .alias("z_jt"),
     )
 
 

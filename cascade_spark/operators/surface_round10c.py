@@ -16,9 +16,12 @@ Scholz–Stephens version-1 discretization over the merged value support
 with M_ij the sample-i cumulative count through support value j, B_j
 the pooled cumulative, l_j the pooled count at j; the last support row
 (B = N) contributes 0 and is excluded. Every term is reported in
-floored micro units (the PSI/G-test per-term precedent) and every
-product fits int64 at the day-spine magnitudes (support is the daily
-volume set, N = n_days).
+floored micro units (the PSI/G-test per-term precedent); the
+squared-deviation numerator l·(N·M−n·B)²·1e6 is bounded by
+~N⁵/16·1e6 and exceeds int64 past a ~650-day spine, so it is
+accumulated in DECIMAL(38,0) on the Spark side and HUGEINT in the
+oracle (the stats_tschuprow_t / stats_hash_uniformity_ks precedent)
+before the per-term floor back to BIGINT.
 
 Reference scope: declared aggregate over ``events`` per SURVEY §2B.
 
@@ -88,10 +91,14 @@ terms AS (
 ad AS (
     SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
            CAST(COALESCE(SUM(
-               (l * (nn * mx - m * b) * (nn * mx - m * b) * 1000000)
-                   // (m * nn * b * (nn - b))
-             + (l * (nn * my - n * b) * (nn * my - n * b) * 1000000)
-                   // (n * nn * b * (nn - b))
+               CAST((CAST(l AS HUGEINT)
+                     * CAST(nn * mx - m * b AS HUGEINT)
+                     * CAST(nn * mx - m * b AS HUGEINT) * 1000000)
+                   // (CAST(m AS HUGEINT) * nn * b * (nn - b)) AS BIGINT)
+             + CAST((CAST(l AS HUGEINT)
+                     * CAST(nn * my - n * b AS HUGEINT)
+                     * CAST(nn * my - n * b AS HUGEINT) * 1000000)
+                   // (CAST(n AS HUGEINT) * nn * b * (nn - b)) AS BIGINT)
            ), 0) AS BIGINT) AS a2_micro
     FROM terms
 )
@@ -139,11 +146,23 @@ def stats_anderson_darling_2s(spark, sf_dir):
         bigint(
             F.coalesce(
                 F.sum(
+                    # squared-deviation numerator in DECIMAL(38,0)
+                    # (oracle: HUGEINT) — l*(nn*mx-m*b)^2*1e6 is bounded
+                    # by ~nn^5/16*1e6, which exceeds int64 past a ~650-day
+                    # spine; the stats_tschuprow_t precedent
                     F.expr(
-                        "(l * (nn * mx - m * b) * (nn * mx - m * b) * 1000000)"
-                        " DIV (m * nn * b * (nn - b))"
-                        " + (l * (nn * my - n * b) * (nn * my - n * b)"
-                        "    * 1000000) DIV (n * nn * b * (nn - b))"
+                        "CAST((CAST(l AS DECIMAL(38,0))"
+                        " * CAST(nn * mx - m * b AS DECIMAL(38,0))"
+                        " * CAST(nn * mx - m * b AS DECIMAL(38,0))"
+                        " * 1000000)"
+                        " DIV (CAST(m AS DECIMAL(38,0)) * nn * b * (nn - b))"
+                        " AS BIGINT)"
+                        " + CAST((CAST(l AS DECIMAL(38,0))"
+                        " * CAST(nn * my - n * b AS DECIMAL(38,0))"
+                        " * CAST(nn * my - n * b AS DECIMAL(38,0))"
+                        " * 1000000)"
+                        " DIV (CAST(n AS DECIMAL(38,0)) * nn * b * (nn - b))"
+                        " AS BIGINT)"
                     )
                 ),
                 F.lit(0),

@@ -52,7 +52,7 @@ def test_no_complex_types_in_declared_query_output(spark, sf_dir):
 
 
 def test_new_round_queries_surface_first():
-    """The driver samples a prefix of queries(); the declared round-10
+    """The driver samples a prefix of queries(); the declared round-11
     front (the never-driver-sampled hash-checkable tail, oldest debt
     first) must occupy that prefix in order, and must contain NO
     rows-only query — a sampled rows-only query burns a slot on a
@@ -62,14 +62,14 @@ def test_new_round_queries_surface_first():
 
     reg = load_all()
     names = list(ent.queries())
-    expected = [n for n in ent._ROUND10_FRONT if n in reg]
+    expected = [n for n in ent._ROUND11_FRONT if n in reg]
     assert names[: len(expected)] == expected
     rows_only_in_front = [n for n in expected if reg[n].oracle is None]
     assert not rows_only_in_front, rows_only_in_front
 
 
 def test_front_is_exactly_the_never_sampled_tail():
-    """Every hash-checkable query with no green CORRECTNESS_r0*.json row
+    """Every hash-checkable query with no green CORRECTNESS_r*.json row
     appears in the front, and nothing already-green does — the sample
     window can only produce first-time greens."""
     import glob
@@ -81,7 +81,7 @@ def test_front_is_exactly_the_never_sampled_tail():
 
     repo = os.path.dirname(os.path.abspath(ent.__file__))
     green = set()
-    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r0*.json"))):
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         for name, row in json.load(open(path)).items():
             if (
                 row.get("hash_match")
@@ -91,4 +91,4 @@ def test_front_is_exactly_the_never_sampled_tail():
                 green.add(name)
     reg = load_all()
     never = {n for n in reg if n not in green and reg[n].oracle is not None}
-    assert set(ent._ROUND10_FRONT) == never
+    assert set(ent._ROUND11_FRONT) == never

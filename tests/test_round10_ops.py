@@ -47,9 +47,34 @@ def test_jonckheere_terpstra_matches_direct_pair_sum(spark, sf_dir, daily_by_dow
     nn = sum(sizes)
     assert row["n_days"] == nn
     assert row["e2"] == (nn * nn - sum(s * s for s in sizes)) // 2
-    assert row["var72"] == nn * nn * (2 * nn + 3) - sum(
-        s * s * (2 * s + 3) for s in sizes
+    # tie-corrected Hollander-Wolfe variance, recomputed with Python
+    # exact ints: 72*N(N-1)(N-2)*Var = A*N(N-1)(N-2) + 2*Bg*Bt
+    # + 9*(N-2)*Cg*Ct; var72 = floor(72*Var)
+    tie_sizes = list(
+        Counter(v for vs in daily_by_dow.values() for v in vs).values()
     )
+    ga = sum(s * (s - 1) * (2 * s + 5) for s in sizes)
+    gb = sum(s * (s - 1) * (s - 2) for s in sizes)
+    gc = sum(s * (s - 1) for s in sizes)
+    ta = sum(tv * (tv - 1) * (2 * tv + 5) for tv in tie_sizes)
+    tb = sum(tv * (tv - 1) * (tv - 2) for tv in tie_sizes)
+    tc = sum(tv * (tv - 1) for tv in tie_sizes)
+    a = nn * (nn - 1) * (2 * nn + 5) - ga - ta
+    dd = nn * (nn - 1) * (nn - 2)
+    var_num = a * dd + 2 * gb * tb + 9 * (nn - 2) * gc * tc
+    assert row["var72"] == (0 if nn <= 2 or var_num <= 0 else var_num // dd)
+    # the fixture's daily volumes ARE tied — the correction must bite
+    assert any(tv > 1 for tv in tie_sizes)
+    import math
+
+    if nn > 2 and var_num > 0:
+        z = round(
+            (jt2 - (nn * nn - sum(s * s for s in sizes)) // 2)
+            * 0.5
+            / math.sqrt(var_num / (72.0 * dd)),
+            6,
+        )
+        assert row["z_jt"] == z
 
 
 def test_ansari_bradley_matches_direct_midranks(spark, sf_dir):
@@ -310,3 +335,61 @@ def test_anderson_darling_matches_direct(spark, sf_dir):
     assert (row["nx"], row["ny"]) == (m, n)
     assert row["n_terms"] == n_terms
     assert row["a2_micro"] == a2
+
+
+def test_anderson_darling_term_survives_int64_overflow(spark):
+    """The per-term squared-deviation numerator l*(nn*mx-m*b)^2*1e6
+    exceeds int64 once the day spine passes ~650 days. Pin the
+    DECIMAL(38,0) (Spark) and HUGEINT (DuckDB) accumulation against
+    Python exact integers at multi-year-spine magnitudes, where the
+    pre-fix BIGINT expression wrapped (Spark) or raised (DuckDB)."""
+    import duckdb
+
+    cases = [
+        # (l, m, n, mx, my, b) — nn*mx-m*b ~ 4.8e9, squared ~ 2.3e19 > int64
+        (3, 100_000, 100_000, 99_000, 51_000, 150_000),
+        (7, 80_000, 120_000, 10_000, 95_000, 105_000),
+        (1, 650, 650, 649, 1, 650),  # the ~650-day threshold regime
+    ]
+    spark_expr = (
+        "CAST((CAST(l AS DECIMAL(38,0))"
+        " * CAST(nn * mx - m * b AS DECIMAL(38,0))"
+        " * CAST(nn * mx - m * b AS DECIMAL(38,0)) * 1000000)"
+        " DIV (CAST(m AS DECIMAL(38,0)) * nn * b * (nn - b)) AS BIGINT)"
+        " + CAST((CAST(l AS DECIMAL(38,0))"
+        " * CAST(nn * my - n * b AS DECIMAL(38,0))"
+        " * CAST(nn * my - n * b AS DECIMAL(38,0)) * 1000000)"
+        " DIV (CAST(n AS DECIMAL(38,0)) * nn * b * (nn - b)) AS BIGINT)"
+    )
+    duck_expr = (
+        "CAST((CAST(l AS HUGEINT)"
+        " * CAST(nn * mx - m * b AS HUGEINT)"
+        " * CAST(nn * mx - m * b AS HUGEINT) * 1000000)"
+        " // (CAST(m AS HUGEINT) * nn * b * (nn - b)) AS BIGINT)"
+        " + CAST((CAST(l AS HUGEINT)"
+        " * CAST(nn * my - n * b AS HUGEINT)"
+        " * CAST(nn * my - n * b AS HUGEINT) * 1000000)"
+        " // (CAST(n AS HUGEINT) * nn * b * (nn - b)) AS BIGINT)"
+    )
+    for l, m, n, mx, my, b in cases:
+        nn = m + n
+        exact = (l * (nn * mx - m * b) ** 2 * 1_000_000) // (
+            m * nn * b * (nn - b)
+        ) + (l * (nn * my - n * b) ** 2 * 1_000_000) // (n * nn * b * (nn - b))
+        assert abs(exact) < 2**63  # the SUMMED term still fits BIGINT
+        row = spark.sql(
+            f"SELECT {spark_expr} AS t FROM VALUES "
+            f"(CAST({l} AS BIGINT), CAST({m} AS BIGINT), CAST({n} AS BIGINT),"
+            f" CAST({mx} AS BIGINT), CAST({my} AS BIGINT),"
+            f" CAST({b} AS BIGINT), CAST({nn} AS BIGINT))"
+            " AS v(l, m, n, mx, my, b, nn)"
+        ).collect()[0]
+        assert row["t"] == exact, (l, m, n, mx, my, b)
+        (dt,) = duckdb.sql(
+            f"SELECT {duck_expr} AS t FROM (SELECT"
+            f" CAST({l} AS BIGINT) l, CAST({m} AS BIGINT) m,"
+            f" CAST({n} AS BIGINT) n, CAST({mx} AS BIGINT) mx,"
+            f" CAST({my} AS BIGINT) my, CAST({b} AS BIGINT) b,"
+            f" CAST({nn} AS BIGINT) nn)"
+        ).fetchone()
+        assert dt == exact, (l, m, n, mx, my, b)

@@ -21,23 +21,52 @@ from cascade_spark.plans.registry import load_all
 # The whole hash-checked batch-analytics family, computed from the
 # registry so new queries join the tier automatically. Families whose
 # builders stage their own fixtures (bus/stream topics, scan/sink
-# dirs, managed tables) or that exercise the function/SQL surface over
-# non-events tables are exercised by their own suites — the degenerate
-# regime this tier targets is the daily/document/embedding spine.
+# dirs, managed tables) are exercised by their own suites — the
+# degenerate regime this tier targets is the daily/document/embedding
+# spine. The function/SQL/relational families (fn/agg/window/join/
+# sql/tpch/...) mostly read the full TPC-H tables, which this slice
+# keeps intact — they join the tier on a two-round rotation below so
+# the whole hash-checked registry is covered in ≤2 rounds without
+# doubling suite runtime (round-10 probe of the full set: zero
+# divergences).
 _SKIP_PREFIX = (
     "bus_", "stream_", "scan_", "sink_", "maintenance_", "catalog_",
     "ingest_", "consume_", "rollup_", "udf_", "udtf_", "fn_", "sql_",
     "window_", "setop_", "sort_", "join_", "subquery_", "tpch_", "agg_",
     "sample_", "scd", "pandas_",
 )
+# builders with their own staged fixtures — never in this tier
+_FIXTURE_PREFIX = (
+    "bus_", "stream_", "scan_", "sink_", "maintenance_", "catalog_",
+    "ingest_", "consume_", "rollup_",
+)
+
+
+def _rotation_index() -> int:
+    """Two-round rotation keyed to the driver's round counter (the
+    number of recorded CORRECTNESS_r*.json artifacts), so consecutive
+    rounds cover complementary halves."""
+    import glob
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    return len(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))) % 2
 
 
 def _parity_names() -> list[str]:
-    return sorted(
+    reg = load_all()
+    core = sorted(
         n
-        for n, q in load_all().items()
+        for n, q in reg.items()
         if q.oracle is not None and not n.startswith(_SKIP_PREFIX)
-    ) + ["sql_group_by_ordinal"]
+    )
+    rotating = sorted(
+        n
+        for n, q in reg.items()
+        if q.oracle is not None
+        and n.startswith(_SKIP_PREFIX)
+        and not n.startswith(_FIXTURE_PREFIX)
+    )
+    return core + rotating[_rotation_index() :: 2]
 
 
 _PARITY = _parity_names()
