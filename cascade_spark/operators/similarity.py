@@ -26,6 +26,11 @@ from cascade_spark.operators._util import t
 N_PLANES = 6
 QUERY_VEC_ID = 0
 TOP_K = 10
+# rows per block in the tiled all-pairs Gram matmul (truth audits):
+# a packed block is ~_GRAM_BLOCK_ROWS x 64 int64 ≈ 2 MB, so a
+# (block, tile) cell holds two of those and the matmul output — task
+# memory stays bounded regardless of corpus size
+_GRAM_BLOCK_ROWS = 4096
 
 
 def _dot(a, b):  # sequential fold, double accumulation — JVM-side
@@ -552,50 +557,75 @@ def embedding_lsh_recall_audit(spark, sf_dir):
             lambda acc, v: acc + v,
         )
 
-    # self-norms once per vector — the all-pairs truth then folds only
-    # All-pairs truth via a BLOCKED integer Gram matmul: the quantized
-    # matrix broadcasts (n x 64 int64 — index-sized), each task scores
-    # its block of rows against it with one vectorized numpy matmul and
-    # emits ONLY the qualifying truth pairs. Exactness is unchanged —
-    # every product/threshold stays int64 — but the former
-    # nested-loop join materialized all n(n-1)/2 pairs with both
-    # 64-element arrays per row (measured 22-36 s at sf0.1; this path
-    # is ~1 s). At corpus scale the same shape blocks the left side
-    # and broadcasts/b-casts the right in tiles.
+    # All-pairs truth via a TILED blocked integer Gram matmul, fully
+    # distributed (no driver-side matrix): vec_id-range blocks of the
+    # quantized matrix are packed per block (one collect_list row per
+    # block), the tiny block spine is crossed on lb <= rb (range blocks
+    # make every cross-block pair already v1 < v2 ordered; the diagonal
+    # cell masks v1 < v2 itself), and each (block, tile) cell runs ONE
+    # vectorized exact-int64 numpy matmul, emitting only qualifying
+    # truth pairs. Exactness unchanged — every product/threshold stays
+    # int64 — and vs the former nested-loop pair join (22-36 s at
+    # sf0.1) this is the ~1 s class. At corpus scale each block is
+    # capped at _GRAM_BLOCK_ROWS rows, so a cell is two ~2 MB packed
+    # tiles and the replication is the standard sqrt-style blocked
+    # matmul shuffle — driver memory stays O(1) (the only driver
+    # scalar is n, one count).
     import numpy as np
 
     q = e.select("vec_id", _quant(F.col("embedding")).alias("qv"))
-    full = q.orderBy("vec_id").collect()  # calibration index: n x 64 ints
-    ids_full = np.array([r["vec_id"] for r in full], dtype=np.int64)
-    mat_full = np.array([r["qv"] for r in full], dtype=np.int64)
-    nb_full = (mat_full * mat_full).sum(axis=1)
-    bc = spark.sparkContext.broadcast((ids_full, mat_full, nb_full))
+    n = e.count()
+    n_blocks = max(8, -(-n // _GRAM_BLOCK_ROWS))
+    bs = max(1, -(-n // n_blocks))
+    packed = (
+        q.withColumn("b", F.floor(F.col("vec_id") / bs).cast("long"))
+        .groupBy("b")
+        .agg(F.collect_list(F.struct("vec_id", "qv")).alias("rows"))
+    )
+    crossed = packed.select(
+        F.col("b").alias("lb"), F.col("rows").alias("lrows")
+    ).join(
+        packed.select(F.col("b").alias("rb"), F.col("rows").alias("rrows")),
+        F.col("lb") <= F.col("rb"),
+    )
 
     def truth_pairs(batches):
         import pandas as pd
 
-        ids_f, mat_f, nb_f = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            blk = np.stack(pdf["qv"].to_numpy()).astype(np.int64)
-            bids = pdf["vec_id"].to_numpy().astype(np.int64)
-            g = blk @ mat_f.T  # exact int64 dot products
-            na = (blk * blk).sum(axis=1)
-            qd2 = 100 * g * g
-            nanb = na[:, None] * nb_f[None, :]
-            keep = (bids[:, None] < ids_f[None, :]) & (g > 0) & (qd2 >= 4 * nanb)
-            j, k = np.nonzero(keep)
-            band = np.where(
-                qd2[j, k] >= 16 * nanb[j, k],
-                40,
-                np.where(qd2[j, k] >= 9 * nanb[j, k], 30, 20),
-            )
-            yield pd.DataFrame(
-                {"v1": bids[j], "v2": ids_f[k], "band_lo_pct": band.astype("int64")}
-            )
+        def unpack(rows):
+            ids = np.fromiter((r["vec_id"] for r in rows), dtype=np.int64)
+            mat = np.array([r["qv"] for r in rows], dtype=np.int64)
+            return ids, mat
 
-    truth = q.repartition(8, "vec_id").mapInPandas(
+        for pdf in batches:
+            for lrows, rrows in zip(pdf["lrows"], pdf["rrows"]):
+                bids, blk = unpack(lrows)
+                ids_f, mat_f = unpack(rrows)
+                g = blk @ mat_f.T  # exact int64 dot products
+                na = (blk * blk).sum(axis=1)
+                nb_f = (mat_f * mat_f).sum(axis=1)
+                qd2 = 100 * g * g
+                nanb = na[:, None] * nb_f[None, :]
+                keep = (
+                    (bids[:, None] < ids_f[None, :]) & (g > 0) & (qd2 >= 4 * nanb)
+                )
+                j, k = np.nonzero(keep)
+                if len(j) == 0:
+                    continue
+                band = np.where(
+                    qd2[j, k] >= 16 * nanb[j, k],
+                    40,
+                    np.where(qd2[j, k] >= 9 * nanb[j, k], 30, 20),
+                )
+                yield pd.DataFrame(
+                    {
+                        "v1": bids[j],
+                        "v2": ids_f[k],
+                        "band_lo_pct": band.astype("int64"),
+                    }
+                )
+
+    truth = crossed.repartition(8).mapInPandas(
         truth_pairs, schema="v1 long, v2 long, band_lo_pct long"
     )
     cand = _lsh_candidate_pairs(spark, sf_dir).select(
