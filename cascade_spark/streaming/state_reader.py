@@ -351,3 +351,61 @@ def stream_state_changelog(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("n_keys_changed"))
         .orderBy("batch_id", "change_type")
     )
+
+
+@register(
+    "stream_state_snapshot_read",
+    "streaming",
+    doc="State TIME TRAVEL (Spark 4 statestore source, batchId option): "
+    "the changelog checkpoint's operator state is read AS OF batch 1 — "
+    "before the older half of events ever arrived — so the snapshot "
+    "must equal the hour×type counts of the NEWER half plus the single "
+    "pusher-marker key, exactly (the deterministic late-replay staging "
+    "pins batch composition: 0 = newer half, 1 = marker, 2 = older "
+    "half, 3 = flush; complete mode never evicts). This is the other "
+    "half of the state-debugging story next to stream_state_changelog: "
+    "changelog = WHAT changed per batch, snapshot = the full state a "
+    "backfill would have seen at a past commit, without replaying it. "
+    "Reads the SAME memoized checkpoint (no extra fixture).",
+    oracle="""
+WITH b AS (
+  SELECT EPOCH_US(MIN(ts)) AS lo, EPOCH_US(MAX(ts)) AS hi FROM events
+),
+c AS (SELECT lo + (hi - lo) // 2 AS cut_us, hi FROM b),
+state AS (
+  SELECT event_type, DATE_TRUNC('hour', ts) AS h,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events, c WHERE EPOCH_US(ts) >= c.cut_us
+  GROUP BY 1, 2
+  UNION ALL
+  SELECT 'sentinel', DATE_TRUNC('hour', TIMESTAMP '1970-01-01' +
+             TO_MICROSECONDS(c.hi)), CAST(1 AS BIGINT)
+  FROM c
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(n) AS BIGINT) AS n_events
+FROM state GROUP BY event_type ORDER BY event_type
+""",
+)
+def stream_state_snapshot_read(spark, sf_dir):
+    chk = _run_changelog_agg(spark, sf_dir)
+    st = (
+        spark.read.format("statestore")
+        .option("batchId", 1)
+        .load(chk)
+    )
+    flat = st.select("key.*", "value.*")
+    ws, et, n = flat.columns[:3]
+    return (
+        flat.select(
+            F.col(et).alias("event_type"),
+            F.col(n).cast("long").alias("n"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum("n").cast("long").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )

@@ -136,6 +136,10 @@ QUERIES = [
     "sql_group_by_ordinal",
     "stats_seasonal_mann_kendall", "embedding_centroid_drift_halves",
     "stats_anderson_darling_2s",
+    # round-11 batch (all batch additions; stream_state_snapshot_read
+    # stages a real checkpoint — exercised by its own suite)
+    "agg_theta_sketch_distinct", "agg_theta_sketch_setops",
+    "fn_time_type", "fn_scalar_additions_41", "sort_collated_order",
     # round-9 batch (all 96 additions except bus_delete_records, which
     # stages a real bus topic — exercised by its own tests; the sweep
     # found and fixed graph_hits_bipartite's driver-side k=0 division)
@@ -248,6 +252,10 @@ _EMPTY_PARITY = [
     "embedding_knn_label_consistency", "analytics_dau_mau_stickiness",
     "sql_group_by_ordinal", "stats_seasonal_mann_kendall",
     "embedding_centroid_drift_halves", "stats_anderson_darling_2s",
+    # round-11 additions (verified at authoring time; theta estimates
+    # of empty sketches are 0, matching the oracle's COUNT(DISTINCT))
+    "agg_theta_sketch_distinct", "agg_theta_sketch_setops",
+    "fn_time_type", "fn_scalar_additions_41", "sort_collated_order",
 ]
 
 
