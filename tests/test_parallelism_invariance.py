@@ -60,6 +60,16 @@ QUERIES = [
     "events_holt_linear_forecast",  # sequential integer fold per type
     "similarity_retrieval_metrics",  # checkpointed truth scan + rank windows
     "events_kaplan_meier",       # sequential IEEE product fold
+    # round-11 representatives
+    "agg_theta_sketch_distinct",  # sketch-merge order must not change
+                                  # exact-regime estimates
+    "agg_theta_sketch_setops",    # intersection/difference on merged
+                                  # partial sketches
+    "embedding_lsh_recall_audit",  # tiled blocked Gram: cell order and
+                                   # block packing must not change pairs
+    "sort_collated_order",        # collated distinct under partitioned
+                                  # hash aggregation
+    "stats_jonckheere_terpstra",  # tie-corrected DECIMAL(38,0) variance
 ]
 
 
