@@ -325,15 +325,28 @@ def fn_map_higher_order(spark, sf_dir):
 
     lower = ["disc", "price", "qty"]
     base = li.select("l_orderkey", "l_linenumber", m.alias("m"), weights.alias("wts"))
-    return base.select(
+    # Project each HOF map ONCE, then canonicalize from the projected
+    # column: canon() references its map 2x per key (6x total), and
+    # Catalyst does not CSE lambda expressions — inlining the HOF into
+    # canon() re-evaluated every HOF ~6x per row (physical plan showed
+    # 6 transform_values copies; with the projection barrier it shows
+    # 1, warm sf0.1 8.6 s -> 6.5 s). CollapseProject keeps the barrier
+    # because the aliases are non-cheap and multiply referenced.
+    hofs = base.select(
         "l_orderkey",
         "l_linenumber",
-        canon(F.transform_values("m", lambda k, v: v * 2), lower).alias("doubled"),
-        canon(F.map_filter("m", lambda k, v: v >= 1000), lower).alias("filtered"),
-        canon(F.map_zip_with("m", "wts", lambda k, a, b: a * b), lower).alias("weighted"),
-        canon(
-            F.transform_keys("m", lambda k, v: F.upper(k)), ["DISC", "PRICE", "QTY"]
-        ).alias("upper_keys"),
+        F.transform_values("m", lambda k, v: v * 2).alias("dv"),
+        F.map_filter("m", lambda k, v: v >= 1000).alias("fv"),
+        F.map_zip_with("m", "wts", lambda k, a, b: a * b).alias("wv"),
+        F.transform_keys("m", lambda k, v: F.upper(k)).alias("kv"),
+    )
+    return hofs.select(
+        "l_orderkey",
+        "l_linenumber",
+        canon(F.col("dv"), lower).alias("doubled"),
+        canon(F.col("fv"), lower).alias("filtered"),
+        canon(F.col("wv"), lower).alias("weighted"),
+        canon(F.col("kv"), ["DISC", "PRICE", "QTY"]).alias("upper_keys"),
     ).orderBy("l_orderkey", "l_linenumber")
 
 

@@ -831,3 +831,22 @@ def test_lsh_recall_truth_audit_is_tiled_not_collected(spark, sf_dir):
     )
     got = {r["band_lo_pct"]: r["n_true"] for r in rows}
     assert got == {b: n for b, n in per_band.items() if n > 0}, (got, per_band)
+
+
+def test_map_hofs_evaluate_once_per_column(spark, sf_dir):
+    """Catalyst does not CSE lambda expressions: canonicalizing a map
+    HOF by referencing it per key inlined ~6 copies of every HOF per
+    row (physical plan showed 6x transform_values; warm sf0.1 cost
+    8.6 s vs 6.5 s fixed). The projection barrier must keep each HOF
+    at EXACTLY one copy in the physical plan."""
+    from cascade_spark.plans.registry import load_all
+
+    plan = (
+        load_all()["fn_map_higher_order"]
+        .builder(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for hof in ("transform_values", "map_filter", "map_zip_with", "transform_keys"):
+        assert plan.count(hof) == 1, (hof, plan.count(hof))
