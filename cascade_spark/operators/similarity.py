@@ -1019,20 +1019,27 @@ def similarity_mips_norm_bound(spark, sf_dir):
             lambda acc, x: acc + x,
         )
 
-    query = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        _quant(F.col("embedding")).alias("_qq")
+    # query norm once in the 1-row broadcast frame (it is constant per
+    # query — recomputing it per corpus row was a 64-element fold/row);
+    # corpus quantization behind a projection barrier so the transform
+    # lambda evaluates ONCE per row (Catalyst does not CSE lambdas —
+    # the inlined form carried 24 zip_with copies in the physical plan,
+    # pinned by tests/test_plans.py::test_quantized_dot_single_copy)
+    query = (
+        e.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(_quant(F.col("embedding")).alias("_qq"))
+        .select("_qq", _idot(F.col("_qq"), F.col("_qq")).alias("qn2"))
     )
-    scored = (
+    packed = (
         e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", _quant(F.col("embedding")).alias("qx"))
         .crossJoin(F.broadcast(query))
-        .select(
-            "vec_id",
-            _idot(_quant(F.col("embedding")), F.col("_qq")).alias("qdot"),
-            _idot(_quant(F.col("embedding")), _quant(F.col("embedding"))).alias(
-                "xn2"
-            ),
-            _idot(F.col("_qq"), F.col("_qq")).alias("qn2"),
-        )
+    )
+    scored = packed.select(
+        "vec_id",
+        _idot(F.col("qx"), F.col("_qq")).alias("qdot"),
+        _idot(F.col("qx"), F.col("qx")).alias("xn2"),
+        "qn2",
     )
     bounded = scored.select(
         "vec_id", "qdot", _isqrt(F.col("xn2") * F.col("qn2")).alias("bound")
@@ -1129,20 +1136,24 @@ def similarity_range_query(spark, sf_dir):
             lambda acc, x: acc + x,
         )
 
-    query = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        _quant(F.col("embedding")).alias("_qq")
+    # same single-copy discipline as similarity_mips_norm_bound: query
+    # norm in the broadcast frame, corpus quantization behind a
+    # projection barrier (lambdas are not CSE'd by Catalyst)
+    query = (
+        e.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(_quant(F.col("embedding")).alias("_qq"))
+        .select("_qq", _idot(F.col("_qq"), F.col("_qq")).alias("qn2"))
     )
-    scored = (
+    packed = (
         e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", _quant(F.col("embedding")).alias("qx"))
         .crossJoin(F.broadcast(query))
-        .select(
-            "vec_id",
-            _idot(_quant(F.col("embedding")), F.col("_qq")).alias("qdot"),
-            _idot(
-                _quant(F.col("embedding")), _quant(F.col("embedding"))
-            ).alias("xn2"),
-            _idot(F.col("_qq"), F.col("_qq")).alias("qn2"),
-        )
+    )
+    scored = packed.select(
+        "vec_id",
+        _idot(F.col("qx"), F.col("_qq")).alias("qdot"),
+        _idot(F.col("qx"), F.col("qx")).alias("xn2"),
+        "qn2",
     )
     normed = scored.select(
         "vec_id", "qdot", _isqrt(F.col("xn2") * F.col("qn2")).alias("nrm")

@@ -850,3 +850,33 @@ def test_map_hofs_evaluate_once_per_column(spark, sf_dir):
     )
     for hof in ("transform_values", "map_filter", "map_zip_with", "transform_keys"):
         assert plan.count(hof) == 1, (hof, plan.count(hof))
+
+
+def test_quantized_dot_single_copy(spark, sf_dir):
+    """similarity_mips_norm_bound / similarity_range_query must keep
+    the corpus quantization behind a projection barrier and the query
+    norm in the 1-row broadcast frame: the inlined form re-evaluated
+    the transform lambda 3x and a constant 64-element fold per corpus
+    row (physical plans carried 24/23 zip_with copies; now 15/14, the
+    remainder being the documented multi-pass branches and 1-row
+    query-side subplans)."""
+    import inspect
+
+    from cascade_spark.plans.registry import load_all
+
+    reg = load_all()
+    for name, cap in [
+        ("similarity_mips_norm_bound", 15),
+        ("similarity_range_query", 14),
+    ]:
+        src = inspect.getsource(reg[name].builder)
+        assert '.alias("qx")' in src, f"{name}: corpus-quant barrier gone"
+        assert '_idot(F.col("_qq"), F.col("_qq"))' in src
+        plan = (
+            reg[name]
+            .builder(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("zip_with") <= cap, (name, plan.count("zip_with"))
