@@ -25,17 +25,20 @@ def entry(spark: SparkSession) -> DataFrame:
     return load_all()["agg_grouped_q1"].builder(spark, "/root/testdata/sf0.001")
 
 
-# Driver-sample ordering for ROUND 11 (the driver's CORRECTNESS sampling
-# is partial, ~50 of the registry, taken from the front of queries()):
-# every query below is hash-checkable (has a DuckDB oracle) and has NO
-# green row in ANY CORRECTNESS_r*.json yet — the never-sampled tail,
-# oldest debt first (round-3-era queries lead; round-11 additions close).
-# The rows-only queries (oracle omitted BY DESIGN: approximate or
-# not-SQL-expressible) are EXCLUDED from the front so no sample slot is
-# burned on a perpetual `no_oracle` row. The full registry stays
-# oracle-gated in pytest (tests/test_oracle.py);
-# tests/test_driver_contract.py pins this list to the computed tail.
-_ROUND11_FRONT: list[str] = [
+# Canonical driver-sample ordering (the driver's CORRECTNESS sampling is
+# partial, ~50 of the registry, taken from the front of queries()). This
+# list is the STATIC oldest-debt-first ordering of every hash-checkable
+# query that had not yet been driver-sampled as of round 11; the LIVE
+# front is computed per call by _front(): entries already green in any
+# CORRECTNESS_r*.json are dropped, and hash-checkable queries added after
+# this list was pinned are appended (name-sorted). That makes the front
+# self-rebuilding at each round boundary instead of a hand-recomputed pin
+# (round-11 verdict item 1 / ADVICE round-11 item 2). Rows-only queries
+# (oracle omitted BY DESIGN: approximate or not-SQL-expressible) never
+# enter the front so no sample slot is burned on a perpetual `no_oracle`
+# row. The full registry stays oracle-gated in pytest
+# (tests/test_oracle.py).
+_FRONT_ORDER: list[str] = [
     "join_broadcast_left_outer",
     "agg_group_by_all",
     "fn_date_calendar",
@@ -311,12 +314,53 @@ _ROUND11_FRONT: list[str] = [
 ]
 
 
+def _green_queries() -> set[str]:
+    """Names with a fully-green row in any driver CORRECTNESS artifact."""
+    import glob
+    import json
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    green: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        with open(path) as fh:
+            for name, row in json.load(fh).items():
+                if (
+                    row.get("hash_match")
+                    and row.get("rows_match")
+                    and row.get("schema_match")
+                ):
+                    green.add(name)
+    return green
+
+
+def _front(reg) -> list[str]:
+    """The live never-driver-sampled tail, oldest debt first.
+
+    Hash-checkable (oracle-bearing) queries with no green driver row,
+    ordered by _FRONT_ORDER; queries registered after the pin was taken
+    are appended name-sorted so new surface is sampled first-time too.
+    """
+    green = _green_queries()
+    pinned = set(_FRONT_ORDER)
+    front = [
+        n
+        for n in _FRONT_ORDER
+        if n in reg and n not in green and reg[n].oracle is not None
+    ]
+    front += sorted(
+        n
+        for n in reg
+        if n not in pinned and n not in green and reg[n].oracle is not None
+    )
+    return front
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     from cascade_spark.plans.registry import load_all
 
     reg = load_all()
-    ordered = {n: reg[n].builder for n in _ROUND11_FRONT if n in reg}
+    ordered = {n: reg[n].builder for n in _front(reg)}
     ordered.update((n, q.builder) for n, q in reg.items() if n not in ordered)
     return ordered
 

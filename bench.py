@@ -190,10 +190,10 @@ def main() -> None:
 
     shared_frames: dict[str, dict[str, int]] = {}
 
-    def _time_one(name: str):
+    def _time_one(name: str, sf: str = SF_DIR):
         h0, b0 = CACHE_STATS["hits"], CACHE_STATS["builds"]
         start = time.perf_counter()
-        df = registry[name].builder(spark, SF_DIR)
+        df = registry[name].builder(spark, sf)
         _materialize(df)
         elapsed = round(time.perf_counter() - start, 3)
         dh, db = CACHE_STATS["hits"] - h0, CACHE_STATS["builds"] - b0
@@ -257,11 +257,14 @@ def main() -> None:
         _retime(name)
 
     # Outlier retime vs the COMMITTED record: a batch query whose first
-    # run lands >3x its last recorded figure on unchanged code is a host
+    # run lands >2x its last recorded figure on unchanged code is a host
     # scheduler stall (r10 driver run: 40 such queries, e.g. join_inner
     # 1.65 -> 5.28 s), not a plan change — retime it once, min, both
-    # figures disclosed. Same eligibility rules as the slowest-12 pass
-    # (side-effect-memoizing queries never retime).
+    # figures disclosed. Trigger lowered 3x -> 2x per the round-11
+    # verdict (item 4): 2.3-3.2x stalls like agg_approx_count_distinct
+    # 0.85 -> 2.73 s slipped under the old trigger. Same eligibility
+    # rules as the slowest-12 pass (side-effect-memoizing queries never
+    # retime).
     outliers = sorted(
         n
         for n, v in timings.items()
@@ -269,11 +272,22 @@ def main() -> None:
         and n not in first_pass
         and n not in set(retime)
         and committed.get(n, 0) > 0
-        and v > 3.0 * committed[n]
+        and v > 2.0 * committed[n]
         and (n in _RETIME_OK or not n.startswith(_NO_RETIME_PREFIXES))
     )
     for name in outliers:
         _retime(name)
+
+    # Symmetry disclosure (round-11 ADVICE item 3): the retime min-rule
+    # only ever corrects UPWARD noise. Flag (never replace) figures far
+    # below the committed record so the asymmetry is bounded and visible
+    # — a <0.5x figure is either a real optimization (code changed) or
+    # downward noise the min-rule would otherwise silently keep.
+    below_committed = {
+        n: {"run_sec": round(v, 3), "committed_sec": committed[n]}
+        for n, v in timings.items()
+        if v > 0 and committed.get(n, 0) > 0 and v < 0.5 * committed[n]
+    }
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
@@ -307,6 +321,50 @@ def main() -> None:
             "median_ratio": rs[len(rs) // 2],
             "p95_ratio": rs[int(len(rs) * 0.95)],
         }
+    # Floor decomposition (round-12): for compute-regime queries still
+    # >2x their DuckDB oracle (baseline >= 0.5 s), time the SAME builder
+    # at the smallest tier (sf0.001, warm, min of 2). There the data
+    # term vanishes, so the figure is the per-query scheduling/plan
+    # floor — job submission, AQE stage boundaries, Python->JVM plan
+    # round-trips — which DuckDB (a warm in-process library) does not
+    # pay. data_residual_sec = sf-timing - floor is the data-dependent
+    # cost; residual_ratio = data_residual / oracle is what the 2x gate
+    # would read net of the floor. Recorded per the round-11 verdict
+    # (item 2's accepted alternative for floor-dominated queries).
+    floor_decomp: dict[str, dict[str, float]] = {}
+    floor_sf = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.001")
+    weak = sorted(
+        n
+        for n, r in ratios.items()
+        if r > 2.0
+        and baseline.get(n, 0) >= 0.5
+        and timings.get(n, -1) > 0
+        and (n in _RETIME_OK or not n.startswith(_NO_RETIME_PREFIXES))
+    )
+    if weak and os.path.isdir(floor_sf) and floor_sf != SF_DIR.rstrip("/"):
+        # warm the floor tier's fixtures so the floor figure measures
+        # per-query overhead, not one-time family builds
+        spark.read.parquet(f"{floor_sf}/lineitem.parquet").count()
+        try:
+            from cascade_spark.operators.graph import _coactivity_edges
+
+            _coactivity_edges(spark, floor_sf).count()
+        except Exception:  # noqa: BLE001 — floor warms are best-effort
+            pass
+        for name in weak:
+            try:
+                f1, _ = _time_one(name, floor_sf)
+                f2, _ = _time_one(name, floor_sf)
+            except Exception:  # noqa: BLE001 — skip, keep the raw ratio
+                continue
+            floor = min(f1, f2)
+            resid = max(0.0, timings[name] - floor)
+            floor_decomp[name] = {
+                "floor_sec_sf0001": floor,
+                "data_residual_sec": round(resid, 3),
+                "residual_ratio": round(resid / baseline[name], 2),
+            }
+
     # Full per-query timings go to a sidecar file; stdout stays one COMPACT
     # line so the driver's tail capture never truncates it mid-JSON.
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
@@ -323,6 +381,9 @@ def main() -> None:
                 # taken above) — the gap is host scheduler noise and, for
                 # the dedup family, shared-frame amortization
                 "retimed_first_run_sec": first_pass,
+                # figures <0.5x the committed record, flagged not
+                # replaced (downward-noise disclosure, ADVICE r11)
+                "below_committed_flagged": below_committed,
                 # per-query shared persisted-frame accounting: amortized
                 # = the timing rode a cache hit (order-dependent figure);
                 # cache_builds > 0 = this run paid the family's shared
@@ -333,6 +394,9 @@ def main() -> None:
                 # protocol); summary stats under "baseline_ratio"
                 "ratio_vs_baseline": ratios,
                 "baseline_ratio": ratio_summary,
+                # per-query scheduling-floor decomposition for queries
+                # still >2x a >=0.5s oracle (see comment above)
+                "floor_decomposition": floor_decomp,
             },
             fh,
             indent=1,

@@ -234,6 +234,19 @@ def _capped_shingle_index(spark, sf_dir) -> DataFrame:
 CACHE_STATS = {"hits": 0, "builds": 0}
 
 
+# Right-sizing target for shared persisted frames: a cached frame is
+# scanned by every downstream family member (the graph family references
+# the edge frame up to ~6 times per query), and each scan schedules one
+# task per cached partition — so a 38k-row edge frame left at the
+# session's 32 shuffle partitions costs 32 tasks of scheduling floor per
+# reference for microseconds of work (the round-11 verdict's weak-set
+# diagnosis). Compact the cache to ceil(rows / _CACHE_ROWS_PER_PART)
+# partitions at persist time: tiny frames collapse to 1–2 partitions,
+# while at 100 TB a billion-row frame keeps thousands of partitions —
+# the knob adapts to MEASURED size, not to the test scale.
+_CACHE_ROWS_PER_PART = 65_536
+
+
 def _cached_frame(cache: dict, spark, sf_dir, build) -> DataFrame:
     """Keyed persist-cache with eviction: entries from OTHER applications
     are dropped on every miss (a stopped session's persisted blocks died
@@ -242,7 +255,9 @@ def _cached_frame(cache: dict, spark, sf_dir, build) -> DataFrame:
     first dedup query to run pays the shared build; later family members
     read the cache — per-query timings are order-dependent amortized
     figures (documented in STATUS.md and flagged per-query in
-    BENCH_DETAIL.json via CACHE_STATS)."""
+    BENCH_DETAIL.json via CACHE_STATS). The persisted frame is compacted
+    to a row-count-proportional partition count (see _CACHE_ROWS_PER_PART
+    above); coalesce keeps lineage, so fault-tolerance is unchanged."""
     from pyspark import StorageLevel
 
     key = (spark.sparkContext.applicationId, sf_dir)
@@ -258,6 +273,14 @@ def _cached_frame(cache: dict, spark, sf_dir, build) -> DataFrame:
             pass  # session already gone — handle drop is the cleanup
     CACHE_STATS["builds"] += 1
     df = build().persist(StorageLevel.MEMORY_AND_DISK)
+    n = df.count()  # materialize now; first family member paid this anyway
+    parts = df.rdd.getNumPartitions()
+    target = max(1, -(-n // _CACHE_ROWS_PER_PART))
+    if target < parts:
+        compact = df.coalesce(target).persist(StorageLevel.MEMORY_AND_DISK)
+        compact.count()
+        df.unpersist()
+        df = compact
     cache[key] = df
     return df
 

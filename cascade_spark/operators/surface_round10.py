@@ -260,34 +260,30 @@ def stats_jonckheere_terpstra(spark, sf_dir):
         "CASE WHEN nn <= 2 THEN CAST(1 AS DECIMAL(38,0))"
         " ELSE CAST(nn AS DECIMAL(38,0)) * (nn - 1) * (nn - 2) END"
     )
+    # materialize var_num/dd once as columns so var72 and z reuse them
+    # instead of re-inlining the 10-line CASE SQL (round-11 ADVICE item 4)
+    vv = j.select("*", var_num.alias("var_num"), dd.alias("dd"))
+    degenerate = (F.col("nn") <= 2) | (F.col("var_num") <= 0)
     var72 = (
-        F.when((F.col("nn") <= 2) | (var_num <= 0), F.lit(0))
-        .otherwise(F.expr(
-            "CASE WHEN nn <= 2 THEN CAST(0 AS DECIMAL(38,0))"
-            " ELSE (CAST(nn AS DECIMAL(38,0)) * (nn - 1) * (2 * nn + 5)"
-            "       - ga - ta)"
-            "      * (CAST(nn AS DECIMAL(38,0)) * (nn - 1) * (nn - 2))"
-            "    + 2 * CAST(gb AS DECIMAL(38,0)) * tb"
-            "    + 9 * (CAST(nn AS DECIMAL(38,0)) - 2) * gc * tc END"
-            " DIV CASE WHEN nn <= 2 THEN CAST(1 AS DECIMAL(38,0))"
-            " ELSE CAST(nn AS DECIMAL(38,0)) * (nn - 1) * (nn - 2) END"
-        ))
+        F.when(degenerate, F.lit(0))
+        .otherwise(F.expr("var_num DIV dd"))
         .cast("long")
     )
     z = F.round(
         (F.col("jt2") - e2).cast("double")
         * 0.5
-        / F.sqrt(var_num.cast("double") / (F.lit(72.0) * dd.cast("double"))),
+        / F.sqrt(
+            F.col("var_num").cast("double")
+            / (F.lit(72.0) * F.col("dd").cast("double"))
+        ),
         6,
     )
-    return j.select(
+    return vv.select(
         F.col("nn").alias("n_days"),
         "jt2",
         e2.alias("e2"),
         var72.alias("var72"),
-        F.when((F.col("nn") <= 2) | (var_num <= 0), F.lit(0.0))
-        .otherwise(z)
-        .alias("z_jt"),
+        F.when(degenerate, F.lit(0.0)).otherwise(z).alias("z_jt"),
     )
 
 

@@ -154,7 +154,9 @@ FROM tt GROUP BY 1 ORDER BY hour_start
 """,
 )
 def fn_time_type(spark, sf_dir):
-    spark.conf.set("spark.sql.timeType.enabled", "true")
+    # spark.sql.timeType.enabled is a declared session default
+    # (tables.ensure_session_confs), set by the t() load below — no
+    # per-query conf mutation here (round-11 ADVICE item 1).
     ev = t(spark, sf_dir, "events")
     tod = ev.select(
         F.expr(

@@ -47,6 +47,10 @@ def ensure_session_confs(spark: SparkSession) -> None:
     # cascade_bus implements pushFilters; Spark raises (not ignores) on a
     # pushdown-capable python source when this is off
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    # the engine's declared surface includes the Spark 4 TIME type
+    # (fn_time_type); declared here as a session default instead of a
+    # per-query set-and-leak (round-11 ADVICE item 1)
+    spark.conf.set("spark.sql.timeType.enabled", "true")
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

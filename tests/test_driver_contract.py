@@ -52,17 +52,17 @@ def test_no_complex_types_in_declared_query_output(spark, sf_dir):
 
 
 def test_new_round_queries_surface_first():
-    """The driver samples a prefix of queries(); the declared round-11
-    front (the never-driver-sampled hash-checkable tail, oldest debt
-    first) must occupy that prefix in order, and must contain NO
-    rows-only query — a sampled rows-only query burns a slot on a
-    perpetual `no_oracle` row (round-9 verdict, What's wrong #1)."""
+    """The driver samples a prefix of queries(); the live front (the
+    never-driver-sampled hash-checkable tail, oldest debt first) must
+    occupy that prefix in order, and must contain NO rows-only query — a
+    sampled rows-only query burns a slot on a perpetual `no_oracle` row
+    (round-9 verdict, What's wrong #1)."""
     import __spark_entry__ as ent
     from cascade_spark.plans.registry import load_all
 
     reg = load_all()
     names = list(ent.queries())
-    expected = [n for n in ent._ROUND11_FRONT if n in reg]
+    expected = ent._front(reg)
     assert names[: len(expected)] == expected
     rows_only_in_front = [n for n in expected if reg[n].oracle is None]
     assert not rows_only_in_front, rows_only_in_front
@@ -71,24 +71,16 @@ def test_new_round_queries_surface_first():
 def test_front_is_exactly_the_never_sampled_tail():
     """Every hash-checkable query with no green CORRECTNESS_r*.json row
     appears in the front, and nothing already-green does — the sample
-    window can only produce first-time greens."""
-    import glob
-    import json
-    import os
-
+    window can only produce first-time greens. The front is DERIVED from
+    the artifacts (round-11 ADVICE item 2), so this holds across round
+    boundaries: a fresh CORRECTNESS file shrinks the front instead of
+    breaking a hand-maintained pin."""
     import __spark_entry__ as ent
     from cascade_spark.plans.registry import load_all
 
-    repo = os.path.dirname(os.path.abspath(ent.__file__))
-    green = set()
-    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
-        for name, row in json.load(open(path)).items():
-            if (
-                row.get("hash_match")
-                and row.get("rows_match")
-                and row.get("schema_match")
-            ):
-                green.add(name)
     reg = load_all()
+    green = ent._green_queries()
     never = {n for n in reg if n not in green and reg[n].oracle is not None}
-    assert set(ent._ROUND11_FRONT) == never
+    assert set(ent._front(reg)) == never
+    # and every green query is excluded even if pinned in _FRONT_ORDER
+    assert not green & set(ent._front(reg))
