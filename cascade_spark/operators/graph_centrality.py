@@ -263,9 +263,10 @@ def graph_landmark_centrality(spark, sf_dir):
         nxt = (
             frontier.join(und, "s")
             .select("seed", F.col("d").alias("node"))
-            .distinct()
             .withColumn("dist", F.lit(hop))
         )
+        # no distinct on nxt: the min-dist groupBy below already dedups,
+        # and dropping it removes one shuffle per hop (round-12)
         dist = (
             dist.unionByName(nxt)
             .groupBy("seed", "node")
