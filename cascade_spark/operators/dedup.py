@@ -248,16 +248,29 @@ _CACHE_ROWS_PER_PART = 65_536
 
 
 def _cached_frame(cache: dict, spark, sf_dir, build) -> DataFrame:
-    """Keyed persist-cache with eviction: entries from OTHER applications
-    are dropped on every miss (a stopped session's persisted blocks died
-    with it; holding the handle leaks driver memory), so the dict never
-    outgrows the live session's sf_dirs. Note for bench readers: the
-    first dedup query to run pays the shared build; later family members
-    read the cache — per-query timings are order-dependent amortized
-    figures (documented in STATUS.md and flagged per-query in
-    BENCH_DETAIL.json via CACHE_STATS). The persisted frame is compacted
-    to a row-count-proportional partition count (see _CACHE_ROWS_PER_PART
-    above); coalesce keeps lineage, so fault-tolerance is unchanged."""
+    """Keyed materialized-frame cache with eviction: entries from OTHER
+    applications are dropped on every miss (a stopped session's blocks
+    died with it; holding the handle leaks driver memory), so the dict
+    never outgrows the live session's sf_dirs. Note for bench readers:
+    the first dedup query to run pays the shared build; later family
+    members read the cache — per-query timings are order-dependent
+    amortized figures (documented in STATUS.md and flagged per-query in
+    BENCH_DETAIL.json via CACHE_STATS). The frame is compacted to a
+    row-count-proportional partition count (see _CACHE_ROWS_PER_PART
+    above).
+
+    The handle returned is a lineage-TRUNCATED localCheckpoint of the
+    materialized frame, not the persisted plan itself. Measured reason
+    (round 12, guide §7.3): a persisted frame keeps its full logical
+    plan, and these builds nest caches (labels over edges over pairs
+    over sessions), so every downstream reference re-analyzes a plan
+    tree of thousands of nodes — counting the cached 1.5k-row LPA label
+    frame cost 0.63 s of pure driver planning; after truncation 0.06 s,
+    and the modularity intra-join fell 2.2 s -> 0.26 s with identical
+    results. At 100 TB the same truncation is what keeps per-query
+    planning O(query), not O(whole family lineage); on a real cluster a
+    reliable checkpoint (or table materialization) would replace the
+    executor-local one for fault tolerance."""
     from pyspark import StorageLevel
 
     key = (spark.sparkContext.applicationId, sf_dir)
@@ -276,13 +289,12 @@ def _cached_frame(cache: dict, spark, sf_dir, build) -> DataFrame:
     n = df.count()  # materialize now; first family member paid this anyway
     parts = df.rdd.getNumPartitions()
     target = max(1, -(-n // _CACHE_ROWS_PER_PART))
-    if target < parts:
-        compact = df.coalesce(target).persist(StorageLevel.MEMORY_AND_DISK)
-        compact.count()
-        df.unpersist()
-        df = compact
-    cache[key] = df
-    return df
+    ckpt = (df.coalesce(target) if target < parts else df).localCheckpoint(
+        eager=True
+    )
+    df.unpersist()  # checkpoint blocks hold the data now
+    cache[key] = ckpt
+    return ckpt
 
 
 def _signatures(spark, sf_dir) -> DataFrame:

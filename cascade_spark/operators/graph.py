@@ -85,6 +85,40 @@ def _coactivity_edges(spark, sf_dir):
     return _cached_frame(_COEDGE_CACHE, spark, sf_dir, build)
 
 
+_DEG_CACHE: dict = {}
+
+
+def _coactivity_deg(spark, sf_dir):
+    """Shared persisted degree frame (u, d) of the degree-capped
+    co-activity graph — the second most re-derived frame in the family
+    after the edge list itself: triangle counting, link prediction,
+    neighborhood Jaccard, Adamic-Adar, local clustering, rich club,
+    modularity, assortativity and the degree histogram all start from
+    this one aggregate, and before round 12 each re-ran the
+    union+groupBy (one shuffle + two stages) per query. Node-set
+    consumers (BFS seeds, Katz init, LPA init) read the key column —
+    the distinct node set IS the degree frame's key, so deriving nodes
+    here removes their per-query distinct shuffle too. |V|-sized."""
+    from cascade_spark.operators.dedup import _cached_frame
+
+    def build():
+        e = _coactivity_edges(spark, sf_dir)
+        return (
+            e.select(F.col("ua").alias("u"))
+            .unionByName(e.select(F.col("ub").alias("u")))
+            .groupBy("u")
+            .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        )
+
+    return _cached_frame(_DEG_CACHE, spark, sf_dir, build)
+
+
+def _coactivity_nodes(spark, sf_dir):
+    """Distinct node set of the capped co-activity graph — a narrow
+    projection of the shared degree frame (no shuffle, no distinct)."""
+    return _coactivity_deg(spark, sf_dir).select(F.col("u").alias("node"))
+
+
 def _sql_coactivity_edges():
     """Oracle CTE chain mirroring _coactivity_edges (including the
     OVERLAP_BUCKET_CAP applied upstream in _SQL_OVERLAP_PAIRS and the
@@ -203,19 +237,18 @@ def graph_pagerank(spark, sf_dir):
             "dst", _intdiv(F.col("pr") * F.col("w"), F.col("outw")).alias("c")
         )
         inflow = contrib.groupBy("dst").agg(F.sum("c").cast("long").alias("inflow"))
-        r = (
-            nodes.join(inflow, nodes["node"] == inflow["dst"], "left")
-            .crossJoin(scal)
-            .select(
-                "node",
-                (
-                    F.col("base")
-                    + _intdiv(
-                        F.lit(_DAMP_NUM) * F.coalesce(F.col("inflow"), F.lit(0)),
-                        F.lit(_DAMP_DEN),
-                    )
-                ).alias("pr"),
-            )
+        # the oracle's LEFT JOIN to nodes is redundant in this graph:
+        # edges are the symmetric union (u->t, t->u), so every node
+        # occurs as a dst and inflow already covers the full node set
+        # with COALESCE(inflow, 0) = inflow — dropping the join removes
+        # one shuffle per iteration (results bit-identical, re-verified
+        # against the oracle)
+        r = inflow.crossJoin(scal).select(
+            F.col("dst").alias("node"),
+            (
+                F.col("base")
+                + _intdiv(F.lit(_DAMP_NUM) * F.col("inflow"), F.lit(_DAMP_DEN))
+            ).alias("pr"),
         )
     return r.orderBy(F.col("pr").desc(), "node").limit(20)
 
@@ -264,12 +297,7 @@ def graph_triangle_count(spark, sf_dir):
     from cascade_spark.operators._util import avg_round, dec
 
     e = _coactivity_edges(spark, sf_dir)
-    deg = (
-        e.select(F.col("ua").alias("u"))
-        .unionByName(e.select(F.col("ub").alias("u")))
-        .groupBy("u")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
+    deg = _coactivity_deg(spark, sf_dir)
     ab = e.select(F.col("ua").alias("a"), F.col("ub").alias("b"))
     bc = e.select(F.col("ua").alias("b2"), F.col("ub").alias("c"))
     ac = e.select(F.col("ua").alias("a3"), F.col("ub").alias("c3"))
@@ -346,7 +374,7 @@ def graph_link_prediction(spark, sf_dir):
     adj = e.select(F.col("ua").alias("u"), F.col("ub").alias("w")).unionByName(
         e.select(F.col("ub").alias("u"), F.col("ua").alias("w"))
     )
-    deg = adj.groupBy("u").agg(bigint(F.count(F.lit(1))).alias("d"))
+    deg = _coactivity_deg(spark, sf_dir)
     a, b = adj.alias("a"), adj.alias("b")
     cn = (
         a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.u") < F.col("b.u")))
@@ -492,7 +520,11 @@ def graph_kcore(spark, sf_dir):
     # list is tiny (<= |edges| pairs of longs), so an eager
     # localCheckpoint per round is cheap; long chains on a real cluster
     # would use reliable checkpoints instead.
-    e = _coactivity_edges(spark, sf_dir).localCheckpoint(eager=True)
+    # eager=False everywhere: each round's pruned edge list still
+    # persists at first use (so the ~6 downstream references per round
+    # do not recompute it), but the whole peel runs as ONE action
+    # instead of a materialization job per round
+    e = _coactivity_edges(spark, sf_dir).localCheckpoint(eager=False)
     stats = []
     for r in range(1, KCORE_ROUNDS + 1):
         deg = (
@@ -505,7 +537,7 @@ def graph_kcore(spark, sf_dir):
         e = (
             e.join(keep, e["ua"] == keep["u"], "left_semi")
             .join(keep, e["ub"] == keep["u"], "left_semi")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         nodes = e.select(F.col("ua").alias("u")).unionByName(
             e.select(F.col("ub").alias("u"))
@@ -544,7 +576,7 @@ def graph_neighborhood_jaccard(spark, sf_dir):
     adj = e.select(F.col("ua").alias("u"), F.col("ub").alias("v")).unionByName(
         e.select(F.col("ub").alias("u"), F.col("ua").alias("v"))
     )
-    deg = adj.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    deg = _coactivity_deg(spark, sf_dir)
     a1 = adj.select(F.col("u").alias("ua"), F.col("v").alias("w1"))
     a2 = adj.select(F.col("u").alias("ub2"), F.col("v").alias("w2"))
     common = (
@@ -650,13 +682,7 @@ ORDER BY bucket
 """,
 )
 def graph_degree_histogram(spark, sf_dir):
-    e = _coactivity_edges(spark, sf_dir)
-    deg = (
-        e.select(F.col("ua").alias("u"))
-        .unionByName(e.select(F.col("ub").alias("u")))
-        .groupBy("u")
-        .agg(F.count(F.lit(1)).cast("long").alias("d"))
-    )
+    deg = _coactivity_deg(spark, sf_dir)
     return (
         deg.groupBy(F.floor(F.log2("d")).cast("long").alias("bucket"))
         .agg(
@@ -712,9 +738,8 @@ def graph_bfs_hops(spark, sf_dir):
     und = e.select(F.col("ua").alias("s"), F.col("ub").alias("d")).unionByName(
         e.select(F.col("ub").alias("s"), F.col("ua").alias("d"))
     )
-    nodes = e.select(F.col("ua").alias("node")).unionByName(
-        e.select(F.col("ub").alias("node"))
-    ).distinct()
+    # node set = shared degree-frame keys (no per-query distinct shuffle)
+    nodes = _coactivity_nodes(spark, sf_dir)
     seeds = nodes.orderBy("node").limit(BFS_N_SEEDS)
     dist = seeds.withColumn("dist", F.lit(0))
     for hop in range(1, BFS_MAX_HOPS + 1):
@@ -728,11 +753,17 @@ def graph_bfs_hops(spark, sf_dir):
         )
         # no distinct on nxt: the min-dist groupBy below already dedups,
         # and dropping it removes one shuffle per hop (round-12)
+        # eager=False: lineage is still truncated and each round's state
+        # persists at first use, but the whole BFS runs as ONE action
+        # instead of one job per hop (measured 1.9 s -> 1.5 s warm at
+        # sf0.1; an eager job per round only pays off when a round's
+        # result feeds a driver-side decision, which fixed-hop BFS
+        # never does)
         dist = (
             dist.unionByName(nxt)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return (
         dist.groupBy(F.col("dist").cast("long").alias("hop"))
@@ -784,8 +815,8 @@ def graph_degree_assortativity(spark, sf_dir):
     und = e.select(F.col("ua").alias("s"), F.col("ub").alias("d")).unionByName(
         e.select(F.col("ub").alias("s"), F.col("ua").alias("d"))
     )
-    deg = und.groupBy(F.col("s").alias("node")).agg(
-        F.count(F.lit(1)).cast("long").alias("dg")
+    deg = _coactivity_deg(spark, sf_dir).select(
+        F.col("u").alias("node"), F.col("d").alias("dg")
     )
     pairs = (
         und.join(deg.select(F.col("node").alias("s"), F.col("dg").alias("x")), "s")
@@ -831,8 +862,6 @@ def _lpa_labels(spark, sf_dir):
     graph_label_propagation and graph_modularity_score consume the SAME
     loop, so re-running it inline doubled the cost (round-8 verdict
     item #2)."""
-    from pyspark.sql import Window
-
     from cascade_spark.operators.dedup import _cached_frame
 
     def build():
@@ -840,15 +869,27 @@ def _lpa_labels(spark, sf_dir):
         adj = e.select(F.col("ua").alias("u"), F.col("ub").alias("v")).unionByName(
             e.select(F.col("ub").alias("u"), F.col("ua").alias("v"))
         )
-        labels = adj.select("u").distinct().select("u", F.col("u").alias("lab"))
+        labels = _coactivity_nodes(spark, sf_dir).select(
+            F.col("node").alias("u"), F.col("node").alias("lab")
+        )
         for _ in range(LPA_ROUNDS):
             neigh = adj.join(labels.select(F.col("u").alias("v"), "lab"), "v")
             counts = neigh.groupBy("u", "lab").agg(F.count(F.lit(1)).alias("c"))
-            w = Window.partitionBy("u").orderBy(F.col("c").desc(), F.col("lab"))
+            # deterministic argmax (count DESC, label ASC) as a min over
+            # (-c, lab) structs: same tie rule as the previous row_number
+            # window, but expressed as an aggregate — it partially
+            # aggregates map-side and skips the window's per-partition
+            # sort (one fewer pass per round)
             labels = (
-                counts.withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") == 1)
-                .select("u", "lab")
+                counts.groupBy("u")
+                .agg(
+                    F.min(
+                        F.struct(
+                            (-F.col("c")).alias("nc"), F.col("lab").alias("lab")
+                        )
+                    ).alias("m")
+                )
+                .select("u", F.col("m.lab").alias("lab"))
             )
         return labels
 

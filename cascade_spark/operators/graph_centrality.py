@@ -34,7 +34,9 @@ from pyspark.sql import functions as F
 
 from cascade_spark.operators._util import bigint
 from cascade_spark.operators.graph import (
+    _coactivity_deg,
     _coactivity_edges,
+    _coactivity_nodes,
     _sql_coactivity_edges,
 )
 from cascade_spark.plans.registry import register
@@ -91,11 +93,8 @@ LIMIT {KATZ_TOP}
 def graph_katz_centrality(spark, sf_dir):
     e = _coactivity_edges(spark, sf_dir)
     und = _und(e)
-    nodes = (
-        e.select(F.col("ua").alias("node"))
-        .unionByName(e.select(F.col("ub").alias("node")))
-        .distinct()
-    )
+    # node set from the shared degree frame (no per-query distinct)
+    nodes = _coactivity_nodes(spark, sf_dir)
     x = nodes.withColumn("x", F.lit(KATZ_S).cast("long"))
     for _ in range(KATZ_ROUNDS):
         agg = (
@@ -103,15 +102,18 @@ def graph_katz_centrality(spark, sf_dir):
             .groupBy(F.col("s").alias("node"))
             .agg(F.sum("x").alias("sx"))
         )
-        x = nodes.join(agg, "node", "left").select(
+        # the oracle's LEFT JOIN back to nodes is redundant here: x
+        # covers every node and und lists every node as a source
+        # (symmetric edge list, every node has degree >= 1), so agg
+        # already contains the full node set and COALESCE(sx, 0) = sx —
+        # dropping the join removes one shuffle per round. eager=False:
+        # lineage still truncates but the power iteration runs as one
+        # action instead of a job per round. Results bit-identical
+        # (re-verified against the unrolled-CTE oracle).
+        x = agg.select(
             "node",
-            (
-                F.lit(KATZ_S)
-                + F.expr("COALESCE(sx, 0) DIV 4")
-            )
-            .cast("long")
-            .alias("x"),
-        ).localCheckpoint()
+            (F.lit(KATZ_S) + F.expr("sx DIV 4")).cast("long").alias("x"),
+        ).localCheckpoint(eager=False)
     return (
         x.select(
             F.col("node").cast("long").alias("node"),
@@ -172,7 +174,7 @@ def graph_adamic_adar(spark, sf_dir):
     adj = e.select(F.col("ua").alias("u"), F.col("ub").alias("w")).unionByName(
         e.select(F.col("ub").alias("u"), F.col("ua").alias("w"))
     )
-    deg = adj.groupBy("u").agg(bigint(F.count(F.lit(1))).alias("d"))
+    deg = _coactivity_deg(spark, sf_dir)
     a, b = adj.alias("a"), adj.alias("b")
     wedge = a.join(
         b, (F.col("a.w") == F.col("b.w")) & (F.col("a.u") < F.col("b.u"))
@@ -247,11 +249,8 @@ ORDER BY seed
 def graph_landmark_centrality(spark, sf_dir):
     e = _coactivity_edges(spark, sf_dir)
     und = _und(e)
-    nodes = (
-        e.select(F.col("ua").alias("node"))
-        .unionByName(e.select(F.col("ub").alias("node")))
-        .distinct()
-    )
+    # node set from the shared degree frame (no per-query distinct)
+    nodes = _coactivity_nodes(spark, sf_dir)
     seeds = nodes.orderBy("node").limit(LM_N_SEEDS)
     dist = seeds.select(
         F.col("node").alias("seed"), F.col("node"), F.lit(0).alias("dist")
@@ -266,12 +265,14 @@ def graph_landmark_centrality(spark, sf_dir):
             .withColumn("dist", F.lit(hop))
         )
         # no distinct on nxt: the min-dist groupBy below already dedups,
-        # and dropping it removes one shuffle per hop (round-12)
+        # and dropping it removes one shuffle per hop (round-12).
+        # eager=False: one action for the whole BFS instead of a
+        # materialization job per hop (see graph_bfs_hops)
         dist = (
             dist.unionByName(nxt)
             .groupBy("seed", "node")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     reach = dist.filter(F.col("dist") > 0)
     return (

@@ -33,7 +33,11 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from cascade_spark.operators._util import _intdiv, bigint, t
-from cascade_spark.operators.graph import _coactivity_edges, _sql_coactivity_edges
+from cascade_spark.operators.graph import (
+    _coactivity_deg,
+    _coactivity_edges,
+    _sql_coactivity_edges,
+)
 from cascade_spark.plans.registry import register
 
 _MC_TOTAL = 1_000_000_000  # stationary mass in nano-units
@@ -87,12 +91,7 @@ FROM cc
 )
 def graph_local_clustering(spark, sf_dir):
     e = _coactivity_edges(spark, sf_dir)
-    deg = (
-        e.select(F.col("ua").alias("u"))
-        .unionByName(e.select(F.col("ub").alias("u")))
-        .groupBy("u")
-        .agg(F.count(F.lit(1)).cast("long").alias("d"))
-    )
+    deg = _coactivity_deg(spark, sf_dir)
     ab = e.select(F.col("ua").alias("a"), F.col("ub").alias("b"))
     bc = e.select(F.col("ua").alias("b2"), F.col("ub").alias("c"))
     ac = e.select(F.col("ua").alias("a3"), F.col("ub").alias("c3"))
@@ -306,9 +305,6 @@ def graph_modularity_score(spark, sf_dir):
     from cascade_spark.operators.graph import _lpa_labels
 
     e = _coactivity_edges(spark, sf_dir)
-    adj = e.select(F.col("ua").alias("u"), F.col("ub").alias("v")).unionByName(
-        e.select(F.col("ub").alias("u"), F.col("ua").alias("v"))
-    )
     labels = _lpa_labels(spark, sf_dir)
     m = e.agg(bigint(F.count(F.lit(1))).alias("m"))
     la = labels.select(F.col("u").alias("ua"), F.col("lab").alias("lab_a"))
@@ -319,7 +315,7 @@ def graph_modularity_score(spark, sf_dir):
         .filter(F.col("lab_a") == F.col("lab_b"))
         .agg(bigint(F.count(F.lit(1))).alias("intra"))
     )
-    degs = adj.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    degs = _coactivity_deg(spark, sf_dir)
     dmass = (
         degs.join(labels, "u")
         .groupBy("lab")
@@ -393,12 +389,7 @@ ORDER BY m.k
 )
 def graph_rich_club(spark, sf_dir):
     e = _coactivity_edges(spark, sf_dir)
-    deg = (
-        e.select(F.col("ua").alias("u"))
-        .unionByName(e.select(F.col("ub").alias("u")))
-        .groupBy("u")
-        .agg(F.count(F.lit(1)).cast("long").alias("d"))
-    )
+    deg = _coactivity_deg(spark, sf_dir)
     ks = spark.createDataFrame([(k,) for k in RICH_CLUB_KS], "k long")
     club = F.broadcast(ks).join(deg, deg["d"] > F.col("k"))
     members = club.groupBy("k").agg(bigint(F.count(F.lit(1))).alias("n_k"))

@@ -174,21 +174,29 @@ ORDER BY a.event_type
 )
 def graph_hits_bipartite(spark, sf_dir):
     ev = t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
-    inc = ev.select("user_id", "event_type").distinct()
+    # the incidence is referenced 5 times (two joins per round plus the
+    # per-type user counts); a lazy local checkpoint computes the
+    # events-scan + distinct ONCE and serves every reference from the
+    # persisted blocks — without it each reference re-ran the scan
+    # (round-12; plan went from 5 events scans to 1)
+    inc = ev.select("user_id", "event_type").distinct().localCheckpoint(eager=False)
     types = inc.select("event_type").distinct()
-    # max(k, 1): on a zero-row slice the uniform seed value is moot
-    # (types is empty, so no row carries it) but k=0 must not raise
-    # driver-side — the empty-input sweep pins this
-    k = types.count()
-    auth = types.select(
-        "event_type", F.lit(HITS_SCALE // max(k, 1)).cast("long").alias("auth")
+    # uniform seed DIV k from a broadcast one-row aggregate instead of a
+    # driver-side types.count(): no eager job before the main action,
+    # and on a zero-row slice types is empty so no row divides by k=0
+    kf = F.broadcast(types.agg(F.count(F.lit(1)).alias("_k")))
+    auth = types.crossJoin(kf).select(
+        "event_type", F.expr(f"CAST({HITS_SCALE} DIV _k AS BIGINT)").alias("auth")
     )
     hubs = None
     for _ in range(HITS_ROUNDS):
+        # hraw/araw each feed both their total and the renormalized
+        # vector — lazy checkpoints keep them single-computation
         hraw = (
             inc.join(F.broadcast(auth), "event_type")
             .groupBy("user_id")
             .agg(F.sum("auth").cast("decimal(38,0)").alias("hr"))
+            .localCheckpoint(eager=False)
         )
         htot = hraw.agg(F.sum("hr").cast("decimal(38,0)").alias("s"))
         hubs = hraw.crossJoin(F.broadcast(htot)).select(
@@ -199,6 +207,7 @@ def graph_hits_bipartite(spark, sf_dir):
             inc.join(hubs, "user_id")
             .groupBy("event_type")
             .agg(F.sum("hub").cast("decimal(38,0)").alias("ar"))
+            .localCheckpoint(eager=False)
         )
         atot = araw.agg(F.sum("ar").cast("decimal(38,0)").alias("s"))
         auth = araw.crossJoin(F.broadcast(atot)).select(

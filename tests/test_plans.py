@@ -287,9 +287,13 @@ def test_q20_aggregate_behind_semi_join(spark, sf_dir):
 
 
 def test_interval_overlap_is_hash_join_not_nested_loop(spark, sf_dir):
-    from cascade_spark.plans.registry import load_all
+    # since round 12 the shared pair frame is a lineage-truncated
+    # localCheckpoint, so the overlap join is only visible in the BUILD
+    # plan — pin the join shape there (the query plan over the cache no
+    # longer contains any join to inspect)
+    from cascade_spark.operators.interval import _build_pairs
 
-    df = load_all()["join_interval_overlap"].builder(spark, sf_dir)
+    df = _build_pairs(spark, sf_dir)
     plan = _plan(df)
     # the bucket key must carry the join; the overlap inequality is a
     # residual — a nested-loop/cartesian plan would be the naive O(n^2)
@@ -303,9 +307,12 @@ def test_pagerank_edge_frame_is_persisted(spark, sf_dir):
 
     df = load_all()["graph_pagerank"].builder(spark, sf_dir)
     plan = _plan(df)
-    # 3 iterations must reuse the out-weighted edge frame from cache,
-    # not recompute the events aggregation per round
-    assert "InMemoryTableScan" in plan, plan
+    # 3 iterations must reuse the out-weighted edge frame from the
+    # materialized shared cache, not recompute the events aggregation
+    # per round. The cache is a lineage-truncated localCheckpoint since
+    # round 12 (it shows as an ExistingRDD scan); a pre-truncation
+    # persisted cache (InMemoryTableScan) also satisfies the intent.
+    assert "ExistingRDD" in plan or "InMemoryTableScan" in plan, plan
 
 
 def test_lateral_topn_rewrites_to_rank_window_not_nested_loop(spark, sf_dir):
@@ -726,7 +733,9 @@ def test_cross_source_matrix_reuses_persisted_pairs(spark, sf_dir):
     # prime the shared frame the way any earlier dedup query would
     load_all()["dedup_minhash_lsh"].builder(spark, sf_dir).count()
     plan = _plan(load_all()["dedup_cross_source_matrix"].builder(spark, sf_dir))
-    assert "InMemoryTableScan" in plan
+    # shared caches are lineage-truncated localCheckpoints since round
+    # 12 — the materialized-frame scan shows as ExistingRDD
+    assert "ExistingRDD" in plan or "InMemoryTableScan" in plan
 
 
 def test_silhouette_broadcasts_centroids(spark, sf_dir):
