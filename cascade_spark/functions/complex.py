@@ -295,11 +295,6 @@ def fn_map_higher_order(spark, sf_dir):
     from cascade_spark.operators._util import dec
 
     li = t(spark, sf_dir, "lineitem")
-    m = F.create_map(
-        F.lit("qty"), (dec("l_quantity") * 100).cast("long"),
-        F.lit("price"), (dec("l_extendedprice") * 100).cast("long"),
-        F.lit("disc"), (dec("l_discount") * 10000).cast("long"),
-    )
     weights = F.create_map(
         F.lit("qty"), F.lit(2).cast("long"),
         F.lit("price"), F.lit(3).cast("long"),
@@ -322,7 +317,45 @@ def fn_map_higher_order(spark, sf_dir):
         )
 
     lower = ["disc", "price", "qty"]
-    base = li.select("l_orderkey", "l_linenumber", m.alias("m"), weights.alias("wts"))
+    # Sort FIRST, evaluate the HOFs above the sort (round-12): a global
+    # orderBy range-partitions by sampling its child, so everything
+    # below the sort executes TWICE (sample pass + exchange pass) — with
+    # the HOF projection below the sort that doubled the interpreted
+    # lambda evaluation, the dominant cost (decomposed: scan 0.23 s,
+    # +maps 0.60 s, +4 HOFs 3.77 s at 600k rows). Sorting the narrow
+    # base (2 keys + the map columns) and projecting the HOFs + string
+    # rendering ABOVE the sort evaluates them once. The range partition
+    # count is EXPLICIT (session core count): with a plain orderBy, AQE
+    # coalesces the 24 MB shuffle to one partition and the HOF stage
+    # runs single-task — an explicit count keeps the post-sort stage as
+    # wide as the session while remaining scale-adaptive (cores, not a
+    # constant). Output order and values are identical (projections are
+    # order-preserving and the trailing orderBy is elided as redundant
+    # by RemoveRedundantSorts); hash-checked at both SFs.
+    # ... and shuffle only the three source LONGS, not the built maps:
+    # map columns through an exchange serialize per entry and tripled
+    # the sort cost (base+sort with maps 2.7 s, with longs ~1 s); the
+    # maps are rebuilt from the longs in the post-sort projection.
+    par = spark.sparkContext.defaultParallelism
+    narrow = (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            (dec("l_quantity") * 100).cast("long").alias("_q"),
+            (dec("l_extendedprice") * 100).cast("long").alias("_p"),
+            (dec("l_discount") * 10000).cast("long").alias("_d"),
+        )
+        .repartitionByRange(par, "l_orderkey", "l_linenumber")
+        .sortWithinPartitions("l_orderkey", "l_linenumber")
+    )
+    m2 = F.create_map(
+        F.lit("qty"), F.col("_q"),
+        F.lit("price"), F.col("_p"),
+        F.lit("disc"), F.col("_d"),
+    )
+    base = narrow.select(
+        "l_orderkey", "l_linenumber", m2.alias("m"), weights.alias("wts")
+    )
     # Project each HOF map ONCE, then canonicalize from the projected
     # column: canon() references its map 2x per key (6x total), and
     # Catalyst does not CSE lambda expressions — inlining the HOF into

@@ -72,9 +72,15 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def widen(df: DataFrame) -> DataFrame:
     """Spread a small-file scan across all cores before CPU-heavy per-row
-    work (hashing, shingling, Python UDFs). The fixtures are single
-    parquet files → single input partition → single-task execution
-    otherwise. At real scale the source would already be many splits and
-    this becomes a cheap no-op-ish round-robin."""
+    work (hashing, shingling, HOF evaluation, Python UDFs). The fixtures
+    are single parquet files → 1-3 input partitions → near-single-task
+    execution otherwise. Scale-adaptive since round 12: when the planned
+    scan parallelism already reaches the session's core count (the 100 TB
+    case — real tables plan thousands of splits), the repartition is
+    SKIPPED entirely instead of injecting a round-robin shuffle of the
+    whole input (guide §2.5 input-skew remedy, applied only when the
+    input is actually under-parallel)."""
     target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
     return df.repartition(target)

@@ -138,16 +138,24 @@ def similarity_retrieval_metrics(spark, sf_dir):
             lambda acc, v: acc + v,
         )
 
-    qn = e.select("vec_id", _quant(F.col("embedding")).alias("qv")).select(
-        "vec_id", "qv", _idot(F.col("qv"), F.col("qv")).alias("nq")
-    )
+    from cascade_spark.operators._util import widen
+
+    # widen the single-partition embeddings scan before the quantize +
+    # norm pass (round-12): the brute-force n_q x n scoring below
+    # evaluates an interpreted zip_with/aggregate dot product per pair,
+    # and the whole candidate side otherwise sat in ONE scan task;
+    # no-op at real scale (see widen). The small query side is
+    # broadcast so the scoring join never shuffles the candidate side.
+    qn = widen(e.select("vec_id", "embedding")).select(
+        "vec_id", _quant(F.col("embedding")).alias("qv")
+    ).select("vec_id", "qv", _idot(F.col("qv"), F.col("qv")).alias("nq"))
     queries = qn.filter(F.col("vec_id") % RETR_QUERY_MOD == 0).select(
         F.col("vec_id").alias("qid"), F.col("qv").alias("qa"), F.col("nq").alias("na")
     )
     cands = qn.select(
         F.col("vec_id").alias("vid"), F.col("qv").alias("qb"), F.col("nq").alias("nb")
     )
-    sc = queries.join(cands, F.col("qid") != F.col("vid")).select(
+    sc = F.broadcast(queries).join(cands, F.col("qid") != F.col("vid")).select(
         "qid",
         "vid",
         F.round(
@@ -158,8 +166,11 @@ def similarity_retrieval_metrics(spark, sf_dir):
     )
     # the scoring frame feeds 4 branches (truth ranks, retrieved ranks,
     # hits, MRR) — cut the lineage once so the n_q x n brute-force scan
-    # runs once, not per branch (it is the declared audit cost)
-    sc = sc.localCheckpoint(eager=True)
+    # runs once, not per branch (it is the declared audit cost).
+    # eager=False (round-12): the branches all consume it inside ONE
+    # final action, so a lazy checkpoint still computes it exactly once
+    # but skips the extra materialization job
+    sc = sc.localCheckpoint(eager=False)
     tr = sc.withColumn(
         "trank",
         F.row_number().over(
@@ -175,8 +186,8 @@ def similarity_retrieval_metrics(spark, sf_dir):
         F.row_number().over(
             Window.partitionBy("qid").orderBy(F.col("score").desc(), "vid")
         ),
-    ).localCheckpoint(eager=True)
-    tr = tr.localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
+    tr = tr.localCheckpoint(eager=False)
     ncand = retr.groupBy("qid").agg(bigint(F.count(F.lit(1))).alias("n_cand"))
     hits = (
         tr.filter(F.col("trank") <= RETR_K)
@@ -268,15 +279,23 @@ def similarity_dedup_threshold_sweep(spark, sf_dir):
             lambda acc, v: acc + v,
         )
 
+    from cascade_spark.operators._util import widen
+
+    # qn feeds BOTH join sides — a lazy checkpoint computes the
+    # quantize + self-norm pass once instead of once per broadcast
+    # build (round-12)
     qn = e.select("vec_id", _quant(F.col("embedding")).alias("qv")).select(
         "vec_id", "qv", _idot(F.col("qv"), F.col("qv")).alias("nq")
-    )
+    ).localCheckpoint(eager=False)
     a = qn.select(F.col("vec_id").alias("v1"), F.col("qv").alias("qa"), F.col("nq").alias("na"))
     b = qn.select(F.col("vec_id").alias("v2"), F.col("qv").alias("qb"), F.col("nq").alias("nb"))
+    # widen the compact cached pair frame before the per-pair
+    # interpreted dot product — the expensive per-row stage otherwise
+    # runs in the cache's 1-2 compacted partitions (no-op at scale)
     scored = (
-        _lsh_candidate_pairs(spark, sf_dir)
-        .join(a, "v1")
-        .join(b, "v2")
+        widen(_lsh_candidate_pairs(spark, sf_dir))
+        .join(F.broadcast(a), "v1")
+        .join(F.broadcast(b), "v2")
         .select("v1", "v2", _idot(F.col("qa"), F.col("qb")).alias("qd"), "na", "nb")
     )
     thr = spark.createDataFrame(
