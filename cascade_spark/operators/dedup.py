@@ -154,20 +154,9 @@ ORDER BY p.d1, p.d2
 """,
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    sh2 = _capped_shingle_index(spark, sf_dir)
-    sizes = sh2.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh2.alias("a"), sh2.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("nb"))
     uni = F.col("na") + F.col("nb") - F.col("inter")
     return (
-        pairs.join(sa, "d1")
-        .join(sb, "d2")
+        _shingle_overlap_pairs(spark, sf_dir)
         .filter(F.col("inter") * 5 >= uni)
         .select(
             "d1",
@@ -190,25 +179,39 @@ def dedup_ngram_jaccard(spark, sf_dir):
 _SIG_CACHE: dict = {}
 _PAIR_CACHE: dict = {}
 _SHINGLE_CACHE: dict = {}
+_RAWSH_CACHE: dict = {}
+_OVERLAP_CACHE: dict = {}
+_SIMSIG_CACHE: dict = {}
+_CCLAB_CACHE: dict = {}
+
+
+def _raw_shingle_index(spark, sf_dir) -> DataFrame:
+    """UNCAPPED distinct (doc_id, s) shingle inverted index, s as an
+    xxhash64 fingerprint (8-byte keys vs ~30-byte strings; equality
+    classes — and hence every count downstream — are unchanged barring
+    a 64-bit collision, ~1e-5 corpus-wide even at 10^10 distinct
+    shingles). Shared (round 12) by the capped-index build, the
+    minhash sketch-error audit (true-Jaccard recount) and the shingle-DF
+    profile, which each re-ran the posexplode+window shingling pass over
+    the corpus — the single most expensive map stage in the family."""
+
+    def build() -> DataFrame:
+        d = t(spark, sf_dir, "documents")
+        return _shingles(d).select("doc_id", F.xxhash64("s").alias("s"))
+
+    return _cached_frame(_RAWSH_CACHE, spark, sf_dir, build)
 
 
 def _capped_shingle_index(spark, sf_dir) -> DataFrame:
     """DF-capped xxhash64 shingle inverted index (doc_id, s) — the
     frame the n-gram Jaccard AND containment passes both join on.
-    Shingles ride the shuffles as xxhash64 fingerprints (8-byte keys vs
-    ~30-byte strings; equality classes — and hence every count
-    downstream — are unchanged barring a 64-bit collision, ~1e-5
-    corpus-wide even at 10^10 distinct shingles). Built and persisted
-    once per (app, sf_dir) like the signature index: in production this
-    IS the maintained inverted index of the corpus generation."""
+    Built from the shared raw index and persisted once per (app,
+    sf_dir) like the signature index: in production this IS the
+    maintained inverted index of the corpus generation."""
 
     def build() -> DataFrame:
-        from pyspark import StorageLevel
-
         d = t(spark, sf_dir, "documents")
-        sh = _shingles(d).select("doc_id", F.xxhash64("s").alias("s")).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
+        sh = _raw_shingle_index(spark, sf_dir)
         n_docs = d.agg(F.count(F.lit(1)).alias("_nd"))
         common = (
             sh.groupBy("s")
@@ -217,12 +220,38 @@ def _capped_shingle_index(spark, sf_dir) -> DataFrame:
             .filter(F.col("count") > F.col("_nd") * SHINGLE_DF_FRAC)
             .select("s")
         )
-        sh2 = sh.join(common, "s", "left_anti").persist(StorageLevel.MEMORY_AND_DISK)
-        sh2.count()  # materialize both branches, then drop the raw index
-        sh.unpersist()
-        return sh2
+        return sh.join(common, "s", "left_anti")
 
     return _cached_frame(_SHINGLE_CACHE, spark, sf_dir, build)
+
+
+def _shingle_overlap_pairs(spark, sf_dir) -> DataFrame:
+    """(d1, d2, inter, na, nb) for every doc pair sharing ≥1 DF-capped
+    shingle — the inverted-index self-join + size attach that FOUR
+    declared queries (n-gram Jaccard, containment, LSH recall audit,
+    corpus report) each recomputed identically (round 12, guide §2.4:
+    share one exchange). The pair list is candidate-bounded (DF cap),
+    tiny next to the corpus, and in production is maintained alongside
+    the inverted index it derives from."""
+
+    def build() -> DataFrame:
+        sh2 = _capped_shingle_index(spark, sf_dir)
+        sizes = sh2.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+        a, b = sh2.alias("a"), sh2.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.s") == F.col("b.s"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+            .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+        )
+        sa = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("na"))
+        sb = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("nb"))
+        return pairs.join(sa, "d1").join(sb, "d2")
+
+    return _cached_frame(_OVERLAP_CACHE, spark, sf_dir, build)
 
 
 # Global hit/build counters across ALL shared persisted-frame caches
@@ -538,28 +567,33 @@ def _cc_labels_distributed(edges, labels, max_iters=None):
 
 def _cc_label_frame(spark, sf_dir):
     """(node, comp) labels of the LSH near-dup graph — shared by the
-    component-summary query and the canonical-pick query. Local
-    union-find under LOCAL_CC_MAX_EDGES, min-label propagation above."""
+    component-summary query and the canonical-pick query (cached since
+    round 12: both ran the union-find/propagation from the pair list
+    independently). Local union-find under LOCAL_CC_MAX_EDGES, min-label
+    propagation above."""
     from pyspark import StorageLevel
 
-    # _lsh_pairs is already persisted by its cache; the projection here
-    # is cheap lineage over it.
-    pairs = _lsh_pairs(spark, sf_dir).select("d1", "d2")
-    if pairs.count() <= LOCAL_CC_MAX_EDGES:
-        # collect, not toLocalIterator: the latter launches one job per
-        # partition (32 round-trips for a 256-row edge list); the edge
-        # list is ≤2M×2 longs — one fetch.
-        rows = [(r[0], r[1]) for r in pairs.collect()]
-        return spark.createDataFrame(_cc_local(rows), "node long, comp long")
-    fwd = pairs.select(F.col("d1").alias("src"), F.col("d2").alias("nbr"))
-    rev = pairs.select(F.col("d2").alias("src"), F.col("d1").alias("nbr"))
-    edges = fwd.union(rev).persist(StorageLevel.MEMORY_AND_DISK)
-    init = (
-        edges.select("src").distinct().select(F.col("src").alias("node"))
-        .withColumn("comp", F.col("node"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    return _cc_labels_distributed(edges, init)
+    def build() -> DataFrame:
+        # _lsh_pairs is already persisted by its cache; the projection
+        # here is cheap lineage over it.
+        pairs = _lsh_pairs(spark, sf_dir).select("d1", "d2")
+        if pairs.count() <= LOCAL_CC_MAX_EDGES:
+            # collect, not toLocalIterator: the latter launches one job
+            # per partition (32 round-trips for a 256-row edge list);
+            # the edge list is ≤2M×2 longs — one fetch.
+            rows = [(r[0], r[1]) for r in pairs.collect()]
+            return spark.createDataFrame(_cc_local(rows), "node long, comp long")
+        fwd = pairs.select(F.col("d1").alias("src"), F.col("d2").alias("nbr"))
+        rev = pairs.select(F.col("d2").alias("src"), F.col("d1").alias("nbr"))
+        edges = fwd.union(rev).persist(StorageLevel.MEMORY_AND_DISK)
+        init = (
+            edges.select("src").distinct().select(F.col("src").alias("node"))
+            .withColumn("comp", F.col("node"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        return _cc_labels_distributed(edges, init)
+
+    return _cached_frame(_CCLAB_CACHE, spark, sf_dir, build)
 
 
 @register(
@@ -675,6 +709,46 @@ def dedup_cluster_canonical(spark, sf_dir):
     )
 
 
+def _simhash_sig(spark, sf_dir) -> DataFrame:
+    """(doc_id, simhash) 48-bit fingerprints — the md5-per-word explode
+    and 48-way bit-vote aggregate is the expensive pass of the SimHash
+    family; shared (round 12) by dedup_simhash and its bucket audit
+    profile_simhash_buckets, which recomputed it identically. In
+    production this IS the maintained fingerprint column of the corpus
+    generation (one long per doc)."""
+
+    def build() -> DataFrame:
+        d = t(spark, sf_dir, "documents")
+        wh = (
+            widen(d).select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+            .filter(F.col("w") != "")
+            .select(
+                "doc_id",
+                F.conv(F.substring(F.md5("w"), 1, SIMHASH_BITS // 4), 16, 10)
+                .cast("long")
+                .alias("h"),
+            )
+        )
+        # one groupBy pass: 48 conditional popcount sums + count, then
+        # pack sign bits — avoids a 48× row explosion before the shuffle
+        votes = wh.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(F.expr(f"(h >> {j}) & 1")).alias(f"s{j}")
+                for j in range(SIMHASH_BITS)
+            ],
+        )
+        simhash = sum(
+            F.when(2 * F.col(f"s{j}") > F.col("n"), F.lit(1 << j).cast("long")).otherwise(0)
+            for j in range(SIMHASH_BITS)
+        )
+        return votes.select("doc_id", simhash.alias("simhash"))
+
+    return _cached_frame(_SIMSIG_CACHE, spark, sf_dir, build)
+
+
+
+
 @register(
     "dedup_simhash",
     "dedup",
@@ -723,26 +797,7 @@ ORDER BY d1, d2
 """,
 )
 def dedup_simhash(spark, sf_dir):
-    d = t(spark, sf_dir, "documents")
-    wh = (
-        widen(d).select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-        .filter(F.col("w") != "")
-        .select(
-            "doc_id",
-            F.conv(F.substring(F.md5("w"), 1, SIMHASH_BITS // 4), 16, 10).cast("long").alias("h"),
-        )
-    )
-    # one groupBy pass: 48 conditional popcount sums + count, then pack
-    # the sign bits — avoids a 48× row explosion before the shuffle
-    votes = wh.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n"),
-        *[F.sum(F.expr(f"(h >> {j}) & 1")).alias(f"s{j}") for j in range(SIMHASH_BITS)],
-    )
-    simhash = sum(
-        F.when(2 * F.col(f"s{j}") > F.col("n"), F.lit(1 << j).cast("long")).otherwise(0)
-        for j in range(SIMHASH_BITS)
-    )
-    sig = votes.select("doc_id", simhash.alias("simhash"))
+    sig = _simhash_sig(spark, sf_dir)
     mask = (1 << SIMHASH_BAND_BITS) - 1
     ks = sig.sparkSession.range(BANDS).select(F.col("id").cast("int").alias("k"))
     banded = sig.crossJoin(F.broadcast(ks)).select(
@@ -821,24 +876,7 @@ FROM buckets GROUP BY k ORDER BY k
 """,
 )
 def profile_simhash_buckets(spark, sf_dir):
-    d = t(spark, sf_dir, "documents")
-    wh = (
-        widen(d).select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-        .filter(F.col("w") != "")
-        .select(
-            "doc_id",
-            F.conv(F.substring(F.md5("w"), 1, SIMHASH_BITS // 4), 16, 10).cast("long").alias("h"),
-        )
-    )
-    votes = wh.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n"),
-        *[F.sum(F.expr(f"(h >> {j}) & 1")).alias(f"s{j}") for j in range(SIMHASH_BITS)],
-    )
-    simhash = sum(
-        F.when(2 * F.col(f"s{j}") > F.col("n"), F.lit(1 << j).cast("long")).otherwise(0)
-        for j in range(SIMHASH_BITS)
-    )
-    sig = votes.select("doc_id", simhash.alias("simhash"))
+    sig = _simhash_sig(spark, sf_dir)
     mask = (1 << SIMHASH_BAND_BITS) - 1
     ks = sig.sparkSession.range(BANDS).select(F.col("id").cast("int").alias("k"))
     buckets = (
@@ -902,11 +940,13 @@ ORDER BY d1, d2
 """,
 )
 def dedup_minhash_error_audit(spark, sf_dir):
-    from cascade_spark.operators._util import _intdiv, bigint, t
+    from cascade_spark.operators._util import _intdiv, bigint
 
     pairs = _lsh_pairs(spark, sf_dir)
-    d = t(spark, sf_dir, "documents")
-    sh = _shingles(d)
+    # shared raw index: the true-Jaccard recount joins on xxhash64
+    # shingle fingerprints (same equality classes barring collision —
+    # see _raw_shingle_index) instead of re-shingling the corpus
+    sh = _raw_shingle_index(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(bigint(F.count(F.lit(1))).alias("n"))
     a = sh.select(F.col("doc_id").alias("d1"), "s")
     b = sh.select(F.col("doc_id").alias("bd2"), F.col("s").alias("s2"))
@@ -987,26 +1027,15 @@ ORDER BY d1, d2
 """,
 )
 def dedup_containment_ngram(spark, sf_dir):
-    from cascade_spark.operators._util import _intdiv, bigint
+    from cascade_spark.operators._util import _intdiv
 
-    sh2 = _capped_shingle_index(spark, sf_dir)
-    sizes = sh2.groupBy("doc_id").agg(bigint(F.count(F.lit(1))).alias("n"))
-    a, b = sh2.alias("a"), sh2.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .agg(bigint(F.count(F.lit(1))).alias("inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("nb"))
     n_small = F.least("na", "nb")
     contain = _intdiv(F.lit(10000) * F.col("inter"), n_small)
     jac = _intdiv(
         F.lit(10000) * F.col("inter"), F.col("na") + F.col("nb") - F.col("inter")
     )
     return (
-        pairs.join(sa, "d1")
-        .join(sb, "d2")
+        _shingle_overlap_pairs(spark, sf_dir)
         .select(
             "d1",
             "d2",
@@ -1088,16 +1117,7 @@ def dedup_corpus_report(spark, sf_dir):
         (F.count(F.lit(1)) - F.countDistinct("f")).alias("n_exact"),
     )
     mh = _lsh_pairs(spark, sf_dir).agg(F.count(F.lit(1)).alias("n_mh"))
-    sh2 = _capped_shingle_index(spark, sf_dir)
-    sizes = sh2.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh2.alias("a"), sh2.alias("b")
-    jp = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-        .join(sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("na")), "d1")
-        .join(sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("nb")), "d2")
-    )
+    jp = _shingle_overlap_pairs(spark, sf_dir)
     uni = F.col("na") + F.col("nb") - F.col("inter")
     # coalesce: on a corpus with no shingle-sharing docs jp is empty and
     # SUM returns NULL, while the oracle's COUNT(*) subqueries return 0
@@ -1315,17 +1335,8 @@ SELECT CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_true_pairs,
 def dedup_lsh_recall_audit(spark, sf_dir):
     from cascade_spark.operators._util import _intdiv
 
-    sh2 = _capped_shingle_index(spark, sf_dir)
-    sizes = sh2.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh2.alias("a"), sh2.alias("b")
-    inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
     exact = (
-        inter.join(sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("na")), "d1")
-        .join(sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("nb")), "d2")
+        _shingle_overlap_pairs(spark, sf_dir)
         .filter(F.col("inter") * 2 >= F.col("na") + F.col("nb") - F.col("inter"))
         .select("d1", "d2")
     )
@@ -1388,7 +1399,10 @@ def profile_shingle_df(spark, sf_dir):
     from cascade_spark.operators._util import _intdiv
 
     d = t(spark, sf_dir, "documents")
-    sh = _shingles(d)
+    # shared raw index (xxhash64 fingerprints — same DF classes barring
+    # collision, see _raw_shingle_index): the audit costs one pass over
+    # the index it audits instead of re-shingling the corpus
+    sh = _raw_shingle_index(spark, sf_dir)
     nd = d.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     cnt = sh.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("df"))
     common = F.col("df") > F.col("n_docs") * SHINGLE_DF_FRAC

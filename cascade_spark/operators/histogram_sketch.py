@@ -238,19 +238,36 @@ def agg_histogram_equi_depth(spark, sf_dir):
     cum = assign_prefix_sum(h, ["c"], "cnt").select(
         "c", "cnt", (F.col("prefix_sum") + F.col("cnt")).alias("ci")
     )
-    n = h.agg(F.sum("cnt").cast("long").alias("total"))
-    ks = spark.range(1, EQD_BUCKETS + 1).select(F.col("id").alias("k"))
-    bounds = (
-        cum.crossJoin(F.broadcast(ks))
-        .crossJoin(F.broadcast(n))
-        .filter(
-            F.col("ci")
-            >= F.expr(f"(k * total + {EQD_BUCKETS} - 1) DIV {EQD_BUCKETS}")
+    # total = SUM(cnt) over the spine = COUNT(*) of lineitem — read it
+    # from the parquet row count instead of re-running the whole spine
+    # aggregation a second time (h has no cache; the n branch recomputed
+    # the 583k-group groupBy, a full extra pass at any scale).
+    n = li.agg(F.count(F.lit(1)).cast("long").alias("total"))
+    # Boundary detection (round-12): bucket k's boundary is the FIRST
+    # spine row (min c) whose running total reaches T_k = ceil(k*N/B).
+    # ci >= ceil(k*N/B)  <=>  k <= floor(B*ci/N)  (integers, ci asc), so
+    # row r is the boundary for exactly k in (floor(B*ci_prev/N),
+    # floor(B*ci/N)] — a per-row projection + sequence() explode that
+    # emits exactly B rows corpus-wide, replacing the B-way crossJoin
+    # (|spine|*B rows through filter+groupBy) AND the join back to cum
+    # for ci (the boundary row already carries it). Guide §2.3/§2.4:
+    # same result, two fewer passes over the spine and no B-fold blowup.
+    bcum = (
+        cum.crossJoin(F.broadcast(n))
+        .select(
+            "c",
+            "ci",
+            F.expr(f"{EQD_BUCKETS}L * (ci - cnt) DIV total").alias("_klo"),
+            F.expr(f"{EQD_BUCKETS}L * ci DIV total").alias("_khi"),
         )
-        .groupBy("k")
-        .agg(F.min("c").alias("hi_cents"))
+        .filter(F.col("_khi") > F.col("_klo"))
+        .select(
+            F.explode(F.sequence(F.col("_klo") + 1, F.col("_khi"))).alias("k"),
+            F.col("c").alias("hi_cents"),
+            "ci",
+        )
+        .filter(F.col("k") <= EQD_BUCKETS)
     )
-    bcum = bounds.join(cum, bounds.hi_cents == cum.c).select("k", "hi_cents", "ci")
     w = Window.orderBy("k")
     return bcum.select(
         F.col("k").cast("long").alias("bucket"),

