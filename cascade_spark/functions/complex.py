@@ -301,21 +301,6 @@ def fn_map_higher_order(spark, sf_dir):
         F.lit("disc"), F.lit(5).cast("long"),
     )
 
-    def canon(mc, keys):
-        # key-lookup rendering for maps whose surviving key set varies
-        # per row (map_filter): element_at is null for a dropped key and
-        # the entry vanishes via concat_ws null-skipping
-        return F.concat_ws(
-            ",",
-            *[
-                F.when(
-                    F.element_at(mc, k).isNotNull(),
-                    F.concat_ws("=", F.lit(k), F.element_at(mc, k).cast("string")),
-                )
-                for k in keys
-            ],
-        )
-
     lower = ["disc", "price", "qty"]
     # Sort FIRST, evaluate the HOFs above the sort (round-12): a global
     # orderBy range-partitions by sampling its child, so everything
@@ -380,13 +365,29 @@ def fn_map_higher_order(spark, sf_dir):
     # sf0.1 6.8 s -> 4.2 s, output verified bit-identical (exceptAll both
     # ways = 0) and continuously hash-checked against the oracle. Only
     # map_filter's per-row-varying key set still needs canon().
+    # map_filter lookups projected ONCE per key (round 12): canon()
+    # referenced fv twice per key (6 element_at calls/row, no CSE);
+    # projecting the 3 looked-up values here leaves the render a null
+    # test + concat over already-extracted columns (3 lookups/row).
     vals = hofs.select(
         "l_orderkey",
         "l_linenumber",
-        "fv",
+        F.element_at("fv", "disc").alias("f_disc"),
+        F.element_at("fv", "price").alias("f_price"),
+        F.element_at("fv", "qty").alias("f_qty"),
         F.map_values("dv").alias("dvv"),
         F.map_values("wv").alias("wvv"),
         F.map_values("kv").alias("kvv"),
+    )
+    filtered = F.concat_ws(
+        ",",
+        *[
+            F.when(
+                F.col(f"f_{k}").isNotNull(),
+                F.concat(F.lit(f"{k}="), F.col(f"f_{k}").cast("string")),
+            )
+            for k in lower
+        ],
     )
 
     def rend(a, keys):
@@ -401,7 +402,7 @@ def fn_map_higher_order(spark, sf_dir):
         "l_orderkey",
         "l_linenumber",
         rend(F.col("dvv"), lower).alias("doubled"),
-        canon(F.col("fv"), lower).alias("filtered"),
+        filtered.alias("filtered"),
         rend(F.col("wvv"), lower).alias("weighted"),
         rend(F.col("kvv"), ["DISC", "PRICE", "QTY"]).alias("upper_keys"),
     ).orderBy("l_orderkey", "l_linenumber")

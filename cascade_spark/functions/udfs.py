@@ -169,7 +169,13 @@ def text_tfidf_mllib(spark, sf_dir):
     tok = RegexTokenizer(inputCol="text", outputCol="words", pattern=r"\s+")
     words = tok.transform(d)
     tf = HashingTF(inputCol="words", outputCol="tf", numFeatures=1 << 12)
-    tfd = tf.transform(words)
+    # Lazy checkpoint (round 12): IDF.fit is an eager pass over tfd and
+    # idf.transform a second one, and the final orderBy's range sampler
+    # re-executes its child a third time — without the barrier the
+    # tokenizer+HashingTF pipeline ran 3x per invocation (guide §1.4).
+    # The barrier materializes tfd once (the fit pass pins the blocks);
+    # transform and the sort read blocks. A/B sf0.1 warm: 3.9 -> 1.9 s.
+    tfd = tf.transform(words).localCheckpoint(eager=False)
     idf = IDF(inputCol="tf", outputCol="tfidf").fit(tfd)
     out = idf.transform(tfd)
     # project a stable scalar per doc (vector norm) for the rows check
@@ -267,15 +273,24 @@ def udf_cogrouped_pandas(spark, sf_dir):
     # merge(user_id#2, ts#1, user_id#2, ts#1) with the right Project
     # keeping only user_id). Distinct scans give distinct ids; pinned by
     # tests/test_round4_extras.py::test_cogroup_checksum_consumer.
+    # Explicit partition count on the cogroup key (round 12): by bytes
+    # this shuffle is tiny, so AQE coalesced it to ONE partition and the
+    # per-key pandas stage — whose cost is per-GROUP Python round trips,
+    # not bytes — ran every group serially in a single task (guide §2.2:
+    # partition by the stage's real cost driver). An explicit count is
+    # not coalesced; session cores keep it scale-adaptive.
+    par = spark.sparkContext.defaultParallelism
     clicks = (
         t(spark, sf_dir, "events")
         .filter(F.col("event_type") == "click")
         .select("user_id", "ts")
+        .repartition(par, "user_id")
     )
     purchases = (
         t(spark, sf_dir, "events")
         .filter(F.col("event_type") == "purchase")
         .select("user_id", "ts")
+        .repartition(par, "user_id")
     )
 
     def merge(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
@@ -300,7 +315,13 @@ def udf_cogrouped_pandas(spark, sf_dir):
             schema="user_id long, n_clicks long, n_purchases long, first_gap_us long",
         )
     )
-    return out.orderBy("user_id")
+    # Lazy lineage truncation before the global sort (round 12): orderBy
+    # range-partitions by SAMPLING its child, so without the barrier the
+    # whole cogroup+pandas pipeline executed TWICE (sample pass +
+    # exchange pass — guide §1.4's hidden-double-execution class). With
+    # the barrier the sampler reads materialized blocks. A/B sf0.1 warm
+    # (repartition + barrier together): 9.2 s -> 1.9 s per invocation.
+    return out.localCheckpoint(eager=False).orderBy("user_id")
 
 
 @register(

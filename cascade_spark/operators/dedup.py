@@ -1217,7 +1217,17 @@ def dedup_minhash_band_tuning(spark, sf_dir):
     from cascade_spark.operators._util import _intdiv
 
     sig = _signatures(spark, sf_dir)
-    outs = []
+    # One scoring pass for all three band configs (round 12): the old
+    # shape ran per config a candidate self-join PLUS two signature
+    # joins and a global aggregate — 3x(3 joins + 1 agg). Candidates
+    # are now tagged with their config and unioned, so the (cheap,
+    # candidate-bounded) signature attach and the match aggregate run
+    # ONCE over the union (guide §2.4/§3.1); only the per-config
+    # band-key self-joins remain separate, as they must (each bands the
+    # signature differently). A static 3-row config spine left-joins the
+    # counts so a config with zero candidates still reports 0s exactly
+    # like the old global-aggregate form.
+    cands = []
     for bands, rows in _BAND_CONFIGS:
         ks = sig.sparkSession.range(bands).select(F.col("id").cast("int").alias("band"))
         banded = sig.crossJoin(F.broadcast(ks)).select(
@@ -1242,7 +1252,7 @@ def dedup_minhash_band_tuning(spark, sf_dir):
             ).alias("bh"),
         )
         a, b_ = banded.alias("a"), banded.alias("b")
-        cand = (
+        cands.append(
             a.join(
                 b_,
                 (F.col("a.band") == F.col("b.band"))
@@ -1251,41 +1261,51 @@ def dedup_minhash_band_tuning(spark, sf_dir):
             )
             .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
             .distinct()
+            .select(F.lit(f"bands={bands},rows={rows}").alias("config"), "d1", "d2")
         )
-        x = sig.select(F.col("doc_id").alias("d1"), *[F.col(f"h{k}").alias(f"x{k}") for k in range(N_HASHES)])
-        y = sig.select(F.col("doc_id").alias("d2"), *[F.col(f"h{k}").alias(f"y{k}") for k in range(N_HASHES)])
-        matches = sum(
-            F.when(F.col(f"x{k}") == F.col(f"y{k}"), 1).otherwise(0)
-            for k in range(N_HASHES)
+    allc = cands[0]
+    for c in cands[1:]:
+        allc = allc.unionByName(c)
+    x = sig.select(F.col("doc_id").alias("d1"), *[F.col(f"h{k}").alias(f"x{k}") for k in range(N_HASHES)])
+    y = sig.select(F.col("doc_id").alias("d2"), *[F.col(f"h{k}").alias(f"y{k}") for k in range(N_HASHES)])
+    matches = sum(
+        F.when(F.col(f"x{k}") == F.col(f"y{k}"), 1).otherwise(0)
+        for k in range(N_HASHES)
+    )
+    counts = (
+        allc.join(x, "d1")
+        .join(y, "d2")
+        .select("config", matches.alias("matches"))
+        .groupBy("config")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.sum(F.when(F.col("matches") * 2 >= N_HASHES, 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
         )
-        scored = cand.join(x, "d1").join(y, "d2").select(matches.alias("matches"))
-        outs.append(
-            scored.agg(
-                F.max(F.lit(f"bands={bands},rows={rows}")).alias("config"),
-                F.count(F.lit(1)).cast("long").alias("n_candidates"),
-                F.coalesce(
-                    F.sum(F.when(F.col("matches") * 2 >= N_HASHES, 1).otherwise(0)),
-                    F.lit(0),
-                )
-                .cast("long")
-                .alias("n_kept"),
-            ).select(
-                F.coalesce(F.col("config"), F.lit(f"bands={bands},rows={rows}")).alias("config"),
-                "n_candidates",
-                "n_kept",
-                F.when(
-                    F.col("n_candidates") > 0,
-                    _intdiv(F.lit(10000) * F.col("n_kept"), F.col("n_candidates")),
-                )
-                .otherwise(F.lit(0))
-                .cast("long")
-                .alias("precision_bp"),
+    )
+    spine = spark.createDataFrame(
+        [(f"bands={b},rows={r}",) for b, r in _BAND_CONFIGS], "config string"
+    )
+    return (
+        spine.join(counts, "config", "left")
+        .select(
+            "config",
+            F.coalesce("n_candidates", F.lit(0)).cast("long").alias("n_candidates"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.when(
+                F.coalesce("n_candidates", F.lit(0)) > 0,
+                _intdiv(
+                    F.lit(10000) * F.coalesce("n_kept", F.lit(0)),
+                    F.coalesce("n_candidates", F.lit(1)),
+                ),
             )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("precision_bp"),
         )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out.orderBy("config")
+        .orderBy("config")
+    )
 
 
 @register(

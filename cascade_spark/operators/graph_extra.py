@@ -217,7 +217,14 @@ def events_markov_stationary(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n")
     )
     rs = tr.groupBy("prev_type").agg(F.sum("n").cast("long").alias("r"))
-    tr = tr.join(rs, "prev_type")
+    # Lazy lineage truncation (round 12, graph-family iteration
+    # discipline): tr is referenced by all 4 power-iteration rounds and
+    # states twice more — without the barrier each reference re-planned
+    # (and, past ReuseExchange, re-ran) the events window + transition
+    # aggregate, an 83k-char physical plan for a k x k matrix. One
+    # barrier materializes the k^2-row matrix once; every round reads
+    # blocks.
+    tr = tr.join(rs, "prev_type").localCheckpoint(eager=False)
     states = tr.select(F.col("prev_type").alias("state")).distinct()
     k = F.broadcast(states.agg(F.count(F.lit(1)).alias("_k")))
     p = states.crossJoin(k).select(
@@ -235,7 +242,7 @@ def events_markov_stationary(spark, sf_dir):
         )
         p = states.join(flow, states["state"] == flow["state2"], "left").select(
             "state", F.coalesce("inflow", F.lit(0)).cast("long").alias("pi")
-        )
+        ).localCheckpoint(eager=False)
     return p.select("state", F.col("pi").alias("pi_nano")).orderBy("state")
 
 

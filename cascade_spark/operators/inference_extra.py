@@ -1473,7 +1473,7 @@ FROM u
 """,
 )
 def stats_cvm_two_sample(spark, sf_dir):
-    from cascade_spark.operators.ingest import assign_prefix_sum
+    from cascade_spark.operators.ingest import assign_prefix_sums
 
     daily = _xy_daily(spark, sf_dir)
     vals = daily.groupBy(F.col("x").alias("v")).agg(
@@ -1488,11 +1488,11 @@ def stats_cvm_two_sample(spark, sf_dir):
         F.sum("c1").cast("long").alias("c1"), F.sum("c2").cast("long").alias("c2")
     )
     spine = spine.withColumn("ct", F.col("c1") + F.col("c2"))
-    cum = assign_prefix_sum(spine, ["v"], "ct").withColumnRenamed(
-        "prefix_sum", "nb"
-    )
-    cum = assign_prefix_sum(cum, ["v"], "c1").withColumnRenamed("prefix_sum", "a1")
-    cum = assign_prefix_sum(cum, ["v"], "c2").withColumnRenamed("prefix_sum", "a2")
+    # One combined pass (round 12): the three exclusive cumsums share
+    # the same total order over v, so they run in ONE range exchange +
+    # ONE window pass instead of three chained assign_prefix_sum calls
+    # (3 exchanges + 3 sorts over the same spine — guide §2.3).
+    cum = assign_prefix_sums(spine, ["v"], {"ct": "nb", "c1": "a1", "c2": "a2"})
     a_mid = (2 * F.col("nb") + F.col("c1") + F.col("c2") + 1).alias("a_mid")
     terms = cum.select(a_mid, "c1", "c2", "a1", "a2")
 

@@ -105,6 +105,56 @@ def assign_prefix_sum(
     )
 
 
+def assign_prefix_sums(
+    df: DataFrame,
+    order_cols: list[str],
+    value_cols: dict[str, str],
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Multi-column :func:`assign_prefix_sum` (round 12): ONE range
+    repartition + ONE per-partition window pass computes an exclusive
+    running total for every ``value_cols`` entry (source column ->
+    output column name). Callers that chained N single-column calls
+    paid N range exchanges + N window sorts over the same total order;
+    the same-window cumsums here all run inside a single WindowExec."""
+    part = df.repartitionByRange(num_partitions, *[F.col(c) for c in order_cols])
+    part = part.withColumn("_pid", F.spark_partition_id()).localCheckpoint(eager=False)
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = part.select(
+        "*",
+        *[(F.sum(c).over(w) - F.col(c)).alias(f"_local_{c}") for c in value_cols],
+    )
+    wb = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    sums = (
+        local.groupBy("_pid")
+        .agg(*[F.sum(c).alias(f"_psum_{c}") for c in value_cols])
+        .select(
+            "_pid",
+            *[
+                F.coalesce(F.sum(f"_psum_{c}").over(wb), F.lit(0)).alias(f"_base_{c}")
+                for c in value_cols
+            ],
+        )
+    )
+    out = local.join(F.broadcast(sums), "_pid")
+    out = out.select(
+        "*",
+        *[
+            (F.col(f"_base_{c}") + F.col(f"_local_{c}")).cast("long").alias(name)
+            for c, name in value_cols.items()
+        ],
+    )
+    return out.drop(
+        "_pid",
+        *[f"_local_{c}" for c in value_cols],
+        *[f"_base_{c}" for c in value_cols],
+    )
+
+
 def assign_partitioned_offsets(
     df: DataFrame, key: Column, num_partitions: int, order_cols: list[str]
 ) -> DataFrame:

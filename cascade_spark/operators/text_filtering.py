@@ -173,6 +173,57 @@ def text_zipf_topwords(spark, sf_dir):
     ).orderBy("rank")
 
 
+_BIGRAM_SCORE_CACHE: dict = {}
+
+
+def _bigram_doc_scores(spark, sf_dir):
+    """(doc_id, nb, s): per-doc bigram occurrence count and total
+    corpus-frequency mass — the LM-commonality signal CCNet maintains
+    per document. Shared (round 12) by text_lm_commonality and
+    pipeline_ccnet_ppl_buckets, which each recomputed the corpus bigram
+    table + score join identically (guide §2.4).
+
+    Shape changes vs the old inline build (guide §2.2/§2.3):
+    - bigrams are generated MAP-SIDE with zip_with over two array
+      slices instead of posexplode + a per-doc lead() window — the
+      occurrence stream never shuffles at all;
+    - occurrences partially aggregate to per-doc bigram counts k
+      BEFORE the count-table join, so the (w1, w2) exchange and the
+      join carry distinct doc-bigram rows, not every occurrence, and
+      the count table c = SUM(k) reuses that aggregate;
+    - s = SUM(k * cnt) == the old per-occurrence SUM(cnt), exactly.
+    """
+    from cascade_spark.operators.dedup import _cached_frame
+
+    def build():
+        d = widen(t(spark, sf_dir, "documents"))
+        base = d.select("doc_id", F.split("text", " ").alias("ws"))
+        g = base.select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice("ws", F.lit(1), F.size("ws") - 1),
+                    F.slice("ws", F.lit(2), F.size("ws") - 1),
+                    lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+                )
+            ).alias("bg"),
+        ).select("doc_id", "bg.w1", "bg.w2")
+        gd = g.groupBy("doc_id", "w1", "w2").agg(
+            F.count(F.lit(1)).cast("long").alias("k")
+        )
+        c = gd.groupBy("w1", "w2").agg(F.sum("k").cast("long").alias("cnt"))
+        return (
+            gd.join(c, ["w1", "w2"])
+            .groupBy("doc_id")
+            .agg(
+                F.sum("k").cast("long").alias("nb"),
+                F.sum(F.col("k") * F.col("cnt")).cast("long").alias("s"),
+            )
+        )
+
+    return _cached_frame(_BIGRAM_SCORE_CACHE, spark, sf_dir, build)
+
+
 @register(
     "text_lm_commonality",
     "text",
@@ -206,24 +257,16 @@ ORDER BY doc_id
 """,
 )
 def text_lm_commonality(spark, sf_dir):
-    from cascade_spark.operators._util import avg_round, dec
+    from cascade_spark.operators._util import avg_round
 
-    d = widen(t(spark, sf_dir, "documents"))
-    w = d.select("doc_id", F.posexplode(F.split("text", " ")).alias("p", "w1"))
-    win_doc = Window.partitionBy("doc_id").orderBy("p")
-    g = w.select(
-        "doc_id", "w1", F.lead("w1", 1).over(win_doc).alias("w2")
-    ).filter(F.col("w2").isNotNull())
-    c = g.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
-    scored = (
-        g.join(c, ["w1", "w2"])
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.sum(dec("cnt")).alias("s"))
-    )
+    # avg_round's first operand is exact-integer either way: the long s
+    # here equals the oracle's scale-4 decimal SUM(cnt) in value, and
+    # avg_round multiplies it to integer ten-thousandths before DIV.
+    scored = _bigram_doc_scores(spark, sf_dir)
     return scored.select(
         "doc_id",
-        bigint(F.col("n_bigrams")).alias("n_bigrams"),
-        avg_round(F.col("s"), F.col("n_bigrams"), 4).alias("mean_bigram_freq"),
+        bigint(F.col("nb")).alias("n_bigrams"),
+        avg_round(F.col("s"), F.col("nb"), 4).alias("mean_bigram_freq"),
     ).orderBy("doc_id")
 
 
@@ -389,21 +432,9 @@ def pipeline_ccnet_ppl_buckets(spark, sf_dir):
     from cascade_spark.operators._util import _intdiv
     from cascade_spark.operators.ingest import assign_prefix_sum
 
-    d = widen(t(spark, sf_dir, "documents"))
-    w = d.select("doc_id", F.posexplode(F.split("text", " ")).alias("p", "w1"))
-    win_doc = Window.partitionBy("doc_id").orderBy("p")
-    g = w.select(
-        "doc_id", "w1", F.lead("w1", 1).over(win_doc).alias("w2")
-    ).filter(F.col("w2").isNotNull())
-    c = g.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
-    scored = (
-        g.join(c, ["w1", "w2"])
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("nb"),
-            F.sum("cnt").cast("long").alias("s"),
-        )
-    )
+    # shared per-doc (nb, s) LM-commonality frame — see
+    # _bigram_doc_scores (round 12)
+    scored = _bigram_doc_scores(spark, sf_dir)
     q = scored.select(
         "doc_id",
         "nb",

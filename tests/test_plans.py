@@ -579,6 +579,8 @@ _GLOBAL_WINDOW_ALLOWLIST = {
         "~numPartitions count rows (documented WindowExec warning)",
     ("cascade_spark/operators/ingest.py", "assign_prefix_sum"):
         "~numPartitions count rows (two-phase prefix sum)",
+    ("cascade_spark/operators/ingest.py", "assign_prefix_sums"):
+        "~numPartitions count rows (multi-column two-phase prefix sum)",
     ("cascade_spark/operators/stats_extra.py", "stats_ks_two_sample"):
         "distinct daily-volume value spine",
     ("cascade_spark/operators/ordinal_effects.py", "_pair_counts"):
