@@ -180,43 +180,67 @@ def graph_hits_bipartite(spark, sf_dir):
     # persisted blocks — without it each reference re-ran the scan
     # (round-12; plan went from 5 events scans to 1)
     inc = ev.select("user_id", "event_type").distinct().localCheckpoint(eager=False)
-    types = inc.select("event_type").distinct()
+    # Degree frames computed ONCE (round 12): the per-round
+    # normalization totals are derivable from the PREVIOUS vector —
+    # SUM_u hr(u) = SUM_t auth(t) * n_users(t) and SUM_t ar(t) =
+    # SUM_u hub(u) * deg(u), exactly (integer sums, no division
+    # involved) — so each round's total is a k-row (resp. |U|-row)
+    # side-aggregate instead of a second full pass over the freshly
+    # built raw vector. hraw/araw become single-reference and drop
+    # their per-round checkpoints; only the reused vectors (hubs,
+    # auth) keep a lazy checkpoint.
+    peruser = (
+        inc.groupBy("event_type")
+        .agg(bigint(F.count(F.lit(1))).alias("n_users"))
+        .localCheckpoint(eager=False)
+    )
+    udeg = (
+        inc.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .localCheckpoint(eager=False)
+    )
+    types = peruser.select("event_type")
     # uniform seed DIV k from a broadcast one-row aggregate instead of a
     # driver-side types.count(): no eager job before the main action,
     # and on a zero-row slice types is empty so no row divides by k=0
-    kf = F.broadcast(types.agg(F.count(F.lit(1)).alias("_k")))
+    kf = F.broadcast(peruser.agg(F.count(F.lit(1)).alias("_k")))
     auth = types.crossJoin(kf).select(
         "event_type", F.expr(f"CAST({HITS_SCALE} DIV _k AS BIGINT)").alias("auth")
-    )
+    ).localCheckpoint(eager=False)
     hubs = None
     for _ in range(HITS_ROUNDS):
-        # hraw/araw each feed both their total and the renormalized
-        # vector — lazy checkpoints keep them single-computation
+        htot = F.broadcast(
+            auth.join(peruser, "event_type").agg(
+                F.sum(F.col("auth").cast("decimal(38,0)") * F.col("n_users"))
+                .cast("decimal(38,0)")
+                .alias("s")
+            )
+        )
         hraw = (
             inc.join(F.broadcast(auth), "event_type")
             .groupBy("user_id")
             .agg(F.sum("auth").cast("decimal(38,0)").alias("hr"))
-            .localCheckpoint(eager=False)
         )
-        htot = hraw.agg(F.sum("hr").cast("decimal(38,0)").alias("s"))
-        hubs = hraw.crossJoin(F.broadcast(htot)).select(
+        hubs = hraw.crossJoin(htot).select(
             "user_id",
             F.expr(f"CAST((hr * {HITS_SCALE}) DIV s AS BIGINT)").alias("hub"),
+        ).localCheckpoint(eager=False)
+        atot = F.broadcast(
+            hubs.join(udeg, "user_id").agg(
+                F.sum(F.col("hub").cast("decimal(38,0)") * F.col("deg"))
+                .cast("decimal(38,0)")
+                .alias("s")
+            )
         )
         araw = (
-            inc.join(hubs, "user_id")
+            inc.join(F.broadcast(hubs), "user_id")
             .groupBy("event_type")
             .agg(F.sum("hub").cast("decimal(38,0)").alias("ar"))
-            .localCheckpoint(eager=False)
         )
-        atot = araw.agg(F.sum("ar").cast("decimal(38,0)").alias("s"))
-        auth = araw.crossJoin(F.broadcast(atot)).select(
+        auth = araw.crossJoin(atot).select(
             "event_type",
             F.expr(f"CAST((ar * {HITS_SCALE}) DIV s AS BIGINT)").alias("auth"),
-        )
-    peruser = inc.groupBy("event_type").agg(
-        bigint(F.count(F.lit(1))).alias("n_users")
-    )
+        ).localCheckpoint(eager=False)
     hubmax = hubs.agg(bigint(F.max("hub")).alias("max_hub_nano"))
     return (
         auth.join(F.broadcast(peruser), "event_type")

@@ -43,22 +43,23 @@ SPAN_N = 8  # words per span fingerprint
 
 
 def _word_ngrams(docs: DataFrame, n: int, distinct: bool) -> DataFrame:
-    """(doc_id, s) word n-grams via posexplode + window leads (same
-    codegen-friendly shape as dedup._shingles, generalized to n)."""
-    from pyspark.sql import Window
-
-    w = widen(docs).select("doc_id", F.posexplode(F.split("text", " ")).alias("p", "w"))
-    win = Window.partitionBy("doc_id").orderBy("p")
-    leads = [F.lead("w", k).over(win) for k in range(1, n)]
-    g = (
-        w.select(
-            "doc_id",
-            F.concat_ws(" ", F.col("w"), *leads).alias("s"),
-            leads[-1].alias("_last"),
-        )
-        .filter(F.col("_last").isNotNull())
-        .drop("_last")
+    """(doc_id, s) word n-grams generated MAP-SIDE (round 12): a
+    transform over the split array's index range replaces the old
+    posexplode + (n-1) per-doc lead() windows, so the token stream is
+    never shuffled or sorted at all — the n-gram stream feeds its
+    consumer's aggregation straight off the scan. Same (doc_id, s)
+    set: position i in [0, len-n] yields words i..i+n-1, exactly the
+    rows the old _last-not-null filter kept. The WHEN guard matters:
+    sequence(0, negative) would count DOWN, so short docs emit an
+    empty array instead."""
+    base = widen(docs).select("doc_id", F.split("text", " ").alias("_ws"))
+    idx = F.when(
+        F.size("_ws") >= n, F.sequence(F.lit(0), F.size("_ws") - n)
+    ).otherwise(F.expr("CAST(array() AS array<int>)"))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at("_ws", i + k + 1) for k in range(n)]
     )
+    g = base.select("doc_id", F.explode(F.transform(idx, gram)).alias("s"))
     return g.dropDuplicates(["doc_id", "s"]) if distinct else g
 
 
@@ -95,9 +96,15 @@ ORDER BY doc_id
 )
 def dedup_dupspan_ngrams(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
-    g = _word_ngrams(d, SPAN_N, distinct=True).select(
-        "doc_id", F.md5("s").alias("gh")
-    )
+    # xxhash64 instead of md5-hex (round 12): the fingerprint is
+    # internal (only per-doc counts are output), so only its EQUALITY
+    # CLASSES matter — identical barring a 64-bit collision (the
+    # _raw_shingle_index precedent). 8-byte keys ride the distinct and
+    # the frequency join instead of 32-char hex strings, and the
+    # per-doc dedup now happens on the narrow key too.
+    g = _word_ngrams(d, SPAN_N, distinct=False).select(
+        "doc_id", F.xxhash64("s").alias("gh")
+    ).dropDuplicates(["doc_id", "gh"])
     # Distinct per doc already, so COUNT(*) per gram == document frequency.
     freq = g.groupBy("gh").agg(F.count(F.lit(1)).alias("nd"))
     return (
