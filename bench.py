@@ -192,6 +192,7 @@ def main() -> None:
 
     def _time_one(name: str, sf: str = SF_DIR):
         h0, b0 = CACHE_STATS["hits"], CACHE_STATS["builds"]
+        s0 = CACHE_STATS["build_sec"]
         start = time.perf_counter()
         df = registry[name].builder(spark, sf)
         _materialize(df)
@@ -202,6 +203,10 @@ def main() -> None:
             if (dh or db)
             else None
         )
+        if usage and db:
+            # how much of this query's figure was the family's shared
+            # one-time build (charged to the first consumer in order)
+            usage["build_sec"] = round(CACHE_STATS["build_sec"] - s0, 3)
         return elapsed, usage
 
     timings: dict[str, float] = {}
@@ -365,6 +370,40 @@ def main() -> None:
                 "residual_ratio": round(resid / baseline[name], 2),
             }
 
+    # Streaming-family floor decomposition (round-12, per the r11
+    # verdict's "floor note" ask): stream_*/bus_* queries are no-retime
+    # (their builders memoize side effects), so a host scheduler stall
+    # locks into their recorded figure with no disclosed second timing.
+    # To let a reader separate stall noise from real machinery cost,
+    # time the SAME builder at sf0.001 (warm, min of 2) AFTER the timed
+    # section: there the data term vanishes and the figure is the
+    # per-query micro-batch machinery floor (trigger setup, checkpoint
+    # I/O, per-batch planning). This runs post-timing and touches only
+    # the sf0.001 fixture caches, so recorded figures are unaffected.
+    stream_floor: dict[str, dict[str, float]] = {}
+    stream_weak = sorted(
+        (
+            n
+            for n, v in timings.items()
+            if v >= 2.0
+            and n.startswith(("stream_", "bus_"))
+            and n not in _RETIME_OK
+        ),
+        key=lambda n: -timings[n],
+    )[:20]
+    if stream_weak and os.path.isdir(floor_sf) and floor_sf != SF_DIR.rstrip("/"):
+        for name in stream_weak:
+            try:
+                f1, _ = _time_one(name, floor_sf)
+                f2, _ = _time_one(name, floor_sf)
+            except Exception:  # noqa: BLE001 — skip, keep the raw figure
+                continue
+            floor = min(f1, f2)
+            stream_floor[name] = {
+                "floor_sec_sf0001": floor,
+                "data_residual_sec": round(max(0.0, timings[name] - floor), 3),
+            }
+
     # Full per-query timings go to a sidecar file; stdout stays one COMPACT
     # line so the driver's tail capture never truncates it mid-JSON.
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
@@ -397,6 +436,10 @@ def main() -> None:
                 # per-query scheduling-floor decomposition for queries
                 # still >2x a >=0.5s oracle (see comment above)
                 "floor_decomposition": floor_decomp,
+                # micro-batch machinery floor for the slowest no-retime
+                # streaming/bus queries (sf0.001, warm, min of 2):
+                # data_residual ~ stall noise + data cost at sf0.1
+                "stream_floor_decomposition": stream_floor,
             },
             fh,
             indent=1,

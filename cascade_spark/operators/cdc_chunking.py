@@ -111,6 +111,8 @@ def dedup_cdc_chunks(spark, sf_dir):
             acc -> IF(acc.has, array_append(acc.done, acc.cur), acc.done))
         """
     )
+    # referenced twice (the dup aggregate + the join probe): evaluate
+    # the interpreted chunking fold once
     chunks = d.select(
         "doc_id", "source", F.explode(chunk_arr).alias("chunk")
     ).select(
@@ -118,7 +120,7 @@ def dedup_cdc_chunks(spark, sf_dir):
         "source",
         F.md5(F.col("chunk")).alias("chash"),
         F.size(F.split(F.col("chunk"), " ")).cast("long").alias("n_words"),
-    )
+    ).localCheckpoint(eager=False)
     dup = chunks.groupBy("chash").agg(
         F.countDistinct("doc_id").cast("long").alias("n_docs")
     )

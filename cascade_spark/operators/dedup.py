@@ -21,6 +21,8 @@ Scale design (100 TB corpora):
 
 from __future__ import annotations
 
+import time as _time
+
 from pyspark.sql import DataFrame, functions as F
 
 from cascade_spark.plans.registry import register
@@ -260,7 +262,7 @@ def _shingle_overlap_pairs(spark, sf_dir) -> DataFrame:
 # machine-readable amortized-timing flag in BENCH_DETAIL.json: a query
 # whose timing rode a cache hit is an order-dependent amortized figure;
 # one that triggered a build paid the shared cost for its whole family.
-CACHE_STATS = {"hits": 0, "builds": 0}
+CACHE_STATS = {"hits": 0, "builds": 0, "build_sec": 0.0}
 
 
 # Right-sizing target for shared persisted frames: a cached frame is
@@ -314,6 +316,7 @@ def _cached_frame(cache: dict, spark, sf_dir, build) -> DataFrame:
         except Exception:
             pass  # session already gone — handle drop is the cleanup
     CACHE_STATS["builds"] += 1
+    t0 = _time.perf_counter()
     df = build().persist(StorageLevel.MEMORY_AND_DISK)
     n = df.count()  # materialize now; first family member paid this anyway
     parts = df.rdd.getNumPartitions()
@@ -322,6 +325,9 @@ def _cached_frame(cache: dict, spark, sf_dir, build) -> DataFrame:
         eager=True
     )
     df.unpersist()  # checkpoint blocks hold the data now
+    # build wall time accumulates so the bench can report, per first
+    # consumer, how much of its figure was the family's shared build
+    CACHE_STATS["build_sec"] += _time.perf_counter() - t0
     cache[key] = ckpt
     return ckpt
 

@@ -70,6 +70,9 @@ def _coactivity_edges(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n"))
             .filter(F.col("n") >= 2)
             .select("ua", "ub")
+            # referenced 3x below (both degree union sides + the hub
+            # anti-join's probe side): evaluate the groupBy once
+            .localCheckpoint(eager=False)
         )
         deg0 = (
             e0.select(F.col("ua").alias("u"))

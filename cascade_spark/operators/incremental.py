@@ -71,9 +71,11 @@ ORDER BY i.doc_id
 )
 def dedup_incremental(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
+    # incoming + corpus both derive from this projection: without a
+    # barrier each branch re-runs the full-text md5 scan
     fp = d.select(
         "doc_id", "source", F.md5(F.lower(F.trim("text"))).alias("fingerprint")
-    )
+    ).localCheckpoint(eager=False)
     incoming = fp.filter(F.col("source") == _INCOMING).select("doc_id", "fingerprint")
     corpus = fp.filter(F.col("source") != _INCOMING).select(
         F.col("doc_id").alias("c_doc"), F.col("fingerprint").alias("c_fp")
@@ -93,9 +95,11 @@ def dedup_incremental(spark, sf_dir):
         )
         for b in range(BANDS)
     ]
+    # both the incoming semi-join and the corpus anti-join sides read
+    # the band frame: evaluate the 4-band md5 explode once
     bands = sig.select("doc_id", F.explode(F.array(*band_rows)).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
-    )
+    ).localCheckpoint(eager=False)
     inc_ids = incoming.select("doc_id")
     inc_bands = bands.join(inc_ids, "doc_id")
     corp_bands = bands.join(inc_ids, "doc_id", "left_anti").select(

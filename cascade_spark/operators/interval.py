@@ -183,6 +183,12 @@ def _build_pairs(spark, sf_dir):
         .filter(F.col("n_active") <= OVERLAP_BUCKET_CAP)
         .drop("n_active")
     )
+    # both self-join sides read this frame: without a barrier each side
+    # re-runs the events scan -> sessionize windows -> hour explode ->
+    # bucket-count window chain (2x the build's heavy half). The lazy
+    # checkpoint materializes it once; the blocks are already hash-
+    # partitioned by bucket from the window exchange.
+    bucketed = bucketed.localCheckpoint(eager=False)
     a = bucketed.select(
         F.col("user_id").alias("user_a"),
         F.col("sidx").alias("sidx_a"),

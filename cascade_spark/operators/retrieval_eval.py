@@ -413,9 +413,11 @@ def dedup_overmerge_audit(spark, sf_dir):
             lambda acc, v: acc + v,
         )
 
+    # quantize + self-dot once: the a/b branches below would otherwise
+    # each re-run the 64-lane transform+fold over the embeddings table
     q = e.select("vec_id", _quant(F.col("embedding")).alias("qv")).select(
         "vec_id", "qv", _idot(F.col("qv"), F.col("qv")).alias("nq")
-    )
+    ).localCheckpoint(eager=False)
     a = q.select(F.col("vec_id").alias("v1"), F.col("qv").alias("qa"), F.col("nq").alias("na"))
     b = q.select(F.col("vec_id").alias("v2"), F.col("qv").alias("qb"), F.col("nq").alias("nb"))
     p = (
@@ -426,10 +428,14 @@ def dedup_overmerge_audit(spark, sf_dir):
     )
     t2 = SEMDEDUP_T_DEN * SEMDEDUP_T_DEN
     n2 = SEMDEDUP_T_NUM * SEMDEDUP_T_NUM
+    # one evaluation of the candidate join + per-pair dot product: the
+    # count() (cap check) materializes the checkpointed blocks and the
+    # collect()/distributed path below re-reads them instead of
+    # re-running the join
     pairs = p.filter(
         (F.col("qd") > 0)
         & (F.lit(t2) * F.col("qd") * F.col("qd") >= F.lit(n2) * F.col("na") * F.col("nb"))
-    ).select("v1", "v2")
+    ).select("v1", "v2").localCheckpoint(eager=False)
     n_direct = pairs.count()
     if n_direct <= LOCAL_CC_MAX_EDGES:
         rows = [(r[0], r[1]) for r in pairs.collect()]

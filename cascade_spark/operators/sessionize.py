@@ -164,6 +164,9 @@ def events_peak_concurrency(spark, sf_dir):
         )
         .groupBy("user_id", "sidx")
         .agg(F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts"))
+        # referenced 3x (both delta-point union sides + the session
+        # count): evaluate the sessionize windows once
+        .localCheckpoint(eager=False)
     )
     pts = sess.select(F.col("start_ts").alias("pt"), F.lit(1).alias("delta")).unionByName(
         sess.select(
@@ -176,7 +179,9 @@ def events_peak_concurrency(spark, sf_dir):
     # (+ the instant's own net) is the inclusive occupancy, no global window
     curve = assign_prefix_sum(net, ["pt"], "net").select(
         "pt", (F.col("prefix_sum") + F.col("net")).alias("conc")
-    )
+    # referenced twice (max-peak aggregate + the argmin probe): without
+    # a barrier the whole sweep re-runs per reference
+    ).localCheckpoint(eager=False)
     peak = curve.agg(F.max("conc").alias("peak"))
     n_sess = sess.agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
     return (

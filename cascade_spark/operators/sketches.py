@@ -104,7 +104,13 @@ ORDER BY doc_id
 )
 def pipeline_decontaminate_bloom(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
-    bench_sh = _shingles(d.filter(_bench_flag())).select("s").distinct()
+    # the K position sets + the exact-hit frame below each reference
+    # this frame: evaluate the bench-doc scan + shingle explode +
+    # distinct once instead of K+1 times
+    bench_sh = (
+        _shingles(d.filter(_bench_flag())).select("s").distinct()
+        .localCheckpoint(eager=False)
+    )
     # per-seed position sets: i is part of the key so a slot set by seed
     # j never satisfies seed i (a stricter-than-classic bloom that is
     # easier to replicate exactly; FP rate is lower, never higher)

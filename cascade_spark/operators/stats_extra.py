@@ -1229,6 +1229,8 @@ def stats_spearman_rho(spark, sf_dir):
     from cascade_spark.operators.ingest import assign_prefix_sum
 
     ev = t(spark, sf_dir, "events")
+    # referenced 3x (the pair join + both midrank aggregates): without a
+    # barrier each reference re-runs the events scan + user aggregate
     u = ev.groupBy("user_id").agg(
         F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
         .cast("long")
@@ -1239,7 +1241,7 @@ def stats_spearman_rho(spark, sf_dir):
         )
         .cast("long")
         .alias("y"),
-    )
+    ).localCheckpoint(eager=False)
 
     def midranks(col):
         c = u.groupBy(col).agg(F.count(F.lit(1)).cast("long").alias("c"))

@@ -331,6 +331,10 @@ def embedding_pca_power_iteration(spark, sf_dir):
             e.join(y, "vec_id")
             .groupBy("i")
             .agg(F.sum(F.col("a") * F.col("y")).cast("long").alias("z"))
+            # referenced twice per round (the max-norm aggregate + the
+            # renormalized v): without a barrier the plan doubles every
+            # round, re-running both matvec passes 2^k times
+            .localCheckpoint(eager=False)
         )
         m = z.agg(F.max(F.abs(F.col("z"))).alias("m"))
         v = z.crossJoin(F.broadcast(m)).select(
