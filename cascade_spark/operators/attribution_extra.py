@@ -128,12 +128,17 @@ ORDER BY c.channel
 )
 def events_attribution_time_decay(spark, sf_dir):
     j = _touch_join(spark, sf_dir)
+    # w is referenced twice (the per-purchase sum + the credit join) and
+    # sw twice (credit + the attributed count): without barriers each
+    # reference re-runs the purchase x touch join
     w = j.select(
         "event_id",
         "channel",
         F.expr(f"CAST({CREDIT} DIV (1 << gap_days) AS BIGINT)").alias("w"),
+    ).localCheckpoint(eager=False)
+    sw = w.groupBy("event_id").agg(bigint(F.sum("w")).alias("sw")).localCheckpoint(
+        eager=False
     )
-    sw = w.groupBy("event_id").agg(bigint(F.sum("w")).alias("sw"))
     credit = w.join(sw, "event_id").select(
         "channel",
         "w",

@@ -209,22 +209,12 @@ cell AS (
 
 def _grid(spark, sf_dir):
     """Zero-filled (event_type, day, v) grid — every group has exactly
-    n_days observations (same equal-n spine as stats_kruskal_wallis)."""
-    ev = t(spark, sf_dir, "events").select(
-        "event_type", F.to_date("ts").alias("day")
-    )
-    days = ev.select("day").distinct()
-    types = ev.select("event_type").distinct()
-    daily = ev.groupBy("event_type", "day").agg(
-        F.count(F.lit(1)).cast("long").alias("v")
-    )
-    return (
-        types.crossJoin(F.broadcast(days))
-        .join(daily, ["event_type", "day"], "left")
-        .select(
-            "event_type", "day", F.coalesce("v", F.lit(0)).cast("long").alias("v")
-        )
-    )
+    n_days observations (same equal-n spine as stats_kruskal_wallis).
+    A projection of the shared materialized indicator grid (the tt
+    column is dropped; values identical by construction)."""
+    from cascade_spark.operators.timeseries_indicators import _grid as _tt_grid
+
+    return _tt_grid(spark, sf_dir).select("event_type", "day", "v")
 
 
 @register(

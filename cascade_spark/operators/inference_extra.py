@@ -124,16 +124,28 @@ def _csum(cond) -> "F.Column":
     return bigint(F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0)))
 
 
+_XY_DAILY_CACHE: dict = {}
+
+
 def _xy_daily(spark, sf_dir):
-    ev = t(spark, sf_dir, "events")
-    return ev.groupBy(F.to_date("ts").alias("day")).agg(
-        bigint(F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))).alias(
-            "x"
-        ),
-        bigint(F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))).alias(
-            "y"
-        ),
-    )
+    """Shared per-(app, sf_dir) materialized (day, x, y) spine: 15
+    rank/correlation builders each re-ran the events scan + day
+    aggregate, and most self-join the spine (2+ references per query) —
+    without a barrier every reference re-ran the build (guide §2.4)."""
+    from cascade_spark.operators.dedup import _cached_frame
+
+    def build():
+        ev = t(spark, sf_dir, "events")
+        return ev.groupBy(F.to_date("ts").alias("day")).agg(
+            bigint(
+                F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            ).alias("x"),
+            bigint(
+                F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            ).alias("y"),
+        )
+
+    return _cached_frame(_XY_DAILY_CACHE, spark, sf_dir, build)
 
 
 # ---------------------------------------------------------------------------
@@ -359,19 +371,10 @@ ORDER BY grp.event_type
 """,
 )
 def stats_mood_median(spark, sf_dir):
+    from cascade_spark.operators.estimation import _grid
     from cascade_spark.operators.ingest import assign_prefix_sum
 
-    ev = t(spark, sf_dir, "events").select("event_type", F.to_date("ts").alias("day"))
-    days = ev.select("day").distinct()
-    types = ev.select("event_type").distinct()
-    daily = ev.groupBy("event_type", "day").agg(
-        F.count(F.lit(1)).cast("long").alias("v")
-    )
-    cell = (
-        types.crossJoin(F.broadcast(days))
-        .join(daily, ["event_type", "day"], "left")
-        .select("event_type", "day", F.coalesce("v", F.lit(0)).cast("long").alias("v"))
-    )
+    cell = _grid(spark, sf_dir)
     pv = cell.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("ct"))
     cum = assign_prefix_sum(pv, ["v"], "ct").select(
         "v", "ct", F.col("prefix_sum").alias("cb")
@@ -497,17 +500,11 @@ FROM scal, num
 """,
 )
 def stats_friedman(spark, sf_dir):
-    ev = t(spark, sf_dir, "events").select("event_type", F.to_date("ts").alias("day"))
-    days = ev.select("day").distinct()
-    types = ev.select("event_type").distinct()
-    daily = ev.groupBy("event_type", "day").agg(
-        F.count(F.lit(1)).cast("long").alias("v")
-    )
-    cell = (
-        types.crossJoin(F.broadcast(days))
-        .join(daily, ["event_type", "day"], "left")
-        .select("event_type", "day", F.coalesce("v", F.lit(0)).cast("long").alias("v"))
-    )
+    from cascade_spark.operators.estimation import _grid
+
+    cell = _grid(spark, sf_dir)
+    days = cell.select("day").distinct()
+    types = cell.select("event_type").distinct()
     ranked = cell.select(
         "event_type",
         "day",
@@ -518,7 +515,9 @@ def stats_friedman(spark, sf_dir):
         )
         .cast("long")
         .alias("s"),
-    )
+    # referenced twice (per-type rank sums + the ss scalar): evaluate
+    # the per-day rank windows once
+    ).localCheckpoint(eager=False)
     rsum = ranked.groupBy("event_type").agg(F.sum("s").cast("long").alias("r2"))
     scal = ranked.agg(
         F.sum(F.col("s") * F.col("s")).cast("long").alias("ss")
@@ -757,21 +756,14 @@ ORDER BY a.event_type
 """,
 )
 def stats_durbin_watson(spark, sf_dir):
-    ev = t(spark, sf_dir, "events").select("event_type", F.to_date("ts").alias("day"))
-    days = ev.select("day").distinct()
-    types = ev.select("event_type").distinct()
-    daily = ev.groupBy("event_type", "day").agg(
-        F.count(F.lit(1)).cast("long").alias("v")
-    )
-    cell = (
-        types.crossJoin(F.broadcast(days))
-        .join(daily, ["event_type", "day"], "left")
-        .select("event_type", "day", F.coalesce("v", F.lit(0)).cast("long").alias("v"))
-    )
+    from cascade_spark.operators.estimation import _grid
+
+    cell = _grid(spark, sf_dir)
+    # referenced twice (residual attach + the final join)
     st = cell.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("v").cast("long").alias("s"),
-    )
+    ).localCheckpoint(eager=False)
     resid = cell.join(F.broadcast(st), "event_type").select(
         "event_type", "day", (F.col("n") * F.col("v") - F.col("s")).alias("e")
     )
@@ -980,17 +972,10 @@ ORDER BY r.p_rank, r.ta, r.tb
 """,
 )
 def stats_bh_fdr(spark, sf_dir):
-    ev = t(spark, sf_dir, "events").select("event_type", F.to_date("ts").alias("day"))
-    days = ev.select("day").distinct()
-    types = ev.select("event_type").distinct()
-    daily = ev.groupBy("event_type", "day").agg(
-        F.count(F.lit(1)).cast("long").alias("v")
-    )
-    cell = (
-        types.crossJoin(F.broadcast(days))
-        .join(daily, ["event_type", "day"], "left")
-        .select("event_type", "day", F.coalesce("v", F.lit(0)).cast("long").alias("v"))
-    )
+    from cascade_spark.operators.estimation import _grid
+
+    cell = _grid(spark, sf_dir)
+    types = cell.select("event_type").distinct()
     pairs = (
         types.alias("a")
         .join(types.alias("b"), F.col("a.event_type") < F.col("b.event_type"))
@@ -1041,7 +1026,9 @@ def stats_bh_fdr(spark, sf_dir):
         .over(Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
         .cast("long")
         .alias("m_tests"),
-    )
+    # referenced twice (the k* aggregate + the final projection):
+    # evaluate the pair scoring chain once
+    ).localCheckpoint(eager=False)
     kstar = ranked.agg(
         F.coalesce(
             F.max(
@@ -1353,17 +1340,9 @@ FROM scal
 """,
 )
 def stats_icc_oneway(spark, sf_dir):
-    ev = t(spark, sf_dir, "events").select("event_type", F.to_date("ts").alias("day"))
-    days = ev.select("day").distinct()
-    types = ev.select("event_type").distinct()
-    daily = ev.groupBy("event_type", "day").agg(
-        F.count(F.lit(1)).cast("long").alias("v")
-    )
-    cell = (
-        types.crossJoin(F.broadcast(days))
-        .join(daily, ["event_type", "day"], "left")
-        .select("event_type", F.coalesce("v", F.lit(0)).cast("long").alias("v"))
-    )
+    from cascade_spark.operators.estimation import _grid
+
+    cell = _grid(spark, sf_dir).select("event_type", "v")
     grp = cell.groupBy("event_type").agg(
         bigint(F.count(F.lit(1))).alias("n_g"),
         bigint(F.sum("v")).alias("s_g"),
@@ -1818,17 +1797,9 @@ FROM agg ORDER BY event_type
 """,
 )
 def stats_poisson_dispersion(spark, sf_dir):
-    ev = t(spark, sf_dir, "events").select("event_type", F.to_date("ts").alias("day"))
-    days = ev.select("day").distinct()
-    types = ev.select("event_type").distinct()
-    daily = ev.groupBy("event_type", "day").agg(
-        F.count(F.lit(1)).cast("long").alias("v")
-    )
-    cell = (
-        types.crossJoin(F.broadcast(days))
-        .join(daily, ["event_type", "day"], "left")
-        .select("event_type", F.coalesce("v", F.lit(0)).cast("long").alias("v"))
-    )
+    from cascade_spark.operators.estimation import _grid
+
+    cell = _grid(spark, sf_dir).select("event_type", "v")
     agg = cell.groupBy("event_type").agg(
         bigint(F.count(F.lit(1))).alias("n"),
         bigint(F.sum("v")).alias("s"),

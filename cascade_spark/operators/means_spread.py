@@ -92,23 +92,12 @@ FROM tot, dd
 """,
 )
 def stats_levene_mean(spark, sf_dir):
+    from cascade_spark.operators.estimation import _grid
+
     dec38 = "decimal(38,0)"
-    ev = t(spark, sf_dir, "events").select(
-        "event_type", F.to_date("ts").alias("day")
-    )
-    days = ev.select("day").distinct()
-    types = ev.select("event_type").distinct()
-    daily = ev.groupBy("event_type", "day").agg(
-        F.count(F.lit(1)).cast("long").alias("v")
-    )
-    cell = (
-        types.crossJoin(F.broadcast(days))
-        .join(daily, ["event_type", "day"], "left")
-        .select(
-            "event_type", F.coalesce("v", F.lit(0)).cast("long").alias("v")
-        )
-    )
-    dd = days.agg(F.count(F.lit(1)).cast("long").alias("d"))
+    g = _grid(spark, sf_dir)
+    cell = g.select("event_type", "v")
+    dd = g.select("day").distinct().agg(F.count(F.lit(1)).cast("long").alias("d"))
     gsum = cell.groupBy("event_type").agg(
         F.sum("v").cast("long").alias("sv")
     )

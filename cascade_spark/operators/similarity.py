@@ -249,10 +249,17 @@ def similarity_ivf_kmeans(spark, sf_dir):
         return t(spark, sf_dir, "embeddings").select("vec_id").limit(0)
 
     e = t(spark, sf_dir, "embeddings")
-    vecs = e.select("vec_id", "embedding", array_to_vector("embedding").alias("features"))
+    # the KMeans fit iterates over this frame and the transform reads it
+    # again: materialize the array->vector conversion once
+    vecs = e.select(
+        "vec_id", "embedding", array_to_vector("embedding").alias("features")
+    ).localCheckpoint(eager=False)
     km = KMeans(k=8, seed=42, maxIter=10, featuresCol="features", predictionCol="cell")
     model = km.fit(vecs)
-    assigned = model.transform(vecs).select("vec_id", "embedding", "cell")
+    # referenced twice (query-cell lookup + candidate filter)
+    assigned = model.transform(vecs).select(
+        "vec_id", "embedding", "cell"
+    ).localCheckpoint(eager=False)
     qcell = (
         assigned.filter(F.col("vec_id") == QUERY_VEC_ID)
         .select(F.col("cell").alias("qcell"))

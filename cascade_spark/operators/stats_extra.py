@@ -1827,23 +1827,11 @@ FROM scal
 """,
 )
 def stats_kruskal_wallis(spark, sf_dir):
+    from cascade_spark.operators.estimation import _grid
     from cascade_spark.operators.ingest import assign_prefix_sum
 
-    ev = t(spark, sf_dir, "events").select(
-        "event_type", F.to_date("ts").alias("day")
-    )
-    days = ev.select("day").distinct()
-    types = ev.select("event_type").distinct()
-    daily = ev.groupBy("event_type", "day").agg(
-        F.count(F.lit(1)).cast("long").alias("v")
-    )
-    cell = (
-        types.crossJoin(F.broadcast(days))
-        .join(daily, ["event_type", "day"], "left")
-        .select(
-            "event_type", "day", F.coalesce("v", F.lit(0)).cast("long").alias("v")
-        )
-    )
+    cell = _grid(spark, sf_dir)
+    days = cell.select("day").distinct()
     pv = cell.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("ct"))
     cum = assign_prefix_sum(pv, ["v"], "ct").select(
         "v", "ct", F.col("prefix_sum").alias("cb")
@@ -1962,20 +1950,11 @@ FROM tot, dd
 def stats_brown_forsythe(spark, sf_dir):
     from pyspark.sql import Window
 
-    ev = t(spark, sf_dir, "events").select(
-        "event_type", F.to_date("ts").alias("day")
-    )
-    days = ev.select("day").distinct()
-    types = ev.select("event_type").distinct()
-    daily = ev.groupBy("event_type", "day").agg(
-        F.count(F.lit(1)).cast("long").alias("v")
-    )
-    cell = (
-        types.crossJoin(F.broadcast(days))
-        .join(daily, ["event_type", "day"], "left")
-        .select("event_type", F.coalesce("v", F.lit(0)).cast("long").alias("v"))
-    )
-    dd = days.agg(F.count(F.lit(1)).cast("long").alias("d"))
+    from cascade_spark.operators.estimation import _grid
+
+    g = _grid(spark, sf_dir)
+    cell = g.select("event_type", "v")
+    dd = g.select("day").distinct().agg(F.count(F.lit(1)).cast("long").alias("d"))
     w = Window.partitionBy("event_type").orderBy("v")
     rn = cell.select("event_type", "v", F.row_number().over(w).alias("rk"))
     lo = F.expr("(d + 1) DIV 2")

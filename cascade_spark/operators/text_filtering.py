@@ -210,7 +210,9 @@ def _bigram_doc_scores(spark, sf_dir):
         ).select("doc_id", "bg.w1", "bg.w2")
         gd = g.groupBy("doc_id", "w1", "w2").agg(
             F.count(F.lit(1)).cast("long").alias("k")
-        )
+        # referenced twice (the corpus count table + the join side):
+        # evaluate the bigram explode + per-doc aggregate once
+        ).localCheckpoint(eager=False)
         c = gd.groupBy("w1", "w2").agg(F.sum("k").cast("long").alias("cnt"))
         return (
             gd.join(c, ["w1", "w2"])

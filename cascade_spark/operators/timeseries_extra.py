@@ -78,30 +78,11 @@ ORDER BY event_type
 """,
 )
 def events_holt_linear_forecast(spark, sf_dir):
-    from pyspark.sql import Window
+    from cascade_spark.operators.timeseries_indicators import _grid
 
-    ev = t(spark, sf_dir, "events").select("event_type", F.to_date("ts").alias("day"))
-    days = ev.select("day").distinct()
-    types = ev.select("event_type").distinct()
-    daily = ev.groupBy("event_type", "day").agg(
-        F.count(F.lit(1)).cast("long").alias("v")
-    )
-    cellx = (
-        types.crossJoin(F.broadcast(days))
-        .join(daily, ["event_type", "day"], "left")
-        .select(
-            "event_type",
-            (
-                F.row_number().over(
-                    Window.partitionBy("event_type").orderBy("day")
-                )
-                - 1
-            )
-            .cast("long")
-            .alias("tt"),
-            F.coalesce("v", F.lit(0)).cast("long").alias("x"),
-        )
-    )
+    # the shared materialized grid already carries the per-type day
+    # index tt (identical row_number definition)
+    cellx = _grid(spark, sf_dir).select("event_type", "tt", F.col("v").alias("x"))
     series = cellx.groupBy("event_type").agg(
         F.array_sort(F.collect_list(F.struct("tt", "x"))).alias("arr")
     )
@@ -189,23 +170,13 @@ ORDER BY a.event_type
 """,
 )
 def events_seasonality_strength(spark, sf_dir):
-    from pyspark.sql import Window
+    from cascade_spark.operators.estimation import _grid
 
-    ev = t(spark, sf_dir, "events").select("event_type", F.to_date("ts").alias("day"))
-    days = ev.select("day").distinct()
-    types = ev.select("event_type").distinct()
-    daily = ev.groupBy("event_type", "day").agg(
-        F.count(F.lit(1)).cast("long").alias("v")
-    )
-    cell = (
-        types.crossJoin(F.broadcast(days))
-        .join(daily, ["event_type", "day"], "left")
-        .select(
-            "event_type",
-            "day",
-            F.dayofweek(F.date_sub(F.col("day"), 1)).cast("long").alias("dow"),
-            F.coalesce("v", F.lit(0)).cast("long").alias("v"),
-        )
+    cell = _grid(spark, sf_dir).select(
+        "event_type",
+        "day",
+        F.dayofweek(F.date_sub(F.col("day"), 1)).cast("long").alias("dow"),
+        "v",
     )
     grp = cell.groupBy("event_type", "dow").agg(
         F.count(F.lit(1)).cast("long").alias("n_g"),
@@ -325,14 +296,17 @@ FROM pre, post
 )
 def events_intervention_its(spark, sf_dir):
     ev = t(spark, sf_dir, "events")
-    span = ev.agg(
-        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    # one events pass: the span derives from the daily aggregate (every
+    # event day is present there, so MIN/MAX(day) == MIN/MAX(ts::date))
+    # and the checkpointed |days|-row frame feeds both span and seg
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        bigint(F.count(F.lit(1))).alias("y")
+    ).localCheckpoint(eager=False)
+    span = daily.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
     ).select(
         "d0",
         F.expr("date_add(d0, CAST(datediff(d1, d0) DIV 2 AS INT))").alias("m"),
-    )
-    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
-        bigint(F.count(F.lit(1))).alias("y")
     )
     seg = daily.crossJoin(F.broadcast(span)).select(
         F.when(F.col("day") <= F.col("m"), 0).otherwise(1).alias("post"),
@@ -358,7 +332,8 @@ def events_intervention_its(spark, sf_dir):
         (F.col("n") * F.col("stt") - F.col("st") * F.col("st")).alias("den"),
         "sy",
         "st",
-    )
+    # referenced twice (pre/post filters): evaluate the fit chain once
+    ).localCheckpoint(eager=False)
     pre = co.filter("post = 0").select(
         F.col("n").alias("n_pre"),
         F.col("num").alias("num0"),

@@ -61,28 +61,44 @@ cell AS (
 """
 
 
+_GRID_CACHE: dict = {}
+
+
 def _grid(spark, sf_dir):
-    ev = t(spark, sf_dir, "events").select("event_type", F.to_date("ts").alias("day"))
-    days = ev.select("day").distinct()
-    types = ev.select("event_type").distinct()
-    daily = ev.groupBy("event_type", "day").agg(
-        F.count(F.lit(1)).cast("long").alias("v")
-    )
-    return (
-        types.crossJoin(F.broadcast(days))
-        .join(daily, ["event_type", "day"], "left")
-        .select(
-            "event_type",
-            "day",
-            (
-                F.row_number().over(Window.partitionBy("event_type").orderBy("day"))
-                - 1
-            )
-            .cast("long")
-            .alias("tt"),
-            F.coalesce("v", F.lit(0)).cast("long").alias("v"),
+    """Shared per-(app, sf_dir) materialized grid: ~16 indicator/
+    momentum/burst/ordinal queries each rebuilt this spine (3 events
+    scans + a window), and most reference it 2-3x per query — without a
+    barrier every reference re-ran the whole build (guide §2.4)."""
+    from cascade_spark.operators.dedup import _cached_frame
+
+    def build():
+        ev = t(spark, sf_dir, "events").select(
+            "event_type", F.to_date("ts").alias("day")
         )
-    )
+        days = ev.select("day").distinct()
+        types = ev.select("event_type").distinct()
+        daily = ev.groupBy("event_type", "day").agg(
+            F.count(F.lit(1)).cast("long").alias("v")
+        )
+        return (
+            types.crossJoin(F.broadcast(days))
+            .join(daily, ["event_type", "day"], "left")
+            .select(
+                "event_type",
+                "day",
+                (
+                    F.row_number().over(
+                        Window.partitionBy("event_type").orderBy("day")
+                    )
+                    - 1
+                )
+                .cast("long")
+                .alias("tt"),
+                F.coalesce("v", F.lit(0)).cast("long").alias("v"),
+            )
+        )
+
+    return _cached_frame(_GRID_CACHE, spark, sf_dir, build)
 
 
 def _series_arr(grid):

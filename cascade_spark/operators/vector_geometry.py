@@ -402,7 +402,11 @@ FROM ratio
 )
 def embedding_random_projection_jl(spark, sf_dir):
     elems = _elems(spark, sf_dir)
-    sample = elems.filter(F.col("vec_id") < JL_SAMPLE_IDS)
+    # referenced 3x (the projection + both original-distance join
+    # sides): evaluate the bounded-sample explode once
+    sample = elems.filter(F.col("vec_id") < JL_SAMPLE_IDS).localCheckpoint(
+        eager=False
+    )
     dims = elems.select("pos").distinct()
     outs = t(spark, sf_dir, "embeddings").sparkSession.range(
         JL_OUT_DIMS
@@ -439,6 +443,8 @@ def embedding_random_projection_jl(spark, sf_dir):
         sample.join(F.broadcast(signs), "pos")
         .groupBy("vec_id", "j")
         .agg(bigint(F.sum(F.col("s") * F.col("xq"))).alias("p"))
+        # both projected-distance join sides read this aggregate
+        .localCheckpoint(eager=False)
     )
     a = proj.select(
         F.col("vec_id").alias("v1"), "j", F.col("p").alias("pa")
