@@ -91,25 +91,37 @@ FROM terms
 )
 def text_bigram_perplexity(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
-    w = d.select(
-        "doc_id", F.posexplode(F.split("text", " ", -1)).alias("p", "w1")
-    )
-    win_doc = Window.partitionBy("doc_id").orderBy("p")
-    tok = (
-        w.select("doc_id", "w1", F.lead("w1", 1).over(win_doc).alias("w2"))
-        .filter(
-            F.col("w2").isNotNull() & (F.col("w1") != "") & (F.col("w2") != "")
-        )
+    # bigrams generated MAP-SIDE (zip_with over two array slices — the
+    # _bigram_doc_scores / _word_ngrams precedent): same consecutive
+    # (w1, w2) multiset as the old posexplode + per-doc lead() window,
+    # with no shuffle of the token stream; the lazy checkpoint stops the
+    # train/eval/vocab branches from re-running the explode (the old
+    # plan evaluated the window chain 4x)
+    ws = F.split("text", " ", -1)
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(ws, F.lit(1), F.size(ws) - 1),
+                F.slice(ws, F.lit(2), F.size(ws) - 1),
+                lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2").filter(
+        (F.col("w1") != "") & (F.col("w2") != "")
     )
     train = tok.filter(F.col("doc_id") % 2 == 0)
     eval_ = tok.filter(F.col("doc_id") % 2 == 1)
     train_bg = train.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("long").alias("c")
-    )
+    # referenced 3x (context sums, vocab, the eval join) — and the
+    # distinct-pair frame is a far smaller vocab input than the
+    # occurrence stream (identical w1-union-w2 domain)
+    ).localCheckpoint(eager=False)
     ctx = train_bg.groupBy("w1").agg(F.sum("c").cast("long").alias("ctx"))
     vocab = (
-        train.select(F.col("w1").alias("x"))
-        .unionByName(train.select(F.col("w2").alias("x")))
+        train_bg.select(F.col("w1").alias("x"))
+        .unionByName(train_bg.select(F.col("w2").alias("x")))
         .distinct()
         .agg(bigint(F.count(F.lit(1))).alias("v"))
     )

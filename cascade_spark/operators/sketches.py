@@ -184,7 +184,16 @@ def profile_cms_heavy_hitters(spark, sf_dir):
     tok = widen(t(spark, sf_dir, "documents")).select(
         F.explode(F.split("text", " ")).alias("w")
     )
-    trip = tok.select(
+    # one explode pass: occurrences pre-aggregate to word counts; the
+    # sketch then hashes each DISTINCT word CMS_D times weighted by its
+    # count (identical (d, pos) cell totals), and the exact top-K reads
+    # the same frame — the old plan exploded documents twice and re-ran
+    # the occurrence-level hash explode once per sketch depth
+    wcnt = tok.groupBy("w").agg(
+        bigint(F.count(F.lit(1))).alias("exact_count")
+    ).localCheckpoint(eager=False)
+    trip = wcnt.select(
+        "exact_count",
         F.explode(
             F.array(
                 *[
@@ -195,16 +204,14 @@ def profile_cms_heavy_hitters(spark, sf_dir):
                     for i in range(CMS_D)
                 ]
             )
-        ).alias("e")
-    ).select("e.d", "e.pos")
-    sketch = trip.groupBy("d", "pos").agg(bigint(F.count(F.lit(1))).alias("c"))
+        ).alias("e"),
+    ).select("e.d", "e.pos", "exact_count")
+    sketch = trip.groupBy("d", "pos").agg(
+        bigint(F.sum("exact_count")).alias("c")
+    # referenced once per sketch depth below
+    ).localCheckpoint(eager=False)
 
-    exact = (
-        tok.groupBy("w")
-        .agg(bigint(F.count(F.lit(1))).alias("exact_count"))
-        .orderBy(F.desc("exact_count"), "w")
-        .limit(CMS_TOPK)
-    )
+    exact = wcnt.orderBy(F.desc("exact_count"), "w").limit(CMS_TOPK)
     est = exact
     for i in range(CMS_D):
         si = sketch.filter(F.col("d") == i).select(

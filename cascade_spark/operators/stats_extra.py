@@ -2315,7 +2315,9 @@ def events_feature_drift_psi(spark, sf_dir):
         (1 + F.sum(F.when(F.col("half") == 1, 1).otherwise(0)))
         .cast("long")
         .alias("n_cur"),
-    )
+    # referenced twice (the totals + the final projection): evaluate
+    # the bucket rollup once
+    ).localCheckpoint(eager=False)
     tot = cnt.agg(
         F.sum("n_ref").cast("long").alias("t_ref"),
         F.sum("n_cur").cast("long").alias("t_cur"),

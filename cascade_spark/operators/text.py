@@ -1062,7 +1062,11 @@ def text_pmi_collocations(spark, sf_dir):
     from pyspark.sql import Window
 
     d = t(spark, sf_dir, "documents")
-    dw = d.select("doc_id", F.explode(F.split("text", " ")).alias("w")).distinct()
+    # referenced 4x (the doc count action + word counts + both pair-join
+    # sides): evaluate the explode + distinct once
+    dw = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).distinct().localCheckpoint(eager=False)
     n = dw.select("doc_id").distinct().count()
     wc = dw.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
     a = dw.select(F.col("doc_id"), F.col("w").alias("w1"))

@@ -162,15 +162,28 @@ ORDER BY source
 def text_js_divergence_sources(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     w = d.select("source", F.explode(F.split("text", " ")).alias("w"))
-    cw = w.groupBy("w").agg(bigint(F.count(F.lit(1))).alias("c"))
+    # one explode pass: occurrences pre-aggregate to (source, word)
+    # counts; the global count table and the bucket rollup both derive
+    # from the checkpointed word-level frame (the old plan re-ran the
+    # explode for the top-K table and the bucketing separately)
+    csw = w.groupBy("source", "w").agg(
+        bigint(F.count(F.lit(1))).alias("cw")
+    ).localCheckpoint(eager=False)
+    cw = csw.groupBy("w").agg(bigint(F.sum("cw")).alias("c"))
     top = cw.orderBy(F.col("c").desc(), "w").limit(JSD_TOP_WORDS).select("w")
-    bucketed = w.join(F.broadcast(top.withColumn("_t", F.lit(1))), "w", "left").select(
+    bucketed = csw.join(
+        F.broadcast(top.withColumn("_t", F.lit(1))), "w", "left"
+    ).select(
         "source",
         F.when(F.col("_t").isNotNull(), F.col("w"))
         .otherwise(F.lit("__OTHER__"))
         .alias("bkt"),
+        "cw",
     )
-    sc = bucketed.groupBy("source", "bkt").agg(bigint(F.count(F.lit(1))).alias("c"))
+    sc = bucketed.groupBy("source", "bkt").agg(
+        bigint(F.sum("cw")).alias("c")
+    # referenced 3x (per-source totals, global totals, the spine join)
+    ).localCheckpoint(eager=False)
     st = sc.groupBy("source").agg(bigint(F.sum("c")).alias("ns"))
     gc = sc.groupBy("bkt").agg(bigint(F.sum("c")).alias("cg"))
     gt = gc.agg(bigint(F.sum("cg")).alias("ng"))

@@ -891,3 +891,31 @@ def test_quantized_dot_single_copy(spark, sf_dir):
             .toString()
         )
         assert plan.count("zip_with") <= cap, (name, plan.count("zip_with"))
+
+
+def test_daily_grid_is_shared_and_materialized(spark, sf_dir):
+    """Round-12: the zero-filled (type x day) grid and the (day, x, y)
+    click/view spine are per-(app, sf_dir) materialized shared frames.
+    Consumers must read the checkpointed blocks (plan shows ExistingRDD,
+    zero events parquet scans) instead of re-running the 3-scan grid
+    build per query — events_aroon's pre-change plan held 28 parquet
+    scans, stats_bh_fdr's 32."""
+    from cascade_spark.operators.inference_extra import _xy_daily
+    from cascade_spark.operators.timeseries_indicators import _grid
+    from cascade_spark.plans.registry import load_all
+
+    # cache identity: second call returns the same handle, no rebuild
+    g1, g2 = _grid(spark, sf_dir), _grid(spark, sf_dir)
+    assert g1 is g2
+    x1, x2 = _xy_daily(spark, sf_dir), _xy_daily(spark, sf_dir)
+    assert x1 is x2
+
+    reg = load_all()
+    for name in ("events_aroon", "stats_bh_fdr", "stats_kruskal_wallis",
+                 "stats_kendall_tau_b", "events_holt_linear_forecast"):
+        plan = (
+            reg[name].builder(spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "events.parquet" not in plan, (name, "grid rebuilt from events")
+        assert "ExistingRDD" in plan, (name, "shared frame not checkpointed")
