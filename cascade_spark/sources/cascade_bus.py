@@ -695,9 +695,6 @@ def bus_source_offset_seek(spark, sf_dir):
     ).orderBy("offset")
 
 
-_SINK_CACHE: dict = {}
-
-
 @register(
     "bus_sink_batch_write",
     "sources",
@@ -727,30 +724,32 @@ def bus_sink_batch_write(spark, sf_dir):
     from cascade_spark.tables import load
 
     register_bus(spark)
-    key = ("batch_sink", sf_dir)
-    if key not in _SINK_CACHE:
-        target = os.path.join(tempfile.mkdtemp(prefix="cascade_bus_sink_"), "events")
-        ev = load(spark, sf_dir, "events").select(
-            F.pmod(F.col("event_id"), F.lit(4)).cast("int").alias("partition"),
-            "event_id",
-            F.unix_micros("ts").alias("ts_us"),
-            "user_id",
-            "event_type",
-            "value",
-        )
-        (
-            ev.repartition(4, "partition")
-            .sortWithinPartitions("event_id")
-            .write.format("cascade_bus")
-            .option("path", target)
-            .option("numPartitions", "4")
-            .mode("append")
-            .save()
-        )
-        _SINK_CACHE[key] = target
+    # fresh target per invocation: the sink WRITE is the declared
+    # operator, so every call must repeat it — this keeps the builder
+    # side-effect-free w.r.t. re-invocation and therefore retime-eligible
+    # in bench.py (a memoized target made the second run a read-only
+    # replay, locking host-stall noise into the recorded figure forever)
+    target = os.path.join(tempfile.mkdtemp(prefix="cascade_bus_sink_"), "events")
+    ev = load(spark, sf_dir, "events").select(
+        F.pmod(F.col("event_id"), F.lit(4)).cast("int").alias("partition"),
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    (
+        ev.repartition(4, "partition")
+        .sortWithinPartitions("event_id")
+        .write.format("cascade_bus")
+        .option("path", target)
+        .option("numPartitions", "4")
+        .mode("append")
+        .save()
+    )
     return (
         spark.read.format("cascade_bus")
-        .option("path", _SINK_CACHE[key])
+        .option("path", target)
         .load()
         .orderBy("event_id")
     )
@@ -785,40 +784,40 @@ def bus_sink_stream_roundtrip(spark, sf_dir):
     from cascade_spark.streaming.pipeline import stage_stream_input
 
     register_bus(spark)
-    key = ("stream_sink", sf_dir)
-    if key not in _SINK_CACHE:
-        indir, schema, _, _ = stage_stream_input(spark, sf_dir, n_files=4)
-        tmp = tempfile.mkdtemp(prefix="cascade_bus_ssink_")
-        target = os.path.join(tmp, "events")
-        src = (
-            # 2 files per trigger → 2 micro-batches: still exercises the
-            # multi-batch commit path (batch-id idempotency needs ≥2)
-            # at half the Python sink-writer spin-ups of one-file batches
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 2)
-            .parquet(indir)
-        )
-        proj = src.select(
-            F.pmod(F.col("event_id"), F.lit(4)).cast("int").alias("partition"),
-            "event_id",
-            F.unix_micros("ts").alias("ts_us"),
-            "user_id",
-            "event_type",
-            "value",
-        )
-        q = (
-            proj.writeStream.format("cascade_bus")
-            .option("path", target)
-            .option("numPartitions", "4")
-            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        _SINK_CACHE[key] = target
+    # fresh target + checkpoint per invocation (see bus_sink_batch_write):
+    # the streaming sink write IS the operator; re-running it keeps the
+    # builder retime-eligible and the recorded figure honest
+    indir, schema, _, _ = stage_stream_input(spark, sf_dir, n_files=4)
+    tmp = tempfile.mkdtemp(prefix="cascade_bus_ssink_")
+    target = os.path.join(tmp, "events")
+    src = (
+        # 2 files per trigger → 2 micro-batches: still exercises the
+        # multi-batch commit path (batch-id idempotency needs ≥2)
+        # at half the Python sink-writer spin-ups of one-file batches
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(indir)
+    )
+    proj = src.select(
+        F.pmod(F.col("event_id"), F.lit(4)).cast("int").alias("partition"),
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    q = (
+        proj.writeStream.format("cascade_bus")
+        .option("path", target)
+        .option("numPartitions", "4")
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
     return (
         spark.read.format("cascade_bus")
-        .option("path", _SINK_CACHE[key])
+        .option("path", target)
         .load()
         .groupBy("partition")
         .agg(
@@ -1061,40 +1060,39 @@ def bus_orphan_segment_audit(spark, sf_dir):
     from cascade_spark.tables import load
 
     register_bus(spark)
-    key = ("orphan_sink", sf_dir)
-    if key not in _SINK_CACHE:
-        target = os.path.join(
-            tempfile.mkdtemp(prefix="cascade_bus_orphan_"), "events"
+    # fresh private sink topic per invocation (see bus_sink_batch_write):
+    # staging the audited topic is part of the declared scenario, so
+    # every call repeats it — keeps the builder retime-eligible
+    target = os.path.join(
+        tempfile.mkdtemp(prefix="cascade_bus_orphan_"), "events"
+    )
+    ev = load(spark, sf_dir, "events").select(
+        F.pmod(F.col("event_id"), F.lit(4)).cast("int").alias("partition"),
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    (
+        ev.repartition(4, "partition")
+        .sortWithinPartitions("event_id")
+        .write.format("cascade_bus")
+        .option("path", target)
+        .option("numPartitions", "4")
+        .mode("append")
+        .save()
+    )
+    # inject orphans: two aborted-looking segment copies + one torn tmp
+    seg_dir = os.path.join(target, "segments")
+    committed = sorted(os.listdir(seg_dir))
+    for i in range(2):
+        shutil.copy(
+            os.path.join(seg_dir, committed[0]),
+            os.path.join(seg_dir, f"orphan-{i}.parquet"),
         )
-        ev = load(spark, sf_dir, "events").select(
-            F.pmod(F.col("event_id"), F.lit(4)).cast("int").alias("partition"),
-            "event_id",
-            F.unix_micros("ts").alias("ts_us"),
-            "user_id",
-            "event_type",
-            "value",
-        )
-        (
-            ev.repartition(4, "partition")
-            .sortWithinPartitions("event_id")
-            .write.format("cascade_bus")
-            .option("path", target)
-            .option("numPartitions", "4")
-            .mode("append")
-            .save()
-        )
-        # inject orphans: two aborted-looking segment copies + one torn tmp
-        seg_dir = os.path.join(target, "segments")
-        committed = sorted(os.listdir(seg_dir))
-        for i in range(2):
-            shutil.copy(
-                os.path.join(seg_dir, committed[0]),
-                os.path.join(seg_dir, f"orphan-{i}.parquet"),
-            )
-        with open(os.path.join(seg_dir, ".seg-torn.tmp"), "wb") as fh:
-            fh.write(b"\x00" * 16)
-        _SINK_CACHE[key] = target
-    target = _SINK_CACHE[key]
+    with open(os.path.join(seg_dir, ".seg-torn.tmp"), "wb") as fh:
+        fh.write(b"\x00" * 16)
     committed_read = (
         spark.read.format("cascade_bus").option("path", target).load()
     )

@@ -308,7 +308,12 @@ def stream_static_join(spark, sf_dir):
     oracle="SELECT COUNT(*) AS n_ingested FROM events",
 )
 def stream_ingest_exactly_once(spark, sf_dir):
-    indir, schema, tmp, _ = stage_stream_input(spark, sf_dir)
+    indir, schema, _, _ = stage_stream_input(spark, sf_dir)
+    # fresh output + checkpoint per invocation: the two-run ingest IS the
+    # declared operator, so every call must repeat it (a target inside
+    # the cached staging dir made re-invocations a no-op replay, which
+    # disqualified the query from bench retiming)
+    tmp = tempfile.mkdtemp(prefix="cascade_ingest_once_")
     outdir = os.path.join(tmp, "topic")
     ckpt = os.path.join(tmp, "ckpt")
     for _ in range(2):  # second run: same checkpoint, no new data, no dupes

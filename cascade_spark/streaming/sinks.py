@@ -30,7 +30,14 @@ FROM events
 """,
 )
 def stream_foreachbatch_sink(spark, sf_dir):
-    indir, schema, tmp, _ = stage_stream_input(spark, sf_dir, n_files=4)
+    import tempfile
+
+    indir, schema, _, _ = stage_stream_input(spark, sf_dir, n_files=4)
+    # fresh drain dir + checkpoint per invocation: the foreachBatch drain
+    # IS the declared operator — re-running it keeps the builder
+    # retime-eligible (a target inside the cached staging dir made every
+    # re-invocation a read-back of the first run's output)
+    tmp = tempfile.mkdtemp(prefix="cascade_drain_")
     outdir = os.path.join(tmp, "drained")
 
     def drain(batch_df, epoch_id: int) -> None:

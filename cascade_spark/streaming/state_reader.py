@@ -197,7 +197,10 @@ def stream_progress_audit(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
     )
     with state_partitions(spark, 8):
-        name = "cascade_progress_sink"
+        import uuid
+
+        # uuid sink name so re-invocations in one session never collide
+        name = "progress_" + uuid.uuid4().hex[:8]
         q = (
             agg.writeStream.outputMode("append")
             .format("memory")
