@@ -261,14 +261,16 @@ def fn_hash_spark_native(spark, sf_dir):
 @register(
     "fn_map_higher_order",
     "functions",
-    doc="Map higher-order functions: transform_values / transform_keys / "
-    "map_filter / map_zip_with over an exact-integer measure map per "
-    "lineitem row. Maps are canonicalized to a sorted 'k=v' string "
-    "(entry order inside a Spark map is undefined; the sorted rendering "
-    "is the only portable equality). All lambdas run inside codegen — "
-    "no Python in the pipeline. DuckDB replays the same entries as "
-    "scalar expressions (the keys are literals, so the sorted order is "
-    "static) with CONCAT_WS null-skipping mirroring map_filter.",
+    doc="Map higher-order functions: the transform_values / "
+    "transform_keys / map_filter / map_zip_with semantics over an "
+    "exact-integer measure map per lineitem row, fused (round-13) into "
+    "ONE transform lambda over the entries array — each entry computes "
+    "all four results per invocation. Maps are canonicalized to a "
+    "sorted 'k=v' string (the sorted rendering is the only portable "
+    "equality). No Python in the pipeline. DuckDB replays the same "
+    "entries as scalar expressions (the keys are literals, so the "
+    "sorted order is static) with CONCAT_WS null-skipping mirroring "
+    "map_filter.",
     oracle="""
 SELECT l_orderkey, l_linenumber,
        'disc=' || (l_discount * 10000)::BIGINT * 2 || ',price=' ||
@@ -295,12 +297,6 @@ def fn_map_higher_order(spark, sf_dir):
     from cascade_spark.operators._util import dec
 
     li = t(spark, sf_dir, "lineitem")
-    weights = F.create_map(
-        F.lit("qty"), F.lit(2).cast("long"),
-        F.lit("price"), F.lit(3).cast("long"),
-        F.lit("disc"), F.lit(5).cast("long"),
-    )
-
     lower = ["disc", "price", "qty"]
     # Sort FIRST, evaluate the HOFs above the sort (round-12): a global
     # orderBy range-partitions by sampling its child, so everything
@@ -333,51 +329,52 @@ def fn_map_higher_order(spark, sf_dir):
         .repartitionByRange(par, "l_orderkey", "l_linenumber")
         .sortWithinPartitions("l_orderkey", "l_linenumber")
     )
-    m2 = F.create_map(
-        F.lit("qty"), F.col("_q"),
-        F.lit("price"), F.col("_p"),
-        F.lit("disc"), F.col("_d"),
+    # ONE HOF lambda pass (round-13, verdict item 3): the four map HOFs
+    # (transform_values / map_filter / map_zip_with / transform_keys)
+    # each walked the 3-entry map with an INTERPRETED lambda — 12 lambda
+    # invocations per row, the decomposed 3.2 s residual at 600k rows.
+    # Entry order of create_map over literal keys is deterministic
+    # (qty@0, price@1, disc@2 — the round-12 positional-render
+    # precedent), so the same four per-entry semantics are fused into a
+    # single transform over a (k, v, w) entries array whose one lambda
+    # computes all four results per entry: value*2 (transform_values),
+    # the >=1000 null-gate (map_filter), value*weight with the weight
+    # carried per entry (map_zip_with — weights keyed identically), and
+    # upper(k) (transform_keys). 3 lambda invocations per row instead
+    # of 12; renders below are positional over the one result array.
+    # Output verified bit-identical (exceptAll both ways = 0) and
+    # hash-checked against the unchanged oracle at both SFs.
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("k"),
+                F.col(c).alias("v"),
+                F.lit(w).cast("long").alias("w"),
+            )
+            for k, c, w in (("qty", "_q", 2), ("price", "_p", 3), ("disc", "_d", 5))
+        ]
     )
-    base = narrow.select(
-        "l_orderkey", "l_linenumber", m2.alias("m"), weights.alias("wts")
-    )
-    # Project each HOF map ONCE, then canonicalize from the projected
-    # column: canon() references its map 2x per key (6x total), and
-    # Catalyst does not CSE lambda expressions — inlining the HOF into
-    # canon() re-evaluated every HOF ~6x per row (physical plan showed
-    # 6 transform_values copies; with the projection barrier it shows
-    # 1, warm sf0.1 8.6 s -> 6.5 s). CollapseProject keeps the barrier
-    # because the aliases are non-cheap and multiply referenced.
-    hofs = base.select(
+    hofs = narrow.select(
         "l_orderkey",
         "l_linenumber",
-        F.transform_values("m", lambda k, v: v * 2).alias("dv"),
-        F.map_filter("m", lambda k, v: v >= 1000).alias("fv"),
-        F.map_zip_with("m", "wts", lambda k, a, b: a * b).alias("wv"),
-        F.transform_keys("m", lambda k, v: F.upper(k)).alias("kv"),
+        F.transform(
+            entries,
+            lambda e: F.struct(
+                (e["v"] * 2).alias("dv"),
+                F.when(e["v"] >= 1000, e["v"]).alias("fv"),
+                (e["v"] * e["w"]).alias("wv"),
+                F.upper(e["k"]).alias("uk"),
+                e["v"].alias("ov"),
+            ),
+        ).alias("r"),
     )
-    # Rendering (round-12): for the full-key-set HOF outputs the entry
-    # order is DETERMINISTIC — create_map preserves its literal argument
-    # order (qty@0, price@1, disc@2) and transform_values /
-    # transform_keys / map_zip_with (equal key sets here) preserve entry
-    # order — so render positionally from ONE projected map_values array
-    # per map instead of 6 element_at string-key lookups per map: warm
-    # sf0.1 6.8 s -> 4.2 s, output verified bit-identical (exceptAll both
-    # ways = 0) and continuously hash-checked against the oracle. Only
-    # map_filter's per-row-varying key set still needs canon().
-    # map_filter lookups projected ONCE per key (round 12): canon()
-    # referenced fv twice per key (6 element_at calls/row, no CSE);
-    # projecting the 3 looked-up values here leaves the render a null
-    # test + concat over already-extracted columns (3 lookups/row).
     vals = hofs.select(
         "l_orderkey",
         "l_linenumber",
-        F.element_at("fv", "disc").alias("f_disc"),
-        F.element_at("fv", "price").alias("f_price"),
-        F.element_at("fv", "qty").alias("f_qty"),
-        F.map_values("dv").alias("dvv"),
-        F.map_values("wv").alias("wvv"),
-        F.map_values("kv").alias("kvv"),
+        F.col("r")[2]["fv"].alias("f_disc"),
+        F.col("r")[1]["fv"].alias("f_price"),
+        F.col("r")[0]["fv"].alias("f_qty"),
+        "r",
     )
     filtered = F.concat_ws(
         ",",
@@ -390,21 +387,31 @@ def fn_map_higher_order(spark, sf_dir):
         ],
     )
 
-    def rend(a, keys):
+    def rend(field, keys):
         # sorted key order = disc,price,qty -> positions 2,1,0
+        a = F.col("r")
         return F.concat(
-            F.lit(f"{keys[0]}="), a[2].cast("string"),
-            F.lit(f",{keys[1]}="), a[1].cast("string"),
-            F.lit(f",{keys[2]}="), a[0].cast("string"),
+            F.lit(f"{keys[0]}="), a[2][field].cast("string"),
+            F.lit(f",{keys[1]}="), a[1][field].cast("string"),
+            F.lit(f",{keys[2]}="), a[0][field].cast("string"),
         )
 
+    # upper_keys renders the lambda-computed uppercase key next to the
+    # original value (transform_keys semantics: keys change, values
+    # pass through)
+    a = F.col("r")
+    upper_keys = F.concat(
+        a[2]["uk"], F.lit("="), a[2]["ov"].cast("string"),
+        F.lit(","), a[1]["uk"], F.lit("="), a[1]["ov"].cast("string"),
+        F.lit(","), a[0]["uk"], F.lit("="), a[0]["ov"].cast("string"),
+    )
     return vals.select(
         "l_orderkey",
         "l_linenumber",
-        rend(F.col("dvv"), lower).alias("doubled"),
+        rend("dv", lower).alias("doubled"),
         filtered.alias("filtered"),
-        rend(F.col("wvv"), lower).alias("weighted"),
-        rend(F.col("kvv"), ["DISC", "PRICE", "QTY"]).alias("upper_keys"),
+        rend("wv", lower).alias("weighted"),
+        upper_keys.alias("upper_keys"),
     ).orderBy("l_orderkey", "l_linenumber")
 
 

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from cascade_spark.plans.registry import register
-from cascade_spark.operators._util import dec, t
+from cascade_spark.operators._util import barrier, dec, t
 
 
 @F.pandas_udf(T.DoubleType())
@@ -175,7 +175,7 @@ def text_tfidf_mllib(spark, sf_dir):
     # tokenizer+HashingTF pipeline ran 3x per invocation (guide §1.4).
     # The barrier materializes tfd once (the fit pass pins the blocks);
     # transform and the sort read blocks. A/B sf0.1 warm: 3.9 -> 1.9 s.
-    tfd = tf.transform(words).localCheckpoint(eager=False)
+    tfd = tf.transform(words).transform(barrier)
     idf = IDF(inputCol="tf", outputCol="tfidf").fit(tfd)
     out = idf.transform(tfd)
     # project a stable scalar per doc (vector norm) for the rows check
@@ -321,7 +321,7 @@ def udf_cogrouped_pandas(spark, sf_dir):
     # exchange pass — guide §1.4's hidden-double-execution class). With
     # the barrier the sampler reads materialized blocks. A/B sf0.1 warm
     # (repartition + barrier together): 9.2 s -> 1.9 s per invocation.
-    return out.localCheckpoint(eager=False).orderBy("user_id")
+    return out.transform(barrier).orderBy("user_id")
 
 
 @register(

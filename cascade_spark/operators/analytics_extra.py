@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import Window, functions as F
 
-from cascade_spark.operators._util import d2, dec, t
+from cascade_spark.operators._util import barrier_eager, d2, dec, t
 from cascade_spark.plans.registry import register
 
 
@@ -482,7 +482,7 @@ def analytics_rfm_segmentation(spark, sf_dir):
     from cascade_spark.operators.ingest import assign_offsets
 
     # one materialization shared by the three rank passes
-    per_cust = per_cust.localCheckpoint(eager=True)
+    per_cust = per_cust.transform(barrier_eager)
     n = per_cust.agg(F.count(F.lit(1)).cast("long").alias("_n"))
 
     # exact NTILE(5) from an exact global rank: the first N%5 buckets

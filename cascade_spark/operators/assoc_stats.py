@@ -545,11 +545,9 @@ FROM chi, n
 """,
 )
 def stats_tschuprow_t(spark, sf_dir):
-    ev = t(spark, sf_dir, "events")
-    cells = ev.groupBy(
-        "event_type",
-        F.dayofweek(F.date_sub(F.to_date("ts"), 1)).cast("long").alias("dow"),
-    ).agg(bigint(F.count(F.lit(1))).alias("o"))
+    from cascade_spark.operators.inference_extra import _contingency_cells
+
+    cells = _contingency_cells(spark, sf_dir)
     r = cells.groupBy("event_type").agg(bigint(F.sum("o")).alias("r"))
     c = cells.groupBy("dow").agg(bigint(F.sum("o")).alias("c"))
     n = cells.agg(

@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from cascade_spark.operators._util import bigint, t
+from cascade_spark.operators._util import barrier, bigint, t
 from cascade_spark.plans.registry import register
 
 ATTR_WINDOW_DAYS = 7
@@ -135,10 +135,8 @@ def events_attribution_time_decay(spark, sf_dir):
         "event_id",
         "channel",
         F.expr(f"CAST({CREDIT} DIV (1 << gap_days) AS BIGINT)").alias("w"),
-    ).localCheckpoint(eager=False)
-    sw = w.groupBy("event_id").agg(bigint(F.sum("w")).alias("sw")).localCheckpoint(
-        eager=False
-    )
+    ).transform(barrier)
+    sw = w.groupBy("event_id").agg(bigint(F.sum("w")).alias("sw")).transform(barrier)
     credit = w.join(sw, "event_id").select(
         "channel",
         "w",

@@ -32,7 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from cascade_spark.operators._util import bigint, t
+from cascade_spark.operators._util import barrier, bigint, t
 from cascade_spark.plans.registry import register
 
 CDC_MOD = 8  # expected words per chunk: boundary when md5(word) % 8 == 0
@@ -120,7 +120,7 @@ def dedup_cdc_chunks(spark, sf_dir):
         "source",
         F.md5(F.col("chunk")).alias("chash"),
         F.size(F.split(F.col("chunk"), " ")).cast("long").alias("n_words"),
-    ).localCheckpoint(eager=False)
+    ).transform(barrier)
     dup = chunks.groupBy("chash").agg(
         F.countDistinct("doc_id").cast("long").alias("n_docs")
     )

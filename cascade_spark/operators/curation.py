@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Window, functions as F
 
 from cascade_spark.plans.registry import register
-from cascade_spark.operators._util import sql_avg_round, t, widen
+from cascade_spark.operators._util import barrier_eager, sql_avg_round, t, widen
 from cascade_spark.operators.text import LANG_MARKERS, _sql_hits
 from cascade_spark.operators.decontam import BENCH_MOD
 from cascade_spark.operators.dedup import _SQL_SHINGLES
@@ -1952,7 +1952,7 @@ def pipeline_greedy_coverage(spark, sf_dir):
     dw = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(barrier_eager)
     )
     covered = None  # DataFrame of covered words
     selected: list[tuple[int, int, int]] = []
@@ -1979,7 +1979,7 @@ def pipeline_greedy_coverage(spark, sf_dir):
         covered = (
             new_cov if covered is None else covered.unionByName(new_cov).distinct()
         )
-        covered = covered.localCheckpoint(eager=True)
+        covered = covered.transform(barrier_eager)
     out = spark.createDataFrame(
         selected, "rnd int, doc_id long, new_words long"
     )

@@ -26,7 +26,7 @@ import time as _time
 from pyspark.sql import DataFrame, functions as F
 
 from cascade_spark.plans.registry import register
-from cascade_spark.operators._util import t, widen
+from cascade_spark.operators._util import barrier_eager, t, widen
 
 N_HASHES = 16
 BANDS = 4  # rows per band = N_HASHES // BANDS = 4
@@ -321,9 +321,7 @@ def _cached_frame(cache: dict, spark, sf_dir, build) -> DataFrame:
     n = df.count()  # materialize now; first family member paid this anyway
     parts = df.rdd.getNumPartitions()
     target = max(1, -(-n // _CACHE_ROWS_PER_PART))
-    ckpt = (df.coalesce(target) if target < parts else df).localCheckpoint(
-        eager=True
-    )
+    ckpt = (df.coalesce(target) if target < parts else df).transform(barrier_eager)
     df.unpersist()  # checkpoint blocks hold the data now
     # build wall time accumulates so the bench can report, per first
     # consumer, how much of its figure was the family's shared build
@@ -555,7 +553,7 @@ def _cc_labels_distributed(edges, labels, max_iters=None):
         # iteration cap. Checkpointing keeps every round O(1) plan size.
         new_labels = proposed.select(
             "node", F.col("new_comp").alias("comp")
-        ).localCheckpoint()
+        ).transform(barrier_eager)
         proposed.unpersist()
         labels.unpersist()
         labels = new_labels

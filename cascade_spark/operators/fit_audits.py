@@ -70,12 +70,19 @@ FROM n, worst
 """,
 )
 def stats_chi2_goodness_of_fit(spark, sf_dir):
+    from cascade_spark.operators.inference_extra import _contingency_cells
+
     dec = "decimal(38,0)"
-    ev = t(spark, sf_dir, "events")
-    obs = ev.groupBy(
-        F.dayofweek(F.date_sub(F.to_date("ts"), 1)).cast("long").alias("dow")
-    ).agg(F.count(F.lit(1)).cast("long").alias("o"))
-    dows = ev.sparkSession.range(1, 8).select(
+    # dow marginal of the shared (event_type × dow) contingency cells:
+    # summing o over event_type is exactly COUNT(*) per dow (groupBy
+    # partitions all rows, NULL types included), so this reads ≤ 35
+    # cached rows instead of re-scanning events
+    obs = (
+        _contingency_cells(spark, sf_dir)
+        .groupBy("dow")
+        .agg(F.sum("o").cast("long").alias("o"))
+    )
+    dows = spark.range(1, 8).select(
         F.col("id").cast("long").alias("dow")
     )
     cell = dows.join(obs, "dow", "left").select(

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from cascade_spark.plans.registry import register
-from cascade_spark.operators._util import _intdiv, sql_avg_round, t
+from cascade_spark.operators._util import _intdiv, barrier, sql_avg_round, t
 
 _TOTAL = 1_000_000_000  # total rank mass, in nano-rank units
 _EDGE_CACHE: dict = {}
@@ -72,7 +72,7 @@ def _coactivity_edges(spark, sf_dir):
             .select("ua", "ub")
             # referenced 3x below (both degree union sides + the hub
             # anti-join's probe side): evaluate the groupBy once
-            .localCheckpoint(eager=False)
+            .transform(barrier)
         )
         deg0 = (
             e0.select(F.col("ua").alias("u"))
@@ -527,7 +527,7 @@ def graph_kcore(spark, sf_dir):
     # persists at first use (so the ~6 downstream references per round
     # do not recompute it), but the whole peel runs as ONE action
     # instead of a materialization job per round
-    e = _coactivity_edges(spark, sf_dir).localCheckpoint(eager=False)
+    e = _coactivity_edges(spark, sf_dir).transform(barrier)
     stats = []
     for r in range(1, KCORE_ROUNDS + 1):
         deg = (
@@ -540,7 +540,7 @@ def graph_kcore(spark, sf_dir):
         e = (
             e.join(keep, e["ua"] == keep["u"], "left_semi")
             .join(keep, e["ub"] == keep["u"], "left_semi")
-            .localCheckpoint(eager=False)
+            .transform(barrier)
         )
         nodes = e.select(F.col("ua").alias("u")).unionByName(
             e.select(F.col("ub").alias("u"))
@@ -766,7 +766,7 @@ def graph_bfs_hops(spark, sf_dir):
             dist.unionByName(nxt)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=False)
+            .transform(barrier)
         )
     return (
         dist.groupBy(F.col("dist").cast("long").alias("hop"))

@@ -32,7 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from cascade_spark.operators._util import bigint
+from cascade_spark.operators._util import barrier, bigint
 from cascade_spark.operators.graph import (
     _coactivity_deg,
     _coactivity_edges,
@@ -113,7 +113,7 @@ def graph_katz_centrality(spark, sf_dir):
         x = agg.select(
             "node",
             (F.lit(KATZ_S) + F.expr("sx DIV 4")).cast("long").alias("x"),
-        ).localCheckpoint(eager=False)
+        ).transform(barrier)
     return (
         x.select(
             F.col("node").cast("long").alias("node"),
@@ -272,7 +272,7 @@ def graph_landmark_centrality(spark, sf_dir):
             dist.unionByName(nxt)
             .groupBy("seed", "node")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=False)
+            .transform(barrier)
         )
     reach = dist.filter(F.col("dist") > 0)
     return (

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from cascade_spark.operators._util import _intdiv, bigint, t
+from cascade_spark.operators._util import _intdiv, barrier, bigint, t
 from cascade_spark.operators.graph import (
     _coactivity_deg,
     _coactivity_edges,
@@ -224,7 +224,7 @@ def events_markov_stationary(spark, sf_dir):
     # aggregate, an 83k-char physical plan for a k x k matrix. One
     # barrier materializes the k^2-row matrix once; every round reads
     # blocks.
-    tr = tr.join(rs, "prev_type").localCheckpoint(eager=False)
+    tr = tr.join(rs, "prev_type").transform(barrier)
     states = tr.select(F.col("prev_type").alias("state")).distinct()
     k = F.broadcast(states.agg(F.count(F.lit(1)).alias("_k")))
     p = states.crossJoin(k).select(
@@ -242,7 +242,7 @@ def events_markov_stationary(spark, sf_dir):
         )
         p = states.join(flow, states["state"] == flow["state2"], "left").select(
             "state", F.coalesce("inflow", F.lit(0)).cast("long").alias("pi")
-        ).localCheckpoint(eager=False)
+        ).transform(barrier)
     return p.select("state", F.col("pi").alias("pi_nano")).orderBy("state")
 
 

@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from cascade_spark.operators._util import bigint, t
+from cascade_spark.operators._util import barrier, bigint, t
 from cascade_spark.plans.registry import register
 
 HITS_SCALE = 1_000_000_000
@@ -179,7 +179,7 @@ def graph_hits_bipartite(spark, sf_dir):
     # events-scan + distinct ONCE and serves every reference from the
     # persisted blocks — without it each reference re-ran the scan
     # (round-12; plan went from 5 events scans to 1)
-    inc = ev.select("user_id", "event_type").distinct().localCheckpoint(eager=False)
+    inc = ev.select("user_id", "event_type").distinct().transform(barrier)
     # Degree frames computed ONCE (round 12): the per-round
     # normalization totals are derivable from the PREVIOUS vector —
     # SUM_u hr(u) = SUM_t auth(t) * n_users(t) and SUM_t ar(t) =
@@ -192,12 +192,12 @@ def graph_hits_bipartite(spark, sf_dir):
     peruser = (
         inc.groupBy("event_type")
         .agg(bigint(F.count(F.lit(1))).alias("n_users"))
-        .localCheckpoint(eager=False)
+        .transform(barrier)
     )
     udeg = (
         inc.groupBy("user_id")
         .agg(F.count(F.lit(1)).cast("long").alias("deg"))
-        .localCheckpoint(eager=False)
+        .transform(barrier)
     )
     types = peruser.select("event_type")
     # uniform seed DIV k from a broadcast one-row aggregate instead of a
@@ -206,7 +206,7 @@ def graph_hits_bipartite(spark, sf_dir):
     kf = F.broadcast(peruser.agg(F.count(F.lit(1)).alias("_k")))
     auth = types.crossJoin(kf).select(
         "event_type", F.expr(f"CAST({HITS_SCALE} DIV _k AS BIGINT)").alias("auth")
-    ).localCheckpoint(eager=False)
+    ).transform(barrier)
     hubs = None
     for _ in range(HITS_ROUNDS):
         htot = F.broadcast(
@@ -224,7 +224,7 @@ def graph_hits_bipartite(spark, sf_dir):
         hubs = hraw.crossJoin(htot).select(
             "user_id",
             F.expr(f"CAST((hr * {HITS_SCALE}) DIV s AS BIGINT)").alias("hub"),
-        ).localCheckpoint(eager=False)
+        ).transform(barrier)
         atot = F.broadcast(
             hubs.join(udeg, "user_id").agg(
                 F.sum(F.col("hub").cast("decimal(38,0)") * F.col("deg"))
@@ -240,7 +240,7 @@ def graph_hits_bipartite(spark, sf_dir):
         auth = araw.crossJoin(atot).select(
             "event_type",
             F.expr(f"CAST((ar * {HITS_SCALE}) DIV s AS BIGINT)").alias("auth"),
-        ).localCheckpoint(eager=False)
+        ).transform(barrier)
     hubmax = hubs.agg(bigint(F.max("hub")).alias("max_hub_nano"))
     return (
         auth.join(F.broadcast(peruser), "event_type")

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from cascade_spark.plans.registry import register
-from cascade_spark.operators._util import t
+from cascade_spark.operators._util import barrier, t
 from cascade_spark.operators.dedup import (
     BANDS,
     N_HASHES,
@@ -75,7 +75,7 @@ def dedup_incremental(spark, sf_dir):
     # barrier each branch re-runs the full-text md5 scan
     fp = d.select(
         "doc_id", "source", F.md5(F.lower(F.trim("text"))).alias("fingerprint")
-    ).localCheckpoint(eager=False)
+    ).transform(barrier)
     incoming = fp.filter(F.col("source") == _INCOMING).select("doc_id", "fingerprint")
     corpus = fp.filter(F.col("source") != _INCOMING).select(
         F.col("doc_id").alias("c_doc"), F.col("fingerprint").alias("c_fp")
@@ -99,7 +99,7 @@ def dedup_incremental(spark, sf_dir):
     # the band frame: evaluate the 4-band md5 explode once
     bands = sig.select("doc_id", F.explode(F.array(*band_rows)).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
-    ).localCheckpoint(eager=False)
+    ).transform(barrier)
     inc_ids = incoming.select("doc_id")
     inc_bands = bands.join(inc_ids, "doc_id")
     corp_bands = bands.join(inc_ids, "doc_id", "left_anti").select(

@@ -59,7 +59,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from cascade_spark.operators._util import bigint, t
+from cascade_spark.operators._util import barrier, bigint, t
 from cascade_spark.plans.registry import register
 
 BP = 10_000
@@ -146,6 +146,30 @@ def _xy_daily(spark, sf_dir):
         )
 
     return _cached_frame(_XY_DAILY_CACHE, spark, sf_dir, build)
+
+
+_CELLS_CACHE: dict = {}
+
+
+def _contingency_cells(spark, sf_dir):
+    """Shared per-(app, sf_dir) materialized (event_type × ISO weekday)
+    contingency table: (event_type, dow, o) — ≤ (types × 7) rows. Six
+    association/independence builders (chisq, cramers_v, tschuprow_t,
+    g_test, normalized_mutual_info, chi2_goodness_of_fit) each re-ran
+    the full events scan + groupBy — and every one references `cells`
+    3-9 times in-plan (r/c/n marginals + the cell join), so each
+    reference re-executed the scan (guide §2.4). One build per session;
+    marginals downstream run over ≤ 35 cached rows."""
+    from cascade_spark.operators.dedup import _cached_frame
+
+    def build():
+        ev = t(spark, sf_dir, "events")
+        return ev.groupBy(
+            "event_type",
+            F.dayofweek(F.date_sub(F.to_date("ts"), 1)).cast("long").alias("dow"),
+        ).agg(bigint(F.count(F.lit(1))).alias("o"))
+
+    return _cached_frame(_CELLS_CACHE, spark, sf_dir, build)
 
 
 # ---------------------------------------------------------------------------
@@ -517,7 +541,7 @@ def stats_friedman(spark, sf_dir):
         .alias("s"),
     # referenced twice (per-type rank sums + the ss scalar): evaluate
     # the per-day rank windows once
-    ).localCheckpoint(eager=False)
+    ).transform(barrier)
     rsum = ranked.groupBy("event_type").agg(F.sum("s").cast("long").alias("r2"))
     scal = ranked.agg(
         F.sum(F.col("s") * F.col("s")).cast("long").alias("ss")
@@ -763,7 +787,7 @@ def stats_durbin_watson(spark, sf_dir):
     st = cell.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("v").cast("long").alias("s"),
-    ).localCheckpoint(eager=False)
+    ).transform(barrier)
     resid = cell.join(F.broadcast(st), "event_type").select(
         "event_type", "day", (F.col("n") * F.col("v") - F.col("s")).alias("e")
     )
@@ -1028,7 +1052,7 @@ def stats_bh_fdr(spark, sf_dir):
         .alias("m_tests"),
     # referenced twice (the k* aggregate + the final projection):
     # evaluate the pair scoring chain once
-    ).localCheckpoint(eager=False)
+    ).transform(barrier)
     kstar = ranked.agg(
         F.coalesce(
             F.max(
@@ -1727,11 +1751,7 @@ ORDER BY cells.event_type, dow
 """,
 )
 def stats_g_test(spark, sf_dir):
-    ev = t(spark, sf_dir, "events")
-    cells = ev.groupBy(
-        "event_type",
-        F.dayofweek(F.date_sub(F.to_date("ts"), 1)).cast("long").alias("dow"),
-    ).agg(bigint(F.count(F.lit(1))).alias("o"))
+    cells = _contingency_cells(spark, sf_dir)
     r = cells.groupBy("event_type").agg(bigint(F.sum("o")).alias("r"))
     c = cells.groupBy("dow").agg(bigint(F.sum("o")).alias("c"))
     n = cells.agg(bigint(F.sum("o")).alias("n"))

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from cascade_spark.operators._util import barrier
+
 
 def assign_offsets(df: DataFrame, order_cols: list[str], num_partitions: int = 32) -> DataFrame:
     """Add a dense global ``offset`` column (0-based) following the total
@@ -48,7 +50,7 @@ def assign_offsets(df: DataFrame, order_cols: list[str], num_partitions: int = 3
     oracle-checked at sf0.1 after the switch). A long-lived cluster job
     would use a reliable checkpoint instead."""
     part = df.repartitionByRange(num_partitions, *[F.col(c) for c in order_cols])
-    part = part.withColumn("_pid", F.spark_partition_id()).localCheckpoint(eager=False)
+    part = part.withColumn("_pid", F.spark_partition_id()).transform(barrier)
     w = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in order_cols])
     local = part.withColumn("_local", F.row_number().over(w) - F.lit(1))
     # Tiny aggregate (one row per partition) → cumulative base, broadcast back.
@@ -81,7 +83,7 @@ def assign_prefix_sum(
     Bucketization materialized once before branching — see the
     boundary-consistency note in :func:`assign_offsets`."""
     part = df.repartitionByRange(num_partitions, *[F.col(c) for c in order_cols])
-    part = part.withColumn("_pid", F.spark_partition_id()).localCheckpoint(eager=False)
+    part = part.withColumn("_pid", F.spark_partition_id()).transform(barrier)
     w = (
         Window.partitionBy("_pid")
         .orderBy(*[F.col(c) for c in order_cols])
@@ -118,7 +120,7 @@ def assign_prefix_sums(
     paid N range exchanges + N window sorts over the same total order;
     the same-window cumsums here all run inside a single WindowExec."""
     part = df.repartitionByRange(num_partitions, *[F.col(c) for c in order_cols])
-    part = part.withColumn("_pid", F.spark_partition_id()).localCheckpoint(eager=False)
+    part = part.withColumn("_pid", F.spark_partition_id()).transform(barrier)
     w = (
         Window.partitionBy("_pid")
         .orderBy(*[F.col(c) for c in order_cols])

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Window, functions as F
 
 from cascade_spark.plans.registry import register
-from cascade_spark.operators._util import bigint, t
+from cascade_spark.operators._util import barrier, bigint, t
 
 _GAP_MIN = 45  # inactivity gap; bounds session span (and with it the
 # number of concurrently-active sessions per hour bucket — the quantity
@@ -188,7 +188,7 @@ def _build_pairs(spark, sf_dir):
     # bucket-count window chain (2x the build's heavy half). The lazy
     # checkpoint materializes it once; the blocks are already hash-
     # partitioned by bucket from the window exchange.
-    bucketed = bucketed.localCheckpoint(eager=False)
+    bucketed = bucketed.transform(barrier)
     a = bucketed.select(
         F.col("user_id").alias("user_a"),
         F.col("sidx").alias("sidx_a"),

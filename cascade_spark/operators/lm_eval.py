@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from cascade_spark.operators._util import bigint, t
+from cascade_spark.operators._util import barrier, bigint, t
 from cascade_spark.plans.registry import register
 
 MICRO = 1_000_000
@@ -94,9 +94,11 @@ def text_bigram_perplexity(spark, sf_dir):
     # bigrams generated MAP-SIDE (zip_with over two array slices — the
     # _bigram_doc_scores / _word_ngrams precedent): same consecutive
     # (w1, w2) multiset as the old posexplode + per-doc lead() window,
-    # with no shuffle of the token stream; the lazy checkpoint stops the
-    # train/eval/vocab branches from re-running the explode (the old
-    # plan evaluated the window chain 4x)
+    # with no shuffle of the token stream. The barrier below covers the
+    # TRAIN-side branches only (ctx/vocab/eval join read train_bg once);
+    # the eval_ branch still runs the split/zip_with explode one more
+    # time — acceptable because it scans half the docs map-side with no
+    # shuffle (r12 ADVICE item 2 wording fix)
     ws = F.split("text", " ", -1)
     tok = d.select(
         "doc_id",
@@ -117,7 +119,7 @@ def text_bigram_perplexity(spark, sf_dir):
     # referenced 3x (context sums, vocab, the eval join) — and the
     # distinct-pair frame is a far smaller vocab input than the
     # occurrence stream (identical w1-union-w2 domain)
-    ).localCheckpoint(eager=False)
+    ).transform(barrier)
     ctx = train_bg.groupBy("w1").agg(F.sum("c").cast("long").alias("ctx"))
     vocab = (
         train_bg.select(F.col("w1").alias("x"))

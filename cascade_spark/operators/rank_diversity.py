@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from cascade_spark.operators._util import t
+from cascade_spark.operators._util import barrier_eager, t
 from cascade_spark.plans.registry import register
 
 MMR_POOL = 20
@@ -169,7 +169,7 @@ def similarity_mmr_diversify(spark, sf_dir):
     pool = (
         relq.orderBy(F.col("cos_bp").desc(), "vec_id")
         .limit(MMR_POOL)
-        .localCheckpoint(eager=True)
+        .transform(barrier_eager)
     )
     pa = pool.select(
         F.col("vec_id").alias("a"), F.col("qa").alias("qa_a"), F.col("xn2").alias("xa")
@@ -194,7 +194,7 @@ def similarity_mmr_diversify(spark, sf_dir):
             _isqrt(F.col("xa") * F.col("xb")).alias("_d"),
         )
         .select("a", "b", F.expr("CAST(_n DIV _d AS BIGINT)").alias("sim_bp"))
-        .localCheckpoint(eager=True)
+        .transform(barrier_eager)
     )
     cand = pool.select("vec_id", "cos_bp")
     picks: list[tuple[int, int, int]] = []

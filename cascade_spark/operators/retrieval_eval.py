@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from cascade_spark.operators._util import bigint, t
+from cascade_spark.operators._util import barrier, bigint, t
 from cascade_spark.operators.similarity import (
     _SQL_BANDED_CTES,
     Q_SCALE,
@@ -170,7 +170,7 @@ def similarity_retrieval_metrics(spark, sf_dir):
     # eager=False (round-12): the branches all consume it inside ONE
     # final action, so a lazy checkpoint still computes it exactly once
     # but skips the extra materialization job
-    sc = sc.localCheckpoint(eager=False)
+    sc = sc.transform(barrier)
     tr = sc.withColumn(
         "trank",
         F.row_number().over(
@@ -186,8 +186,8 @@ def similarity_retrieval_metrics(spark, sf_dir):
         F.row_number().over(
             Window.partitionBy("qid").orderBy(F.col("score").desc(), "vid")
         ),
-    ).localCheckpoint(eager=False)
-    tr = tr.localCheckpoint(eager=False)
+    ).transform(barrier)
+    tr = tr.transform(barrier)
     ncand = retr.groupBy("qid").agg(bigint(F.count(F.lit(1))).alias("n_cand"))
     hits = (
         tr.filter(F.col("trank") <= RETR_K)
@@ -286,7 +286,7 @@ def similarity_dedup_threshold_sweep(spark, sf_dir):
     # build (round-12)
     qn = e.select("vec_id", _quant(F.col("embedding")).alias("qv")).select(
         "vec_id", "qv", _idot(F.col("qv"), F.col("qv")).alias("nq")
-    ).localCheckpoint(eager=False)
+    ).transform(barrier)
     a = qn.select(F.col("vec_id").alias("v1"), F.col("qv").alias("qa"), F.col("nq").alias("na"))
     b = qn.select(F.col("vec_id").alias("v2"), F.col("qv").alias("qb"), F.col("nq").alias("nb"))
     # widen the compact cached pair frame before the per-pair
@@ -417,7 +417,7 @@ def dedup_overmerge_audit(spark, sf_dir):
     # each re-run the 64-lane transform+fold over the embeddings table
     q = e.select("vec_id", _quant(F.col("embedding")).alias("qv")).select(
         "vec_id", "qv", _idot(F.col("qv"), F.col("qv")).alias("nq")
-    ).localCheckpoint(eager=False)
+    ).transform(barrier)
     a = q.select(F.col("vec_id").alias("v1"), F.col("qv").alias("qa"), F.col("nq").alias("na"))
     b = q.select(F.col("vec_id").alias("v2"), F.col("qv").alias("qb"), F.col("nq").alias("nb"))
     p = (
@@ -435,7 +435,7 @@ def dedup_overmerge_audit(spark, sf_dir):
     pairs = p.filter(
         (F.col("qd") > 0)
         & (F.lit(t2) * F.col("qd") * F.col("qd") >= F.lit(n2) * F.col("na") * F.col("nb"))
-    ).select("v1", "v2").localCheckpoint(eager=False)
+    ).select("v1", "v2").transform(barrier)
     n_direct = pairs.count()
     if n_direct <= LOCAL_CC_MAX_EDGES:
         rows = [(r[0], r[1]) for r in pairs.collect()]

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Window, functions as F
 
 from cascade_spark.plans.registry import register
-from cascade_spark.operators._util import bigint, t
+from cascade_spark.operators._util import barrier, bigint, t
 
 GAP_MIN = 30
 
@@ -166,7 +166,7 @@ def events_peak_concurrency(spark, sf_dir):
         .agg(F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts"))
         # referenced 3x (both delta-point union sides + the session
         # count): evaluate the sessionize windows once
-        .localCheckpoint(eager=False)
+        .transform(barrier)
     )
     pts = sess.select(F.col("start_ts").alias("pt"), F.lit(1).alias("delta")).unionByName(
         sess.select(
@@ -181,7 +181,7 @@ def events_peak_concurrency(spark, sf_dir):
         "pt", (F.col("prefix_sum") + F.col("net")).alias("conc")
     # referenced twice (max-peak aggregate + the argmin probe): without
     # a barrier the whole sweep re-runs per reference
-    ).localCheckpoint(eager=False)
+    ).transform(barrier)
     peak = curve.agg(F.max("conc").alias("peak"))
     n_sess = sess.agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
     return (

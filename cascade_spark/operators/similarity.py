@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from cascade_spark.plans.registry import register
-from cascade_spark.operators._util import t
+from cascade_spark.operators._util import barrier, barrier_eager, t
 
 N_PLANES = 6
 QUERY_VEC_ID = 0
@@ -253,13 +253,13 @@ def similarity_ivf_kmeans(spark, sf_dir):
     # again: materialize the array->vector conversion once
     vecs = e.select(
         "vec_id", "embedding", array_to_vector("embedding").alias("features")
-    ).localCheckpoint(eager=False)
+    ).transform(barrier)
     km = KMeans(k=8, seed=42, maxIter=10, featuresCol="features", predictionCol="cell")
     model = km.fit(vecs)
     # referenced twice (query-cell lookup + candidate filter)
     assigned = model.transform(vecs).select(
         "vec_id", "embedding", "cell"
-    ).localCheckpoint(eager=False)
+    ).transform(barrier)
     qcell = (
         assigned.filter(F.col("vec_id") == QUERY_VEC_ID)
         .select(F.col("cell").alias("qcell"))
@@ -1048,9 +1048,15 @@ def similarity_mips_norm_bound(spark, sf_dir):
         _idot(F.col("qx"), F.col("qx")).alias("xn2"),
         "qn2",
     )
+    # single-pass scoring (round-13): `bounded` is referenced three
+    # times (threshold TakeOrdered, prunable count, final TakeOrdered) —
+    # without a barrier each reference re-ran the 64-wide quantized dot
+    # products over the whole corpus (3 embeddings scans in-plan). The
+    # lazy barrier materializes the narrow (vec_id, qdot, bound) frame
+    # once; the three consumers are metadata-sized passes over it.
     bounded = scored.select(
         "vec_id", "qdot", _isqrt(F.col("xn2") * F.col("qn2")).alias("bound")
-    )
+    ).transform(barrier)
     thresh = (
         bounded.orderBy(F.col("qdot").desc(), "vec_id")
         .limit(TOP_K)
@@ -1249,11 +1255,17 @@ def similarity_lsh_multiprobe(spark, sf_dir):
         .groupBy("vec_id", "p")
         .agg(F.sum(F.col("x").cast("double") * F.col("s")).alias("dot"))
     )
+    # single-pass bucketing (round-13): `codes` feeds the query-bucket
+    # lookup AND the candidate filter, and `cand` feeds the count
+    # contrast AND the scoring join — without a barrier the
+    # posexplode+groupBy bucketing pipeline executed once per reference
+    # (6 embeddings scans in-plan). Barrier the narrow (vec_id, bucket)
+    # frame; everything downstream reads it.
     codes = proj.groupBy("vec_id").agg(
         F.sum(
             F.when(F.col("dot") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), p)")).otherwise(0)
         ).alias("bucket")
-    )
+    ).transform(barrier)
     qb = codes.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("bucket").alias("qbucket")
     )
@@ -1430,7 +1442,7 @@ def similarity_reciprocal_rank_fusion(spark, sf_dir):
     )
     # checkpoint once: the cut, the beat-count scan, and the candidate
     # self-score all read this frame (retrieval_metrics precedent)
-    scored = scored.localCheckpoint(eager=True)
+    scored = scored.transform(barrier_eager)
 
     wd = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")
@@ -1456,7 +1468,7 @@ def similarity_reciprocal_rank_fusion(spark, sf_dir):
             .cast("long")
             .alias("jac_bp"),
         )
-    ).localCheckpoint(eager=True)
+    ).transform(barrier_eager)
 
     # phase 1: distributed top-K' pre-cut per side (TakeOrderedAndProject
     # — per-partition top-K' merged on the driver, never a global sort)

@@ -32,7 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, functions as F
 
-from cascade_spark.operators._util import bigint, t, widen
+from cascade_spark.operators._util import barrier, bigint, t, widen
 from cascade_spark.operators.decontam import BENCH_MOD, _bench_flag
 from cascade_spark.operators.dedup import _SQL_SHINGLES, _shingles
 from cascade_spark.plans.registry import register
@@ -109,7 +109,7 @@ def pipeline_decontaminate_bloom(spark, sf_dir):
     # distinct once instead of K+1 times
     bench_sh = (
         _shingles(d.filter(_bench_flag())).select("s").distinct()
-        .localCheckpoint(eager=False)
+        .transform(barrier)
     )
     # per-seed position sets: i is part of the key so a slot set by seed
     # j never satisfies seed i (a stricter-than-classic bloom that is
@@ -191,7 +191,7 @@ def profile_cms_heavy_hitters(spark, sf_dir):
     # the occurrence-level hash explode once per sketch depth
     wcnt = tok.groupBy("w").agg(
         bigint(F.count(F.lit(1))).alias("exact_count")
-    ).localCheckpoint(eager=False)
+    ).transform(barrier)
     trip = wcnt.select(
         "exact_count",
         F.explode(
@@ -209,7 +209,7 @@ def profile_cms_heavy_hitters(spark, sf_dir):
     sketch = trip.groupBy("d", "pos").agg(
         bigint(F.sum("exact_count")).alias("c")
     # referenced once per sketch depth below
-    ).localCheckpoint(eager=False)
+    ).transform(barrier)
 
     exact = wcnt.orderBy(F.desc("exact_count"), "w").limit(CMS_TOPK)
     est = exact

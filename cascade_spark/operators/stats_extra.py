@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Window, functions as F
 
 from cascade_spark.plans.registry import register
-from cascade_spark.operators._util import avg_round, bigint, d2, dec, sql_avg_round, t
+from cascade_spark.operators._util import avg_round, barrier, barrier_eager, bigint, d2, dec, sql_avg_round, t
 from cascade_spark.operators.analytics_extra import _isqrt, _sql_isqrt
 
 
@@ -643,12 +643,10 @@ ORDER BY cells.event_type, dow
 """,
 )
 def stats_chisq_independence(spark, sf_dir):
-    ev = t(spark, sf_dir, "events")
+    from cascade_spark.operators.inference_extra import _contingency_cells
+
     # ISO weekday: Mon=1..Sun=7 (dayofweek is Sun=1..Sat=7)
-    cells = ev.groupBy(
-        "event_type",
-        F.dayofweek(F.date_sub(F.to_date("ts"), 1)).cast("long").alias("dow"),
-    ).agg(bigint(F.count(F.lit(1))).alias("o"))
+    cells = _contingency_cells(spark, sf_dir)
     r = cells.groupBy("event_type").agg(bigint(F.sum("o")).alias("r"))
     c = cells.groupBy("dow").agg(bigint(F.sum("o")).alias("c"))
     n = cells.agg(bigint(F.sum("o")).alias("n"))
@@ -866,7 +864,7 @@ def stats_ks_two_sample(spark, sf_dir):
     part = (
         pv.repartitionByRange(32, F.col("value"))
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .transform(barrier_eager)
     )
     w = (
         Window.partitionBy("_pid")
@@ -1241,7 +1239,7 @@ def stats_spearman_rho(spark, sf_dir):
         )
         .cast("long")
         .alias("y"),
-    ).localCheckpoint(eager=False)
+    ).transform(barrier)
 
     def midranks(col):
         c = u.groupBy(col).agg(F.count(F.lit(1)).cast("long").alias("c"))
@@ -1422,11 +1420,9 @@ FROM chi, n
 """,
 )
 def stats_cramers_v(spark, sf_dir):
-    ev = t(spark, sf_dir, "events")
-    cells = ev.groupBy(
-        "event_type",
-        F.dayofweek(F.date_sub(F.to_date("ts"), 1)).cast("long").alias("dow"),
-    ).agg(bigint(F.count(F.lit(1))).alias("o"))
+    from cascade_spark.operators.inference_extra import _contingency_cells
+
+    cells = _contingency_cells(spark, sf_dir)
     r = cells.groupBy("event_type").agg(bigint(F.sum("o")).alias("r"))
     c = cells.groupBy("dow").agg(bigint(F.sum("o")).alias("c"))
     n = cells.agg(
@@ -2317,7 +2313,7 @@ def events_feature_drift_psi(spark, sf_dir):
         .alias("n_cur"),
     # referenced twice (the totals + the final projection): evaluate
     # the bucket rollup once
-    ).localCheckpoint(eager=False)
+    ).transform(barrier)
     tot = cnt.agg(
         F.sum("n_ref").cast("long").alias("t_ref"),
         F.sum("n_cur").cast("long").alias("t_cur"),

@@ -566,11 +566,9 @@ FROM n, mi, hr, hc
 """,
 )
 def stats_normalized_mutual_info(spark, sf_dir):
-    ev = t(spark, sf_dir, "events")
-    cells = ev.groupBy(
-        "event_type",
-        F.dayofweek(F.date_sub(F.to_date("ts"), 1)).cast("long").alias("dow"),
-    ).agg(bigint(F.count(F.lit(1))).alias("o"))
+    from cascade_spark.operators.inference_extra import _contingency_cells
+
+    cells = _contingency_cells(spark, sf_dir)
     r = cells.groupBy("event_type").agg(bigint(F.sum("o")).alias("r"))
     c = cells.groupBy("dow").agg(bigint(F.sum("o")).alias("c"))
     n = cells.agg(bigint(F.coalesce(F.sum("o"), F.lit(0))).alias("n"))
@@ -937,8 +935,15 @@ def embedding_knn_label_consistency(spark, sf_dir):
         _quant(F.col("embedding")).alias("aq"),
         F.col("label").alias("alab"),
     )
+    # quantize the corpus ONCE below the anchor crossJoin (round-13):
+    # inlining _quant into the post-join projection re-ran the 64-wide
+    # interpreted transform per (row × anchor) PAIR instead of per row —
+    # N_anchors× redundant lambda work (the similarity_mips_norm_bound
+    # projection-barrier precedent). Warm sf0.1: 2.2-3.2 s → 1.3 s,
+    # output verified identical.
+    eq = e.select("vec_id", "label", _quant(F.col("embedding")).alias("qx"))
     scored = (
-        e.crossJoin(F.broadcast(anc))
+        eq.crossJoin(F.broadcast(anc))
         .filter(F.col("vec_id") != F.col("aid"))
         .select(
             "aid",
@@ -946,9 +951,7 @@ def embedding_knn_label_consistency(spark, sf_dir):
             "vec_id",
             "label",
             F.aggregate(
-                F.zip_with(
-                    _quant(F.col("embedding")), F.col("aq"), lambda x, y: x * y
-                ),
+                F.zip_with(F.col("qx"), F.col("aq"), lambda x, y: x * y),
                 F.lit(0).cast("long"),
                 lambda acc, x: acc + x,
             ).alias("qdot"),

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from cascade_spark.plans.registry import register
-from cascade_spark.operators._util import t, widen
+from cascade_spark.operators._util import barrier, t, widen
 
 # Tiny per-language marker lexicons for the n-gram/stopword heuristic.
 LANG_MARKERS = {
@@ -1066,7 +1066,7 @@ def text_pmi_collocations(spark, sf_dir):
     # sides): evaluate the explode + distinct once
     dw = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")
-    ).distinct().localCheckpoint(eager=False)
+    ).distinct().transform(barrier)
     n = dw.select("doc_id").distinct().count()
     wc = dw.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
     a = dw.select(F.col("doc_id"), F.col("w").alias("w1"))

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Window, functions as F
 
 from cascade_spark.plans.registry import register
-from cascade_spark.operators._util import bigint, sql_avg_round, t, widen
+from cascade_spark.operators._util import barrier, bigint, sql_avg_round, t, widen
 from cascade_spark.operators.text import STOPWORDS, _sql_array
 
 MIN_WORDS, MAX_WORDS = 40, 10_000
@@ -212,7 +212,7 @@ def _bigram_doc_scores(spark, sf_dir):
             F.count(F.lit(1)).cast("long").alias("k")
         # referenced twice (the corpus count table + the join side):
         # evaluate the bigram explode + per-doc aggregate once
-        ).localCheckpoint(eager=False)
+        ).transform(barrier)
         c = gd.groupBy("w1", "w2").agg(F.sum("k").cast("long").alias("cnt"))
         return (
             gd.join(c, ["w1", "w2"])

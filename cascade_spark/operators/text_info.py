@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from cascade_spark.operators._util import bigint, t
+from cascade_spark.operators._util import barrier, bigint, t
 from cascade_spark.plans.registry import register
 
 JSD_TOP_WORDS = 256
@@ -168,7 +168,7 @@ def text_js_divergence_sources(spark, sf_dir):
     # explode for the top-K table and the bucketing separately)
     csw = w.groupBy("source", "w").agg(
         bigint(F.count(F.lit(1))).alias("cw")
-    ).localCheckpoint(eager=False)
+    ).transform(barrier)
     cw = csw.groupBy("w").agg(bigint(F.sum("cw")).alias("c"))
     top = cw.orderBy(F.col("c").desc(), "w").limit(JSD_TOP_WORDS).select("w")
     bucketed = csw.join(
@@ -183,7 +183,7 @@ def text_js_divergence_sources(spark, sf_dir):
     sc = bucketed.groupBy("source", "bkt").agg(
         bigint(F.sum("cw")).alias("c")
     # referenced 3x (per-source totals, global totals, the spine join)
-    ).localCheckpoint(eager=False)
+    ).transform(barrier)
     st = sc.groupBy("source").agg(bigint(F.sum("c")).alias("ns"))
     gc = sc.groupBy("bkt").agg(bigint(F.sum("c")).alias("cg"))
     gt = gc.agg(bigint(F.sum("cg")).alias("ng"))

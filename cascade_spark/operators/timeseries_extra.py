@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from cascade_spark.operators._util import bigint, t
+from cascade_spark.operators._util import barrier, bigint, t
 from cascade_spark.plans.registry import register
 
 HOLT_SCALE = 1_000_000  # level/trend in micro-volume units
@@ -301,7 +301,7 @@ def events_intervention_its(spark, sf_dir):
     # and the checkpointed |days|-row frame feeds both span and seg
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
         bigint(F.count(F.lit(1))).alias("y")
-    ).localCheckpoint(eager=False)
+    ).transform(barrier)
     span = daily.agg(
         F.min("day").alias("d0"), F.max("day").alias("d1")
     ).select(
@@ -333,7 +333,7 @@ def events_intervention_its(spark, sf_dir):
         "sy",
         "st",
     # referenced twice (pre/post filters): evaluate the fit chain once
-    ).localCheckpoint(eager=False)
+    ).transform(barrier)
     pre = co.filter("post = 0").select(
         F.col("n").alias("n_pre"),
         F.col("num").alias("num0"),

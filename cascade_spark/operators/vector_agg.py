@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from cascade_spark.plans.registry import register
-from cascade_spark.operators._util import bigint, t
+from cascade_spark.operators._util import barrier, bigint, t
 from cascade_spark.operators.similarity import Q_SCALE
 
 Q = 10_000  # quantization scale: 4 fractional digits
@@ -334,7 +334,7 @@ def embedding_pca_power_iteration(spark, sf_dir):
             # referenced twice per round (the max-norm aggregate + the
             # renormalized v): without a barrier the plan doubles every
             # round, re-running both matvec passes 2^k times
-            .localCheckpoint(eager=False)
+            .transform(barrier)
         )
         m = z.agg(F.max(F.abs(F.col("z"))).alias("m"))
         v = z.crossJoin(F.broadcast(m)).select(

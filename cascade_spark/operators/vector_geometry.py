@@ -35,7 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from cascade_spark.operators._util import bigint, t
+from cascade_spark.operators._util import barrier, bigint, t
 from cascade_spark.plans.registry import register
 
 Q = 200  # |x| < 0.6 in the fixture embeddings -> |q| < 120 fits int8
@@ -404,9 +404,7 @@ def embedding_random_projection_jl(spark, sf_dir):
     elems = _elems(spark, sf_dir)
     # referenced 3x (the projection + both original-distance join
     # sides): evaluate the bounded-sample explode once
-    sample = elems.filter(F.col("vec_id") < JL_SAMPLE_IDS).localCheckpoint(
-        eager=False
-    )
+    sample = elems.filter(F.col("vec_id") < JL_SAMPLE_IDS).transform(barrier)
     dims = elems.select("pos").distinct()
     outs = t(spark, sf_dir, "embeddings").sparkSession.range(
         JL_OUT_DIMS
@@ -444,7 +442,7 @@ def embedding_random_projection_jl(spark, sf_dir):
         .groupBy("vec_id", "j")
         .agg(bigint(F.sum(F.col("s") * F.col("xq"))).alias("p"))
         # both projected-distance join sides read this aggregate
-        .localCheckpoint(eager=False)
+        .transform(barrier)
     )
     a = proj.select(
         F.col("vec_id").alias("v1"), "j", F.col("p").alias("pa")

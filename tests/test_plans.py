@@ -845,11 +845,12 @@ def test_lsh_recall_truth_audit_is_tiled_not_collected(spark, sf_dir):
 
 
 def test_map_hofs_evaluate_once_per_column(spark, sf_dir):
-    """Catalyst does not CSE lambda expressions: canonicalizing a map
-    HOF by referencing it per key inlined ~6 copies of every HOF per
-    row (physical plan showed 6x transform_values; warm sf0.1 cost
-    8.6 s vs 6.5 s fixed). The projection barrier must keep each HOF
-    at EXACTLY one copy in the physical plan."""
+    """Catalyst does not CSE lambda expressions. Round 12 pinned each
+    map HOF to exactly one plan copy; round 13 fused the four HOF
+    semantics into ONE transform lambda over the entries array (12
+    interpreted lambda invocations/row → 3; warm sf0.1 3.5 s → 2.4 s,
+    oracle hash unchanged). Pin the fused shape: zero per-map HOF
+    calls, exactly one lambda-bearing transform in the physical plan."""
     from cascade_spark.plans.registry import load_all
 
     plan = (
@@ -860,7 +861,9 @@ def test_map_hofs_evaluate_once_per_column(spark, sf_dir):
         .toString()
     )
     for hof in ("transform_values", "map_filter", "map_zip_with", "transform_keys"):
-        assert plan.count(hof) == 1, (hof, plan.count(hof))
+        assert plan.count(hof) == 0, (hof, plan.count(hof))
+    n_lambda = plan.count("lambdafunction(")
+    assert 1 <= n_lambda <= 2, ("fused transform not single-copy", n_lambda)
 
 
 def test_quantized_dot_single_copy(spark, sf_dir):
@@ -919,3 +922,43 @@ def test_daily_grid_is_shared_and_materialized(spark, sf_dir):
         )
         assert "events.parquet" not in plan, (name, "grid rebuilt from events")
         assert "ExistingRDD" in plan, (name, "shared frame not checkpointed")
+
+
+def test_every_spine_consumer_reads_cache_not_base(spark, sf_dir):
+    """Round-13 (r12 verdict item 7): EVERY consumer of the three
+    events-derived shared spines — the (type×day) grid, the (day,x,y)
+    click/view spine, and the (type×dow) contingency cells — must
+    execute with ZERO events parquet scans and read the checkpointed
+    blocks instead (the aroon-28-scans defect class must stay dead).
+    The consumer list is DERIVED from builder sources so a new consumer
+    is pinned the day it lands."""
+    import inspect
+
+    from cascade_spark.plans.registry import load_all
+
+    reg = load_all()
+    markers = ("_grid(", "_xy_daily(", "_contingency_cells(")
+    checked = 0
+    bad = []
+    for name, q in sorted(reg.items()):
+        try:
+            src = inspect.getsource(q.builder)
+        except (OSError, TypeError):
+            continue
+        if not any(m in src for m in markers):
+            continue
+        # a builder that additionally reads the base table itself would
+        # legitimately scan it — none does today; fail loudly if one
+        # appears so the pin is consciously re-scoped, not silently lost
+        assert 'sf_dir, "events")' not in src, (name, "re-scope this pin")
+        plan = (
+            q.builder(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        if "events.parquet" in plan or "ExistingRDD" not in plan:
+            bad.append(name)
+        checked += 1
+    assert not bad, bad
+    assert checked >= 45, f"consumer derivation broke: only {checked} found"
