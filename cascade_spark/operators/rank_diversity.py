@@ -140,16 +140,19 @@ def similarity_mmr_diversify(spark, sf_dir):
     query = e.filter(F.col("vec_id") == 0).select(
         _quant(F.col("embedding")).alias("_qq")
     )
+    # quantize the corpus ONCE below the crossJoin (round-13): the old
+    # inlined form evaluated the 64-wide interpreted _quant lambda 4x
+    # per row (qa + qdot + twice inside xn2) — Catalyst does not CSE
+    # lambdas (the knn-label-consistency precedent)
     relq = (
         e.filter(F.col("vec_id") != 0)
+        .select("vec_id", _quant(F.col("embedding")).alias("qa"))
         .crossJoin(F.broadcast(query))
         .select(
             "vec_id",
-            _quant(F.col("embedding")).alias("qa"),
-            _idot(_quant(F.col("embedding")), F.col("_qq")).alias("qdot"),
-            _idot(_quant(F.col("embedding")), _quant(F.col("embedding"))).alias(
-                "xn2"
-            ),
+            "qa",
+            _idot(F.col("qa"), F.col("_qq")).alias("qdot"),
+            _idot(F.col("qa"), F.col("qa")).alias("xn2"),
             _idot(F.col("_qq"), F.col("_qq")).alias("qn2"),
         )
         .select(

@@ -805,8 +805,12 @@ def similarity_hard_negative_mining(spark, sf_dir):
         F.col("label").alias("anchor_label"),
         _quant(F.col("embedding")).alias("_av"),
     )
+    # corpus quantized ONCE below the anchor crossJoin (round-13): the
+    # inlined form re-ran the 64-wide _quant lambda per (row × anchor)
+    # pair instead of per row
     scored = (
-        e.crossJoin(F.broadcast(anchors))
+        e.select("vec_id", "label", _quant(F.col("embedding")).alias("qx"))
+        .crossJoin(F.broadcast(anchors))
         .filter(F.col("label") != F.col("anchor_label"))
         .select(
             "anchor_id",
@@ -814,7 +818,7 @@ def similarity_hard_negative_mining(spark, sf_dir):
             F.col("vec_id").alias("neg_id"),
             F.col("label").alias("neg_label"),
             F.aggregate(
-                F.zip_with(_quant(F.col("embedding")), F.col("_av"), lambda x, y: x * y),
+                F.zip_with(F.col("qx"), F.col("_av"), lambda x, y: x * y),
                 F.lit(0).cast("long"),
                 lambda acc, x: acc + x,
             ).alias("qdot"),
@@ -1426,13 +1430,16 @@ def similarity_reciprocal_rank_fusion(spark, sf_dir):
     query = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         _quant(F.col("embedding")).alias("_qq")
     )
+    # corpus quantized ONCE below the crossJoin (round-13): the inlined
+    # form re-ran the 64-wide interpreted _quant lambda 3x per row
     scored = (
         e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", _quant(F.col("embedding")).alias("qx"))
         .crossJoin(F.broadcast(query))
         .select(
             "vec_id",
-            _idot(_quant(F.col("embedding")), F.col("_qq")).alias("qdot"),
-            _idot(_quant(F.col("embedding")), _quant(F.col("embedding"))).alias("xn2"),
+            _idot(F.col("qx"), F.col("_qq")).alias("qdot"),
+            _idot(F.col("qx"), F.col("qx")).alias("xn2"),
             _idot(F.col("_qq"), F.col("_qq")).alias("qn2"),
         )
         .select(

@@ -268,17 +268,18 @@ def similarity_ndcg_eval(spark, sf_dir):
     query = e.filter(F.col("vec_id") == 0).select(
         _quant(F.col("embedding")).alias("_qq"), F.col("label").alias("qlabel")
     )
+    # corpus quantized ONCE below the crossJoin (round-13): the inlined
+    # form re-ran the 64-wide interpreted _quant lambda 3x per row
     scored = (
         e.filter(F.col("vec_id") != 0)
+        .select("vec_id", "label", _quant(F.col("embedding")).alias("qx"))
         .crossJoin(F.broadcast(query))
         .select(
             "vec_id",
             "label",
             "qlabel",
-            _idot(_quant(F.col("embedding")), F.col("_qq")).alias("qdot"),
-            _idot(_quant(F.col("embedding")), _quant(F.col("embedding"))).alias(
-                "xn2"
-            ),
+            _idot(F.col("qx"), F.col("_qq")).alias("qdot"),
+            _idot(F.col("qx"), F.col("qx")).alias("xn2"),
             _idot(F.col("_qq"), F.col("_qq")).alias("qn2"),
         )
         .select(
